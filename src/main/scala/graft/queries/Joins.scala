@@ -1,0 +1,145 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2 category C — the join surface.
+  *
+  * Scale notes (100 TB): dimension tables (region/nation/supplier/part at
+  * TPC-H ratios) are always broadcast — `broadcast()` hints pin the plan so
+  * a stats misestimate can never demote them to a shuffle. Fact-fact joins
+  * (lineitem⋈orders) shuffle on the join key and rely on AQE for skew
+  * splitting. The as-of join is expressed as equi-join + per-key window so
+  * it partitions by the equi key — no cross product, scales linearly in
+  * matched pairs.
+  */
+object Joins {
+
+  val queries: Seq[Q] = Seq(
+    Q("c1_join_bhj",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+                     CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents,
+                     COUNT(*) AS n_items
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              GROUP BY n_name ORDER BY n_name""")),
+
+    Q("c2_join_smj",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum("l_quantity"), 1).as("sum_qty"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_lines,
+                     round(SUM(l_quantity), 1) AS sum_qty
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    Q("c3_join_outer",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          sum(Q.cents(coalesce(col("o_totalprice"), lit(0.0))))
+            .as("spend_cents"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+                     CAST(SUM(CAST(round(COALESCE(o_totalprice, 0)*100)
+                       AS BIGINT)) AS BIGINT) AS spend_cents
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey, c_name ORDER BY c_custkey""")),
+
+    Q("c4_join_semi_anti",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val o = Tables.orders(s, d)
+        val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select(col("c_custkey"), lit("has_orders").as("tag"))
+        val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit("no_orders").as("tag"))
+        semi.unionByName(anti).orderBy("tag", "c_custkey")
+      },
+      Some("""SELECT c_custkey, 'has_orders' AS tag FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              UNION ALL
+              SELECT c_custkey, 'no_orders' AS tag FROM customer
+              WHERE NOT EXISTS
+                (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              ORDER BY tag, c_custkey""")),
+
+    // Theta/band join: equi key carries the shuffle, the range predicate is a
+    // cheap post-join residual — never a cross product.
+    Q("c5_join_theta_range",
+      (s, d) => Tables.part(s, d)
+        .join(Tables.lineitem(s, d),
+          col("p_partkey") === col("l_partkey") &&
+            col("l_extendedprice").between(
+              col("p_retailprice") * 0.9, col("p_retailprice") * 1.1))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_matches"),
+          round(avg("l_quantity"), 4).as("avg_qty"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, COUNT(*) AS n_matches,
+                     round(AVG(l_quantity), 4) AS avg_qty
+              FROM part JOIN lineitem
+                ON p_partkey = l_partkey
+               AND l_extendedprice BETWEEN p_retailprice*0.9
+                                       AND p_retailprice*1.1
+              GROUP BY p_brand ORDER BY p_brand""")),
+
+    // As-of join (events self-join): for every purchase, the latest click by
+    // the same user at-or-before the purchase. Equi-join on user_id +
+    // row_number over (purchase, click-ts desc) — the standard Spark-native
+    // as-of formulation.
+    Q("c6_join_asof",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+        val c = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"))
+        val w = Window.partitionBy("p_id")
+          .orderBy(col("c_ts").desc, col("c_id").desc)
+        p.join(c, col("p_user") === col("c_user") && col("c_ts") <= col("p_ts"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select("p_id", "p_user", "p_ts", "c_id", "c_ts")
+          .orderBy("p_id")
+      },
+      Some("""SELECT p_id, p_user, p_ts, c_id, c_ts FROM (
+                SELECT p.event_id AS p_id, p.user_id AS p_user, p.ts AS p_ts,
+                       c.event_id AS c_id, c.ts AS c_ts,
+                       row_number() OVER (PARTITION BY p.event_id
+                         ORDER BY c.ts DESC, c.event_id DESC) AS rk
+                FROM events p JOIN events c
+                  ON p.user_id = c.user_id AND c.ts <= p.ts
+                WHERE p.event_type = 'purchase' AND c.event_type = 'click')
+              WHERE rk = 1 ORDER BY p_id""")),
+
+    Q("c7_join_cross",
+      (s, d) => Tables.region(s, d)
+        .crossJoin(Tables.nation(s, d))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name"),
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+              ORDER BY r_name, n_name"""))
+  )
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 categories A (scans), B (projection/filter), F (sort/limit),
+  * G (set ops). All pure built-ins: filters and projections stay expressible
+  * so Catalyst pushes them into the parquet scan (PushedFilters/ReadSchema),
+  * which is the 100 TB story for this tranche — scan only what the query
+  * needs.
+  */
+object RelationalCore {
+
+  val queries: Seq[Q] = Seq(
+    // ---- A. scans ---------------------------------------------------------
+    Q("a1_scan_project",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        // (l_orderkey, l_linenumber) is NOT unique in this generator's data —
+        // order by ALL output columns so duplicate key tuples still yield a
+        // deterministic total order (SURVEY §5.3 rule 2).
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+              ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""")),
+
+    Q("a2_scan_events_ns",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, ts, user_id, event_type FROM events
+              WHERE event_type = 'purchase' ORDER BY event_id""")),
+
+    // ---- B. projection / filter / predicates ------------------------------
+    Q("b1_filter_pred",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp") &&
+          (col("l_discount").between(0.02, 0.08) || col("l_quantity") < 10) &&
+          col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+          "l_discount"),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                     l_discount
+              FROM lineitem
+              WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+                AND (l_discount BETWEEN 0.02 AND 0.08 OR l_quantity < 10)
+                AND l_returnflag IN ('A','R')
+              ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity,
+                       l_discount""")),
+
+    Q("b2_project_expr",
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("revenue_cents",
+          Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .withColumn("price_band",
+          when(col("l_extendedprice") < 20000.0, "low")
+            .when(col("l_extendedprice") < 50000.0, "mid")
+            .otherwise("high"))
+        .withColumn("qty_int", col("l_quantity").cast("long"))
+        .select("l_orderkey", "l_linenumber", "revenue_cents", "price_band",
+          "qty_int")
+        .orderBy("l_orderkey", "l_linenumber", "revenue_cents", "price_band",
+          "qty_int"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+                       AS revenue_cents,
+                     CASE WHEN l_extendedprice < 20000 THEN 'low'
+                          WHEN l_extendedprice < 50000 THEN 'mid'
+                          ELSE 'high' END AS price_band,
+                     CAST(l_quantity AS BIGINT) AS qty_int
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, revenue_cents, price_band,
+                       qty_int""")),
+
+    Q("b3_null_handling",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left")
+        .select(col("c_custkey"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("order_key"),
+          col("o_orderkey").isNotNull.as("has_order"),
+          coalesce(col("o_totalprice"), lit(0.0)).as("price_or_zero"))
+        .orderBy("c_custkey", "order_key"),
+      Some("""SELECT c_custkey, COALESCE(o_orderkey, -1) AS order_key,
+                     o_orderkey IS NOT NULL AS has_order,
+                     COALESCE(o_totalprice, 0.0) AS price_or_zero
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              ORDER BY c_custkey, order_key""")),
+
+    // ---- F. sort / limit --------------------------------------------------
+    // TakeOrderedAndProjectExec: per-partition top-K then merge on the
+    // driver — no global sort materialization, which is exactly the plan
+    // wanted at 100 TB for a bounded LIMIT.
+    Q("f1_order_limit",
+      (s, d) => Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // ---- G. set operations -------------------------------------------------
+    Q("g1_union",
+      (s, d) => Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .union(Tables.events(s, d).select(col("user_id").as("k")))
+        .distinct()
+        .orderBy("k"),
+      Some("""SELECT DISTINCT k FROM (
+                SELECT o_custkey AS k FROM orders
+                UNION ALL SELECT user_id AS k FROM events)
+              ORDER BY k""")),
+
+    Q("g2_intersect",
+      (s, d) => Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .intersect(Tables.customer(s, d)
+          .filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT o_custkey AS k FROM orders
+              INTERSECT
+              SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+              ORDER BY k""")),
+
+    Q("g3_except",
+      (s, d) => Tables.customer(s, d).select(col("c_custkey").as("k"))
+        .except(Tables.orders(s, d).select(col("o_custkey").as("k")))
+        .orderBy("k"),
+      Some("""SELECT c_custkey AS k FROM customer
+              EXCEPT
+              SELECT o_custkey AS k FROM orders
+              ORDER BY k"""))
+  )
+}

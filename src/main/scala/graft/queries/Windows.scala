@@ -1,0 +1,124 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2 category E — window functions.
+  *
+  * Every window ordering carries a unique tie-break column (§5.3 rule 3) so
+  * rank/lag assignments are engine-independent. Windows partition by key —
+  * at 100 TB each WindowExec works on one key group at a time after a
+  * key-partitioned sort; only e5 (global ntile over a 15k-row dimension
+  * table) uses an unpartitioned window, which is fine for dimension-sized
+  * inputs and would be re-keyed for fact-sized ones.
+  */
+object Windows {
+
+  val queries: Seq[Q] = Seq(
+    // Top-k per group — rank + filter, the distributed top-k idiom.
+    Q("e1_rank_topk",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+          .orderBy("o_custkey", "rk")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       CAST(row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT)
+                         AS rk
+                FROM orders)
+              WHERE rk <= 3 ORDER BY o_custkey, rk""")),
+
+    // lag/lead — the kernel inside sessionization ("remember the previous
+    // event"), the batch shadow of keyed state.
+    Q("e2_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev_id", lag("event_id", 1).over(w))
+          .withColumn("next_id", lead("event_id", 1).over(w))
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+          .select("event_id", "user_id", "prev_id", "next_id", "gap_us")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                     lag(event_id, 1) OVER w AS prev_id,
+                     lead(event_id, 1) OVER w AS next_id,
+                     epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ORDER BY event_id""")),
+
+    // Cumulative frame — THE batch-equivalent of updateStateByKey running
+    // counts (SURVEY §2 i4); value sums as integer cents for exactness.
+    Q("e3_running_agg",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("run_cnt", count(lit(1)).over(w))
+          .withColumn("run_cents", sum(Q.cents(col("value"))).over(w))
+          .select("event_id", "user_id", "run_cnt", "run_cents")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+                     COUNT(*) OVER w AS run_cnt,
+                     CAST(SUM(CAST(round(value*100) AS BIGINT)) OVER w
+                       AS BIGINT) AS run_cents
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              ORDER BY event_id""")),
+
+    // rangeBetween frame — 1-day trailing revenue per customer. Spark range
+    // frames need a numeric ordering key, so order by unix micros; the
+    // [-86400e6, 0] micros frame is exactly DuckDB's RANGE INTERVAL 1 DAY
+    // PRECEDING.
+    Q("e4_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("ord")
+          .rangeBetween(-86400000000L, 0)
+        Tables.orders(s, d)
+          // o_orderdate is TIMESTAMP_NTZ (parquet ms, no UTC flag); cast to
+          // session-TZ timestamp (UTC) for unix_micros.
+          .withColumn("ord", unix_micros(col("o_orderdate").cast("timestamp")))
+          .withColumn("trail_cents", sum(Q.cents(col("o_totalprice"))).over(w))
+          .select("o_custkey", "o_orderkey", "trail_cents")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                     CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER
+                       (PARTITION BY o_custkey ORDER BY o_orderdate
+                        RANGE BETWEEN INTERVAL '1 day' PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS trail_cents
+              FROM orders ORDER BY o_orderkey""")),
+
+    // Distribution functions over account balances (unique total order via
+    // c_custkey tie-break makes ntile/percent_rank/cume_dist exact rationals
+    // — identical doubles in both engines; rounded anyway).
+    Q("e5_ntile_pctl",
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, d)
+          .select(col("c_custkey"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            round(percent_rank().over(w), 6).as("pr"),
+            round(cume_dist().over(w), 6).as("cd"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+                     CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                     round(percent_rank() OVER w, 6) AS pr,
+                     round(cume_dist() OVER w, 6) AS cd
+              FROM customer
+              WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+              ORDER BY c_custkey"""))
+  )
+}
