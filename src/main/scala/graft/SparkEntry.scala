@@ -16,7 +16,9 @@ object SparkEntry {
     RelationalCore.queries ++
       Joins.queries ++
       Aggregates.queries ++
-      Windows.queries
+      Windows.queries ++
+      Scalars.queries ++
+      StatefulShadows.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

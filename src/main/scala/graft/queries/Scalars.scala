@@ -1,0 +1,162 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** SURVEY §2 category H — scalar function kernels (string / date / math /
+  * array / generator / JSON / map). All built-in `functions._` — codegen'd,
+  * whole-stage-compatible, no UDFs on these hot paths.
+  *
+  * Cross-engine typing rules applied throughout: Spark int-returning
+  * functions (length, year, row_number, size, …) are cast to long because
+  * DuckDB's equivalents return BIGINT; libm-backed math (ln, pow) is rounded
+  * because correct rounding isn't guaranteed across implementations; JSON
+  * extracts are cast to concrete types (§5.3 rule 7).
+  */
+object Scalars {
+
+  val queries: Seq[Q] = Seq(
+    Q("h1_string_fns",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          lower(col("p_name")).as("lname"),
+          upper(col("p_brand")).as("ubrand"),
+          length(col("p_name")).cast(LongType).as("name_len"),
+          substring(col("p_name"), 1, 8).as("name8"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+          size(split(col("p_name"), " ")).cast(LongType).as("n_tokens"),
+          regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_word"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"),
+          levenshtein(col("p_brand"), lit("Brand#13")).cast(LongType)
+            .as("lev"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, lower(p_name) AS lname, upper(p_brand)
+                       AS ubrand,
+                     length(p_name) AS name_len,
+                     substring(p_name, 1, 8) AS name8,
+                     concat_ws('|', p_brand, p_type) AS brand_type,
+                     len(string_split(p_name, ' ')) AS n_tokens,
+                     regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+                     regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
+                     levenshtein(p_brand, 'Brand#13') AS lev
+              FROM part ORDER BY p_partkey""")),
+
+    Q("h2_date_fns",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          // DuckDB's date_trunc('day', ts) yields DATE; align types.
+          date_trunc("day", col("o_orderdate")).cast("date").as("od_day"),
+          year(col("o_orderdate")).cast(LongType).as("yr"),
+          month(col("o_orderdate")).cast(LongType).as("mo"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+          datediff(lit("1998-01-01").cast("date"),
+            col("o_orderdate").cast("date")).cast(LongType).as("days_to_98"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     date_trunc('day', o_orderdate) AS od_day,
+                     year(o_orderdate) AS yr,
+                     month(o_orderdate) AS mo,
+                     day(o_orderdate) AS dom,
+                     date_diff('day', CAST(o_orderdate AS DATE),
+                       DATE '1998-01-01') AS days_to_98,
+                     epoch_us(o_orderdate) AS od_us
+              FROM orders ORDER BY o_orderkey""")),
+
+    Q("h3_math_fns",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          round(col("l_extendedprice"), 1).as("price_r1"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
+          round(pow(col("l_quantity"), 2), 6).as("qty_sq"),
+          round(sqrt(col("l_extendedprice")), 6).as("price_sqrt"),
+          round(log(col("l_extendedprice")), 6).as("price_ln"),
+          pmod(col("l_orderkey"), lit(7)).as("ok_mod7"),
+          greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+          least(col("l_tax"), col("l_discount")).as("min_rate"))
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "price_r1"),
+      Some("""SELECT l_orderkey, l_linenumber, l_suppkey,
+                     round(l_extendedprice, 1) AS price_r1,
+                     CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+                     CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+                     round(abs(l_discount - 0.05), 4) AS disc_dev,
+                     round(pow(l_quantity, 2), 6) AS qty_sq,
+                     round(sqrt(l_extendedprice), 6) AS price_sqrt,
+                     round(ln(l_extendedprice), 6) AS price_ln,
+                     l_orderkey % 7 AS ok_mod7,
+                     greatest(l_tax, l_discount) AS max_rate,
+                     least(l_tax, l_discount) AS min_rate
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, l_suppkey, price_r1""")),
+
+    // Higher-order array functions over the 64-dim embedding column. The
+    // fold accumulates in double on both sides, in element order, so the
+    // result is bit-stable across engines (rounded anyway).
+    Q("h4_array_fns",
+      (s, d) => Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).cast(LongType).as("dim"),
+          element_at(col("embedding"), 1).as("e1"),
+          slice(col("embedding"), 1, 4).as("first4"),
+          round(expr(
+            """aggregate(transform(embedding, x -> abs(cast(x as double))),
+               cast(0 as double), (a, x) -> a + x)"""), 5).as("l1_norm"))
+        .orderBy("vec_id"),
+      Some("""SELECT vec_id, len(embedding) AS dim,
+                     embedding[1] AS e1,
+                     embedding[1:4] AS first4,
+                     round(list_reduce(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE))), (a, b) -> a + b), 5)
+                       AS l1_norm
+              FROM embeddings ORDER BY vec_id""")),
+
+    // explode → word count: THE canonical Spark-Streaming-demo computation
+    // in batch form (SURVEY §2 h5).
+    Q("h5_explode",
+      (s, d) => Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("word"),
+      Some("""SELECT word, COUNT(*) AS cnt FROM (
+                SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+              GROUP BY word ORDER BY word""")),
+
+    Q("h6_json_fns",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k_path"),
+          from_json(col("props"), StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k_schema"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS k_path,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS k_schema
+              FROM events ORDER BY event_id""")),
+
+    // Map kernel — maps never appear in oracle output (iteration order is
+    // engine-specific, §5.3 rule 5); project to scalars + sorted arrays.
+    Q("h7_map_fns",
+      (s, d) => {
+        val m = map_from_arrays(
+          array(lit("a"), lit("b")),
+          array(col("user_id"), col("event_id")))
+        Tables.events(s, d)
+          .select(col("event_id"),
+            element_at(m, "a").as("va"),
+            size(map_keys(m)).cast(LongType).as("nkeys"),
+            sort_array(map_keys(m)).as("keys_sorted"),
+            array_contains(map_keys(m), "a").as("has_a"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id AS va, CAST(2 AS BIGINT) AS nkeys,
+                     ['a', 'b'] AS keys_sorted, TRUE AS has_a
+              FROM events ORDER BY event_id"""))
+  )
+}
