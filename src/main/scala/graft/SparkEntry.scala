@@ -18,7 +18,9 @@ object SparkEntry {
       Aggregates.queries ++
       Windows.queries ++
       Scalars.queries ++
-      StatefulShadows.queries
+      StatefulShadows.queries ++
+      LlmOps.queries ++
+      CustomFns.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

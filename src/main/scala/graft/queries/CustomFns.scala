@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.WelfordStats
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2 category K — the user-defined-function surface. Kept
+  * deliberately tiny: built-ins and higher-order functions beat UDFs
+  * (codegen, null-safety, pushdown), so exactly one scalar UDF and one typed
+  * Aggregator exist to cover the extension points.
+  */
+object CustomFns {
+
+  /** Distinct 5-char shingle count — a genuine Scala closure (the one
+    * operation in the inventory where a JVM sliding-window is clearer than
+    * nested higher-order SQL).
+    */
+  private val nShingles =
+    udf((text: String) => text.sliding(5).toSet.size.toLong)
+
+  val queries: Seq[Q] = Seq(
+    Q("k1_scala_udf",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), nShingles(col("text")).as("n_shingles"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CAST(len(list_distinct(list_transform(
+                       generate_series(1, length(text)-4),
+                       i -> substring(text, i, 5)))) AS BIGINT) AS n_shingles
+              FROM documents ORDER BY doc_id""")),
+
+    // Typed Aggregator (modern UDAF): one-pass Welford moments vs DuckDB's
+    // native avg/stddev_samp. Output rounded to 2 — both algorithms are
+    // numerically stable, agreeing far below that precision.
+    Q("k2_typed_aggregator",
+      (s, d) => {
+        val stats = udaf(WelfordStats)
+        Tables.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(stats(col("o_totalprice")).as("st"))
+          .select(col("o_orderstatus"),
+            col("st.n").as("n_orders"),
+            round(col("st.avg"), 2).as("avg_price"),
+            round(col("st.sd"), 2).as("sd_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
+                     round(AVG(o_totalprice), 2) AS avg_price,
+                     round(stddev_samp(o_totalprice), 2) AS sd_price
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+  )
+}

@@ -1,0 +1,370 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** SURVEY §2 category J — LLM-data-pipeline operators: deduplication (exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity
+  * search (brute-force + LSH-banded scale path), text analysis
+  * (quality/lang-id heuristics, stats, fingerprinting), multimodal columns.
+  *
+  * Scale stances (100 TB):
+  *  - MinHash/LSH banding IS the linear-scale path for near-dup: candidates
+  *    come from equi-joins on (band, signature) buckets, never from an O(n²)
+  *    pair scan; the exact-Jaccard verify only touches banded candidates.
+  *  - The exhaustive pair formulations (j9/j11) are intentionally restricted
+  *    to bounded slices (one language / the probe set) and exist as the
+  *    correctness baseline the sketch paths are judged against.
+  *  - All hash seeds are fixed constants (SURVEY §5.3 rule 6).
+  */
+object LlmOps {
+
+  /** 5-char shingle set of `text` as a SQL expression (shared by j2/k1). */
+  private val ShingleExpr =
+    "array_distinct(transform(sequence(1, length(text)-4), i -> substring(text, i, 5)))"
+
+  private val NumHashes = 32
+  private val NumBands = 16 // r=2 rows/band: P(candidate | J=.9) = 1-(1-.81)^16
+
+  /** In-order double fold dot product — bit-identical in Spark and DuckDB
+    * (both fold left-to-right in double after per-element cast).
+    */
+  private def dot(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+        cast(0 as double), (acc, v) -> acc + v)"""
+
+  private def duckDot(a: String, b: String): String =
+    s"""list_reduce(list_transform(generate_series(1, 64),
+        i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"""
+
+  // ---- SimHash pieces (32-bit, md5-hex-derived so both engines agree) ----
+  private val simhashBitsSql = (0 until 32).map(i =>
+    s"SUM(CASE WHEN substring(md5(tok), ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b$i")
+    .mkString(", ")
+  private val simhashValSql = (0 until 32).map(i =>
+    s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
+  val queries: Seq[Q] = Seq(
+
+    // Exact dedup: content-hash the text, keep the lowest doc_id per hash.
+    // row_number (not dropDuplicates) so the survivor is deterministic.
+    Q("j1_exact_dedup",
+      (s, d) => {
+        val w = Window.partitionBy("h").orderBy("doc_id")
+        Tables.documents(s, d)
+          .withColumn("h", sha2(col("text"), 256))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars FROM (
+                SELECT doc_id, lang, source, n_chars,
+                       row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                         AS rn
+                FROM documents)
+              WHERE rn = 1 ORDER BY doc_id""")),
+
+    // MinHash + LSH banding near-dup: shingle → 32 minhashes → 16 bands of
+    // 2 → bucket equi-join for candidates → exact-Jaccard verify ≥ 0.9.
+    // The oracle is the exhaustive exact-Jaccard pair join — the banded path
+    // must find every qualifying pair (at J≈0.99 the per-pair miss
+    // probability is (1-J²)^16 ≈ 1e-27).
+    Q("j2_minhash_neardup",
+      (s, d) => {
+        val sh = Tables.documents(s, d)
+          .select(col("doc_id"), expr(ShingleExpr).as("sh"))
+        val mh = sh.withColumn("mh", array((0 until NumHashes).map(j =>
+          expr(s"array_min(transform(sh, s -> xxhash64(concat(s, '#$j'))))")): _*))
+        val bands = mh.select(col("doc_id"),
+          explode(array((0 until NumBands).map(b =>
+            struct(lit(b).as("b"), col("mh")(2 * b).as("v1"),
+              col("mh")(2 * b + 1).as("v2"))): _*)).as("bk"))
+        val cand = bands.alias("x")
+          .join(bands.alias("y"),
+            col("x.bk") === col("y.bk") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        cand.join(shA, "doc_a").join(shB, "doc_b")
+          .withColumn("inter",
+            size(array_intersect(col("sh_a"), col("sh_b"))))
+          .withColumn("jac", col("inter").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+          .filter(col("jac") >= 0.9)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("jac"), 4).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH sh AS (SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, length(text)-4),
+                   i -> substring(text, i, 5))) AS s FROM documents)
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+                        4) AS jaccard
+               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+               ORDER BY doc_a, doc_b""")),
+
+    // Brute-force cosine top-k (embeddings are L2-normalized → cosine ≡ dot).
+    // Ranking is on the ROUNDED score so engine ULP noise can't flip ranks.
+    Q("j3_cosine_topk",
+      (s, d) => {
+        val probe = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding").as("p"))
+        Tables.embeddings(s, d).crossJoin(broadcast(probe))
+          .select(col("vec_id"),
+            round(expr(dot("embedding", "p")), 6).as("score"))
+          .orderBy(col("score").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(s"""SELECT e.vec_id, round(${duckDot("e.embedding", "p.p")}, 6)
+                        AS score
+               FROM embeddings e CROSS JOIN
+                 (SELECT embedding AS p FROM embeddings WHERE vec_id = 0) p
+               ORDER BY score DESC, e.vec_id LIMIT 10""")),
+
+    // k-NN similarity join: probe set (label=0) broadcast against the full
+    // collection; top-3 by rounded score per probe via window rank.
+    Q("j4_knn_join",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val probes = e.filter(col("label") === 0)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("score").desc, col("vec_id"))
+        e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+          .withColumn("score", round(expr(dot("embedding", "p")), 6))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("probe_id", "vec_id", "score", "rk")
+          .orderBy("probe_id", "rk")
+      },
+      Some(s"""SELECT probe_id, vec_id, score, rk FROM (
+                 SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+                        round(${duckDot("e.embedding", "p.embedding")}, 6)
+                          AS score,
+                        CAST(row_number() OVER (PARTITION BY p.vec_id
+                          ORDER BY round(${duckDot("e.embedding", "p.embedding")}, 6)
+                            DESC, e.vec_id) AS BIGINT) AS rk
+                 FROM embeddings e JOIN embeddings p
+                   ON p.label = 0 AND e.vec_id != p.vec_id)
+               WHERE rk <= 3 ORDER BY probe_id, rk""")),
+
+    // Corpus text statistics per (lang, source): doc/char/token counts and
+    // type-token ratio.
+    Q("j5_text_stats",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+        val base = docs.groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            round(avg("n_chars"), 2).as("avg_chars"),
+            sum(size(col("toks"))).as("n_tokens"))
+        val uniq = docs
+          .select(col("lang"), col("source"), explode(col("toks")).as("tok"))
+          .groupBy("lang", "source")
+          .agg(countDistinct(col("tok")).as("n_uniq_tokens"))
+        base.join(uniq, Seq("lang", "source"))
+          .withColumn("ttr",
+            round(col("n_uniq_tokens").cast("double") / col("n_tokens"), 6))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH base AS (
+                SELECT lang, source, COUNT(*) AS n_docs,
+                       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                       round(AVG(n_chars), 2) AS avg_chars,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                         AS n_tokens
+                FROM documents GROUP BY 1, 2),
+              uniq AS (
+                SELECT lang, source, COUNT(DISTINCT tok) AS n_uniq_tokens
+                FROM (SELECT lang, source,
+                        unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY 1, 2)
+              SELECT base.lang AS lang, base.source AS source, n_docs,
+                     sum_chars, avg_chars, n_tokens, n_uniq_tokens,
+                     round(CAST(n_uniq_tokens AS DOUBLE) / n_tokens, 6) AS ttr
+              FROM base JOIN uniq ON base.lang = uniq.lang
+                AND base.source = uniq.source
+              ORDER BY lang, source""")),
+
+    // Multimodal column plumbing: opaque binary payload + typed metadata
+    // struct carried through the plan, projected to scalars for the oracle.
+    // (The mapPartitions decode/feature path lives in graft.multimodal.)
+    Q("j6_multimodal_col",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("payload", col("text").cast("binary"))
+        .withColumn("meta", struct(lit("text/plain").as("mime"),
+          col("n_chars").as("bytes")))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("payload_len"),
+          md5(col("payload")).as("payload_md5"),
+          col("meta.mime").as("mime"),
+          col("meta.bytes").as("bytes"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT)
+                       AS payload_len,
+                     md5(text) AS payload_md5,
+                     'text/plain' AS mime,
+                     n_chars AS bytes
+              FROM documents ORDER BY doc_id""")),
+
+    // Per-doc quality scoring + stopword-ratio language heuristic.
+    Q("j7_quality_langid",
+      (s, d) => {
+        val stops = "('the','a','of','and','to','in')"
+        Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("nt", size(col("toks")).cast("long"))
+          .withColumn("nstop",
+            expr(s"size(filter(toks, t -> t IN $stops))").cast("long"))
+          .withColumn("nuniq", size(array_distinct(col("toks"))).cast("long"))
+          .select(col("doc_id"), col("lang"),
+            col("nt").as("n_tokens"),
+            ceil(col("n_chars") / 4.0).as("token_est"),
+            round((col("n_chars") - (col("nt") - 1)).cast("double") /
+              col("nt"), 4).as("avg_tok_len"),
+            round(col("nstop").cast("double") / col("nt"), 4)
+              .as("stop_ratio"),
+            round(col("nuniq").cast("double") / col("nt"), 4)
+              .as("uniq_ratio"),
+            when(col("nstop").cast("double") / col("nt") > 0.05, "en-like")
+              .otherwise("other").as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, lang, n_chars,
+                       len(string_split(text, ' ')) AS nt,
+                       len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','a','of','and','to','in'))) AS nstop,
+                       len(list_distinct(string_split(text, ' '))) AS nuniq
+                FROM documents)
+              SELECT doc_id, lang, CAST(nt AS BIGINT) AS n_tokens,
+                     CAST(ceil(n_chars/4.0) AS BIGINT) AS token_est,
+                     round(CAST(n_chars - (nt-1) AS DOUBLE)/nt, 4)
+                       AS avg_tok_len,
+                     round(CAST(nstop AS DOUBLE)/nt, 4) AS stop_ratio,
+                     round(CAST(nuniq AS DOUBLE)/nt, 4) AS uniq_ratio,
+                     CASE WHEN CAST(nstop AS DOUBLE)/nt > 0.05
+                          THEN 'en-like' ELSE 'other' END AS pred_lang
+              FROM t ORDER BY doc_id""")),
+
+    // Document fingerprinting (content-hash identity for dedup indexes).
+    Q("j8_fingerprint",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("fp"),
+          substring(md5(col("text").cast("binary")), 1, 16).as("fp16"),
+          sha2(col("text"), 256).as("fp_sha"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS fp,
+                     substring(md5(text), 1, 16) AS fp16,
+                     sha256(text) AS fp_sha
+              FROM documents ORDER BY doc_id""")),
+
+    // Word 3-gram Jaccard near-dup, exhaustive over one language slice —
+    // the correctness baseline for the sketch-based paths.
+    Q("j9_ngram_jaccard",
+      (s, d) => {
+        val ng = Tables.documents(s, d).filter(col("lang") === "en")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), expr(
+            """array_distinct(transform(sequence(1, size(toks)-2),
+               i -> concat_ws(' ', element_at(toks, i),
+                 element_at(toks, i+1), element_at(toks, i+2))))""").as("g"))
+        val a = ng.select(col("doc_id").as("doc_a"), col("g").as("ga"))
+        val b = ng.select(col("doc_id").as("doc_b"), col("g").as("gb"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+          .withColumn("jac", col("inter").cast("double") /
+            (size(col("ga")) + size(col("gb")) - col("inter")))
+          .filter(col("jac") >= 0.8)
+          .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH ng AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         generate_series(1, len(string_split(text,' '))-2),
+                         i -> concat_ws(' ', string_split(text,' ')[i],
+                           string_split(text,' ')[i+1],
+                           string_split(text,' ')[i+2]))) AS g
+                FROM documents WHERE lang = 'en')
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                       (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),
+                       4) AS jaccard
+              FROM ng a JOIN ng b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
+              ORDER BY doc_a, doc_b""")),
+
+    // SimHash near-dup: 32-bit signature from md5-hex bit votes over the
+    // distinct token set; pairs within Hamming distance 4.
+    Q("j10_simhash_neardup",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val bitCols = (0 until 32).map(i =>
+          sum(when(substring(md5(col("tok")), i + 1, 1) >= "8", 1L)
+            .otherwise(-1L)).as(s"b$i"))
+        val bits = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+        val simhash = (0 until 32).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        val sim = bits.select(col("doc_id"), simhash.as("simhash"))
+        val a = sim.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+        val b = sim.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("ham",
+            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+          .filter(col("ham") <= 4)
+          .select("doc_a", "doc_b", "ham")
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH tok AS (SELECT DISTINCT doc_id, tok FROM
+                 (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)),
+               bits AS (SELECT doc_id, $simhashBitsSql FROM tok
+                 GROUP BY doc_id),
+               sim AS (SELECT doc_id, CAST($simhashValSql AS BIGINT)
+                 AS simhash FROM bits)
+               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                        AS ham
+               FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+               WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+               ORDER BY doc_a, doc_b""")),
+
+    // Embedding-cosine near-dup pairs (exhaustive baseline; the LSH/IVF
+    // pre-filter is the documented scale path).
+    Q("j11_cosine_neardup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val a = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"))
+        a.join(b, col("vid_a") < col("vid_b"))
+          .withColumn("dotp", expr(dot("ea", "eb")))
+          .filter(col("dotp") >= 0.45)
+          .select(col("vid_a"), col("vid_b"),
+            round(col("dotp"), 6).as("score"))
+          .orderBy("vid_a", "vid_b")
+      },
+      Some(s"""SELECT vid_a, vid_b, round(dotp, 6) AS score FROM (
+                 SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+                        ${duckDot("a.embedding", "b.embedding")} AS dotp
+                 FROM embeddings a JOIN embeddings b
+                   ON a.vec_id < b.vec_id)
+               WHERE dotp >= 0.45 ORDER BY vid_a, vid_b"""))
+  )
+}
