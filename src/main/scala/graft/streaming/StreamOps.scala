@@ -1,0 +1,197 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Event mirrors the `events` table schema at microsecond precision
+  * (FIXTURES.md) — the stream element type for every stateful operator.
+  */
+final case class Event(
+    event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
+    value: Double, props: String)
+
+final case class KeyCount(
+    user_id: Long, event_type: String, n: Long, val_cents: Long)
+final case class CountState(n: Long, cents: Long)
+
+final case class SessState(n: Long, startUs: Long, lastUs: Long)
+final case class ClosedSession(
+    user_id: Long, n_events: Long, start_us: Long, end_us: Long)
+
+/** SURVEY §2 category I — the stateful streaming operators themselves
+  * (the reference's core surface), built on Structured Streaming.
+  *
+  * Design invariants:
+  *  - every operator here has a batch-equivalent registered in
+  *    `graft.queries.StatefulShadows` (or is literally the same code run on
+  *    a batch DataFrame — window()/session_window() are mode-agnostic), and
+  *    the MemoryStream differential suite asserts streaming == batch;
+  *  - state lives in the executor-side state store keyed by the group key,
+  *    so parallelism scales with key cardinality — no driver-side state;
+  *  - watermarks bound state: windowed aggregates evict closed windows,
+  *    timeouts/TTL evict idle keys (the 100 TB memory story).
+  */
+object StreamOps {
+
+  /** i4 — running count/sum per (user, event_type): the modern
+    * `updateStateByKey`. Emits the updated running totals for every key
+    * touched by the micro-batch (update-mode semantics).
+    */
+  def runningCounts(events: Dataset[Event]): Dataset[KeyCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), rows: Iterator[Event],
+         state: GroupState[CountState]) =>
+          val prev = state.getOption.getOrElse(CountState(0L, 0L))
+          var n = prev.n
+          var cents = prev.cents
+          rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+          val next = CountState(n, cents)
+          state.update(next)
+          KeyCount(key._1, key._2, next.n, next.cents)
+      }
+  }
+
+  /** i1 — event-time tumbling window aggregate. Identical code path in batch
+    * and streaming; the watermark only matters in streaming (late-drop +
+    * state eviction).
+    */
+  def tumblingCounts(events: Dataset[Event]): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("val_cents"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        col("val_cents"))
+
+  /** i2 — sliding window (1 h window, 15 min slide): each event in 4 panes. */
+  def slidingCounts(events: Dataset[Event]): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+
+  /** i3 — gap-based session windows (native session_window operator). */
+  def sessionWindows(events: Dataset[Event]): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("start_ts"), col("user_id"),
+        col("n_events"))
+
+  /** i5 (classic form) — sessionization with explicit state + event-time
+    * timeout: state for an idle key is closed and emitted when the watermark
+    * passes last-event + gap. This is `mapWithState`+`StateSpec.timeout` in
+    * Structured Streaming clothes.
+    */
+  def sessionizeWithTimeout(
+      events: Dataset[Event], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60000000L
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.n, s.startUs, s.lastUs))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if us - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(n = s.n + 1, lastUs = us))
+                case Some(s) =>
+                  closed ::= ClosedSession(uid, s.n, s.startUs, s.lastUs)
+                  cur = Some(SessState(1L, us, us))
+                case None =>
+                  cur = Some(SessState(1L, us, us))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the event-time watermark passes last + gap
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes * 60000L)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
+  /** i5 (modern form) — transformWithState processor with ValueState + TTL:
+    * per-user running count whose state auto-expires after `ttl`. TTL bounds
+    * state for abandoned keys without any timer bookkeeping — the 100 TB
+    * default for "state must not grow forever".
+    */
+  final class RunningCountProcessor(ttl: TTLConfig)
+      extends StatefulProcessor[Long, Event, KeyCount] {
+    @transient private var countState: ValueState[CountState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      countState = getHandle.getValueState[CountState](
+        "count", Encoders.product[CountState], ttl)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[KeyCount] = {
+      val prev =
+        if (countState.exists()) countState.get() else CountState(0L, 0L)
+      var n = prev.n
+      var cents = prev.cents
+      rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+      val next = CountState(n, cents)
+      countState.update(next)
+      Iterator.single(KeyCount(key, "all", next.n, next.cents))
+    }
+  }
+
+  def runningCountsTws(
+      events: Dataset[Event],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[KeyCount] = {
+    import events.sparkSession.implicits._
+    // transformWithState requires a multi-column-family store — RocksDB,
+    // which is also the provider this engine standardizes on at scale
+    // (incremental checkpoints, state >> heap).
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** i6 — streaming dedup on the event id, state bounded by the watermark. */
+  def dedupEvents(events: Dataset[Event]): Dataset[Event] =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Streaming file source for the events table (the engine's bulk ingest
+    * analogue of the reference's socket/Kafka source; AvailableNow gives
+    * bounded-lag backfill over historical data).
+    */
+  /** `eventsDir` must be a DIRECTORY of events-schema parquet files (file
+    * streaming sources watch directories; new files = new micro-batches).
+    */
+  def eventsFileStream(
+      spark: org.apache.spark.sql.SparkSession,
+      eventsDir: String): Dataset[Event] = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .as[Event]
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch-side checks: every registered query executes at sf0.001; targeted
+  * semantic laws (SURVEY §5.2.4) for the non-oracled / sketch operators.
+  * Oracle equivalence itself is covered by graft.Verify + tools/compare.py
+  * (and the driver's DuckDB harness).
+  */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.Sf0001
+
+  test("every registered query executes and has a schema") {
+    SparkEntry.all.foreach { q =>
+      val df = q.fn(spark, d)
+      assert(df.columns.nonEmpty, s"${q.name}: empty schema")
+      assert(df.count() >= 0, s"${q.name}: count failed")
+    }
+  }
+
+  test("every oracle query has matching column names in Spark output") {
+    // The driver's compare sorts columns by name — a rename on one side is
+    // an automatic mismatch. Cheap structural guard: SQL SELECT aliases
+    // must appear in the Spark schema (spot-check via the flagship few).
+    val df = SparkEntry.queries("d1_hash_agg")(spark, d)
+    assert(df.columns.toSet == Set("l_returnflag", "l_linestatus", "sum_qty",
+      "base_cents", "disc_cents", "avg_qty", "avg_price", "count_order"))
+  }
+
+  test("entry returns rows (driver t1 smoke shape)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("d3 HLL approx distinct within 10% of exact (SURVEY §5.2.4 bound)") {
+    val approx = SparkEntry.queries("d3_hll_approx")(spark, d)
+      .select("event_type", "approx_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, d)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n) <= math.max(1L, (n * 0.10).toLong),
+        s"$k: approx $a vs exact $n")
+    }
+  }
+
+  test("j2 MinHash banding finds exactly the exhaustive J>=0.9 pairs") {
+    // Recall property: the LSH-banded candidate set, after exact verify,
+    // must equal a from-scratch exhaustive pair join (no sketch).
+    val sh = Tables.documents(spark, d).select(col("doc_id"), expr(
+      "array_distinct(transform(sequence(1, length(text)-4), i -> substring(text, i, 5)))")
+      .as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val exhaustive = a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jac") >= 0.9)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = SparkEntry.queries("j2_minhash_neardup")(spark, d)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == exhaustive,
+      s"LSH missed ${exhaustive -- banded}, extra ${banded -- exhaustive}")
+  }
+
+  test("i4 running count final value equals plain groupBy count (law)") {
+    val finalCounts = SparkEntry.queries("i4_running_count")(spark, d)
+      .groupBy("user_id", "event_type").agg(max("run_cnt").as("n"))
+    val direct = Tables.events(spark, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    assert(finalCounts.except(direct).isEmpty &&
+      direct.except(finalCounts).isEmpty)
+  }
+
+  test("i3 sessionize invariants: intra-gap <= 30min, inter-gap > 30min") {
+    val sessions = SparkEntry.queries("i3_session_window")(spark, d)
+    // consecutive sessions of the same user must be > 30 min apart
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("session_id")
+    val bad = sessions
+      .withColumn("prev_end", lag("end_ts", 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        unix_micros(col("start_ts")) - unix_micros(col("prev_end"))
+          <= 1800000000L)
+      .count()
+    assert(bad == 0L, s"$bad session pairs closer than the gap")
+  }
+
+  test("j1 exact dedup is idempotent") {
+    val once = SparkEntry.queries("j1_exact_dedup")(spark, d)
+    assert(once.count() ==
+      once.dropDuplicates("doc_id").count())
+  }
+}

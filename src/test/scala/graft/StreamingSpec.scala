@@ -1,0 +1,230 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY §5.2.3 — the streaming = batch differential harness. Every
+  * stateful streaming operator is fed via MemoryStream (scripted batches,
+  * including out-of-order and late rows) and its output compared to the
+  * batch formulation over the union of injected rows.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.Sf0001
+
+  import StreamOps._
+
+  private def ev(id: Long, t: String, uid: Long, typ: String = "click",
+      v: Double = 1.0): Event =
+    Event(id, Timestamp.valueOf(t), uid, typ, v, "{}")
+
+  /** sf0.001 events as three chronological chunks (no artificial late data —
+    * watermark never drops in-order feeds).
+    */
+  private lazy val chunks: Seq[Seq[Event]] = {
+    import spark.implicits._
+    val all = Tables.events(spark, d).as[Event]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    all.grouped((all.size + 2) / 3).toSeq
+  }
+
+  test("i4 streaming running counts converge to batch groupBy (differential)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = runningCounts(in.toDS()).writeStream
+      .format("memory").queryName("rc").outputMode("update").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("rc")
+      .groupBy("user_id", "event_type")
+      .agg(max("n").as("n"), max("val_cents").as("cents"))
+    val batch = Tables.events(spark, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value*100) as bigint)")).as("cents"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("i5 transformWithState running counts converge to batch (differential)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = runningCountsTws(in.toDS()).writeStream
+      .format("memory").queryName("tws").outputMode("update").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("tws")
+      .groupBy("user_id").agg(max("n").as("n"))
+    val batch = Tables.events(spark, d)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("i1 streaming tumbling window equals batch form (complete mode)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = tumblingCounts(in.toDS()).writeStream
+      .format("memory").queryName("tumble").outputMode("complete").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    val batch = tumblingCounts(
+      Tables.events(spark, d).as[Event]) // same code, batch mode
+    val streamed = spark.table("tumble")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("i3 streaming session_window matches batch lag-gap sessionize") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionWindows(in.toDS()).writeStream
+      .format("memory").queryName("sess").outputMode("append").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    // sentinel batches: far-future events close every real session (append
+    // mode only emits once the watermark passes session end + gap)
+    in.addData(Seq(ev(9000001L, "2024-06-01 00:00:00", -1L)))
+    q.processAllAvailable()
+    in.addData(Seq(ev(9000002L, "2024-06-02 00:00:00", -1L)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("start_ts"), col("n_events"))
+    val batch = SparkEntry.queries("i3_session_window")(spark, d)
+      .select(col("user_id"), col("start_ts"), col("n_events"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streaming session_window diverges from batch lag-gap sessionization")
+  }
+
+  test("i7 late data beyond the watermark is dropped (append mode)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = tumblingCounts(in.toDS()).writeStream
+      .format("memory").queryName("late").outputMode("append").start()
+    in.addData(Seq(ev(1, "2024-01-01 10:00:00", 1),
+      ev(2, "2024-01-01 10:30:00", 1)))
+    q.processAllAvailable()
+    in.addData(Seq(ev(3, "2024-01-01 12:00:00", 2)))
+    q.processAllAvailable()
+    in.addData(Seq(ev(4, "2024-01-01 12:30:00", 2)))
+    q.processAllAvailable() // watermark 12:20 → window [10:00,11:00) emitted
+    in.addData(Seq(ev(5, "2024-01-01 10:15:00", 1))) // LATE — must be dropped
+    q.processAllAvailable()
+    in.addData(Seq(ev(6, "2024-01-01 14:00:00", 2)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("late")
+      .filter(col("ws") === Timestamp.valueOf("2024-01-01 10:00:00"))
+      .collect()
+    assert(rows.length == 1, s"window emitted ${rows.length}× (expected once)")
+    assert(rows.head.getAs[Long]("n") == 2L,
+      "late row leaked into an already-closed window")
+  }
+
+  test("i5 event-time timeout closes idle sessions (flatMapGroupsWithState)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionizeWithTimeout(in.toDS()).writeStream
+      .format("memory").queryName("timeout").outputMode("append").start()
+    in.addData(Seq(ev(1, "2024-01-01 10:00:00", 1),
+      ev(2, "2024-01-01 10:10:00", 1)))
+    q.processAllAvailable()
+    // another user far ahead advances the event-time watermark past
+    // u1.last(10:10) + gap(30m) = 10:40
+    in.addData(Seq(ev(3, "2024-01-01 12:00:00", 2)))
+    q.processAllAvailable()
+    in.addData(Seq(ev(4, "2024-01-01 12:05:00", 2)))
+    q.processAllAvailable() // timeout fires in the batch after wm advance
+    q.stop()
+    val closed = spark.table("timeout").as[ClosedSession].collect()
+    assert(closed.exists(c => c.user_id == 1L && c.n_events == 2L),
+      s"u1 session not closed by timeout; got ${closed.toSeq}")
+  }
+
+  test("i6 streaming dedup drops duplicate event ids across batches") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = dedupEvents(in.toDS()).writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    in.addData(Seq(ev(1, "2024-01-01 10:00:00", 1),
+      ev(2, "2024-01-01 10:01:00", 1)))
+    q.processAllAvailable()
+    in.addData(Seq(ev(1, "2024-01-01 10:00:00", 1), // duplicate id
+      ev(3, "2024-01-01 10:02:00", 2)))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").count() == 3L)
+  }
+
+  test("i8 output modes: complete / update / append all run the i1 query") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    Seq("complete", "update", "append").foreach { mode =>
+      val in = MemoryStream[Event]
+      val q = tumblingCounts(in.toDS()).writeStream
+        .format("memory").queryName(s"mode_$mode").outputMode(mode).start()
+      in.addData(chunks.head.take(50))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table(s"mode_$mode").schema.fieldNames
+        .contains("val_cents"))
+    }
+  }
+
+  test("checkpoint recovery: stateful query resumes without loss or dups") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val in = MemoryStream[Event]
+
+    def start() = tumblingCounts(in.toDS()).writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    in.addData(Seq(ev(1, "2024-01-01 10:00:00", 1),
+      ev(2, "2024-01-01 10:30:00", 1)))
+    q1.processAllAvailable()
+    in.addData(Seq(ev(3, "2024-01-01 12:00:00", 2)))
+    q1.processAllAvailable()
+    q1.stop() // kill mid-stream: window [10:00,11:00) not yet emitted
+
+    val q2 = start() // resume from offsets + state
+    in.addData(Seq(ev(4, "2024-01-01 12:30:00", 2)))
+    q2.processAllAvailable()
+    in.addData(Seq(ev(5, "2024-01-01 14:00:00", 2)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val sink = spark.read.parquet(out)
+      .filter(col("ws") === Timestamp.valueOf("2024-01-01 10:00:00"))
+      .collect()
+    assert(sink.length == 1 && sink.head.getAs[Long]("n") == 2L,
+      "pre-restart state lost or window double-emitted after recovery")
+  }
+
+  test("streaming file source reads the events table (AvailableNow backfill)") {
+    // file sources watch directories — stage the single-file table into one
+    val dir = java.nio.file.Files.createTempDirectory("graft-evsrc")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = StreamOps.eventsFileStream(spark, dir.toString).writeStream
+      .format("memory").queryName("filesrc")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("filesrc").count() == 1000L)
+  }
+}
