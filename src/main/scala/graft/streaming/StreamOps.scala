@@ -179,6 +179,35 @@ object StreamOps {
     * analogue of the reference's socket/Kafka source; AvailableNow gives
     * bounded-lag backfill over historical data).
     */
+  /** Stream–static enrichment join: the streaming side joins a static
+    * dimension DataFrame re-resolved per micro-batch — no state required,
+    * the canonical "enrich the stream" pattern. At scale the static side is
+    * broadcast (dimension-sized) so the stream never shuffles.
+    */
+  def enrichWithStatic(
+      events: Dataset[Event],
+      dim: DataFrame, joinCol: String): DataFrame =
+    events.join(broadcast(dim), col("user_id") === col(joinCol), "left")
+
+  /** Stream–stream interval join: purchases matched to clicks by the same
+    * user within the preceding 10 minutes. Watermarks on BOTH sides bound
+    * the join state (each side buffers only rows inside the interval +
+    * watermark horizon).
+    */
+  def purchaseClickJoin(events: Dataset[Event]): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      expr("""p_user = c_user AND
+              c_ts >= p_ts - interval 10 minutes AND c_ts <= p_ts"""))
+  }
+
   /** `eventsDir` must be a DIRECTORY of events-schema parquet files (file
     * streaming sources watch directories; new files = new micro-batches).
     */

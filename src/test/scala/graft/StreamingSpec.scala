@@ -215,6 +215,41 @@ class StreamingSpec extends AnyFunSuite {
       "pre-restart state lost or window double-emitted after recovery")
   }
 
+  test("stream-static enrichment join matches batch left join") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Tables.customer(spark, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val in = MemoryStream[Event]
+    val q = enrichWithStatic(in.toDS(), dim, "c_custkey").writeStream
+      .format("memory").queryName("enrich").outputMode("append").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    val batchCount = Tables.events(spark, d)
+      .join(dim, col("user_id") === col("c_custkey"), "left").count()
+    assert(spark.table("enrich").count() == batchCount)
+  }
+
+  test("stream-stream interval join buffers both sides within watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = purchaseClickJoin(in.toDS()).writeStream
+      .format("memory").queryName("ssjoin").outputMode("append").start()
+    in.addData(Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click"),
+      ev(2, "2024-01-01 10:05:00", 1, "purchase"), // joins with click@10:00
+      ev(3, "2024-01-01 09:40:00", 2, "click"),
+      ev(4, "2024-01-01 10:30:00", 2, "purchase"))) // click 50 min earlier → no
+    q.processAllAvailable()
+    in.addData(Seq(ev(5, "2024-01-01 13:00:00", 3, "view")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjoin")
+      .select("p_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == Set((2L, 1L)), s"got ${got.toSeq}")
+  }
+
   test("streaming file source reads the events table (AvailableNow backfill)") {
     // file sources watch directories — stage the single-file table into one
     val dir = java.nio.file.Files.createTempDirectory("graft-evsrc")
