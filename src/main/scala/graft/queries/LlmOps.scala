@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.functions.DotProduct
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -27,12 +28,12 @@ object LlmOps {
   private val NumHashes = 32
   private val NumBands = 16 // r=2 rows/band: P(candidate | J=.9) = 1-(1-.81)^16
 
-  /** In-order double fold dot product — bit-identical in Spark and DuckDB
-    * (both fold left-to-right in double after per-element cast).
+  /** In-order double fold dot product. `graft_dot` is the native codegen'd
+    * Catalyst expression (graft.functions.DotProduct) — bit-identical to the
+    * interpreted `aggregate(zip_with(...))` fold and to DuckDB's
+    * `list_reduce`, but it stays inside whole-stage codegen.
     */
-  private def dot(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
-        cast(0 as double), (acc, v) -> acc + v)"""
+  private def dot(a: String, b: String): String = s"graft_dot($a, $b)"
 
   private def duckDot(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, 64),
@@ -115,6 +116,7 @@ object LlmOps {
     // Ranking is on the ROUNDED score so engine ULP noise can't flip ranks.
     Q("j3_cosine_topk",
       (s, d) => {
+        DotProduct.register(s)
         val probe = Tables.embeddings(s, d).filter(col("vec_id") === 0)
           .select(col("embedding").as("p"))
         Tables.embeddings(s, d).crossJoin(broadcast(probe))
@@ -133,6 +135,7 @@ object LlmOps {
     // collection; top-3 by rounded score per probe via window rank.
     Q("j4_knn_join",
       (s, d) => {
+        DotProduct.register(s)
         val e = Tables.embeddings(s, d)
         val probes = e.filter(col("label") === 0)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
@@ -350,6 +353,7 @@ object LlmOps {
     // pre-filter is the documented scale path).
     Q("j11_cosine_neardup",
       (s, d) => {
+        DotProduct.register(s)
         val e = Tables.embeddings(s, d)
         val a = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"))
         val b = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"))

@@ -92,6 +92,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad == 0L, s"$bad session pairs closer than the gap")
   }
 
+  test("graft_dot native expression is bit-identical to the HOF fold") {
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, d)
+    val probe = e.filter(col("vec_id") === 1).select(col("embedding").as("p"))
+    val both = e.crossJoin(probe).select(
+      expr("graft_dot(embedding, p)").as("native"),
+      expr("""aggregate(zip_with(embedding, p,
+               (x, y) -> cast(x as double) * cast(y as double)),
+               cast(0 as double), (acc, v) -> acc + v)""").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0L,
+      "codegen'd dot product diverges from interpreted fold")
+  }
+
   test("j1 exact dedup is idempotent") {
     val once = SparkEntry.queries("j1_exact_dedup")(spark, d)
     assert(once.count() ==
