@@ -51,7 +51,13 @@ object Bench {
       .foreach(t => Tables.table(spark, sfDir, t).count())
     Tables.events(spark, sfDir).count()
 
-    val results = headline.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ALL=1 → time every registered query (scale-smoke
+    // sweep) instead of the six headline shapes.
+    val suite =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+        SparkEntry.all.map(q => q.name -> q.fn)
+      else headline
+    val results = suite.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>

@@ -179,6 +179,20 @@ object StreamOps {
     * analogue of the reference's socket/Kafka source; AvailableNow gives
     * bounded-lag backfill over historical data).
     */
+  /** `foreachBatch` sink — arbitrary per-micro-batch output logic (upserts,
+    * multi-sink fan-out, JDBC, …); the escape hatch when no built-in sink
+    * fits. The handle receives the batch DataFrame and its monotonically
+    * increasing batch id (for idempotent writes on retry).
+    */
+  def runningCountsForeachBatch(
+      events: Dataset[Event])(
+      handle: (org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], Long) => Unit): StreamingQuery =
+    runningCounts(events).toDF().writeStream
+      .outputMode("update")
+      .foreachBatch(handle)
+      .start()
+
   /** Stream–static enrichment join: the streaming side joins a static
     * dimension DataFrame re-resolved per micro-batch — no state required,
     * the canonical "enrich the stream" pattern. At scale the static side is

@@ -50,7 +50,9 @@ class QueriesSpec extends AnyFunSuite {
   test("j2 MinHash banding finds exactly the exhaustive J>=0.9 pairs") {
     // Recall property: the LSH-banded candidate set, after exact verify,
     // must equal a from-scratch exhaustive pair join (no sketch).
-    val sh = Tables.documents(spark, d).select(col("doc_id"), expr(
+    // GRAFT_TEST_SF overrides the scale (used for the sf0.1 recall check).
+    val sfDir = sys.env.getOrElse("GRAFT_TEST_SF", d)
+    val sh = Tables.documents(spark, sfDir).select(col("doc_id"), expr(
       "array_distinct(transform(sequence(1, length(text)-4), i -> substring(text, i, 5)))")
       .as("sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
@@ -62,7 +64,7 @@ class QueriesSpec extends AnyFunSuite {
       .filter(col("jac") >= 0.9)
       .select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val banded = SparkEntry.queries("j2_minhash_neardup")(spark, d)
+    val banded = SparkEntry.queries("j2_minhash_neardup")(spark, sfDir)
       .select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(banded == exhaustive,

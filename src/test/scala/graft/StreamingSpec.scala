@@ -250,6 +250,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == Set((2L, 1L)), s"got ${got.toSeq}")
   }
 
+  test("foreachBatch sink receives every micro-batch with its id") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val in = MemoryStream[Event]
+    val q = runningCountsForeachBatch(in.toDS()) { (df, id) =>
+      seen.put(id, df.count())
+    }
+    in.addData(chunks.head.take(10)); q.processAllAvailable()
+    in.addData(chunks.head.slice(10, 20)); q.processAllAvailable()
+    q.stop()
+    assert(seen.size >= 2, s"expected >=2 batches, saw $seen")
+    assert(seen.values.stream.mapToLong(identity(_)).sum > 0)
+  }
+
+  test("rate source wires up as a deterministic load generator") {
+    val df = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+    assert(df.isStreaming &&
+      df.schema.fieldNames.toSet == Set("timestamp", "value"))
+    val q = df.writeStream.format("memory").queryName("rate_smoke").start()
+    try {
+      q.awaitTermination(2000)
+    } finally q.stop()
+    assert(spark.table("rate_smoke").schema.fieldNames.contains("value"))
+  }
+
   test("streaming file source reads the events table (AvailableNow backfill)") {
     // file sources watch directories — stage the single-file table into one
     val dir = java.nio.file.Files.createTempDirectory("graft-evsrc")
