@@ -370,6 +370,68 @@ object LlmOps {
                WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
                ORDER BY doc_a, doc_b""")),
 
+    // ANN via LSH bucketing — the scale path beside brute-force j3/j4: 8
+    // fixed random-hyperplane sign bits coarse-quantize the collection;
+    // each probe searches ONLY its own bucket (collection shrinks ~256×
+    // per probe at scale). Hyperplane weights are a deterministic ±1
+    // pattern reproducible in SQL, so the whole ANN result — bucketing
+    // included — is exactly oracle-checkable. Recall vs exhaustive j4 is
+    // the usual ANN trade-off, not a correctness property.
+    Q("j12_ann_lsh_bucket",
+      (s, d) => {
+        DotProduct.register(s)
+        val planes = 8
+        // sign bit k = sign(Σ_i emb[i] · w(k,i)),  w(k,i) = ±1 from a fixed
+        // integer pattern (same formula in the DuckDB oracle)
+        def bucketBit(k: Int, embCol: String) = expr(
+          s"""CASE WHEN aggregate(zip_with($embCol, transform(sequence(1, 64),
+              i -> CASE WHEN (i * 73 + $k * 151) % 7 <= 3 THEN 1.0D
+                   ELSE -1.0D END), (x, w) -> cast(x as double) * w),
+              cast(0 as double), (acc, v) -> acc + v) >= 0
+              THEN ${1 << k} ELSE 0 END""")
+        def withBucket(df: org.apache.spark.sql.DataFrame, embCol: String) =
+          df.withColumn("bucket",
+            (0 until planes).map(k => bucketBit(k, embCol)).reduce(_ + _))
+        val e = withBucket(Tables.embeddings(s, d), "embedding")
+          .select(col("vec_id"), col("embedding"), col("bucket"))
+        val probes = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
+            col("bucket").as("pbucket"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("score").desc, col("vec_id"))
+        e.join(broadcast(probes),
+          col("bucket") === col("pbucket") &&
+            col("vec_id") =!= col("probe_id"))
+          .withColumn("score", round(expr(dot("embedding", "p")), 6))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("probe_id", "vec_id", "score", "rk")
+          .orderBy("probe_id", "rk")
+      },
+      Some(s"""WITH b AS (
+                 SELECT vec_id, embedding,
+                        ${(0 until 8).map(k =>
+                          s"""(CASE WHEN list_reduce(list_transform(
+                              generate_series(1, 64),
+                              i -> embedding[i]::DOUBLE *
+                                (CASE WHEN (i * 73 + $k * 151) % 7 <= 3
+                                 THEN 1.0 ELSE -1.0 END)),
+                              (x, y) -> x + y) >= 0
+                              THEN ${1 << k} ELSE 0 END)""").mkString(" + ")}
+                          AS bucket
+                 FROM embeddings)
+               SELECT probe_id, vec_id, score, rk FROM (
+                 SELECT p.vec_id AS probe_id, e.vec_id AS vec_id,
+                        round(${duckDot("e.embedding", "p.embedding")}, 6)
+                          AS score,
+                        CAST(row_number() OVER (PARTITION BY p.vec_id
+                          ORDER BY round(${duckDot("e.embedding", "p.embedding")}, 6)
+                            DESC, e.vec_id) AS BIGINT) AS rk
+                 FROM b e JOIN b p
+                   ON p.vec_id % 50 = 0 AND e.bucket = p.bucket
+                  AND e.vec_id != p.vec_id)
+               WHERE rk <= 3 ORDER BY probe_id, rk""")),
+
     // Embedding-cosine near-dup pairs (exhaustive baseline; the LSH/IVF
     // pre-filter is the documented scale path).
     Q("j11_cosine_neardup",

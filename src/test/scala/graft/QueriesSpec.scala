@@ -107,6 +107,34 @@ class QueriesSpec extends AnyFunSuite {
       "codegen'd dot product diverges from interpreted fold")
   }
 
+  test("j12 ANN bucketing: neighbors share the probe's bucket, ranked top-3") {
+    val res = SparkEntry.queries("j12_ann_lsh_bucket")(spark, d).collect()
+    assert(res.nonEmpty)
+    val byProbe = res.groupBy(_.getAs[Long]("probe_id"))
+    byProbe.foreach { case (_, rows) =>
+      assert(rows.length <= 3)
+      val scores = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sortBy(-_)), "scores not descending")
+    }
+  }
+
+  test("GraftExtensions applies cleanly and its builders work (SQL path)") {
+    // A genuinely fresh session can't be built in the shared test JVM
+    // (getOrCreate reuses the context and ignores extension conf), so apply
+    // the extension object itself and drive the same named functions
+    // through SQL on the existing session.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must register without throwing
+    graft.functions.DotProduct.register(spark)
+    graft.functions.MinHashSignature.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(cast(1.0 as float), cast(2.0 as float)),
+                          array(cast(3.0 as float), cast(4.0 as float))) AS d,
+                graft_minhash(array('ab', 'cd'), 4) AS m""").collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getSeq[Long](1).length == 4)
+  }
+
   test("j1 exact dedup is idempotent") {
     val once = SparkEntry.queries("j1_exact_dedup")(spark, d)
     assert(once.count() ==
