@@ -1,0 +1,69 @@
+package graft.layout
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout utilities — the write-side half of the 100 TB story.
+  * Joins and aggregations are only as cheap as the layout they read from:
+  * bucketing pre-shuffles a fact table ONCE at write time so every
+  * subsequent equi-join/aggregate on the bucket key runs shuffle-free, and
+  * salting spreads a pathologically hot key across `nSalts` sub-keys when a
+  * handful of keys would otherwise pin the whole stage on one task.
+  */
+object Layout {
+
+  /** Write `df` as a bucketed+sorted managed table. Later equi-joins between
+    * tables bucketed the same way (same column, same count) plan with zero
+    * Exchange on either side — at 100 TB that deletes the dominant cost of
+    * every fact-fact join on the bucket key.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int = 32): Unit =
+    df.write
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .mode("overwrite")
+      .saveAsTable(table)
+
+  /** Salted broadcast-free join for skewed keys: the build side is exploded
+    * `nSalts`× (one copy per salt), the probe side picks a deterministic
+    * salt from a uniform hash of its row identity, and the join key becomes
+    * (key, salt) — hot keys fan out over `nSalts` tasks instead of one.
+    * Use when AQE's skew-join split isn't available (e.g. the skew is in a
+    * shuffled aggregation input, or the planner missed it).
+    *
+    * `probeSaltExpr` must be a deterministic expression over probe columns
+    * (e.g. `pmod(hash(col("event_id")), lit(nSalts))`) — never rand()
+    * (SURVEY §5.3 rule 6).
+    */
+  def saltedJoin(
+      probe: DataFrame, build: DataFrame, key: String,
+      probeSaltExpr: org.apache.spark.sql.Column,
+      nSalts: Int = 8): DataFrame = {
+    val salted = build
+      .withColumn("__salt", explode(array((0 until nSalts).map(lit): _*)))
+    probe
+      .withColumn("__salt", probeSaltExpr)
+      .join(salted, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+
+  /** Count Exchange (shuffle) operators in a plan — used by tests to prove
+    * a layout made a join shuffle-free.
+    */
+  def countExchanges(df: DataFrame): Int = {
+    val plan = df.queryExecution.executedPlan
+    var n = 0
+    plan.foreach {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        n += 1
+      case _ => ()
+    }
+    n
+  }
+
+  /** Session with a scratch warehouse for bucketed-table demos/tests. */
+  def warehouseDir(spark: SparkSession): String =
+    spark.conf.get("spark.sql.warehouse.dir")
+}

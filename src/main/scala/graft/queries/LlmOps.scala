@@ -74,11 +74,12 @@ object LlmOps {
                 FROM documents)
               WHERE rn = 1 ORDER BY doc_id""")),
 
-    // MinHash + LSH banding near-dup: shingle → 32 minhashes → 16 bands of
-    // 2 → bucket equi-join for candidates → exact-Jaccard verify ≥ 0.9.
-    // The oracle is the exhaustive exact-Jaccard pair join — the banded path
-    // must find every qualifying pair (at J≈0.99 the per-pair miss
-    // probability is (1-J²)^16 ≈ 1e-27).
+    // MinHash + LSH banding near-dup: shingle → fused 32-slot signature →
+    // 4 bands of 8 → bucket equi-join for candidates → exact-Jaccard verify
+    // ≥ 0.9. The oracle is the exhaustive exact-Jaccard pair join — the
+    // banded path must find every qualifying pair (at the corpus's J≈0.99
+    // near-dups, per-pair miss probability ≈ (1-0.99⁸)⁴ ≈ 4e-5; recall
+    // verified exact by the oracle and by QueriesSpec at sf0.001 and sf0.1).
     Q("j2_minhash_neardup",
       (s, d) => {
         graft.functions.MinHashSignature.register(s)
@@ -243,6 +244,10 @@ object LlmOps {
           .select(col("doc_id"), col("lang"),
             col("nt").as("n_tokens"),
             ceil(col("n_chars") / 4.0).as("token_est"),
+            // BPE-ish regex tokenizer (alternatives are first-char-disjoint,
+            // so Java and RE2 matching agree)
+            size(expr("regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+', 0)"))
+              .cast("long").as("bpe_est"),
             round((col("n_chars") - (col("nt") - 1)).cast("double") /
               col("nt"), 4).as("avg_tok_len"),
             round(col("nstop").cast("double") / col("nt"), 4)
@@ -254,7 +259,7 @@ object LlmOps {
           .orderBy("doc_id")
       },
       Some("""WITH t AS (
-                SELECT doc_id, lang, n_chars,
+                SELECT doc_id, lang, n_chars, text,
                        len(string_split(text, ' ')) AS nt,
                        len(list_filter(string_split(text, ' '),
                          x -> x IN ('the','a','of','and','to','in'))) AS nstop,
@@ -262,6 +267,9 @@ object LlmOps {
                 FROM documents)
               SELECT doc_id, lang, CAST(nt AS BIGINT) AS n_tokens,
                      CAST(ceil(n_chars/4.0) AS BIGINT) AS token_est,
+                     CAST(len(regexp_extract_all(text,
+                       ' ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+', 0)) AS BIGINT)
+                       AS bpe_est,
                      round(CAST(n_chars - (nt-1) AS DOUBLE)/nt, 4)
                        AS avg_tok_len,
                      round(CAST(nstop AS DOUBLE)/nt, 4) AS stop_ratio,

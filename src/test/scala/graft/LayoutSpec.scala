@@ -1,0 +1,50 @@
+package graft
+
+import graft.layout.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = TestSpark.Sf0001
+
+  test("bucketed tables join with ZERO shuffle exchanges") {
+    Layout.writeBucketed(Tables.lineitem(spark, d), "li_b", "l_orderkey", 8)
+    Layout.writeBucketed(Tables.orders(spark, d), "o_b", "o_orderkey", 8)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a real join plan: no AQE re-writes, no broadcast shortcut
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("o_b"), col("l_orderkey") === col("o_orderkey"))
+      assert(Layout.countExchanges(joined) == 0,
+        s"bucketed join still shuffles:\n${joined.queryExecution.executedPlan}")
+      // and an unbucketed control join DOES shuffle
+      val control = Tables.lineitem(spark, d)
+        .join(Tables.orders(spark, d),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(Layout.countExchanges(control) > 0)
+      assert(joined.count() == control.count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+
+  test("salted join returns exactly the plain join result") {
+    val events = Tables.events(spark, d)
+    val dim = Tables.events(spark, d)
+      .select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(5)))
+    val plain = events.join(dim, Seq("user_id"))
+      .agg(count(lit(1)), sum("segment")).collect()(0)
+    val salted = Layout.saltedJoin(events, dim, "user_id",
+      pmod(hash(col("event_id")), lit(8)), nSalts = 8)
+      .agg(count(lit(1)), sum("segment")).collect()(0)
+    assert(plain == salted)
+  }
+}
