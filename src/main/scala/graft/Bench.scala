@@ -16,14 +16,19 @@ object Bench {
     */
   private def joinAggNation(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
+      // pre-aggregate revenue per order key BEFORE the fact-fact join: the
+      // shuffle and join then carry one row per order (~4× fewer than line
+      // items) — the partial-agg-below-join rewrite that matters at 100 TB
+      .groupBy("l_orderkey")
+      .agg(sum(Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("order_cents"))
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(s, d)),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
-      .agg(sum(Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-        .as("revenue_cents"))
+      .agg(sum(col("order_cents")).as("revenue_cents"))
 
   /** Headline shapes, keyed exactly as BASELINE.md rows. */
   val headline: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
