@@ -165,9 +165,77 @@ object StreamOps {
     events.sparkSession.conf.set(
       "spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // state TTL is processing-time-based and requires that time mode
+    val mode = if (ttl == TTLConfig.NONE) TimeMode.None()
+               else TimeMode.ProcessingTime()
     events.groupByKey(_.user_id)
       .transformWithState(new RunningCountProcessor(ttl),
-        TimeMode.None(), OutputMode.Update())
+        mode, OutputMode.Update())
+  }
+
+  /** i5 (full surface) — transformWithState with ListState + event-time
+    * TIMERS: per-user activity tracker keeping the last 3 event ids and a
+    * running count; when the event-time watermark passes last-event + gap,
+    * the registered timer fires and `handleExpiredTimer` emits a final
+    * "expired" summary and clears all state. This is the complete modern
+    * replacement for `mapWithState` + `StateSpec.timeout`.
+    */
+  final case class UserActivity(
+      user_id: Long, kind: String, n: Long, recent: Seq[Long])
+
+  final class ActivityProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Event, UserActivity] {
+    @transient private var recent: ListState[Long] = _
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState[Long](
+        "recent", Encoders.scalaLong, TTLConfig.NONE)
+      cnt = getHandle.getValueState[Long](
+        "cnt", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserActivity] = {
+      var n = if (cnt.exists()) cnt.get() else 0L
+      var lastMs = Long.MinValue
+      rows.foreach { e =>
+        n += 1
+        recent.appendValue(e.event_id)
+        lastMs = math.max(lastMs, e.ts.getTime)
+      }
+      val keep = recent.get().toSeq.takeRight(3)
+      recent.clear()
+      keep.foreach(recent.appendValue)
+      cnt.update(n)
+      // re-arm the idle timer: fire when the watermark passes last + gap
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(lastMs + gapMs)
+      Iterator.single(UserActivity(key, "update", n, keep))
+    }
+
+    override def handleExpiredTimer(
+        key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[UserActivity] = {
+      val n = if (cnt.exists()) cnt.get() else 0L
+      val r = recent.get().toSeq
+      cnt.clear()
+      recent.clear()
+      Iterator.single(UserActivity(key, "expired", n, r))
+    }
+  }
+
+  def activityWithTimers(
+      events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserActivity] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new ActivityProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** i6 — streaming dedup on the event id, state bounded by the watermark. */
