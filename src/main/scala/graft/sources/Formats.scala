@@ -1,0 +1,69 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch source/sink format surface beyond plain parquet: Hive-style
+  * date-partitioned parquet (partition pruning — the #1 scan-cost lever at
+  * 100 TB: a day-ranged query over years of data must touch only the
+  * matching directories), plus CSV and JSON lines interchange with explicit
+  * schemas (never inference in production paths).
+  *
+  * (`format("avro")`/ORC connectors don't ship in this environment's jar
+  * set; parquet/csv/json/text are the supported formats.)
+  */
+object Formats {
+
+  /** Write events Hive-partitioned by event date: `.../ev_date=2024-01-07/`.
+    * At scale the partition column is the dominant pruning axis (date,
+    * tenant, source); one directory per value.
+    */
+  def writeDatePartitioned(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("ev_date", col("ts").cast("date"))
+      .write
+      .partitionBy("ev_date")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
+  /** Read back with partition pruning: a filter on `ev_date` is resolved
+    * against directory names only — non-matching partitions are never
+    * listed, opened, or scanned.
+    */
+  def readDateRange(
+      spark: SparkSession, path: String,
+      fromDate: String, toDate: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("ev_date").between(fromDate, toDate))
+
+  val EventsCsvSchema =
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
+      "value DOUBLE, props STRING"
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .csv(path)
+
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(EventsCsvSchema)
+      .option("header", "true")
+      .csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readJsonLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(EventsCsvSchema).json(path)
+
+  /** Count the data files a query would actually scan (post-pruning). */
+  def filesScanned(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: FileSourceScanExec =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters)
+          .map(_.files.size.toLong).sum
+    }.getOrElse(-1L)
+  }
+}
