@@ -45,6 +45,8 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
+      if (arr.isNullAt(i)) { i += 1 }
+      else {
       val s = arr.getUTF8String(i)
       val h1 = XXH64.hashUnsafeBytes(
         s.getBaseObject, s.getBaseOffset, s.numBytes, Seed1)
@@ -58,6 +60,7 @@ case class MinHashSignature(child: Expression, numHashes: Int)
         j += 1
       }
       i += 1
+      }
     }
     new GenericArrayData(mins)
   }

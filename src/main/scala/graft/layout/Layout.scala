@@ -53,14 +53,22 @@ object Layout {
     * a layout made a join shuffle-free.
     */
   def countExchanges(df: DataFrame): Int = {
-    val plan = df.queryExecution.executedPlan
-    var n = 0
-    plan.foreach {
-      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-        n += 1
-      case _ => ()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // AdaptiveSparkPlanExec is a LEAF node — a plain traversal under AQE
+    // (the default) never sees the inner exchanges and reports a vacuous 0;
+    // recurse into the adaptive input plan explicitly
+    def walk(p: SparkPlan): Int = {
+      var n = 0
+      p.foreach {
+        case a: AdaptiveSparkPlanExec => n += walk(a.inputPlan)
+        case _: ShuffleExchangeLike => n += 1
+        case _ => ()
+      }
+      n
     }
-    n
+    walk(df.queryExecution.executedPlan)
   }
 
   /** Session with a scratch warehouse for bucketed-table demos/tests. */

@@ -16,7 +16,11 @@ object CustomFns {
     * nested higher-order SQL).
     */
   private val nShingles =
-    udf((text: String) => text.sliding(5).toSet.size.toLong)
+    udf((text: String) =>
+      // null-safe; <5 chars has zero 5-shingles (sliding would emit one
+      // partial window, diverging from the oracle's empty generate_series)
+      if (text == null || text.length < 5) 0L
+      else text.sliding(5).toSet.size.toLong)
 
   val queries: Seq[Q] = Seq(
     Q("k1_scala_udf",

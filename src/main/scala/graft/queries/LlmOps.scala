@@ -22,8 +22,11 @@ import org.apache.spark.sql.expressions.Window
 object LlmOps {
 
   /** 5-char shingle set of `text` as a SQL expression (shared by j2/k1). */
+  // greatest(..., 0): sequence(1, n) DESCENDS for n < 1 in Spark (bogus
+  // indices / crash) while DuckDB's generate_series is empty — guard keeps
+  // sub-5-char texts agreeing across engines (empty shingle set)
   private val ShingleExpr =
-    "array_distinct(transform(sequence(1, length(text)-4), i -> substring(text, i, 5)))"
+    "array_distinct(transform(sequence(1, greatest(length(text)-4, 0)), i -> substring(text, i, 5)))"
 
   private val NumHashes = 32
   // 4 bands × 8 rows: LSH S-curve threshold (1/b)^(1/r) ≈ 0.84, just under
@@ -303,7 +306,7 @@ object LlmOps {
         val ng = Tables.documents(s, d).filter(col("lang") === "en")
           .withColumn("toks", split(col("text"), " "))
           .select(col("doc_id"), explode(expr(
-            """array_distinct(transform(sequence(1, size(toks)-2),
+            """array_distinct(transform(sequence(1, greatest(size(toks)-2, 0)),
                i -> concat_ws(' ', element_at(toks, i),
                  element_at(toks, i+1), element_at(toks, i+2))))""")).as("g"))
         val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))

@@ -40,22 +40,32 @@ object Formats {
     "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, " +
       "value DOUBLE, props STRING"
 
+  // default timestampFormat caps at milliseconds — events carry microsecond
+  // precision, so write/read with an explicit micros pattern
+  private val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true")
+      .option("timestampFormat", TsFormat)
       .csv(path)
 
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read
       .schema(EventsCsvSchema)
       .option("header", "true")
+      .option("timestampFormat", TsFormat)
       .csv(path)
 
   def writeJsonLines(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).json(path)
+    df.write.mode(SaveMode.Overwrite)
+      .option("timestampFormat", TsFormat)
+      .json(path)
 
   def readJsonLines(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(EventsCsvSchema).json(path)
+    spark.read.schema(EventsCsvSchema)
+      .option("timestampFormat", TsFormat)
+      .json(path)
 
   /** Count the data files a query would actually scan (post-pruning). */
   def filesScanned(df: DataFrame): Long = {

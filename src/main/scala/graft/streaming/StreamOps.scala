@@ -109,8 +109,12 @@ object StreamOps {
             sorted.foreach { e =>
               val us = e.ts.getTime * 1000L
               cur match {
-                case Some(s) if us - s.lastUs <= gapUs =>
-                  cur = Some(s.copy(n = s.n + 1, lastUs = us))
+                // a within-watermark late event may precede the stored
+                // last/start — extend the session, never regress it
+                case Some(s) if math.abs(us - s.lastUs) <= gapUs =>
+                  cur = Some(s.copy(n = s.n + 1,
+                    startUs = math.min(s.startUs, us),
+                    lastUs = math.max(s.lastUs, us)))
                 case Some(s) =>
                   closed ::= ClosedSession(uid, s.n, s.startUs, s.lastUs)
                   cur = Some(SessState(1L, us, us))
@@ -187,24 +191,30 @@ object StreamOps {
       extends StatefulProcessor[Long, Event, UserActivity] {
     @transient private var recent: ListState[Long] = _
     @transient private var cnt: ValueState[Long] = _
+    @transient private var lastSeen: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       recent = getHandle.getListState[Long](
         "recent", Encoders.scalaLong, TTLConfig.NONE)
       cnt = getHandle.getValueState[Long](
         "cnt", Encoders.scalaLong, TTLConfig.NONE)
+      lastSeen = getHandle.getValueState[Long](
+        "lastSeen", Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(
         key: Long, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[UserActivity] = {
       var n = if (cnt.exists()) cnt.get() else 0L
-      var lastMs = Long.MinValue
+      // a late-only batch must not pull the idle deadline backward: fold the
+      // stored last-activity time into the max
+      var lastMs = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
       rows.foreach { e =>
         n += 1
         recent.appendValue(e.event_id)
         lastMs = math.max(lastMs, e.ts.getTime)
       }
+      lastSeen.update(lastMs)
       val keep = recent.get().toSeq.takeRight(3)
       recent.clear()
       keep.foreach(recent.appendValue)
@@ -222,6 +232,7 @@ object StreamOps {
       val r = recent.get().toSeq
       cnt.clear()
       recent.clear()
+      lastSeen.clear()
       Iterator.single(UserActivity(key, "expired", n, r))
     }
   }
@@ -268,8 +279,12 @@ object StreamOps {
     */
   def enrichWithStatic(
       events: Dataset[Event],
-      dim: DataFrame, joinCol: String): DataFrame =
-    events.join(broadcast(dim), col("user_id") === col(joinCol), "left")
+      dim: DataFrame, joinCol: String): DataFrame = {
+    // dataframe-qualified refs: stays unambiguous even when the dimension's
+    // key column is itself named user_id
+    val ev = events.toDF()
+    ev.join(broadcast(dim), ev("user_id") === dim(joinCol), "left")
+  }
 
   /** Stream–stream interval join: purchases matched to clicks by the same
     * user within the preceding 10 minutes. Watermarks on BOTH sides bound

@@ -135,6 +135,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(r.getSeq[Long](1).length == 4)
   }
 
+  test("graft_dot matches zip_with semantics on null elements and mismatched lengths") {
+    graft.functions.DotProduct.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(cast(1.0 as float)),
+                          array(cast(1.0 as float), cast(2.0 as float))) AS mismatch,
+                graft_dot(array(cast(1.0 as float), cast(null as float)),
+                          array(cast(1.0 as float), cast(2.0 as float))) AS withnull
+      """).collect()(0)
+    assert(r.isNullAt(0), "length mismatch must yield NULL (zip_with pads)")
+    assert(r.isNullAt(1), "null element must propagate to NULL")
+  }
+
   test("j1 exact dedup is idempotent") {
     val once = SparkEntry.queries("j1_exact_dedup")(spark, d)
     assert(once.count() ==

@@ -182,6 +182,32 @@ class StreamingSpec extends AnyFunSuite {
   // Spark's own state-TTL guarantees. Event-time expiry IS covered (timer
   // test above + flatMapGroupsWithState timeout test below).
 
+  test("i5 late within-watermark event does not regress the session end") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionizeWithTimeout(in.toDS()).writeStream
+      .format("memory").queryName("latesess").outputMode("append").start()
+    in.addData(Seq(ev(1, "2024-01-01 10:00:00", 1),
+      ev(2, "2024-01-01 10:10:00", 1)))
+    q.processAllAvailable() // watermark → 10:00
+    // out-of-order but within watermark: must extend the session, not
+    // shrink its end or re-arm the timeout earlier
+    in.addData(Seq(ev(3, "2024-01-01 10:05:00", 1),
+      ev(4, "2024-01-01 12:00:00", 2)))
+    q.processAllAvailable()
+    in.addData(Seq(ev(5, "2024-01-01 12:05:00", 2)))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("latesess").as[ClosedSession].collect()
+      .filter(_.user_id == 1L)
+    assert(closed.length == 1, s"got ${closed.toSeq}")
+    assert(closed.head.n_events == 3L &&
+      closed.head.end_us == Timestamp.valueOf("2024-01-01 10:10:00")
+        .getTime * 1000L,
+      s"late event corrupted the session: ${closed.head}")
+  }
+
   test("i6 streaming dedup drops duplicate event ids across batches") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
