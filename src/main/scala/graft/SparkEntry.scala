@@ -16,6 +16,7 @@ object SparkEntry {
     RelationalCore.queries ++
       Joins.queries ++
       Aggregates.queries ++
+      MoreAggregates.queries ++
       Windows.queries ++
       Scalars.queries ++
       StatefulShadows.queries ++

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Inventory extension (SURVEY §2 D/E continued): exact quantiles,
+  * statistical aggregates, ordered string aggregation, positional window
+  * values, and FILTER-style conditional aggregates — the remaining
+  * aggregate-function families a consumer of an analytics engine expects.
+  */
+object MoreAggregates {
+
+  val queries: Seq[Q] = Seq(
+    // Exact interpolated percentiles (DuckDB quantile_cont uses the same
+    // p*(n-1) linear interpolation over the sorted multiset; identical
+    // doubles, rounded anyway). The sketch-based variant of this family is
+    // d3's HLL (approx_percentile shares its no-oracle rationale).
+    Q("d8_percentiles",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(expr(
+          """transform(percentile(o_totalprice, array(0.25D, 0.5D, 0.75D)),
+             x -> round(x, 2))""").as("price_quartiles"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus,
+                     list_transform(
+                       quantile_cont(o_totalprice, [0.25, 0.5, 0.75]),
+                       x -> round(x, 2)) AS price_quartiles,
+                     COUNT(*) AS n
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Pearson correlation / sample covariance / stddev / variance — both
+    // engines accumulate co-moments; low bits differ, so round.
+    Q("d9_stats_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+            .as("qty_price_covar"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("price_sd"),
+          round(var_samp(col("l_quantity")), 4).as("qty_var"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     round(corr(l_quantity, l_extendedprice), 6)
+                       AS qty_price_corr,
+                     round(covar_samp(l_quantity, l_extendedprice), 2)
+                       AS qty_price_covar,
+                     round(stddev_samp(l_extendedprice), 2) AS price_sd,
+                     round(var_samp(l_quantity), 4) AS qty_var
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // Ordered string aggregation — sort before concatenation (collect_list
+    // order is nondeterministic, §5.3 rule 5).
+    Q("d10_string_agg",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(concat_ws(",", sort_array(collect_list(col("event_type"))))
+          .as("types_csv"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+                     string_agg(event_type, ',' ORDER BY event_type)
+                       AS types_csv
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // FILTER-style conditional aggregates.
+    Q("d11_filtered_agg",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count_if(col("o_orderstatus") === "F").as("n_finished"),
+          bool_or(col("o_orderstatus") === "O").as("any_open"),
+          bool_and(col("o_totalprice") > 0).as("all_priced"),
+          sum(when(col("o_orderstatus") === "F",
+            Q.cents(col("o_totalprice")))).as("finished_cents"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+                     COUNT(*) FILTER (WHERE o_orderstatus = 'F')
+                       AS n_finished,
+                     bool_or(o_orderstatus = 'O') AS any_open,
+                     bool_and(o_totalprice > 0) AS all_priced,
+                     CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                       FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                       AS finished_cents
+              FROM orders GROUP BY o_orderpriority
+              ORDER BY o_orderpriority""")),
+
+    // Positional window values over an explicit full-partition frame (both
+    // engines default last_value to the growing frame — pin it).
+    Q("e6_first_last_nth",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_orderkey")).over(w).as("top_order"),
+            last(col("o_orderkey")).over(w).as("bottom_order"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                     first_value(o_orderkey) OVER w AS top_order,
+                     last_value(o_orderkey) OVER w AS bottom_order,
+                     nth_value(o_orderkey, 2) OVER w AS second_order
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              ORDER BY o_orderkey"""))
+  )
+}
