@@ -33,6 +33,29 @@ object RelationalCore {
       Some("""SELECT event_id, ts, user_id, event_type FROM events
               WHERE event_type = 'purchase' ORDER BY event_id""")),
 
+    // SQL-text interface: the same engine surface through spark.sql over
+    // registered temp views — the query text below runs verbatim in BOTH
+    // Spark and DuckDB (shared dialect subset).
+    Q("a3_sql_text",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        s.sql("""SELECT c_mktsegment,
+                        COUNT(*) AS n_orders,
+                        CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                          AS BIGINT) AS total_cents
+                 FROM orders JOIN customer ON o_custkey = c_custkey
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                 GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      },
+      Some("""SELECT c_mktsegment,
+                     COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                       AS BIGINT) AS total_cents
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // ---- B. projection / filter / predicates ------------------------------
     Q("b1_filter_pred",
       (s, d) => Tables.lineitem(s, d)
@@ -102,6 +125,16 @@ object RelationalCore {
         .select("o_orderkey", "o_custkey", "o_totalprice"),
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // Seeded Bernoulli sample — deterministic within Spark (fixed seed) but
+    // RNG-incompatible with DuckDB, so no SQL oracle; the driver's
+    // rows-only check still pins the row count.
+    Q("f2_sample",
+      (s, d) => Tables.orders(s, d)
+        .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      None),
 
     // ---- G. set operations -------------------------------------------------
     Q("g1_union",
