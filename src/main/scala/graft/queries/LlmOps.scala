@@ -56,6 +56,34 @@ object LlmOps {
   private val simhashValSql = (0 until 32).map(i =>
     s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
 
+  /** The j2 pipeline up to verified pairs: shingles → fused MinHash
+    * signature → banded candidates → exact-Jaccard verify ≥ 0.9.
+    */
+  private def neardupPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.MinHashSignature.register(s)
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), expr(ShingleExpr).as("sh"))
+    val mh = sh.withColumn("mh", expr(s"graft_minhash(sh, $NumHashes)"))
+    val bands = mh.select(col("doc_id"),
+      explode(array((0 until NumBands).map(b =>
+        struct(lit(b).as("b") +: (0 until RowsPerBand).map(r =>
+          col("mh")(RowsPerBand * b + r).as(s"v$r")): _*)): _*)).as("bk"))
+    val cand = bands.alias("x")
+      .join(bands.alias("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jac") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup: content-hash the text, keep the lowest doc_id per hash.
@@ -84,35 +112,9 @@ object LlmOps {
     // near-dups, per-pair miss probability ≈ (1-0.99⁸)⁴ ≈ 4e-5; recall
     // verified exact by the oracle and by QueriesSpec at sf0.001 and sf0.1).
     Q("j2_minhash_neardup",
-      (s, d) => {
-        graft.functions.MinHashSignature.register(s)
-        val sh = Tables.documents(s, d)
-          .select(col("doc_id"), expr(ShingleExpr).as("sh"))
-        // one fused pass over the shingles for all 32 signature slots
-        val mh = sh.withColumn("mh",
-          expr(s"graft_minhash(sh, $NumHashes)"))
-        val bands = mh.select(col("doc_id"),
-          explode(array((0 until NumBands).map(b =>
-            struct(lit(b).as("b") +: (0 until RowsPerBand).map(r =>
-              col("mh")(RowsPerBand * b + r).as(s"v$r")): _*)): _*)).as("bk"))
-        val cand = bands.alias("x")
-          .join(bands.alias("y"),
-            col("x.bk") === col("y.bk") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .distinct()
-        val shA = sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-        val shB = sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        cand.join(shA, "doc_a").join(shB, "doc_b")
-          .withColumn("inter",
-            size(array_intersect(col("sh_a"), col("sh_b"))))
-          .withColumn("jac", col("inter").cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
-          .filter(col("jac") >= 0.9)
-          .select(col("doc_a"), col("doc_b"),
-            round(col("jac"), 4).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => neardupPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
+        .orderBy("doc_a", "doc_b"),
       Some(s"""WITH sh AS (SELECT doc_id,
                  list_distinct(list_transform(generate_series(1, length(text)-4),
                    i -> substring(text, i, 5))) AS s FROM documents)
@@ -380,6 +382,65 @@ object LlmOps {
                FROM sim a JOIN sim b ON a.doc_id < b.doc_id
                WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
                ORDER BY doc_a, doc_b""")),
+
+    // Near-dup cluster canonicalization: connected components over the
+    // verified pair graph; every doc gets cluster_id = min doc_id in its
+    // component, and the minimum member is the canonical survivor — the
+    // final stage of a dedup pipeline. Spark side: BSP min-label
+    // propagation over the (tiny-diameter) near-dup graph, fixed 8
+    // supersteps — no driver-side convergence loop, fully declarative; the
+    // 100 TB variant swaps in large-star/small-star. Oracle: recursive-CTE
+    // transitive closure + min.
+    Q("j13_dedup_clusters",
+      (s, d) => {
+        val pairs = neardupPairs(s, d)
+        // localCheckpoint truncates lineage: without it every superstep
+        // re-executes the whole LSH pipeline (8× recompute) and the final
+        // plan is 8 joins deep — the iterative-algorithm materialization
+        // pattern (at cluster scale: reliable checkpoint per superstep)
+        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+          .localCheckpoint()
+        var labels = Tables.documents(s, d)
+          .select(col("doc_id"), col("doc_id").as("label"))
+        for (_ <- 1 to 8) {
+          val nbr = edges
+            .join(labels.select(col("doc_id").as("dst"),
+              col("label").as("nlabel")), "dst")
+            .groupBy(col("src").as("doc_id"))
+            .agg(min("nlabel").as("nmin"))
+          labels = labels.join(nbr, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("nmin"), col("label")))
+                .as("label"))
+            .localCheckpoint()
+        }
+        labels
+          .select(col("doc_id"), col("label").as("cluster_id"),
+            (col("doc_id") === col("label")).as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         generate_series(1, length(text)-4),
+                         i -> substring(text, i, 5))) AS s
+                FROM documents),
+              pairs AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.9),
+              edges AS (SELECT src, dst FROM pairs
+                        UNION ALL SELECT dst, src FROM pairs),
+              reach(a, b) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+              SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id,
+                     (a = min(b)) AS is_canonical
+              FROM reach GROUP BY a ORDER BY doc_id""")),
 
     // ANN via LSH bucketing — the scale path beside brute-force j3/j4: 8
     // fixed random-hyperplane sign bits coarse-quantize the collection;
