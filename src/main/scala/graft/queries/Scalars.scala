@@ -126,6 +126,47 @@ object Scalars {
                 FROM documents)
               GROUP BY word ORDER BY word""")),
 
+    // Positional generate: posexplode ≡ DuckDB lateral unnest over
+    // generate_series (pos kept 1-based on both sides via +1 on Spark's
+    // 0-based pos).
+    Q("h8_posexplode",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "word")))
+        .select(col("doc_id"), (col("pos0") + 1).cast(LongType).as("pos"),
+          col("word"))
+        .orderBy("doc_id", "pos"),
+      Some("""SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     string_split(text, ' ')[i] AS word
+              FROM documents,
+                   UNNEST(generate_series(1,
+                     len(string_split(text, ' ')))) AS t(i)
+              ORDER BY doc_id, pos""")),
+
+    // Array higher-order kernel #2: position/reverse/flatten/slice
+    // composition over the token array. array_position returns 0 when
+    // absent in Spark; DuckDB's list_position returns NULL — coalesce.
+    Q("h9_array_hof",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          element_at(col("toks"), 1).as("first_tok"),
+          element_at(reverse(col("toks")), 1).as("last_tok"),
+          array_position(col("toks"), "the").cast(LongType).as("the_pos"),
+          flatten(array(slice(col("toks"), 1, 2), slice(col("toks"), 3, 2)))
+            .as("first4"),
+          array_repeat(col("lang"), 2).as("lang2"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     string_split(text, ' ')[1] AS first_tok,
+                     list_reverse(string_split(text, ' '))[1] AS last_tok,
+                     CAST(COALESCE(list_position(string_split(text, ' '),
+                       'the'), 0) AS BIGINT) AS the_pos,
+                     flatten([string_split(text, ' ')[1:2],
+                              string_split(text, ' ')[3:4]]) AS first4,
+                     [lang, lang] AS lang2
+              FROM documents ORDER BY doc_id""")),
+
     Q("h6_json_fns",
       (s, d) => Tables.events(s, d)
         .select(col("event_id"),
