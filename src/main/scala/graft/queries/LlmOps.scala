@@ -21,12 +21,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object LlmOps {
 
-  /** 5-char shingle set of `text` as a SQL expression (shared by j2/k1). */
-  // greatest(..., 0): sequence(1, n) DESCENDS for n < 1 in Spark (bogus
-  // indices / crash) while DuckDB's generate_series is empty — guard keeps
-  // sub-5-char texts agreeing across engines (empty shingle set)
+  /** 5-char shingle set of `text` as a SQL expression (shared by j2/j13).
+    * Spark `sequence(1, n)` DESCENDS for n < 1 (sequence(1,0) = [1,0] —
+    * never empty), so the empty case needs an explicit CASE branch to agree
+    * with DuckDB's empty generate_series on sub-5-char texts.
+    */
   private val ShingleExpr =
-    "array_distinct(transform(sequence(1, greatest(length(text)-4, 0)), i -> substring(text, i, 5)))"
+    """CASE WHEN length(text) >= 5
+       THEN array_distinct(transform(sequence(1, length(text)-4),
+            i -> substring(text, i, 5)))
+       ELSE array() END"""
 
   private val NumHashes = 32
   // 4 bands × 8 rows: LSH S-curve threshold (1/b)^(1/r) ≈ 0.84, just under
@@ -307,10 +311,14 @@ object LlmOps {
       (s, d) => {
         val ng = Tables.documents(s, d).filter(col("lang") === "en")
           .withColumn("toks", split(col("text"), " "))
+          // CASE guard: sequence(1, n<1) descends in Spark → element_at
+          // with index 0 throws under ANSI; empty array matches DuckDB
           .select(col("doc_id"), explode(expr(
-            """array_distinct(transform(sequence(1, greatest(size(toks)-2, 0)),
-               i -> concat_ws(' ', element_at(toks, i),
-                 element_at(toks, i+1), element_at(toks, i+2))))""")).as("g"))
+            """CASE WHEN size(toks) >= 3
+               THEN array_distinct(transform(sequence(1, size(toks)-2),
+                 i -> concat_ws(' ', element_at(toks, i),
+                   element_at(toks, i+1), element_at(toks, i+2))))
+               ELSE array() END""")).as("g"))
         val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val inter = ng.alias("x")
           .join(ng.alias("y"),
@@ -393,17 +401,24 @@ object LlmOps {
     // transitive closure + min.
     Q("j13_dedup_clusters",
       (s, d) => {
-        val pairs = neardupPairs(s, d)
-        // localCheckpoint truncates lineage: without it every superstep
-        // re-executes the whole LSH pipeline (8× recompute) and the final
-        // plan is 8 joins deep — the iterative-algorithm materialization
-        // pattern (at cluster scale: reliable checkpoint per superstep)
+        // localCheckpoint truncates lineage: checkpoint the verified pairs
+        // ONCE (the union's two projections would otherwise each execute the
+        // whole LSH pipeline), then per superstep so the final plan isn't N
+        // joins deep — the iterative-algorithm materialization pattern (at
+        // cluster scale: reliable checkpoint per superstep)
+        val pairs = neardupPairs(s, d).localCheckpoint()
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-          .localCheckpoint()
         var labels = Tables.documents(s, d)
           .select(col("doc_id"), col("doc_id").as("label"))
-        for (_ <- 1 to 8) {
+        // run to FIXPOINT: labels are positive and the label sum strictly
+        // decreases until convergence, so one cheap agg per superstep
+        // detects it — no diameter assumption (Jaccard isn't transitive;
+        // long chains are legal). Bound only as a runaway backstop.
+        var prevSum = -1L
+        var iter = 0
+        var curSum = labels.agg(sum("label")).head().getLong(0)
+        while (curSum != prevSum && iter < 50) {
           val nbr = edges
             .join(labels.select(col("doc_id").as("dst"),
               col("label").as("nlabel")), "dst")
@@ -414,6 +429,9 @@ object LlmOps {
               least(col("label"), coalesce(col("nmin"), col("label")))
                 .as("label"))
             .localCheckpoint()
+          prevSum = curSum
+          curSum = labels.agg(sum("label")).head().getLong(0)
+          iter += 1
         }
         labels
           .select(col("doc_id"), col("label").as("cluster_id"),

@@ -83,7 +83,9 @@ object RelationalCore {
           when(col("l_extendedprice") < 20000.0, "low")
             .when(col("l_extendedprice") < 50000.0, "mid")
             .otherwise("high"))
-        .withColumn("qty_int", col("l_quantity").cast("long"))
+        // round-before-cast: Spark's double→long cast truncates, DuckDB's
+        // rounds (Q.cents rationale) — integral today, keep it data-proof
+        .withColumn("qty_int", round(col("l_quantity")).cast("long"))
         .select("l_orderkey", "l_linenumber", "revenue_cents", "price_band",
           "qty_int")
         .orderBy("l_orderkey", "l_linenumber", "revenue_cents", "price_band",
@@ -94,7 +96,7 @@ object RelationalCore {
                      CASE WHEN l_extendedprice < 20000 THEN 'low'
                           WHEN l_extendedprice < 50000 THEN 'mid'
                           ELSE 'high' END AS price_band,
-                     CAST(l_quantity AS BIGINT) AS qty_int
+                     CAST(round(l_quantity) AS BIGINT) AS qty_int
               FROM lineitem
               ORDER BY l_orderkey, l_linenumber, revenue_cents, price_band,
                        qty_int""")),

@@ -77,7 +77,11 @@ object Scalars {
           pmod(col("l_orderkey"), lit(7)).as("ok_mod7"),
           greatest(col("l_tax"), col("l_discount")).as("max_rate"),
           least(col("l_tax"), col("l_discount")).as("min_rate"))
-        .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "price_r1"),
+        // (l_orderkey, l_linenumber, l_suppkey) is NOT unique — order by
+        // every output column for a total order (§5.3 rule 2)
+        .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "price_r1",
+          "price_ceil", "price_floor", "disc_dev", "qty_sq", "price_sqrt",
+          "price_ln", "ok_mod7", "max_rate", "min_rate"),
       Some("""SELECT l_orderkey, l_linenumber, l_suppkey,
                      round(l_extendedprice, 1) AS price_r1,
                      CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
@@ -90,7 +94,9 @@ object Scalars {
                      greatest(l_tax, l_discount) AS max_rate,
                      least(l_tax, l_discount) AS min_rate
               FROM lineitem
-              ORDER BY l_orderkey, l_linenumber, l_suppkey, price_r1""")),
+              ORDER BY l_orderkey, l_linenumber, l_suppkey, price_r1,
+                       price_ceil, price_floor, disc_dev, qty_sq, price_sqrt,
+                       price_ln, ok_mod7, max_rate, min_rate""")),
 
     // Higher-order array functions over the 64-dim embedding column. The
     // fold accumulates in double on both sides, in element order, so the
