@@ -36,6 +36,16 @@ final case class ClosedSession(
   */
 object StreamOps {
 
+  /** The canonical Spark-Streaming demo — streaming word count over a line
+    * stream (`flatMap(_.split(" ")) → map((_,1)) → updateStateByKey` in the
+    * classic API; incremental groupBy here). Batch twin: the h5_explode
+    * oracle query.
+    */
+  def wordCount(lines: Dataset[String]): DataFrame =
+    lines.select(explode(split(col("value"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
   /** i4 — running count/sum per (user, event_type): the modern
     * `updateStateByKey`. Emits the updated running totals for every key
     * touched by the micro-batch (update-mode semantics).

@@ -33,6 +33,21 @@ class StreamingSpec extends AnyFunSuite {
     all.grouped((all.size + 2) / 3).toSeq
   }
 
+  test("streaming word count equals the batch h5 word count (the namesake demo)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val texts = Tables.documents(spark, d)
+      .select("text").as[String].collect().toSeq
+    val in = MemoryStream[String]
+    val q = wordCount(in.toDS()).writeStream
+      .format("memory").queryName("wc").outputMode("complete").start()
+    texts.grouped(200).foreach { b => in.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("wc")
+    val batch = SparkEntry.queries("h5_explode")(spark, d)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("i4 streaming running counts converge to batch groupBy (differential)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
