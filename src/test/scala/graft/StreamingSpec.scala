@@ -118,6 +118,51 @@ class StreamingSpec extends AnyFunSuite {
       "streaming session_window diverges from batch lag-gap sessionization")
   }
 
+  test("i1 update mode revises an open window on in-watermark late arrivals") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = tumblingCounts(in.toDS()).writeStream
+      .format("memory").queryName("revise").outputMode("update").start()
+    in.addData(Seq(ev(1, "2024-01-01 10:00:00", 1)))
+    q.processAllAvailable()
+    in.addData(Seq(ev(2, "2024-01-01 10:30:00", 1))) // same window, revises
+    q.processAllAvailable()
+    q.stop()
+    val ns = spark.table("revise")
+      .filter(col("ws") === Timestamp.valueOf("2024-01-01 10:00:00"))
+      .select("n").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ns == Seq(1L, 2L),
+      s"update mode should emit the revised count per batch, got $ns")
+  }
+
+  test("i3 a late in-watermark event MERGES two separate session windows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionWindows(in.toDS()).writeStream
+      .format("memory").queryName("merge").outputMode("append").start()
+    // two sessions 40 min apart (> 30 min gap) …
+    in.addData(Seq(ev(1, "2024-01-01 10:00:00", 1),
+      ev(2, "2024-01-01 10:40:00", 1)))
+    q.processAllAvailable() // watermark 10:10
+    // … then a late (but in-watermark) bridge event at 10:20 merges them
+    in.addData(Seq(ev(3, "2024-01-01 10:20:00", 1)))
+    q.processAllAvailable()
+    // close everything via far-future sentinels
+    in.addData(Seq(ev(8, "2024-06-01 00:00:00", -1)))
+    q.processAllAvailable()
+    in.addData(Seq(ev(9, "2024-06-02 00:00:00", -1)))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("merge").filter(col("user_id") === 1L)
+      .select("start_ts", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSeq
+    assert(sessions == Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), 3L)),
+      s"expected one merged 3-event session, got $sessions")
+  }
+
   test("i7 late data beyond the watermark is dropped (append mode)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
