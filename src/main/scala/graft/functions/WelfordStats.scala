@@ -11,7 +11,7 @@ import org.apache.spark.sql.{Encoder, Encoders}
   */
 final case class Moments(n: Long, mean: Double, m2: Double)
 
-final case class MomentsOut(n: Long, avg: Double, sd: Double)
+final case class MomentsOut(n: Long, avg: Option[Double], sd: Option[Double])
 
 object WelfordStats extends Aggregator[Double, Moments, MomentsOut] {
   override def zero: Moments = Moments(0L, 0.0, 0.0)
@@ -35,9 +35,13 @@ object WelfordStats extends Aggregator[Double, Moments, MomentsOut] {
     }
   }
 
+  // SQL aggregate semantics: AVG of zero rows is NULL, stddev_samp of
+  // fewer than two rows is NULL (matches DuckDB/Spark built-ins — a
+  // singleton group must not report sd = 0.0).
   override def finish(r: Moments): MomentsOut =
-    MomentsOut(r.n, r.mean,
-      if (r.n > 1) math.sqrt(r.m2 / (r.n - 1)) else 0.0)
+    MomentsOut(r.n,
+      if (r.n > 0) Some(r.mean) else None,
+      if (r.n > 1) Some(math.sqrt(r.m2 / (r.n - 1))) else None)
 
   override def bufferEncoder: Encoder[Moments] = Encoders.product[Moments]
   override def outputEncoder: Encoder[MomentsOut] =

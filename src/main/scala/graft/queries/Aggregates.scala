@@ -126,13 +126,20 @@ object Aggregates {
 
     // Set/list aggregate — collect_list order is nondeterministic, so the
     // result is sorted before leaving the aggregate (SURVEY §5.3 rule 5).
+    // The sorted set is projected to a CSV scalar: the driver's compare
+    // harness cannot sort array-valued columns (round-1 ADVICE), and a
+    // distinct-set projection keeps this row distinct from d10's list agg.
     Q("d7_collect_sorted",
       (s, d) => Tables.events(s, d)
         .groupBy("user_id")
-        .agg(sort_array(collect_list(col("event_type"))).as("types"),
+        .agg(concat_ws(",",
+          array_distinct(sort_array(collect_list(col("event_type")))))
+          .as("type_set_csv"),
           count(lit(1)).as("n"))
         .orderBy("user_id"),
-      Some("""SELECT user_id, list_sort(list(event_type)) AS types,
+      Some("""SELECT user_id,
+                     string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                       AS type_set_csv,
                      COUNT(*) AS n
               FROM events GROUP BY user_id ORDER BY user_id"""))
   )

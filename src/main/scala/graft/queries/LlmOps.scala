@@ -343,7 +343,8 @@ object LlmOps {
                          i -> concat_ws(' ', string_split(text,' ')[i],
                            string_split(text,' ')[i+1],
                            string_split(text,' ')[i+2]))) AS g
-                FROM documents WHERE lang = 'en')
+                FROM documents WHERE lang = 'en'
+                  AND len(string_split(text, ' ')) >= 3)
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
                        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))),

@@ -101,19 +101,27 @@ object Scalars {
     // Higher-order array functions over the 64-dim embedding column. The
     // fold accumulates in double on both sides, in element order, so the
     // result is bit-stable across engines (rounded anyway).
+    // Array outputs are projected to scalars (the slice through a second
+    // in-order fold) — the driver's compare harness cannot sort
+    // array-valued columns (round-1 ADVICE).
     Q("h4_array_fns",
       (s, d) => Tables.embeddings(s, d)
         .select(col("vec_id"),
           size(col("embedding")).cast(LongType).as("dim"),
           element_at(col("embedding"), 1).as("e1"),
-          slice(col("embedding"), 1, 4).as("first4"),
+          round(expr(
+            """aggregate(transform(slice(embedding, 1, 4),
+               x -> cast(x as double)),
+               cast(0 as double), (a, x) -> a + x)"""), 5).as("first4_sum"),
           round(expr(
             """aggregate(transform(embedding, x -> abs(cast(x as double))),
                cast(0 as double), (a, x) -> a + x)"""), 5).as("l1_norm"))
         .orderBy("vec_id"),
       Some("""SELECT vec_id, len(embedding) AS dim,
                      embedding[1] AS e1,
-                     embedding[1:4] AS first4,
+                     round(list_reduce(list_transform(embedding[1:4],
+                       x -> CAST(x AS DOUBLE)), (a, b) -> a + b), 5)
+                       AS first4_sum,
                      round(list_reduce(list_transform(embedding,
                        x -> abs(CAST(x AS DOUBLE))), (a, b) -> a + b), 5)
                        AS l1_norm
@@ -152,6 +160,8 @@ object Scalars {
     // Array higher-order kernel #2: position/reverse/flatten/slice
     // composition over the token array. array_position returns 0 when
     // absent in Spark; DuckDB's list_position returns NULL — coalesce.
+    // Array results leave the query as '|'-joined scalars — the driver's
+    // compare harness cannot sort array-valued columns (round-1 ADVICE).
     Q("h9_array_hof",
       (s, d) => Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
@@ -159,18 +169,20 @@ object Scalars {
           element_at(col("toks"), 1).as("first_tok"),
           element_at(reverse(col("toks")), 1).as("last_tok"),
           array_position(col("toks"), "the").cast(LongType).as("the_pos"),
-          flatten(array(slice(col("toks"), 1, 2), slice(col("toks"), 3, 2)))
-            .as("first4"),
-          array_repeat(col("lang"), 2).as("lang2"))
+          concat_ws("|",
+            flatten(array(slice(col("toks"), 1, 2), slice(col("toks"), 3, 2))))
+            .as("first4_csv"),
+          concat_ws(",", array_repeat(col("lang"), 2)).as("lang2"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
                      string_split(text, ' ')[1] AS first_tok,
                      list_reverse(string_split(text, ' '))[1] AS last_tok,
                      CAST(COALESCE(list_position(string_split(text, ' '),
                        'the'), 0) AS BIGINT) AS the_pos,
-                     flatten([string_split(text, ' ')[1:2],
-                              string_split(text, ' ')[3:4]]) AS first4,
-                     [lang, lang] AS lang2
+                     array_to_string(flatten([string_split(text, ' ')[1:2],
+                              string_split(text, ' ')[3:4]]), '|')
+                       AS first4_csv,
+                     lang || ',' || lang AS lang2
               FROM documents ORDER BY doc_id""")),
 
     Q("h6_json_fns",
@@ -198,12 +210,12 @@ object Scalars {
           .select(col("event_id"),
             element_at(m, "a").as("va"),
             size(map_keys(m)).cast(LongType).as("nkeys"),
-            sort_array(map_keys(m)).as("keys_sorted"),
+            concat_ws(",", sort_array(map_keys(m))).as("keys_csv"),
             array_contains(map_keys(m), "a").as("has_a"))
           .orderBy("event_id")
       },
       Some("""SELECT event_id, user_id AS va, CAST(2 AS BIGINT) AS nkeys,
-                     ['a', 'b'] AS keys_sorted, TRUE AS has_a
+                     'a,b' AS keys_csv, TRUE AS has_a
               FROM events ORDER BY event_id"""))
   )
 }

@@ -36,6 +36,16 @@ final case class ClosedSession(
   */
 object StreamOps {
 
+  /** Exact epoch microseconds of a Timestamp. `getTime` alone truncates to
+    * milliseconds; the sub-millisecond part lives in `getNanos` (which holds
+    * the FULL sub-second nanos, so only its sub-ms remainder is added). The
+    * events table carries microsecond timestamps, and the batch shadow (i3)
+    * compares at full precision — truncation here would shift session
+    * boundaries within 1 ms of the gap threshold.
+    */
+  def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   /** The canonical Spark-Streaming demo — streaming word count over a line
     * stream (`flatMap(_.split(" ")) → map((_,1)) → updateStateByKey` in the
     * classic API; incremental groupBy here). Batch twin: the h5_explode
@@ -113,11 +123,11 @@ object StreamOps {
             state.remove()
             Iterator.single(ClosedSession(uid, s.n, s.startUs, s.lastUs))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
             var closed = List.empty[ClosedSession]
             var cur = state.getOption
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000L
+              val us = micros(e.ts)
               cur match {
                 // a within-watermark late event may precede the stored
                 // last/start — extend the session, never regress it

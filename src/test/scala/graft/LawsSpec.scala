@@ -23,9 +23,24 @@ object LawsSpec extends Properties("graft") {
         ys.foldLeft(WelfordStats.zero)(WelfordStats.reduce))
       val no = WelfordStats.finish(whole)
       val ns = WelfordStats.finish(split)
-      no.n == ns.n &&
-        math.abs(no.avg - ns.avg) <= 1e-6 * math.max(1.0, math.abs(no.avg)) &&
-        math.abs(no.sd - ns.sd) <= 1e-6 * math.max(1.0, no.sd)
+      val avgO = no.avg.getOrElse(0.0)
+      val avgS = ns.avg.getOrElse(0.0)
+      val sdO = no.sd.getOrElse(0.0)
+      val sdS = ns.sd.getOrElse(0.0)
+      no.n == ns.n && no.avg.isDefined == ns.avg.isDefined &&
+        no.sd.isDefined == ns.sd.isDefined &&
+        math.abs(avgO - avgS) <= 1e-6 * math.max(1.0, math.abs(avgO)) &&
+        math.abs(sdO - sdS) <= 1e-6 * math.max(1.0, sdO)
+    }
+
+  property("welford: sd is NULL (None) for n <= 1, like stddev_samp") =
+    Prop.forAll(Gen.choose(-1e6, 1e6)) { x =>
+      WelfordStats.finish(WelfordStats.zero).sd.isEmpty &&
+        WelfordStats.finish(WelfordStats.zero).avg.isEmpty &&
+        WelfordStats.finish(
+          WelfordStats.reduce(WelfordStats.zero, x)).sd.isEmpty &&
+        WelfordStats.finish(
+          WelfordStats.reduce(WelfordStats.zero, x)).avg.contains(x)
     }
 
   property("welford: n counts every element") =
