@@ -543,6 +543,137 @@ object LlmOps {
                         ${duckDot("a.embedding", "b.embedding")} AS dotp
                  FROM embeddings a JOIN embeddings b
                    ON a.vec_id < b.vec_id)
-               WHERE dotp >= 0.45 ORDER BY vid_a, vid_b"""))
+               WHERE dotp >= 0.45 ORDER BY vid_a, vid_b""")),
+
+    // tf-idf top terms per document. All three stages are shuffle-on-key
+    // aggregates (token → (doc,term) tf → term df); the corpus size joins in
+    // as a broadcast single-row aggregate, never a driver-side collect. Rank
+    // uses the ROUNDED score (+ term tie-break) so cross-engine libm ln
+    // differences can't reorder near-equal terms.
+    Q("j14_tfidf_topk",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val tf = toks.groupBy("doc_id", "word")
+          .agg(count(lit(1)).as("tf"))
+        val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+        val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("word"))
+        tf.join(dfq, "word")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            round(col("tf") *
+              log(col("n_docs").cast("double") / col("df")), 4))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("doc_id", "word", "score", "rk")
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents),
+              tf AS (SELECT doc_id, word, COUNT(*) AS tf
+                     FROM toks GROUP BY doc_id, word),
+              dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+              n AS (SELECT COUNT(*) AS n_docs FROM documents)
+              SELECT doc_id, word, score, rk FROM (
+                SELECT tf.doc_id, tf.word,
+                       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 4)
+                         AS score,
+                       CAST(row_number() OVER (PARTITION BY tf.doc_id
+                         ORDER BY round(tf.tf *
+                           ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 4) DESC,
+                           tf.word) AS BIGINT) AS rk
+                FROM tf JOIN dfq ON tf.word = dfq.word CROSS JOIN n)
+              WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // Repeated-bigram ratio — the classic repetition quality signal for
+    // training-data filtering (a high ratio flags boilerplate/spam). Pure
+    // per-row array math: no shuffle at all until the final sort.
+    Q("j15_repetition",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .withColumn("grams", expr(
+          """transform(sequence(1, size(toks) - 1),
+             i -> concat_ws(' ', element_at(toks, i),
+               element_at(toks, i + 1)))"""))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("grams"))).cast("long").as("n_distinct"))
+        .withColumn("rep_ratio",
+          round(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_bigrams"), 4))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_bigrams, n_distinct,
+                     round(1.0 - CAST(n_distinct AS DOUBLE) / n_bigrams, 4)
+                       AS rep_ratio
+              FROM (
+                SELECT doc_id,
+                       len(string_split(text, ' ')) - 1 AS n_bigrams,
+                       len(list_distinct(list_transform(
+                         generate_series(1, len(string_split(text, ' ')) - 1),
+                         i -> string_split(text, ' ')[i] || ' ' ||
+                           string_split(text, ' ')[i + 1]))) AS n_distinct
+                FROM documents WHERE len(string_split(text, ' ')) >= 2)
+              ORDER BY doc_id""")),
+
+    // IVF-style ANN (the second scale path next to j12's LSH buckets):
+    // coarse-quantize the collection into cells around fixed data-derived
+    // centroids (the 16 lowest vec_ids — at cluster scale these come from
+    // k-means, but fixed centroids keep the oracle exact), then each probe
+    // searches only its own cell. Assignment and search are broadcast joins
+    // against the 16-row centroid table + one window rank — no O(n²) pair
+    // scan anywhere.
+    Q("j16_ivf_ann",
+      (s, d) => {
+        DotProduct.register(s)
+        val e = Tables.embeddings(s, d)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("cscore").desc, col("cent_id"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("cscore", round(expr(dot("embedding", "cvec")), 6))
+          .withColumn("ark", row_number().over(wAssign))
+          .filter(col("ark") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        val probes = assigned.filter(col("vec_id") % 100 === 7)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
+            col("cell").as("pcell"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("score").desc, col("vec_id"))
+        assigned.join(broadcast(probes),
+          col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+          .withColumn("score", round(expr(dot("embedding", "p")), 6))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("probe_id", "vec_id", "score", "rk")
+          .orderBy("probe_id", "rk")
+      },
+      Some(s"""WITH c AS (
+                 SELECT vec_id AS cent_id, embedding AS cvec
+                 FROM embeddings WHERE vec_id < 16),
+               a AS (
+                 SELECT vec_id, embedding, cent_id AS cell FROM (
+                   SELECT e.vec_id, e.embedding, c.cent_id,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(${duckDot("e.embedding", "c.cvec")},
+                              6) DESC, c.cent_id) AS ark
+                   FROM embeddings e CROSS JOIN c)
+                 WHERE ark = 1)
+               SELECT probe_id, vec_id, score, rk FROM (
+                 SELECT p.vec_id AS probe_id, a.vec_id,
+                        round(${duckDot("a.embedding", "p.embedding")}, 6)
+                          AS score,
+                        CAST(row_number() OVER (PARTITION BY p.vec_id
+                          ORDER BY round(${duckDot("a.embedding",
+                            "p.embedding")}, 6) DESC, a.vec_id) AS BIGINT)
+                          AS rk
+                 FROM a JOIN a p
+                   ON p.vec_id % 100 = 7 AND a.cell = p.cell
+                  AND a.vec_id != p.vec_id)
+               WHERE rk <= 3 ORDER BY probe_id, rk"""))
   )
 }

@@ -94,6 +94,30 @@ object MoreAggregates {
               FROM orders GROUP BY o_orderpriority
               ORDER BY o_orderpriority""")),
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize).
+    // Absent grouping columns come back NULL in both engines; the ORDER BY
+    // pins NULLS FIRST because Spark and DuckDB default null ordering
+    // differently (ASC: Spark NULLS FIRST, DuckDB NULLS LAST).
+    Q("d12_grouping_sets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                        CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                          AS BIGINT) AS cents
+                 FROM orders
+                 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                   ())
+                 ORDER BY o_orderstatus NULLS FIRST,
+                          o_orderpriority NULLS FIRST""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                     CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                       AS BIGINT) AS cents
+              FROM orders
+              GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+              ORDER BY o_orderstatus NULLS FIRST,
+                       o_orderpriority NULLS FIRST""")),
+
     // Positional window values over an explicit full-partition frame (both
     // engines default last_value to the growing frame — pin it).
     Q("e6_first_last_nth",

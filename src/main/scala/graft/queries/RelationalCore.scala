@@ -116,6 +116,51 @@ object RelationalCore {
               FROM customer LEFT JOIN orders ON c_custkey = o_custkey
               ORDER BY c_custkey, order_key""")),
 
+    // Correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + join (RewriteCorrelatedScalarSubquery), so the physical
+    // plan is one shuffle on o_custkey, not a per-row re-scan: the property
+    // that makes the shape survive 100 TB. Same text runs in both engines.
+    Q("b4_scalar_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql("""SELECT o.o_orderkey, o.o_custkey,
+                        CAST(round(o.o_totalprice*100) AS BIGINT) AS cents
+                 FROM orders o
+                 WHERE o.o_totalprice >
+                   (SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+                    WHERE o2.o_custkey = o.o_custkey)
+                 ORDER BY o_orderkey""")
+      },
+      Some("""SELECT o.o_orderkey, o.o_custkey,
+                     CAST(round(o.o_totalprice*100) AS BIGINT) AS cents
+              FROM orders o
+              WHERE o.o_totalprice >
+                (SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+                 WHERE o2.o_custkey = o.o_custkey)
+              ORDER BY o_orderkey""")),
+
+    // IN + correlated NOT EXISTS subqueries — decorrelated to left-semi and
+    // left-anti joins (the c4 shapes) by both engines' planners.
+    Q("b5_in_exists_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        s.sql("""SELECT c_custkey, c_name FROM customer
+                 WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                     WHERE o_orderpriority = '1-URGENT')
+                   AND NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_custkey = c_custkey
+                                     AND o.o_orderpriority = '5-LOW')
+                 ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                  WHERE o_orderpriority = '1-URGENT')
+                AND NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_custkey = c_custkey
+                                  AND o.o_orderpriority = '5-LOW')
+              ORDER BY c_custkey""")),
+
     // ---- F. sort / limit --------------------------------------------------
     // TakeOrderedAndProjectExec: per-partition top-K then merge on the
     // driver — no global sort materialization, which is exactly the plan

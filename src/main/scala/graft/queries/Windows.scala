@@ -119,6 +119,26 @@ object Windows {
                      round(cume_dist() OVER w, 6) AS cd
               FROM customer
               WINDOW w AS (ORDER BY c_acctbal, c_custkey)
-              ORDER BY c_custkey"""))
+              ORDER BY c_custkey""")),
+
+    // Bounded rows-frame moving average (4-order trailing window). The
+    // frame sums ≤ 4 integer-cents values — exact in both engines — and the
+    // long/long average divides identically; rounded anyway.
+    Q("e7_moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-3, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(avg(Q.cents(col("o_totalprice"))).over(w), 2).as("ma4"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+                     round(AVG(CAST(round(o_totalprice*100) AS BIGINT)) OVER
+                       (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS ma4
+              FROM orders ORDER BY o_orderkey"""))
   )
 }
