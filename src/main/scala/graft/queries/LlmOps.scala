@@ -674,6 +674,39 @@ object LlmOps {
                  FROM a JOIN a p
                    ON p.vec_id % 100 = 7 AND a.cell = p.cell
                   AND a.vec_id != p.vec_id)
-               WHERE rk <= 3 ORDER BY probe_id, rk"""))
+               WHERE rk <= 3 ORDER BY probe_id, rk""")),
+
+    // Sub-document (chunk-level) exact dedup — the "paragraph dedup" of a
+    // training pipeline, at 10-token granularity since this corpus has no
+    // sentence delimiters: find token runs repeated across the corpus
+    // (boilerplate/header detection). One shuffle on the chunk key; output
+    // keyed by md5 so row width stays constant regardless of chunk length.
+    Q("j17_chunk_dedup",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 10)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, cast(floor(size(toks) / 10) as int) - 1),
+             c -> concat_ws(' ', slice(toks, c * 10 + 1, 10)))"""))
+          .as("chunk"))
+        .groupBy("chunk")
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_occ") > 1)
+        .select(md5(col("chunk")).as("chunk_md5"), col("n_occ"),
+          col("n_docs"))
+        .orderBy("chunk_md5"),
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE len(string_split(text, ' ')) >= 10),
+              chunks AS (
+                SELECT doc_id, unnest(list_transform(
+                  generate_series(0, CAST(floor(len(t) / 10) AS INT) - 1),
+                  c -> array_to_string(t[c*10+1:c*10+10], ' '))) AS chunk
+                FROM toks)
+              SELECT md5(chunk) AS chunk_md5, COUNT(*) AS n_occ,
+                     COUNT(DISTINCT doc_id) AS n_docs
+              FROM chunks GROUP BY chunk HAVING COUNT(*) > 1
+              ORDER BY chunk_md5"""))
   )
 }

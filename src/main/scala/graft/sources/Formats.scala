@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * matching directories), plus CSV and JSON lines interchange with explicit
   * schemas (never inference in production paths).
   *
-  * (`format("avro")`/ORC connectors don't ship in this environment's jar
-  * set; parquet/csv/json/text are the supported formats.)
+  * (`format("avro")` needs the spark-avro connector jar, which doesn't ship
+  * in this environment; parquet/orc/csv/json/text are the supported
+  * formats — ORC via the native `orc-core` that Spark bundles.)
   */
 object Formats {
 
@@ -66,6 +67,16 @@ object Formats {
     spark.read.schema(EventsCsvSchema)
       .option("timestampFormat", TsFormat)
       .json(path)
+
+  /** ORC interchange — the other columnar format Spark reads natively
+    * (vectorized, predicate pushdown). Schema travels in the file like
+    * parquet; no explicit schema needed on read.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 
   /** Count the data files a query would actually scan (post-pruning). */
   def filesScanned(df: DataFrame): Long = {

@@ -38,6 +38,20 @@ class FormatsSpec extends AnyFunSuite {
     assert(a == b, "csv roundtrip changed data")
   }
 
+  test("orc roundtrip preserves the events table at full precision") {
+    val path = java.nio.file.Files.createTempDirectory("graft-orc").toString
+    val events = Tables.events(spark, d)
+    Formats.writeOrc(events, path)
+    val back = Formats.readOrc(spark, path)
+    assert(back.schema == events.schema, "orc changed the schema")
+    // µs-exact: compare summed epoch micros, not just counts
+    val a = events.agg(sum(expr("unix_micros(ts)")), sum("event_id"))
+      .collect()(0)
+    val b = back.agg(sum(expr("unix_micros(ts)")), sum("event_id"))
+      .collect()(0)
+    assert(a == b, "orc roundtrip changed data")
+  }
+
   test("json-lines roundtrip preserves the events table") {
     val path = java.nio.file.Files.createTempDirectory("graft-json").toString
     val events = Tables.events(spark, d)
