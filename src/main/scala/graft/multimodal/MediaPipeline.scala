@@ -13,6 +13,9 @@ final case class MediaItem(
 final case class MediaFeatures(
     media_id: Long, mime: String, n_bytes: Long, features: Array[Double])
 
+final case class MediaFrame(
+    media_id: Long, frame_no: Int, frame: Array[Byte])
+
 /** Multimodal column plumbing (SURVEY §2 j6 / task-brief "multimodal
   * columns"). The Spark-side mechanics — schema, partition-preserving
   * `mapPartitions`, batched per-partition decode — are real and tested; the
@@ -50,6 +53,40 @@ object MediaPipeline {
           fakeDecode(m.payload))
       }
     }
+  }
+
+  /** STUB resize — keeps the payload→payload contract of an image resize
+    * (real impl: decode → scale → re-encode behind this same signature).
+    * The deterministic stand-in keeps every `factor`-th byte, so output
+    * size ≈ input/factor, mirroring a resolution downscale. Runs
+    * per-partition, no shuffle — a resize stage slots into the same
+    * scan→transform pipeline stage as decode.
+    */
+  def fakeResize(payload: Array[Byte], factor: Int): Array[Byte] =
+    payload.zipWithIndex
+      .collect { case (b, i) if i % factor == 0 => b }
+
+  def resize(items: Dataset[MediaItem], factor: Int = 2): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions(_.map(m =>
+      m.copy(payload = fakeResize(m.payload, factor))))
+  }
+
+  /** Frame sampling — the 1:N generate stage of a video pipeline: chop the
+    * payload into fixed-size "frames" and keep every `stride`-th one
+    * (real impl: ffmpeg keyframe extraction behind the same signature).
+    * flatMap keeps it inside one stage; output cardinality is bounded by
+    * payload size / (frameBytes × stride), so a skew-heavy video corpus
+    * fans out proportionally to bytes, not rows.
+    */
+  def sampleFrames(
+      items: Dataset[MediaItem], frameBytes: Int = 64,
+      stride: Int = 4): Dataset[MediaFrame] = {
+    import items.sparkSession.implicits._
+    items.flatMap(m =>
+      m.payload.grouped(frameBytes).zipWithIndex
+        .collect { case (f, i) if i % stride == 0 =>
+          MediaFrame(m.media_id, i, f) })
   }
 
   /** Demo source: documents' text bytes as media payloads (the container has

@@ -269,6 +269,52 @@ object StreamOps {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** i5 (full surface, cont.) — transformWithState with MapState: per-user
+    * map of event_type → running count, the sub-keyed state shape
+    * (`MapState` completes the ValueState/ListState/MapState trio; at scale
+    * RocksDB stores each map entry as its own KV pair, so updating one
+    * event_type never rewrites the whole map). Emits the updated per-user
+    * snapshot as a sorted CSV — comparable against the batch
+    * groupBy(user, type) pivot in the differential suite.
+    */
+  final case class TypeCounts(
+      user_id: Long, n_total: Long, type_counts_csv: String)
+
+  final class TypeCountProcessor
+      extends StatefulProcessor[Long, Event, TypeCounts] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TypeCounts] = {
+      rows.foreach { e =>
+        val cur =
+          if (counts.containsKey(e.event_type)) counts.getValue(e.event_type)
+          else 0L
+        counts.updateValue(e.event_type, cur + 1L)
+      }
+      val entries = counts.iterator().toSeq
+      val csv = entries.map { case (t, n) => s"$t:$n" }.sorted.mkString(",")
+      // n_total is monotone per key — the differential test uses it to pick
+      // each key's final snapshot from the update-mode output
+      Iterator.single(TypeCounts(key, entries.map(_._2).sum, csv))
+    }
+  }
+
+  def typeCountsTws(events: Dataset[Event]): Dataset[TypeCounts] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeCountProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** i6 — streaming dedup on the event id, state bounded by the watermark. */
   def dedupEvents(events: Dataset[Event]): Dataset[Event] =
     events.withWatermark("ts", "10 minutes")

@@ -26,4 +26,34 @@ class MediaPipelineSpec extends AnyFunSuite {
   test("decode stub handles empty payload") {
     assert(MediaPipeline.fakeDecode(Array.emptyByteArray).sum == 0.0)
   }
+
+  test("resize stage shrinks payloads by the factor, keeps ids/mime") {
+    val items = MediaPipeline.documentsAsMedia(spark, TestSpark.Sf0001)
+    val before = items.collect().map(m => m.media_id -> m.payload.length).toMap
+    val after = MediaPipeline.resize(items, factor = 2).collect()
+    assert(after.length == before.size)
+    after.foreach { m =>
+      val n = before(m.media_id)
+      assert(m.payload.length == (n + 1) / 2,
+        s"resize factor 2: expected ${(n + 1) / 2} bytes, got ${m.payload.length}")
+      assert(m.mime == "text/plain")
+    }
+  }
+
+  test("frame sampling keeps every stride-th fixed-size frame") {
+    val items = MediaPipeline.documentsAsMedia(spark, TestSpark.Sf0001)
+    val nBytes = items.collect().map(m => m.media_id -> m.payload.length).toMap
+    val frames = MediaPipeline.sampleFrames(items, frameBytes = 64, stride = 4)
+      .collect()
+    val byDoc = frames.groupBy(_.media_id)
+    byDoc.foreach { case (id, fs) =>
+      val totalFrames = (nBytes(id) + 63) / 64
+      val expected = (totalFrames + 3) / 4
+      assert(fs.length == expected,
+        s"doc $id: expected $expected sampled frames, got ${fs.length}")
+      assert(fs.forall(f => f.frame_no % 4 == 0), "only stride-aligned frames")
+      assert(fs.filter(_.frame_no + 4 <= totalFrames - 1)
+        .forall(_.frame.length == 64), "interior frames are fixed-size")
+    }
+  }
 }

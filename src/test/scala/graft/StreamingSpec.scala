@@ -81,6 +81,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("i5 transformWithState MapState per-type counts converge to batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = typeCountsTws(in.toDS()).writeStream
+      .format("memory").queryName("mapstate").outputMode("update").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    // final snapshot per user = the update-mode row with the largest
+    // (monotone) n_total
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_total").desc)
+    val streamed = spark.table("mapstate")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("user_id", "type_counts_csv")
+    val batch = Tables.events(spark, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(concat_ws(",", sort_array(collect_list(
+        concat(col("event_type"), lit(":"), col("n")))))
+        .as("type_counts_csv"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("i1 streaming tumbling window equals batch form (complete mode)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
