@@ -140,6 +140,30 @@ object Joins {
         .select("r_name", "n_name")
         .orderBy("r_name", "n_name"),
       Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
-              ORDER BY r_name, n_name"""))
+              ORDER BY r_name, n_name""")),
+
+    // Pure non-equi band join (no equi key at all) — the one join shape that
+    // plans as BroadcastNestedLoopJoin: each order lands in the 100k-wide
+    // price band derived from the 5-row region table (top band open-ended,
+    // so the bands partition [0, ∞) and every order matches exactly once).
+    // Scale note: BNLJ is only sane with a tiny broadcast side like this; a
+    // large banded dimension would instead be rewritten as an equi-join on
+    // a computed band key (floor(price/width)), which IS the c1 shape.
+    Q("c8_join_bnl_band",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("o_totalprice") >= col("r_regionkey") * 100000.0 &&
+            (col("o_totalprice") < (col("r_regionkey") + 1) * 100000.0 ||
+              col("r_regionkey") === 4))
+        .select(col("o_orderkey"),
+          col("r_regionkey").cast("long").as("price_tier"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     CAST(r_regionkey AS BIGINT) AS price_tier
+              FROM orders JOIN region
+                ON o_totalprice >= r_regionkey * 100000.0
+               AND (o_totalprice < (r_regionkey + 1) * 100000.0
+                    OR r_regionkey = 4)
+              ORDER BY o_orderkey"""))
   )
 }

@@ -185,6 +185,28 @@ object Scalars {
                      lang || ',' || lang AS lang2
               FROM documents ORDER BY doc_id""")),
 
+    // Bitwise kernel — and/or/xor/shifts/popcount on the integer id columns
+    // (the primitive layer under SimHash Hamming distance and LSH banding).
+    // DuckDB's `^` is exponentiation, so the oracle spells xor().
+    Q("h10_bitwise_fns",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          col("event_id").bitwiseAND(lit(255L)).as("lo8"),
+          col("event_id").bitwiseOR(lit(4096L)).as("or4k"),
+          col("event_id").bitwiseXOR(col("user_id")).as("eid_xor_uid"),
+          shiftleft(col("user_id"), 3).as("uid_shl3"),
+          shiftright(col("event_id"), 2).as("eid_shr2"),
+          bit_count(col("event_id")).cast(LongType).as("eid_bits"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+                     event_id & 255 AS lo8,
+                     event_id | 4096 AS or4k,
+                     xor(event_id, user_id) AS eid_xor_uid,
+                     user_id << 3 AS uid_shl3,
+                     event_id >> 2 AS eid_shr2,
+                     CAST(bit_count(event_id) AS BIGINT) AS eid_bits
+              FROM events ORDER BY event_id""")),
+
     Q("h6_json_fns",
       (s, d) => Tables.events(s, d)
         .select(col("event_id"),
