@@ -212,6 +212,37 @@ object RelationalCore {
       Some("""SELECT c_custkey AS k FROM customer
               EXCEPT
               SELECT o_custkey AS k FROM orders
+              ORDER BY k""")),
+
+    // Bag-semantics set ops (multiplicity-preserving): a customer with 5
+    // orders and 3 events keeps min(5,3) rows under INTERSECT ALL and
+    // 5-3 under EXCEPT ALL — both engines implement the same SQL bag rules.
+    Q("g4_bag_setops",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_custkey").as("k"))
+        val e = Tables.events(s, d)
+          .select((col("user_id") % 1500 + 1).as("k"))
+        o.intersectAll(e).groupBy("k").agg(count(lit(1)).as("n_inter"))
+          .join(
+            o.exceptAll(e).groupBy("k").agg(count(lit(1)).as("n_exc")),
+            Seq("k"), "full")
+          .select(col("k"),
+            coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+            coalesce(col("n_exc"), lit(0L)).as("n_exc"))
+          .orderBy("k")
+      },
+      Some("""WITH o AS (SELECT o_custkey AS k FROM orders),
+                   e AS (SELECT user_id % 1500 + 1 AS k FROM events),
+                   i AS (SELECT k, COUNT(*) AS n_inter FROM
+                           (SELECT k FROM o INTERSECT ALL SELECT k FROM e)
+                         GROUP BY k),
+                   x AS (SELECT k, COUNT(*) AS n_exc FROM
+                           (SELECT k FROM o EXCEPT ALL SELECT k FROM e)
+                         GROUP BY k)
+              SELECT COALESCE(i.k, x.k) AS k,
+                     COALESCE(n_inter, 0) AS n_inter,
+                     COALESCE(n_exc, 0) AS n_exc
+              FROM i FULL OUTER JOIN x ON i.k = x.k
               ORDER BY k"""))
   )
 }
