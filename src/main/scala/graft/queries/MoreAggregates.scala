@@ -39,6 +39,26 @@ object MoreAggregates {
                      COUNT(*) AS n
               FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Sketch-family quantiles (KLL-style): approx_percentile shares d3's
+    // no-oracle rationale — the sketch differs from DuckDB's — so the
+    // driver records a rows-only check and QueriesSpec asserts the
+    // approximation against the exact d8 quartiles. At 100 TB this is THE
+    // quantile path: mergeable fixed-size sketches, no global sort.
+    Q("d13_approx_percentile",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(expr(
+          "approx_percentile(o_totalprice, array(0.25D, 0.5D, 0.75D), 10000)")
+          .as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderstatus"),
+          round(element_at(col("qs"), 1), 2).as("ap25"),
+          round(element_at(col("qs"), 2), 2).as("ap50"),
+          round(element_at(col("qs"), 3), 2).as("ap75"),
+          col("n"))
+        .orderBy("o_orderstatus"),
+      None),
+
     // Pearson correlation / sample covariance / stddev / variance — both
     // engines accumulate co-moments; low bits differ, so round.
     Q("d9_stats_agg",

@@ -33,6 +33,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("d13 approx_percentile within 5% of the exact d8 quartiles") {
+    def byStatus(name: String, cols: Seq[String]) =
+      SparkEntry.queries(name)(spark, d).collect()
+        .map(r => r.getString(0) -> cols.map(c =>
+          r.getDouble(r.fieldIndex(c)))).toMap
+    val approx = byStatus("d13_approx_percentile", Seq("ap25", "ap50", "ap75"))
+    val exact = byStatus("d8_percentiles", Seq("p25", "p50", "p75"))
+    exact.foreach { case (k, es) =>
+      approx(k).zip(es).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= 0.05 * e,
+          s"$k: approx $a vs exact $e (>5% off)")
+      }
+    }
+  }
+
   test("d3 HLL approx distinct within 10% of exact (SURVEY §5.2.4 bound)") {
     val approx = SparkEntry.queries("d3_hll_approx")(spark, d)
       .select("event_type", "approx_users").collect()
