@@ -185,6 +185,34 @@ object Scalars {
                      lang || ',' || lang AS lang2
               FROM documents ORDER BY doc_id""")),
 
+    // Date arithmetic kernel — offsets, calendar-month math, boundary
+    // alignment. add_months ≡ DuckDB `+ INTERVAL n MONTH` (both clamp to the
+    // last day of month); the month-distance uses the explicit boundary
+    // count formula because Spark's months_between is fractional while
+    // DuckDB's date_diff counts boundaries.
+    Q("h11_date_arith",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          to_date(col("o_orderdate")).as("d0"),
+          date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+          add_months(to_date(col("o_orderdate")), 2).as("plus2m"),
+          last_day(to_date(col("o_orderdate"))).as("eom"),
+          trunc(to_date(col("o_orderdate")), "month").as("som"),
+          ((year(col("o_orderdate")) - 1995) * 12 +
+            month(col("o_orderdate")) - 1).cast(LongType).as("months_since"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+                     CAST(o_orderdate AS DATE) AS d0,
+                     CAST(o_orderdate AS DATE) + 30 AS plus30,
+                     CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH
+                       AS DATE) AS plus2m,
+                     last_day(CAST(o_orderdate AS DATE)) AS eom,
+                     CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+                       AS DATE) AS som,
+                     date_diff('month', DATE '1995-01-01',
+                       CAST(o_orderdate AS DATE)) AS months_since
+              FROM orders ORDER BY o_orderkey""")),
+
     // Bitwise kernel — and/or/xor/shifts/popcount on the integer id columns
     // (the primitive layer under SimHash Hamming distance and LSH banding).
     // DuckDB's `^` is exponentiation, so the oracle spells xor().
