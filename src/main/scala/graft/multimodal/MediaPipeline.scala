@@ -63,8 +63,9 @@ object MediaPipeline {
     * scan→transform pipeline stage as decode.
     */
   def fakeResize(payload: Array[Byte], factor: Int): Array[Byte] =
-    payload.zipWithIndex
-      .collect { case (b, i) if i % factor == 0 => b }
+    // O(n/factor) copy, no per-byte boxing — this models the hot path
+    Array.tabulate((payload.length + factor - 1) / factor)(k =>
+      payload(k * factor))
 
   def resize(items: Dataset[MediaItem], factor: Int = 2): Dataset[MediaItem] = {
     import items.sparkSession.implicits._

@@ -634,12 +634,19 @@ object LlmOps {
           .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
         val wAssign = Window.partitionBy("vec_id")
           .orderBy(col("cscore").desc, col("cent_id"))
-        val assigned = e.crossJoin(broadcast(cents))
-          .withColumn("cscore", round(expr(dot("embedding", "cvec")), 6))
-          .withColumn("ark", row_number().over(wAssign))
-          .filter(col("ark") === 1)
-          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-        val probes = assigned.filter(col("vec_id") % 100 === 7)
+        // same deterministic assignment formula applied to the full
+        // collection once and to the tiny probe subset once — deriving
+        // probes FROM `assigned` would execute the full cross-join +
+        // window rank twice (the plan is not shared across the self-join)
+        def assignCells(df: org.apache.spark.sql.DataFrame) =
+          df.crossJoin(broadcast(cents))
+            .withColumn("cscore", round(expr(dot("embedding", "cvec")), 6))
+            .withColumn("ark", row_number().over(wAssign))
+            .filter(col("ark") === 1)
+            .select(col("vec_id"), col("embedding"),
+              col("cent_id").as("cell"))
+        val assigned = assignCells(e)
+        val probes = assignCells(e.filter(col("vec_id") % 100 === 7))
           .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
             col("cell").as("pcell"))
         val w = Window.partitionBy("probe_id")

@@ -123,19 +123,24 @@ object RelationalCore {
     Q("b4_scalar_subquery",
       (s, d) => {
         Tables.orders(s, d).createOrReplaceTempView("orders")
+        // knife-edge discipline (SURVEY §5.3): compare integer cents against
+        // the ROUNDED threshold so an ulp of cross-engine avg() summation
+        // divergence can't flip row membership at the boundary
         s.sql("""SELECT o.o_orderkey, o.o_custkey,
                         CAST(round(o.o_totalprice*100) AS BIGINT) AS cents
                  FROM orders o
-                 WHERE o.o_totalprice >
-                   (SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+                 WHERE CAST(round(o.o_totalprice*100) AS BIGINT) >
+                   (SELECT CAST(round(1.5 * avg(o2.o_totalprice) * 100)
+                      AS BIGINT) FROM orders o2
                     WHERE o2.o_custkey = o.o_custkey)
                  ORDER BY o_orderkey""")
       },
       Some("""SELECT o.o_orderkey, o.o_custkey,
                      CAST(round(o.o_totalprice*100) AS BIGINT) AS cents
               FROM orders o
-              WHERE o.o_totalprice >
-                (SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+              WHERE CAST(round(o.o_totalprice*100) AS BIGINT) >
+                (SELECT CAST(round(1.5 * avg(o2.o_totalprice) * 100)
+                   AS BIGINT) FROM orders o2
                  WHERE o2.o_custkey = o.o_custkey)
               ORDER BY o_orderkey""")),
 

@@ -57,13 +57,22 @@ class LayoutSpec extends AnyFunSuite {
       assert(optimized.contains("bloom_filter_agg") ||
         optimized.contains("might_contain"),
         s"no runtime bloom filter injected:\n$optimized")
-      // semantics unchanged: same count as the un-instrumented join
+      // semantics unchanged: compare against a control evaluated with
+      // runtime bloom filtering OFF (same confs otherwise — a control under
+      // identical confs would share the instrumented plan and prove nothing)
+      val joinedCount = joined.count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "false")
       val control = Tables.lineitem(spark, d)
         .join(Tables.orders(spark, d)
           .filter(col("o_orderpriority") === "1-URGENT"),
           col("l_orderkey") === col("o_orderkey"))
-      assert(joined.count() == control.count())
+      assert(!control.queryExecution.optimizedPlan.toString
+        .contains("might_contain"), "control still instrumented")
+      assert(joinedCount == control.count())
     } finally {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "true")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
