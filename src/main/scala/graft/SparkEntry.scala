@@ -21,7 +21,8 @@ object SparkEntry {
       Scalars.queries ++
       StatefulShadows.queries ++
       LlmOps.queries ++
-      CustomFns.queries
+      CustomFns.queries ++
+      Workloads.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
