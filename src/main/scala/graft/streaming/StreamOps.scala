@@ -371,6 +371,28 @@ object StreamOps {
               c_ts >= p_ts - interval 10 minutes AND c_ts <= p_ts"""))
   }
 
+  /** Stream–stream LEFT OUTER interval join: purchases with no preceding
+    * click still emit (null-extended) — but only once the watermark passes
+    * the end of their join interval, when the engine can PROVE no matching
+    * click can still arrive. The delayed null emission is the semantics
+    * that distinguishes streaming outer joins from batch ones; state stays
+    * bounded exactly as in the inner form.
+    */
+  def purchaseClickLeftJoin(events: Dataset[Event]): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    purchases.join(clicks,
+      expr("""p_user = c_user AND
+              c_ts >= p_ts - interval 10 minutes AND c_ts <= p_ts"""),
+      "left_outer")
+  }
+
   /** `eventsDir` must be a DIRECTORY of events-schema parquet files (file
     * streaming sources watch directories; new files = new micro-batches).
     */

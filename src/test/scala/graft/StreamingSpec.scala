@@ -392,6 +392,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == Set((2L, 1L)), s"got ${got.toSeq}")
   }
 
+  test("stream-stream LEFT OUTER join null-extends only after watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = purchaseClickLeftJoin(in.toDS()).writeStream
+      .format("memory").queryName("ssleft").outputMode("append").start()
+    in.addData(Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click"),
+      ev(2, "2024-01-01 10:05:00", 1, "purchase"), // matched inner row
+      ev(3, "2024-01-01 10:06:00", 2, "purchase"))) // no click for u2
+    q.processAllAvailable()
+    // the unmatched purchase must NOT emit yet — a matching click could
+    // still arrive within the watermark horizon
+    val early = spark.table("ssleft").filter(col("p_id") === 3).count()
+    assert(early == 0L, "null-extended row emitted before watermark proof")
+    // advance BOTH sides' watermarks (global watermark = min across the two
+    // withWatermark ops; events that don't survive the purchase/click
+    // filters never reach a watermark node): late click + purchase for an
+    // unrelated user push the global watermark far past u2's interval
+    in.addData(Seq(ev(9, "2024-01-01 12:00:00", 9, "click"),
+      ev(10, "2024-01-01 12:30:00", 9, "purchase")))
+    q.processAllAvailable()
+    // eviction + null emission happen while processing the NEXT batch
+    in.addData(Seq(ev(11, "2024-01-01 13:30:00", 8, "click")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssleft")
+      .filter(col("p_id").isin(2L, 3L))
+      .select("p_id", "c_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.toSet == Set((2L, 1L), (3L, -1L)), s"got ${rows.toSeq}")
+  }
+
   test("foreachBatch sink receives every micro-batch with its id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
