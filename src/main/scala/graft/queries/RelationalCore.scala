@@ -188,6 +188,22 @@ object RelationalCore {
         .orderBy("o_orderkey"),
       None),
 
+    // Stratified (per-class) sampling — the class-balancing primitive of a
+    // training-data pipeline: downsample over-represented languages, keep
+    // rare ones whole. Seeded Bernoulli per stratum (sampleBy), so
+    // deterministic within Spark but RNG-incompatible with the oracle
+    // engine → rows-only check, like f2; the per-stratum proportions are
+    // law-tested in QueriesSpec.
+    Q("f3_stratified_sample",
+      (s, d) => Tables.documents(s, d)
+        .stat.sampleBy("lang",
+          Map("en" -> 0.5, "de" -> 0.5, "fr" -> 1.0, "es" -> 1.0,
+            "zh" -> 1.0),
+          seed = 42L)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      None),
+
     // ---- G. set operations -------------------------------------------------
     Q("g1_union",
       (s, d) => Tables.orders(s, d).select(col("o_custkey").as("k"))

@@ -33,6 +33,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("f3 stratified sample respects per-stratum fractions (±20% rel)") {
+    val sampled = SparkEntry.queries("f3_stratified_sample")(spark, d)
+      .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Tables.documents(spark, d)
+      .groupBy("lang").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = Map("en" -> 0.5, "de" -> 0.5, "fr" -> 1.0, "es" -> 1.0,
+      "zh" -> 1.0)
+    fractions.foreach { case (lang, f) =>
+      val expect = full(lang) * f
+      val got = sampled.getOrElse(lang, 0L).toDouble
+      if (f == 1.0) assert(got == expect, s"$lang: kept-whole stratum lost rows")
+      else assert(math.abs(got - expect) <= 0.2 * expect + 3,
+        s"$lang: sampled $got vs expected ~$expect")
+    }
+  }
+
   test("d13 approx_percentile within 5% of the exact d8 quartiles") {
     def byStatus(name: String, cols: Seq[String]) =
       SparkEntry.queries(name)(spark, d).collect()
