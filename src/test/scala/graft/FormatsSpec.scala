@@ -38,6 +38,21 @@ class FormatsSpec extends AnyFunSuite {
     assert(a == b, "csv roundtrip changed data")
   }
 
+  test("zstd-compressed parquet roundtrips and actually compresses") {
+    val path = java.nio.file.Files.createTempDirectory("graft-zstd").toString
+    val docs = Tables.documents(spark, d)
+    docs.write.option("compression", "zstd").mode("overwrite")
+      .parquet(path)
+    val back = spark.read.parquet(path)
+    assert(back.count() == docs.count())
+    assert(back.agg(sum(expr("length(text)"))).collect()(0) ==
+      docs.agg(sum(expr("length(text)"))).collect()(0))
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.getName.contains("zstd")),
+      "zstd codec not applied")
+  }
+
   test("orc roundtrip preserves the events table at full precision") {
     val path = java.nio.file.Files.createTempDirectory("graft-orc").toString
     val events = Tables.events(spark, d)

@@ -80,6 +80,24 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("cached dimension reads from InMemoryTableScan on reuse") {
+    // the 100 TB caching stance: cache DIMENSIONS (bounded), never facts —
+    // a hot dim serving many queries skips its scan after the first use
+    val dim = Tables.customer(spark, d).cache()
+    try {
+      dim.count() // materialize
+      val q = Tables.orders(spark, d)
+        .join(dim, col("o_custkey") === col("c_custkey"))
+      assert(q.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan"),
+        "cached dimension not served from memory")
+      assert(q.count() ==
+        Tables.orders(spark, d)
+          .join(Tables.customer(spark, d),
+            col("o_custkey") === col("c_custkey")).count())
+    } finally dim.unpersist()
+  }
+
   test("salted join returns exactly the plain join result") {
     val events = Tables.events(spark, d)
     val dim = Tables.events(spark, d)
