@@ -57,11 +57,16 @@ object Bench {
     Tables.events(spark, sfDir).count()
 
     // SPARK_GRAFT_BENCH_ALL=1 → time every registered query (scale-smoke
-    // sweep) instead of the six headline shapes.
-    val suite =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+    // sweep); SPARK_GRAFT_BENCH_ONLY=a,b,c → time just those queries
+    // (scale experiments on synthesized data). Default: headline shapes.
+    val suite = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val want = names.split(",").map(_.trim).toSet
+        SparkEntry.all.filter(q => want(q.name)).map(q => q.name -> q.fn)
+      case None if sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1") =>
         SparkEntry.all.map(q => q.name -> q.fn)
-      else headline
+      case None => headline
+    }
     val results = suite.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
