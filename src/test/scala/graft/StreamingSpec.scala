@@ -357,6 +357,37 @@ class StreamingSpec extends AnyFunSuite {
       "pre-restart state lost or window double-emitted after recovery")
   }
 
+  test("transformWithState recovers its ValueState across kill/restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-ckpt")
+      .toString
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val in = MemoryStream[Event]
+
+    def start() = runningCountsTws(in.toDS()).writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[KeyCount], _: Long) =>
+        df.collect().foreach(k => seen.merge(k.user_id, k.n, math.max _))
+      }.start()
+
+    val q1 = start()
+    in.addData(Seq(ev(1, "2024-01-01 10:00:00", 1),
+      ev(2, "2024-01-01 10:01:00", 1),
+      ev(3, "2024-01-01 10:02:00", 1)))
+    q1.processAllAvailable()
+    q1.stop() // kill with n=3 in the state store
+
+    val q2 = start() // resume: state must carry the count forward
+    in.addData(Seq(ev(4, "2024-01-01 10:03:00", 1),
+      ev(5, "2024-01-01 10:04:00", 1)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seen.get(1L) == 5L,
+      s"state not recovered: expected running count 5, saw ${seen.get(1L)}")
+  }
+
   test("stream-static enrichment join matches batch left join") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
