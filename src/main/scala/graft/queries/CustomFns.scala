@@ -4,6 +4,12 @@ import graft.{Q, Tables}
 import graft.functions.WelfordStats
 import org.apache.spark.sql.functions._
 
+/** `orders` row as a case class — the typed-Dataset element for k4. */
+final case class OrderRow(
+    o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+    o_totalprice: Double, o_orderdate: java.sql.Timestamp,
+    o_orderpriority: String)
+
 /** SURVEY §2 category K — the user-defined-function surface. Kept
   * deliberately tiny: built-ins and higher-order functions beat UDFs
   * (codegen, null-safety, pushdown), so exactly one scalar UDF and one typed
@@ -51,6 +57,33 @@ object CustomFns {
       Some("""SELECT o_orderstatus, COUNT(*) AS n_orders,
                      round(AVG(o_totalprice), 2) AS avg_price,
                      round(stddev_samp(o_totalprice), 2) AS sd_price
-              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+              FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // Typed Dataset[T] pipeline — case-class Encoder, typed filter/map,
+    // groupByKey + mapGroups. Scale note stated honestly: mapGroups ships
+    // every row through the shuffle (no partial aggregation) — it exists
+    // for arbitrary per-group logic; for algebraic aggregates the k2
+    // Aggregator (map-side-combining) is the right tool. Integer-cents sums
+    // keep the result order-independent.
+    Q("k4_typed_dataset",
+      (s, d) => {
+        import s.implicits._
+        Tables.orders(s, d).as[OrderRow]
+          .filter(_.o_orderstatus == "F")
+          .groupByKey(_.o_custkey)
+          .mapGroups { (k, rows) =>
+            var cents = 0L; var n = 0L
+            rows.foreach { o =>
+              cents += math.round(o.o_totalprice * 100); n += 1 }
+            (k, n, cents)
+          }
+          .toDF("o_custkey", "n_orders", "cents")
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                       AS BIGINT) AS cents
+              FROM orders WHERE o_orderstatus = 'F'
+              GROUP BY o_custkey ORDER BY o_custkey"""))
   )
 }
