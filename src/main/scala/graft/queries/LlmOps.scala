@@ -693,6 +693,10 @@ object LlmOps {
     // the deterministic pipeline, which is exactly reproduced in SQL.
     Q("j18_langid_ngram",
       (s, d) => {
+        // both branches (profile build, scoring) recompute this extraction;
+        // measured: recomputing the codegen'd substring explode beats
+        // materializing it (localCheckpoint was 1.35× SLOWER at 10× scale —
+        // cheap-to-recompute lineage should stay lineage)
         val tris = Tables.documents(s, d)
           .filter(length(col("text")) >= 3)
           .select(col("doc_id"), col("lang"), explode(expr(
