@@ -185,6 +185,25 @@ object Scalars {
                      lang || ',' || lang AS lang2
               FROM documents ORDER BY doc_id""")),
 
+    // String kernel #2 — padding/alignment, character translation,
+    // repetition, reversal (report formatting + key normalization layer).
+    Q("h12_string_pad_fns",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("brand_l"),
+          rpad(col("p_brand"), 12, "-").as("brand_r"),
+          translate(col("p_type"), "ae", "@3").as("type_leet"),
+          repeat(col("p_brand"), 2).as("brand_x2"),
+          reverse(col("p_name")).as("name_rev"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                     lpad(p_brand, 12, '*') AS brand_l,
+                     rpad(p_brand, 12, '-') AS brand_r,
+                     translate(p_type, 'ae', '@3') AS type_leet,
+                     repeat(p_brand, 2) AS brand_x2,
+                     reverse(p_name) AS name_rev
+              FROM part ORDER BY p_partkey""")),
+
     // Date arithmetic kernel — offsets, calendar-month math, boundary
     // alignment. add_months ≡ DuckDB `+ INTERVAL n MONTH` (both clamp to the
     // last day of month); the month-distance uses the explicit boundary
