@@ -50,18 +50,29 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: pre-count every referenced table (baseline protocol) — pulls
-    // parquet footers/pages into the OS cache and JITs the read path
-    Seq("lineitem", "orders", "customer", "nation", "embeddings")
-      .foreach(t => Tables.table(spark, sfDir, t).count())
-    Tables.events(spark, sfDir).count()
+    // warmup: pre-count every table present in the target dir (baseline
+    // protocol pre-counted the referenced tables) — pulls parquet footers/
+    // pages into the OS cache and JITs the read path; tolerant of partial
+    // synthesized dirs so BENCH_ONLY experiments warm what they read
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      if (new java.io.File(s"$sfDir/$t.parquet").exists())
+        Tables.table(spark, sfDir, t).count()
+    }
+    if (new java.io.File(s"$sfDir/events.parquet").exists())
+      Tables.events(spark, sfDir).count()
 
     // SPARK_GRAFT_BENCH_ALL=1 → time every registered query (scale-smoke
     // sweep); SPARK_GRAFT_BENCH_ONLY=a,b,c → time just those queries
     // (scale experiments on synthesized data). Default: headline shapes.
     val suite = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(names) =>
-        val want = names.split(",").map(_.trim).toSet
+        val want = names.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val known = SparkEntry.all.map(_.name).toSet
+        val unknown = want.diff(known)
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not registered: " +
+            s"${unknown.toSeq.sorted.mkString(", ")}")
         SparkEntry.all.filter(q => want(q.name)).map(q => q.name -> q.fn)
       case None if sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1") =>
         SparkEntry.all.map(q => q.name -> q.fn)

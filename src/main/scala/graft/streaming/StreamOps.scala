@@ -357,28 +357,12 @@ object StreamOps {
     * the join state (each side buffers only rows inside the interval +
     * watermark horizon).
     */
-  def purchaseClickJoin(events: Dataset[Event]): DataFrame = {
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "10 minutes")
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-        col("ts").as("c_ts"))
-      .withWatermark("c_ts", "10 minutes")
-    purchases.join(clicks,
-      expr("""p_user = c_user AND
-              c_ts >= p_ts - interval 10 minutes AND c_ts <= p_ts"""))
-  }
-
-  /** Stream–stream LEFT OUTER interval join: purchases with no preceding
-    * click still emit (null-extended) — but only once the watermark passes
-    * the end of their join interval, when the engine can PROVE no matching
-    * click can still arrive. The delayed null emission is the semantics
-    * that distinguishes streaming outer joins from batch ones; state stays
-    * bounded exactly as in the inner form.
+  /** Shared interval-join core: one definition of the sides, watermarks,
+    * and interval condition so the inner and left-outer variants can never
+    * drift apart.
     */
-  def purchaseClickLeftJoin(events: Dataset[Event]): DataFrame = {
+  private def purchaseClickIntervalJoin(
+      events: Dataset[Event], joinType: String): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
@@ -390,8 +374,21 @@ object StreamOps {
     purchases.join(clicks,
       expr("""p_user = c_user AND
               c_ts >= p_ts - interval 10 minutes AND c_ts <= p_ts"""),
-      "left_outer")
+      joinType)
   }
+
+  def purchaseClickJoin(events: Dataset[Event]): DataFrame =
+    purchaseClickIntervalJoin(events, "inner")
+
+  /** Stream–stream LEFT OUTER interval join: purchases with no preceding
+    * click still emit (null-extended) — but only once the watermark passes
+    * the end of their join interval, when the engine can PROVE no matching
+    * click can still arrive. The delayed null emission is the semantics
+    * that distinguishes streaming outer joins from batch ones; state stays
+    * bounded exactly as in the inner form.
+    */
+  def purchaseClickLeftJoin(events: Dataset[Event]): DataFrame =
+    purchaseClickIntervalJoin(events, "left_outer")
 
   /** `eventsDir` must be a DIRECTORY of events-schema parquet files (file
     * streaming sources watch directories; new files = new micro-batches).

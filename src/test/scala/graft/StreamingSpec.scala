@@ -453,7 +453,10 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("p_id").isin(2L, 3L))
       .select("p_id", "c_id").collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
-    assert(rows.toSet == Set((2L, 1L), (3L, -1L)), s"got ${rows.toSeq}")
+    // sequence compare (not a set): double emission of the null-extended
+    // row must fail, not collapse away
+    assert(rows.toSeq.sorted == Seq((2L, 1L), (3L, -1L)),
+      s"got ${rows.toSeq}")
   }
 
   test("foreachBatch sink receives every micro-batch with its id") {
