@@ -104,6 +104,27 @@ object Workloads {
                 AND o_orderdate < TIMESTAMP '1996-04-01'
                 AND l_returnflag = 'R'
               GROUP BY c_custkey, c_name, n_name
-              ORDER BY rev_cents DESC, c_custkey LIMIT 20"""))
+              ORDER BY rev_cents DESC, c_custkey LIMIT 20""")),
+
+    // TPC-H Q6 (forecast revenue change): the pure scan→filter→aggregate
+    // shape — no join, no grouping — that measures predicate pushdown +
+    // whole-stage codegen in isolation. All three filters reach the parquet
+    // reader (PushedFilters); the agg is a two-phase partial/final over
+    // whatever partitions the scan produced.
+    Q("m4_tpch_q6",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(Q.cents(col("l_extendedprice") * col("l_discount")))
+          .as("revenue_cents")),
+      Some("""SELECT CAST(SUM(CAST(round(l_extendedprice*l_discount*100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+                AND l_discount BETWEEN 0.05 AND 0.07
+                AND l_quantity < 24"""))
   )
 }
