@@ -683,6 +683,83 @@ object LlmOps {
                   AND a.vec_id != p.vec_id)
                WHERE rk <= 3 ORDER BY probe_id, rk""")),
 
+    // Winnowing fingerprints via a TRUE Karp-Rabin rolling hash: the Scala
+    // side slides the O(n) recurrence h' = (h - c_out·B^(k-1))·B + c_in
+    // (mod M) across each document, takes the min hash of every w-window,
+    // and keeps the distinct minima — the classic plagiarism/dedup
+    // fingerprint set. The oracle computes the identical residues with the
+    // positional O(n·k) polynomial formula (modular arithmetic is
+    // associative, so both derivations agree value-for-value). Pure per-row
+    // work; no shuffle before the output sort.
+    Q("j19_winnow_fingerprint",
+      (s, d) => {
+        val K = 8; val W = 4
+        val B = 257L; val M = 1000000007L
+        val topPow = { // B^(k-1) mod M
+          var p = 1L; (1 until K).foreach(_ => p = p * B % M); p }
+        val winnow = udf { (text: String) =>
+          val n = text.length
+          val p = n - K + 1
+          var h = 0L
+          (0 until K).foreach(j => h = (h * B + text.charAt(j)) % M)
+          val hs = new Array[Long](p)
+          hs(0) = h
+          var i = 1
+          while (i < p) {
+            h = ((h - text.charAt(i - 1) * topPow % M + M * 127) % M * B +
+              text.charAt(i + K - 1)) % M
+            hs(i) = h
+            i += 1
+          }
+          val mins = hs.sliding(W).map(_.min).toArray.distinct
+          (mins.length.toLong, mins.min, mins.max)
+        }
+        val pows = { // B^(k-1) .. B^0 mod M, for the oracle's positional sum
+          val a = new Array[Long](K)
+          a(K - 1) = 1L
+          ((K - 2) to 0 by -1).foreach(j => a(j) = a(j + 1) * B % M)
+          a
+        }
+        Tables.documents(s, d)
+          .filter(length(col("text")) >= K + W - 1)
+          .select(col("doc_id"), winnow(col("text")).as("fp"))
+          .select(col("doc_id"), col("fp._1").as("n_fp"),
+            col("fp._2").as("min_fp"), col("fp._3").as("max_fp"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val K = 8; val W = 4
+        val B = 257L; val M = 1000000007L
+        val pows = {
+          val a = new Array[Long](K)
+          a(K - 1) = 1L
+          ((K - 2) to 0 by -1).foreach(j => a(j) = a(j + 1) * B % M)
+          a
+        }
+        val powList = pows.mkString("[", ", ", "]")
+        s"""WITH hs AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, length(text) - ${K - 1}),
+                       i -> list_reduce(
+                         list_transform(generate_series(0, ${K - 1}),
+                           j -> (CAST(ascii(substring(text,
+                               CAST(i + j AS INT), 1)) AS BIGINT)
+                             * ($powList)[j + 1]) % $M),
+                         (a, b) -> (a + b) % $M)) AS h
+              FROM documents WHERE length(text) >= ${K + W - 1}),
+            fps AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, len(h) - ${W - 1}),
+                       j -> list_min(h[j:j + ${W - 1}]))) AS fp
+              FROM hs)
+            SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+                   CAST(list_min(fp) AS BIGINT) AS min_fp,
+                   CAST(list_max(fp) AS BIGINT) AS max_fp
+            FROM fps ORDER BY doc_id"""
+      }),
+
     // Char-trigram-profile language ID — the classic n-gram heuristic:
     // per-language profiles = top-20 trigrams by corpus frequency, each doc
     // scored by distinct-trigram overlap with every profile, argmax wins.
