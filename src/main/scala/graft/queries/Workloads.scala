@@ -125,6 +125,118 @@ object Workloads {
               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                 AND l_shipdate < TIMESTAMP '1997-01-01'
                 AND l_discount BETWEEN 0.05 AND 0.07
-                AND l_quantity < 24"""))
+                AND l_quantity < 24""")),
+
+    // TPC-H Q4 (order-priority checking), adapted: this generator's lineitem
+    // has no commit/receipt dates, so the EXISTS probe is "order has a
+    // returned line". The shape is the point: a date-filtered fact scan
+    // gated by an EXISTS that Catalyst plans as a left-semi join — at scale
+    // the semi join shuffles only the two key columns, never widens rows.
+    Q("m5_tpch_q4",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1996-07-01'
+                AND EXISTS (SELECT 1 FROM lineitem
+                            WHERE l_orderkey = o_orderkey
+                              AND l_returnflag = 'R')
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // TPC-H Q12 (shipping modes / priority split), adapted: l_returnflag
+    // stands in for l_shipmode. Conditional integer sums (the CASE pivot)
+    // ride the same partial/final aggregation as plain counts — no second
+    // pass over the join output.
+    Q("m6_tpch_q12",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+                     CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                     CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // TPC-H Q14 (promotion effect): part is the broadcast side of the join;
+    // the promo share is a ratio of two exact integer-cents sums, so the
+    // only double op is one division (IEEE-identical across engines) before
+    // a 4-dp round.
+    Q("m7_tpch_q14",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .otherwise(0L)).as("promo_cents"),
+          sum(Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("total_cents"))
+        .select(col("promo_cents"), col("total_cents"),
+          round(lit(100.0) * col("promo_cents") / col("total_cents"), 4)
+            .as("promo_share")),
+      Some("""WITH agg AS (
+                SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_cents,
+                       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                         AS BIGINT)) AS BIGINT) AS total_cents
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-02-01')
+              SELECT promo_cents, total_cents,
+                     round(100.0 * promo_cents / total_cents, 4) AS promo_share
+              FROM agg""")),
+
+    // TPC-H Q18 (large-volume customers): the HAVING subquery is a grouped
+    // aggregate over the fact table reused as a semi-join filter — one
+    // shuffle on l_orderkey feeds both the qualifying-key set and the final
+    // per-order quantity sum. l_quantity values are integer-valued doubles,
+    // so the sums are exact and the >180 threshold cannot knife-edge.
+    Q("m8_tpch_q18",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val bigOrders = li.groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("sum_qty"))
+          .filter(col("sum_qty") > 180)
+        Tables.customer(s, d)
+          .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+          .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+          .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+            Q.cents(col("o_totalprice")).as("price_cents"),
+            col("sum_qty").cast("long").as("sum_qty"))
+          .orderBy(col("price_cents").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""SELECT c_custkey, o_orderkey, o_orderdate,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                     CAST(sum_qty AS BIGINT) AS sum_qty
+              FROM customer
+              JOIN orders ON c_custkey = o_custkey
+              JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                    FROM lineitem GROUP BY l_orderkey
+                    HAVING sum(l_quantity) > 180) big
+                ON o_orderkey = big.l_orderkey
+              ORDER BY price_cents DESC, o_orderkey LIMIT 100"""))
   )
 }
