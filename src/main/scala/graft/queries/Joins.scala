@@ -164,6 +164,38 @@ object Joins {
                 ON o_totalprice >= r_regionkey * 100000.0
                AND (o_totalprice < (r_regionkey + 1) * 100000.0
                     OR r_regionkey = 4)
-              ORDER BY o_orderkey"""))
+              ORDER BY o_orderkey""")),
+
+    // Salted skew join: the manual skew-mitigation pattern for when one join
+    // key dominates a shuffle (a hot orderkey at 100 TB would put its whole
+    // payload in one task). Fact side gets a deterministic salt in [0, 4)
+    // derived from a non-key column; the other side is replicated once per
+    // salt value; the join key becomes (key, salt), spreading a hot key over
+    // 4 tasks. Each fact row matches exactly the one replica carrying its
+    // salt, so the result provably equals the unsalted join — which is what
+    // the oracle checks. At cluster scale AQE's skew-join split does this
+    // adaptively (only for skewed partitions); the manual form is for
+    // engines/paths where AQE can't see the skew (e.g. streaming-static).
+    Q("c9_join_skew_salted",
+      (s, d) => {
+        val salts = Seq(0, 1, 2, 3)
+        val fact = Tables.lineitem(s, d)
+          .withColumn("salt", pmod(col("l_linenumber"), lit(4)))
+        val dim = Tables.orders(s, d)
+          .withColumn("salt", explode(array(salts.map(lit(_)): _*)))
+        fact.join(dim,
+            fact("l_orderkey") === dim("o_orderkey") &&
+              fact("salt") === dim("salt"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .as("rev_cents"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_lines,
+                     CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 }

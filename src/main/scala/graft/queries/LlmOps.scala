@@ -854,6 +854,109 @@ object LlmOps {
               SELECT md5(chunk) AS chunk_md5, COUNT(*) AS n_occ,
                      COUNT(DISTINCT doc_id) AS n_docs
               FROM chunks GROUP BY chunk HAVING COUNT(*) > 1
-              ORDER BY chunk_md5"""))
+              ORDER BY chunk_md5""")),
+
+    // Int8 symmetric quantization of the embedding column — the storage/
+    // bandwidth-reduction step before an ANN index build (4× smaller than
+    // float32). Per vector: scale by 127/max|x| and round each component to
+    // an integer. All arithmetic is widened to double FIRST (float→double is
+    // exact; double ops are IEEE-identical across engines) and both engines
+    // round halves away from zero, so the quantized integers match exactly.
+    // Per-row work, zero shuffles before the output sort — at 100 TB this
+    // is a pure map stage.
+    Q("j20_embed_quantize",
+      (s, d) => Tables.embeddings(s, d)
+        .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("amax", expr("array_max(transform(e, x -> abs(x)))"))
+        .withColumn("q",
+          expr("transform(e, x -> CAST(round(x * 127.0 / amax) AS BIGINT))"))
+        .select(col("vec_id"),
+          round(col("amax"), 6).as("amax_r"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("qsum"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + abs(x))")
+            .as("ql1"),
+          expr("array_max(q)").as("qmax"))
+        .orderBy("vec_id"),
+      Some("""WITH t AS (
+                SELECT vec_id,
+                       list_transform(embedding, x -> x::DOUBLE) AS e
+                FROM embeddings),
+              a AS (
+                SELECT vec_id, e,
+                       list_max(list_transform(e, x -> abs(x))) AS amax
+                FROM t),
+              qq AS (
+                SELECT vec_id, amax,
+                       list_transform(e,
+                         x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS q
+                FROM a)
+              SELECT vec_id, round(amax, 6) AS amax_r,
+                     CAST(list_sum(q) AS BIGINT) AS qsum,
+                     CAST(list_sum(list_transform(q, x -> abs(x)))
+                       AS BIGINT) AS ql1,
+                     CAST(list_max(q) AS BIGINT) AS qmax
+              FROM qq ORDER BY vec_id""")),
+
+    // Text-cleaning kernel: lowercase, strip non-alphanumerics, collapse
+    // runs of whitespace, trim — the canonical normalization pass before
+    // hashing/dedup in a training-data pipeline. Output is the cleaned
+    // text's md5 + size stats so the oracle column stays narrow. Spark's
+    // regexp_replace is global by default; DuckDB needs the 'g' flag.
+    Q("j21_text_clean",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("clean", trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+          " +", " ")))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          length(col("clean")).cast("long").as("clean_len"),
+          size(split(col("clean"), " ")).cast("long").as("clean_toks"))
+        .orderBy("doc_id"),
+      Some("""WITH c AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+                FROM documents)
+              SELECT doc_id, md5(clean) AS clean_md5,
+                     CAST(length(clean) AS BIGINT) AS clean_len,
+                     CAST(len(string_split(clean, ' ')) AS BIGINT)
+                       AS clean_toks
+              FROM c ORDER BY doc_id""")),
+
+    // Corpus vocabulary build: top-20 tokens by document frequency (then
+    // total frequency, then token — a total order). One shuffle on the
+    // token; df and tf ride the same partial/final aggregation. At 100 TB
+    // this is word count with a bounded top-k output
+    // (TakeOrderedAndProject), never a global sort.
+    Q("j22_vocab_topk",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .select("tok", "tf", "df")
+        .orderBy(col("df").desc, col("tf").desc, col("tok"))
+        .limit(20),
+      Some("""SELECT tok, CAST(count(*) AS BIGINT) AS tf,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY tok ORDER BY df DESC, tf DESC, tok LIMIT 20""")),
+
+    // Document-length histogram: fixed-width 50-char buckets via integer
+    // division (no width_bucket — DuckDB and Spark agree exactly on
+    // `div`/`//` over BIGINT). The length-distribution profile drives
+    // quality-filter thresholds; per-bucket lang spread shows mixture.
+    Q("j23_doclen_hist",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("bucket", expr("n_chars div 50"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("bucket"),
+      Some("""SELECT n_chars // 50 AS bucket, count(*) AS n_docs,
+                     min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+              FROM documents GROUP BY bucket ORDER BY bucket"""))
   )
 }

@@ -119,6 +119,43 @@ object StatefulShadows {
         .distinct()
         .orderBy("user_id", "event_type"),
       Some("""SELECT DISTINCT user_id, event_type FROM events
-              ORDER BY user_id, event_type"""))
+              ORDER BY user_id, event_type""")),
+
+    // Late-data accounting — the batch shadow of i7 (withWatermark + append
+    // mode dropping rows older than watermark). Arrival order is simulated
+    // by event_id; the watermark before each row is the running max event
+    // time over all earlier arrivals minus the 10-minute delay, and a row is
+    // "late" (dropped by the streaming form) iff its event time is below
+    // that. The streaming twin is differential-tested in StreamingSpec; this
+    // query makes the drop rule itself oracle-checkable. The global running
+    // max is a semantics shadow only — the engine tracks the watermark in
+    // the driver from per-partition maxima, it never single-partitions data.
+    Q("i7_late_data",
+      (s, d) => {
+        val wArr = Window.orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("wm_us", max("ts_us").over(wArr) - lit(600000000L))
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("wm_us").isNotNull && col("ts_us") < col("wm_us"),
+              1L).otherwise(0L)).as("late_events"),
+            sum(when(col("wm_us").isNull || col("ts_us") >= col("wm_us"),
+              1L).otherwise(0L)).as("ontime_events"))
+          .orderBy("event_type")
+      },
+      Some("""WITH m AS (
+                SELECT event_type, epoch_us(ts) AS ts_us,
+                       max(epoch_us(ts)) OVER (ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                         - 600000000 AS wm_us
+                FROM events)
+              SELECT event_type,
+                     CAST(SUM(CASE WHEN wm_us IS NOT NULL AND ts_us < wm_us
+                               THEN 1 ELSE 0 END) AS BIGINT) AS late_events,
+                     CAST(SUM(CASE WHEN wm_us IS NULL OR ts_us >= wm_us
+                               THEN 1 ELSE 0 END) AS BIGINT) AS ontime_events
+              FROM m GROUP BY event_type ORDER BY event_type"""))
   )
 }
