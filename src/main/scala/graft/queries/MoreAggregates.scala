@@ -160,6 +160,34 @@ object MoreAggregates {
               WINDOW w AS (PARTITION BY o_custkey
                 ORDER BY o_totalprice DESC, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-              ORDER BY o_orderkey"""))
+              ORDER BY o_orderkey""")),
+
+    // Arg-max/arg-min aggregates (Spark max_by/min_by ≡ DuckDB arg_max/
+    // arg_min): the per-group "which row wins" primitive that avoids a
+    // window + filter pass. Ties on o_totalprice are broken by folding the
+    // unique o_orderkey into the ordering value (cents × 1e6 + key — exact
+    // in int64), because both engines pick an arbitrary row on ties.
+    Q("d14_argmax",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          expr("""max_by(o_orderkey,
+                 CAST(round(o_totalprice*100) AS BIGINT) * 1000000
+                   + o_orderkey)""").as("best_order"),
+          max(Q.cents(col("o_totalprice"))).as("best_cents"),
+          expr("""min_by(o_orderkey,
+                 CAST(round(o_totalprice*100) AS BIGINT) * 1000000
+                   + o_orderkey)""").as("worst_order"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey,
+                     arg_max(o_orderkey,
+                       CAST(round(o_totalprice*100) AS BIGINT) * 1000000
+                         + o_orderkey) AS best_order,
+                     CAST(max(CAST(round(o_totalprice*100) AS BIGINT))
+                       AS BIGINT) AS best_cents,
+                     arg_min(o_orderkey,
+                       CAST(round(o_totalprice*100) AS BIGINT) * 1000000
+                         + o_orderkey) AS worst_order
+              FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
   )
 }

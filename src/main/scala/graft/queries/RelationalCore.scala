@@ -178,6 +178,21 @@ object RelationalCore {
       Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
               ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
 
+    // Keyset-free pagination: ORDER BY … LIMIT k OFFSET n. Spark's offset()
+    // still plans the bounded-sort path (top n+k per partition, then drop n
+    // at the driver-side merge) — fine for page-sized offsets; deep
+    // pagination at scale should switch to a keyset predicate (WHERE key >
+    // last-seen ORDER BY key LIMIT k), which is the f1 shape plus a filter.
+    Q("f4_limit_offset",
+      (s, d) => Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 50 OFFSET 100""")),
+
     // Seeded Bernoulli sample — deterministic within Spark (fixed seed) but
     // RNG-incompatible with DuckDB, so no SQL oracle; the driver's
     // rows-only check still pins the row count.
