@@ -58,11 +58,13 @@ object Layout {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     // AdaptiveSparkPlanExec is a LEAF node — a plain traversal under AQE
     // (the default) never sees the inner exchanges and reports a vacuous 0;
-    // recurse into the adaptive input plan explicitly
+    // recurse into the adaptive CURRENT plan (initially: the static plan
+    // AFTER EnsureRequirements — inputPlan is captured BEFORE exchange
+    // insertion and would undercount to 0 always)
     def walk(p: SparkPlan): Int = {
       var n = 0
       p.foreach {
-        case a: AdaptiveSparkPlanExec => n += walk(a.inputPlan)
+        case a: AdaptiveSparkPlanExec => n += walk(a.executedPlan)
         case _: ShuffleExchangeLike => n += 1
         case _ => ()
       }

@@ -178,14 +178,16 @@ object Joins {
     // engines/paths where AQE can't see the skew (e.g. streaming-static).
     Q("c9_join_skew_salted",
       (s, d) => {
-        val salts = Seq(0, 1, 2, 3)
+        // reuse the repo's canonical salted-join helper (same-named join key
+        // required, so both sides rename theirs to "jk"; the key itself is
+        // not in the output)
         val fact = Tables.lineitem(s, d)
-          .withColumn("salt", pmod(col("l_linenumber"), lit(4)))
+          .withColumnRenamed("l_orderkey", "jk")
         val dim = Tables.orders(s, d)
-          .withColumn("salt", explode(array(salts.map(lit(_)): _*)))
-        fact.join(dim,
-            fact("l_orderkey") === dim("o_orderkey") &&
-              fact("salt") === dim("salt"))
+          .withColumnRenamed("o_orderkey", "jk")
+        graft.layout.Layout.saltedJoin(
+            fact, dim, "jk",
+            probeSaltExpr = pmod(col("l_linenumber"), lit(4)), nSalts = 4)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n_lines"),
             sum(Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))

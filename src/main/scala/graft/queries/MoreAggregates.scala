@@ -165,28 +165,30 @@ object MoreAggregates {
     // Arg-max/arg-min aggregates (Spark max_by/min_by ≡ DuckDB arg_max/
     // arg_min): the per-group "which row wins" primitive that avoids a
     // window + filter pass. Ties on o_totalprice are broken by folding the
-    // unique o_orderkey into the ordering value (cents × 1e6 + key — exact
-    // in int64), because both engines pick an arbitrary row on ties.
+    // unique o_orderkey into the ordering value — cents × 2³² + key, which
+    // is injective for keys < 2³² and stays exact in int64 (cents ≤ ~5e7
+    // here, 5e7 × 2³² ≈ 2.1e17 < 2⁶³) — because both engines pick an
+    // arbitrary row on bare ties.
     Q("d14_argmax",
       (s, d) => Tables.orders(s, d)
         .groupBy("o_custkey")
         .agg(
           expr("""max_by(o_orderkey,
-                 CAST(round(o_totalprice*100) AS BIGINT) * 1000000
+                 CAST(round(o_totalprice*100) AS BIGINT) * 4294967296
                    + o_orderkey)""").as("best_order"),
           max(Q.cents(col("o_totalprice"))).as("best_cents"),
           expr("""min_by(o_orderkey,
-                 CAST(round(o_totalprice*100) AS BIGINT) * 1000000
+                 CAST(round(o_totalprice*100) AS BIGINT) * 4294967296
                    + o_orderkey)""").as("worst_order"))
         .orderBy("o_custkey"),
       Some("""SELECT o_custkey,
                      arg_max(o_orderkey,
-                       CAST(round(o_totalprice*100) AS BIGINT) * 1000000
+                       CAST(round(o_totalprice*100) AS BIGINT) * 4294967296
                          + o_orderkey) AS best_order,
                      CAST(max(CAST(round(o_totalprice*100) AS BIGINT))
                        AS BIGINT) AS best_cents,
                      arg_min(o_orderkey,
-                       CAST(round(o_totalprice*100) AS BIGINT) * 1000000
+                       CAST(round(o_totalprice*100) AS BIGINT) * 4294967296
                          + o_orderkey) AS worst_order
               FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
   )
