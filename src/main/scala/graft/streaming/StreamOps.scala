@@ -21,6 +21,9 @@ final case class SessState(n: Long, startUs: Long, lastUs: Long)
 final case class ClosedSession(
     user_id: Long, n_events: Long, start_us: Long, end_us: Long)
 
+final case class TopKState(vals: Seq[Long])
+final case class UserTopK(user_id: Long, top1: Long, top2: Long, top3: Long)
+
 /** SURVEY §2 category I — the stateful streaming operators themselves
   * (the reference's core surface), built on Structured Streaming.
   *
@@ -74,6 +77,32 @@ object StreamOps {
           val next = CountState(n, cents)
           state.update(next)
           KeyCount(key._1, key._2, next.n, next.cents)
+      }
+  }
+
+  /** Running top-k event values (cents) per user — the keyed-state shape
+    * whose per-key footprint is BOUNDED at k longs no matter how long the
+    * stream runs (contrast: a running collect_list grows without bound).
+    * Update-mode emission: every key touched by a micro-batch re-emits its
+    * current top-k, padded with -1 below k values. Fixed output columns
+    * (not a list) because each rank is monotone nondecreasing over updates,
+    * which is what lets the differential test reduce the update stream with
+    * max() per rank. Batch twin: sorted collect_list sliced to k.
+    */
+  def runningTopK(events: Dataset[Event], k: Int = 3): Dataset[UserTopK] = {
+    import events.sparkSession.implicits._
+    require(k == 3, "UserTopK carries exactly 3 rank columns")
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[TopKState]) =>
+          val merged =
+            (state.getOption.map(_.vals).getOrElse(Seq.empty) ++
+              rows.map(e => math.round(e.value * 100)))
+              .sorted(Ordering[Long].reverse).take(k)
+          state.update(TopKState(merged))
+          val p = merged.padTo(k, -1L)
+          UserTopK(uid, p(0), p(1), p(2))
       }
   }
 

@@ -66,6 +66,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("running top-3 values per user converge to batch (bounded keyed state)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = runningTopK(in.toDS()).writeStream
+      .format("memory").queryName("topk").outputMode("update").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    // each rank column is monotone nondecreasing across updates (more data
+    // can only push a rank up, and -1 padding sorts below any real cents),
+    // so the final state per user is the per-rank max over the update stream
+    val streamed = spark.table("topk").groupBy("user_id")
+      .agg(max("top1").as("top1"), max("top2").as("top2"),
+        max("top3").as("top3"))
+    val batch = Tables.events(spark, d)
+      .withColumn("cents", expr("cast(round(value*100) as bigint)"))
+      .groupBy("user_id")
+      .agg(expr("slice(reverse(sort_array(collect_list(cents))), 1, 3)")
+        .as("t"))
+      .select(col("user_id"),
+        coalesce(element_at(col("t"), 1), lit(-1L)).as("top1"),
+        coalesce(element_at(col("t"), 2), lit(-1L)).as("top2"),
+        coalesce(element_at(col("t"), 3), lit(-1L)).as("top3"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("i5 transformWithState running counts converge to batch (differential)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
