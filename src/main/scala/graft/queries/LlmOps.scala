@@ -957,6 +957,60 @@ object LlmOps {
       Some("""SELECT n_chars // 50 AS bucket, count(*) AS n_docs,
                      min(n_chars) AS min_chars, max(n_chars) AS max_chars,
                      CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-              FROM documents GROUP BY bucket ORDER BY bucket"""))
+              FROM documents GROUP BY bucket ORDER BY bucket""")),
+
+    // Word 3-gram CONTAINMENT (|A∩B| / |A|) — the asymmetric companion to
+    // j9's Jaccard: high containment with low Jaccard means doc A is a
+    // subset/boilerplate fragment of a larger doc B, which Jaccard's
+    // union-normalization hides. Same inverted-index (posting-list) join
+    // shape as j9 — linear in Σ df(gram)², never an n² pair scan.
+    Q("j24_ngram_containment",
+      (s, d) => {
+        val ng = Tables.documents(s, d).filter(col("lang") === "en")
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(toks) >= 3
+               THEN array_distinct(transform(sequence(1, size(toks)-2),
+                 i -> concat_ws(' ', element_at(toks, i),
+                   element_at(toks, i+1), element_at(toks, i+2))))
+               ELSE array() END""")).as("g"))
+        val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = ng.alias("x")
+          .join(ng.alias("y"),
+            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")),
+            "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")),
+            "doc_b")
+          .withColumn("cont_ab", col("inter").cast("double") / col("sa"))
+          .withColumn("cont_ba", col("inter").cast("double") / col("sb"))
+          .filter(greatest(col("cont_ab"), col("cont_ba")) >= 0.5)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("cont_ab"), 4).as("cont_ab"),
+            round(col("cont_ba"), 4).as("cont_ba"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH ng AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         generate_series(1, len(string_split(text,' '))-2),
+                         i -> concat_ws(' ', string_split(text,' ')[i],
+                           string_split(text,' ')[i+1],
+                           string_split(text,' ')[i+2]))) AS g
+                FROM documents WHERE lang = 'en'
+                  AND len(string_split(text, ' ')) >= 3)
+              SELECT doc_a, doc_b, round(cont_ab, 4) AS cont_ab,
+                     round(cont_ba, 4) AS cont_ba FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / len(a.g) AS cont_ab,
+                       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                         / len(b.g) AS cont_ba
+                FROM ng a JOIN ng b ON a.doc_id < b.doc_id)
+              WHERE greatest(cont_ab, cont_ba) >= 0.5
+              ORDER BY doc_a, doc_b"""))
   )
 }

@@ -139,6 +139,26 @@ object Windows {
                        (PARTITION BY o_custkey
                         ORDER BY o_orderdate, o_orderkey
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 2) AS ma4
+              FROM orders ORDER BY o_orderkey""")),
+
+    // Ratio-to-report: each order's share of its customer's total spend —
+    // the unordered-window (whole-partition aggregate) shape. Both operands
+    // of the division are exact integer-cents sums, so the only double op
+    // is one IEEE division before the 6-dp round.
+    Q("e8_ratio_to_report",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+        Tables.orders(s, d)
+          .withColumn("cents", Q.cents(col("o_totalprice")))
+          .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+            round(col("cents") / sum("cents").over(w), 6).as("share"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+                     CAST(round(o_totalprice*100) AS BIGINT) AS cents,
+                     round(CAST(round(o_totalprice*100) AS BIGINT) /
+                       SUM(CAST(round(o_totalprice*100) AS BIGINT)) OVER
+                         (PARTITION BY o_custkey), 6) AS share
               FROM orders ORDER BY o_orderkey"""))
   )
 }
