@@ -190,6 +190,32 @@ object MoreAggregates {
                      arg_min(o_orderkey,
                        CAST(round(o_totalprice*100) AS BIGINT) * 4294967296
                          + o_orderkey) AS worst_order
-              FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+              FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // Mode (most frequent value) per group — built from count + rank rather
+    // than the engines' mode() functions, whose tie choice is arbitrary and
+    // engine-specific. Ties break to the lexicographically smallest type,
+    // making the answer total; two shuffles (count, then per-user rank) and
+    // both key on user_id, so the second is partitioning-compatible with
+    // the first.
+    Q("d15_mode_agg",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("cnt").desc, col("event_type"))
+        Tables.events(s, d)
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("top_type"),
+            col("cnt"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_type AS top_type, cnt FROM (
+                SELECT user_id, event_type, count(*) AS cnt,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY count(*) DESC, event_type) AS rn
+                FROM events GROUP BY user_id, event_type)
+              WHERE rn = 1 ORDER BY user_id"""))
   )
 }

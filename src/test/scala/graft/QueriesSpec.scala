@@ -180,6 +180,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(r.isNullAt(1), "null element must propagate to NULL")
   }
 
+  test("j20 quantization reconstruction error within half a step per component") {
+    import org.apache.spark.sql.functions._
+    // same expressions as the registered query, then the dequantization
+    // error bound: |q·amax/127 − x| ≤ (amax/127)/2 for every component
+    val bad = Tables.embeddings(spark, d)
+      .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("amax", expr("array_max(transform(e, x -> abs(x)))"))
+      .withColumn("q",
+        expr("transform(e, x -> CAST(round(x * 127.0 / amax) AS BIGINT))"))
+      .withColumn("err", expr(
+        """array_max(transform(sequence(1, size(e)),
+           i -> abs(element_at(q, i) * amax / 127.0 - element_at(e, i))))"""))
+      .filter(col("err") > col("amax") / 127.0 * 0.5 * 1.0000001)
+      .count()
+    assert(bad == 0L, s"$bad vectors exceed the quantization error bound")
+  }
+
   test("j1 exact dedup is idempotent") {
     val once = SparkEntry.queries("j1_exact_dedup")(spark, d)
     assert(once.count() ==
