@@ -204,6 +204,45 @@ object Scalars {
                      reverse(p_name) AS name_rev
               FROM part ORDER BY p_partkey""")),
 
+    // Delimiter-splitting kernel: split_part / substring_index / position /
+    // left-right slicing — the field-extraction primitives for delimited
+    // identifiers (both engines 1-index positions; absent delimiter → '' for
+    // split_part in both).
+    Q("h13_split_part",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_custkey"),
+          expr("split_part(c_name, '#', 2)").as("cust_num"),
+          substring_index(col("c_name"), "#", 1).as("prefix"),
+          instr(col("c_name"), "#").cast("long").as("hash_pos"),
+          expr("left(c_name, 8)").as("l8"),
+          expr("right(c_name, 3)").as("r3"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+                     split_part(c_name, '#', 2) AS cust_num,
+                     split_part(c_name, '#', 1) AS prefix,
+                     CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+                     left(c_name, 8) AS l8,
+                     right(c_name, 3) AS r3
+              FROM customer ORDER BY c_custkey""")),
+
+    // printf-style formatting kernel (Spark format_string ≡ DuckDB printf —
+    // same C format-spec dialect for %s / zero-padded %d). Integer and
+    // string specs only: float rendering differs across libc implementations
+    // and has no place in an oracle output (SURVEY §5.3).
+    Q("h14_format_string",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          format_string("%s|%04d", col("p_brand"), col("p_size"))
+            .as("brand_size"),
+          format_string("[%-10s]", col("p_type")).as("type_padded"),
+          format_string("%08d", col("p_partkey")).as("key8"))
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+                     printf('%s|%04d', p_brand, p_size) AS brand_size,
+                     printf('[%-10s]', p_type) AS type_padded,
+                     printf('%08d', p_partkey) AS key8
+              FROM part ORDER BY p_partkey""")),
+
     // Date arithmetic kernel — offsets, calendar-month math, boundary
     // alignment. add_months ≡ DuckDB `+ INTERVAL n MONTH` (both clamp to the
     // last day of month); the month-distance uses the explicit boundary
