@@ -1011,6 +1011,81 @@ object LlmOps {
                          / len(b.g) AS cont_ba
                 FROM ng a JOIN ng b ON a.doc_id < b.doc_id)
               WHERE greatest(cont_ab, cont_ba) >= 0.5
-              ORDER BY doc_a, doc_b"""))
+              ORDER BY doc_a, doc_b""")),
+
+    // Dataset-card statistics per source: the corpus summary a training-data
+    // pipeline publishes — volume, language spread, size, and exact-dup
+    // ratio in basis points (integer — no double division in output).
+    Q("j25_dataset_stats",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("text")).as("n_uniq"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("total_chars"),
+          // `div`, not `/`: Spark's Column./ is always double division
+          expr("(n_docs - n_uniq) * 10000 div n_docs").as("dup_bp"))
+        .orderBy("source"),
+      Some("""SELECT source, count(*) AS n_docs,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                     (count(*) - count(DISTINCT text)) * 10000 // count(*)
+                       AS dup_bp
+              FROM documents GROUP BY source ORDER BY source""")),
+
+    // End-to-end training-data pipeline composite — the flagship chain a
+    // consumer actually runs: normalize text (j21's cleaning) → quality
+    // filter (length + repeated-token ratio) → exact dedup on the CLEANED
+    // content (lowest doc_id survives) → per-language yield accounting.
+    // Every stage is a map or one keyed shuffle; the chain adds no stage a
+    // single pass wouldn't — at 100 TB it runs as scan → window on the
+    // clean-text hash → final small agg.
+    Q("j26_pipeline_e2e",
+      (s, d) => {
+        val w = Window.partitionBy("clean").orderBy("doc_id")
+        Tables.documents(s, d)
+          .withColumn("clean", trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            " +", " ")))
+          .withColumn("toks", split(col("clean"), " "))
+          .filter(length(col("clean")) >= 50 &&
+            // repeated-token ratio < 0.8: distinct tokens / tokens > 0.2
+            size(array_distinct(col("toks"))).cast("double") /
+              size(col("toks")) > 0.2)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("kept_docs"),
+            sum(size(col("toks"))).cast("long").as("kept_tokens"),
+            min("doc_id").as("first_doc"))
+          .orderBy("lang")
+      },
+      Some("""WITH cleaned AS (
+                SELECT doc_id, lang,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+                FROM documents),
+              filtered AS (
+                SELECT doc_id, lang, clean,
+                       len(string_split(clean, ' ')) AS n_toks,
+                       len(list_distinct(string_split(clean, ' '))) AS n_uniq
+                FROM cleaned
+                WHERE length(clean) >= 50),
+              quality AS (
+                SELECT doc_id, lang, clean, n_toks FROM filtered
+                WHERE CAST(n_uniq AS DOUBLE) / n_toks > 0.2),
+              deduped AS (
+                SELECT doc_id, lang, n_toks FROM (
+                  SELECT doc_id, lang, n_toks,
+                         row_number() OVER (PARTITION BY clean
+                           ORDER BY doc_id) AS rn
+                  FROM quality)
+                WHERE rn = 1)
+              SELECT lang, count(*) AS kept_docs,
+                     CAST(sum(n_toks) AS BIGINT) AS kept_tokens,
+                     min(doc_id) AS first_doc
+              FROM deduped GROUP BY lang ORDER BY lang"""))
   )
 }
