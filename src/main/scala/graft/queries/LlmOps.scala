@@ -32,6 +32,17 @@ object LlmOps {
             i -> substring(text, i, 5)))
        ELSE array() END"""
 
+  /** Canonical text normalization (shared by j21/j26): lowercase, strip
+    * non-alphanumerics, collapse whitespace runs, trim. Spark's
+    * regexp_replace is global by default; the DuckDB form needs 'g'.
+    */
+  private def cleanCol(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "),
+      " +", " "))
+  private val CleanSql =
+    """trim(regexp_replace(regexp_replace(lower(text),
+       '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"""
+
   private val NumHashes = 32
   // 4 bands × 8 rows: LSH S-curve threshold (1/b)^(1/r) ≈ 0.84, just under
   // the τ=0.9 verify threshold. Measured on this corpus: r=2 bands collide
@@ -59,6 +70,36 @@ object LlmOps {
     .mkString(", ")
   private val simhashValSql = (0 until 32).map(i =>
     s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
+  /** Word 3-gram posting-list scaffold (shared by j9/j24): distinct 3-gram
+    * sets per `lang='en'` doc, per-doc set sizes, and the pairwise
+    * intersection counts from the inverted-index equi-join on the gram —
+    * linear in Σ df(gram)², never an n² pair scan. The CASE guard matters:
+    * Spark `sequence(1, n)` DESCENDS for n < 1 and `element_at` with index
+    * 0 throws under ANSI, so sub-3-token docs map to an empty array (which
+    * explode drops), matching the oracle's `len >= 3` filter.
+    */
+  private def ngramPairCounts(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val ng = Tables.documents(s, d).filter(col("lang") === "en")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(toks) >= 3
+           THEN array_distinct(transform(sequence(1, size(toks)-2),
+             i -> concat_ws(' ', element_at(toks, i),
+               element_at(toks, i+1), element_at(toks, i+2))))
+           ELSE array() END""")).as("g"))
+    val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    ng.alias("x")
+      .join(ng.alias("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")),
+        "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")),
+        "doc_b")
+  }
 
   /** The j2 pipeline up to verified pairs: shingles → fused MinHash
     * signature → banded candidates → exact-Jaccard verify ≥ 0.9.
@@ -308,34 +349,12 @@ object LlmOps {
     // oracle keeps the equivalent cross-join formulation; pairs with zero
     // shared grams can't reach any positive threshold, so results match).
     Q("j9_ngram_jaccard",
-      (s, d) => {
-        val ng = Tables.documents(s, d).filter(col("lang") === "en")
-          .withColumn("toks", split(col("text"), " "))
-          // CASE guard: sequence(1, n<1) descends in Spark → element_at
-          // with index 0 throws under ANSI; empty array matches DuckDB
-          .select(col("doc_id"), explode(expr(
-            """CASE WHEN size(toks) >= 3
-               THEN array_distinct(transform(sequence(1, size(toks)-2),
-                 i -> concat_ws(' ', element_at(toks, i),
-                   element_at(toks, i+1), element_at(toks, i+2))))
-               ELSE array() END""")).as("g"))
-        val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val inter = ng.alias("x")
-          .join(ng.alias("y"),
-            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")),
-            "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")),
-            "doc_b")
+      (s, d) => ngramPairCounts(s, d)
           .withColumn("jac", col("inter").cast("double") /
             (col("sa") + col("sb") - col("inter")))
           .filter(col("jac") >= 0.8)
           .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
-      },
+          .orderBy("doc_a", "doc_b"),
       Some("""WITH ng AS (
                 SELECT doc_id,
                        list_distinct(list_transform(
@@ -897,24 +916,18 @@ object LlmOps {
                      CAST(list_max(q) AS BIGINT) AS qmax
               FROM qq ORDER BY vec_id""")),
 
-    // Text-cleaning kernel: lowercase, strip non-alphanumerics, collapse
-    // runs of whitespace, trim — the canonical normalization pass before
-    // hashing/dedup in a training-data pipeline. Output is the cleaned
-    // text's md5 + size stats so the oracle column stays narrow. Spark's
-    // regexp_replace is global by default; DuckDB needs the 'g' flag.
+    // Text-cleaning kernel — the canonical normalization pass (cleanCol)
+    // before hashing/dedup in a training-data pipeline. Output is the
+    // cleaned text's md5 + size stats so the oracle column stays narrow.
     Q("j21_text_clean",
       (s, d) => Tables.documents(s, d)
-        .withColumn("clean", trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
-          " +", " ")))
+        .withColumn("clean", cleanCol(col("text")))
         .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
           length(col("clean")).cast("long").as("clean_len"),
           size(split(col("clean"), " ")).cast("long").as("clean_toks"))
         .orderBy("doc_id"),
-      Some("""WITH c AS (
-                SELECT doc_id,
-                       trim(regexp_replace(regexp_replace(lower(text),
-                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+      Some(s"""WITH c AS (
+                SELECT doc_id, $CleanSql AS clean
                 FROM documents)
               SELECT doc_id, md5(clean) AS clean_md5,
                      CAST(length(clean) AS BIGINT) AS clean_len,
@@ -965,34 +978,14 @@ object LlmOps {
     // union-normalization hides. Same inverted-index (posting-list) join
     // shape as j9 — linear in Σ df(gram)², never an n² pair scan.
     Q("j24_ngram_containment",
-      (s, d) => {
-        val ng = Tables.documents(s, d).filter(col("lang") === "en")
-          .withColumn("toks", split(col("text"), " "))
-          .select(col("doc_id"), explode(expr(
-            """CASE WHEN size(toks) >= 3
-               THEN array_distinct(transform(sequence(1, size(toks)-2),
-                 i -> concat_ws(' ', element_at(toks, i),
-                   element_at(toks, i+1), element_at(toks, i+2))))
-               ELSE array() END""")).as("g"))
-        val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val inter = ng.alias("x")
-          .join(ng.alias("y"),
-            col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-        inter
-          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")),
-            "doc_a")
-          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")),
-            "doc_b")
+      (s, d) => ngramPairCounts(s, d)
           .withColumn("cont_ab", col("inter").cast("double") / col("sa"))
           .withColumn("cont_ba", col("inter").cast("double") / col("sb"))
           .filter(greatest(col("cont_ab"), col("cont_ba")) >= 0.5)
           .select(col("doc_a"), col("doc_b"),
             round(col("cont_ab"), 4).as("cont_ab"),
             round(col("cont_ba"), 4).as("cont_ba"))
-          .orderBy("doc_a", "doc_b")
-      },
+          .orderBy("doc_a", "doc_b"),
       Some("""WITH ng AS (
                 SELECT doc_id,
                        list_distinct(list_transform(
@@ -1036,24 +1029,24 @@ object LlmOps {
               FROM documents GROUP BY source ORDER BY source""")),
 
     // End-to-end training-data pipeline composite — the flagship chain a
-    // consumer actually runs: normalize text (j21's cleaning) → quality
-    // filter (length + repeated-token ratio) → exact dedup on the CLEANED
-    // content (lowest doc_id survives) → per-language yield accounting.
-    // Every stage is a map or one keyed shuffle; the chain adds no stage a
-    // single pass wouldn't — at 100 TB it runs as scan → window on the
-    // clean-text hash → final small agg.
+    // consumer actually runs: normalize text (cleanCol) → quality filter
+    // (length + repeated-token ratio) → exact dedup on the cleaned content
+    // (lowest doc_id survives) → per-language yield accounting. The dedup
+    // window partitions on md5(clean), NOT the text itself — the shuffle
+    // key is 32 bytes regardless of document length, which is what makes
+    // the one keyed shuffle cheap at 100 TB (same stance as j17's
+    // md5-keyed chunks).
     Q("j26_pipeline_e2e",
       (s, d) => {
-        val w = Window.partitionBy("clean").orderBy("doc_id")
+        val w = Window.partitionBy("ch").orderBy("doc_id")
         Tables.documents(s, d)
-          .withColumn("clean", trim(regexp_replace(
-            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
-            " +", " ")))
+          .withColumn("clean", cleanCol(col("text")))
           .withColumn("toks", split(col("clean"), " "))
           .filter(length(col("clean")) >= 50 &&
             // repeated-token ratio < 0.8: distinct tokens / tokens > 0.2
             size(array_distinct(col("toks"))).cast("double") /
               size(col("toks")) > 0.2)
+          .withColumn("ch", md5(col("clean")))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .groupBy("lang")
@@ -1062,10 +1055,8 @@ object LlmOps {
             min("doc_id").as("first_doc"))
           .orderBy("lang")
       },
-      Some("""WITH cleaned AS (
-                SELECT doc_id, lang,
-                       trim(regexp_replace(regexp_replace(lower(text),
-                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS clean
+      Some(s"""WITH cleaned AS (
+                SELECT doc_id, lang, $CleanSql AS clean
                 FROM documents),
               filtered AS (
                 SELECT doc_id, lang, clean,
@@ -1079,7 +1070,7 @@ object LlmOps {
               deduped AS (
                 SELECT doc_id, lang, n_toks FROM (
                   SELECT doc_id, lang, n_toks,
-                         row_number() OVER (PARTITION BY clean
+                         row_number() OVER (PARTITION BY md5(clean)
                            ORDER BY doc_id) AS rn
                   FROM quality)
                 WHERE rn = 1)

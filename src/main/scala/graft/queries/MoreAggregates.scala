@@ -195,14 +195,17 @@ object MoreAggregates {
     // Mode (most frequent value) per group — built from count + rank rather
     // than the engines' mode() functions, whose tie choice is arbitrary and
     // engine-specific. Ties break to the lexicographically smallest type,
-    // making the answer total; two shuffles (count, then per-user rank) and
-    // both key on user_id, so the second is partitioning-compatible with
-    // the first.
+    // making the answer total. The explicit repartition on user_id makes the
+    // chain single-shuffle: HashPartitioning(user_id) satisfies BOTH the
+    // (user_id, event_type) aggregation's clustering (subset partitioning
+    // co-locates every group) and the window's — without it Spark shuffles
+    // once for the count and again for the rank.
     Q("d15_mode_agg",
       (s, d) => {
         val w = Window.partitionBy("user_id")
           .orderBy(col("cnt").desc, col("event_type"))
         Tables.events(s, d)
+          .repartition(col("user_id"))
           .groupBy("user_id", "event_type")
           .agg(count(lit(1)).as("cnt"))
           .withColumn("rn", row_number().over(w))

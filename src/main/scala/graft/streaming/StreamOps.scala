@@ -89,9 +89,9 @@ object StreamOps {
     * which is what lets the differential test reduce the update stream with
     * max() per rank. Batch twin: sorted collect_list sliced to k.
     */
-  def runningTopK(events: Dataset[Event], k: Int = 3): Dataset[UserTopK] = {
+  def runningTopK(events: Dataset[Event]): Dataset[UserTopK] = {
     import events.sparkSession.implicits._
-    require(k == 3, "UserTopK carries exactly 3 rank columns")
+    val k = 3 // UserTopK carries exactly 3 rank columns
     events
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {

@@ -71,6 +71,15 @@ class PlanSpec extends AnyFunSuite {
       "missing output sort")
   }
 
+  test("d15 mode chain is single-shuffle: subset partitioning feeds count AND rank") {
+    val df = SparkEntry.queries("d15_mode_agg")(spark, d)
+    // one hash exchange (the explicit user_id repartition serves both the
+    // (user_id, event_type) aggregation and the user_id window) plus the
+    // rangepartitioning for the output ORDER BY
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+  }
+
   test("m8 reuses the l_orderkey aggregation partitioning for its join") {
     val df = SparkEntry.queries("m8_tpch_q18")(spark, d)
     // the grouped HAVING subquery and the orders join both key on the order

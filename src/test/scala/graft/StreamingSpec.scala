@@ -85,10 +85,13 @@ class StreamingSpec extends AnyFunSuite {
       .groupBy("user_id")
       .agg(expr("slice(reverse(sort_array(collect_list(cents))), 1, 3)")
         .as("t"))
+      // try_element_at: under ANSI mode (Spark 4 default) element_at
+      // THROWS on out-of-bounds instead of returning NULL, so the -1
+      // padding for users with <3 events needs the try_ variant
       .select(col("user_id"),
-        coalesce(element_at(col("t"), 1), lit(-1L)).as("top1"),
-        coalesce(element_at(col("t"), 2), lit(-1L)).as("top2"),
-        coalesce(element_at(col("t"), 3), lit(-1L)).as("top3"))
+        coalesce(expr("try_element_at(t, 1)"), lit(-1L)).as("top1"),
+        coalesce(expr("try_element_at(t, 2)"), lit(-1L)).as("top2"),
+        coalesce(expr("try_element_at(t, 3)"), lit(-1L)).as("top3"))
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
