@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through UNPREFIXED: sbt's default logger
+// prepends "[info] " to every forked-run line, which breaks any caller that
+// parses Bench's one-line JSON from stdout (round 1's bench record shows the
+// line reached the driver as "[info] {...}" and failed to parse).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
