@@ -243,6 +243,50 @@ object Scalars {
                      printf('%08d', p_partkey) AS key8
               FROM part ORDER BY p_partkey""")),
 
+    // Array set-operation kernel: union / intersect / except between the
+    // document's distinct token set and a constant stoplist — the literal
+    // stopword-removal primitive (array_except IS "remove stopwords").
+    // Set-valued results are sorted then CSV-joined to keep the oracle
+    // output scalar (SURVEY §5.3 rule 5); DuckDB spells except/union via
+    // list_filter/list_distinct compositions. The oracle coalesces its CSV
+    // strings because DuckDB's array_to_string of an EMPTY list is NULL
+    // while Spark's concat_ws of an empty array is ''. (Never put `--`
+    // comments inside oracle SQL — Verify collapses newlines, so a line
+    // comment would swallow the rest of the statement.)
+    Q("h15_array_setops",
+      (s, d) => {
+        val stop = "the,a,of,and,to,in,is,it,for,on"
+        Tables.documents(s, d)
+          .withColumn("toks", array_distinct(split(col("text"), " ")))
+          .withColumn("stop", split(lit(stop), ","))
+          .select(col("doc_id"),
+            concat_ws(",", sort_array(expr("array_except(toks, stop)")))
+              .as("content_csv"),
+            concat_ws(",", sort_array(expr("array_intersect(toks, stop)")))
+              .as("stops_csv"),
+            size(expr("array_intersect(toks, stop)")).cast("long")
+              .as("n_stop"),
+            expr("arrays_overlap(toks, stop)").as("has_stop"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       list_distinct(string_split(text, ' ')) AS toks,
+                       string_split('the,a,of,and,to,in,is,it,for,on', ',')
+                         AS stop
+                FROM documents)
+              SELECT doc_id,
+                     coalesce(array_to_string(list_sort(list_filter(toks,
+                       x -> NOT list_contains(stop, x))), ','), '')
+                       AS content_csv,
+                     coalesce(array_to_string(
+                       list_sort(list_intersect(toks, stop)), ','), '')
+                       AS stops_csv,
+                     CAST(len(list_intersect(toks, stop)) AS BIGINT)
+                       AS n_stop,
+                     len(list_intersect(toks, stop)) > 0 AS has_stop
+              FROM t ORDER BY doc_id""")),
+
     // Date arithmetic kernel — offsets, calendar-month math, boundary
     // alignment. add_months ≡ DuckDB `+ INTERVAL n MONTH` (both clamp to the
     // last day of month); the month-distance uses the explicit boundary
