@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Composite flagship workloads — classic TPC-H shapes (Q3/Q5/Q10 adapted to
@@ -237,6 +238,40 @@ object Workloads {
                     FROM lineitem GROUP BY l_orderkey
                     HAVING sum(l_quantity) > 180) big
                 ON o_orderkey = big.l_orderkey
-              ORDER BY price_cents DESC, o_orderkey LIMIT 100"""))
+              ORDER BY price_cents DESC, o_orderkey LIMIT 100""")),
+
+    // TPC-H Q2 shape (min-cost supplier), adapted: no partsupp table in
+    // this generator, so the part↔supplier relation comes from observed
+    // lineitem shipments. Distinct (part, supplier) pairs — one shuffle
+    // that also serves as pre-aggregation — then the per-part argmin by
+    // window rank with a unique tie-break. The supplier join broadcasts;
+    // the part join broadcasts; only the fact-derived distinct shuffles.
+    Q("m9_tpch_q2",
+      (s, d) => {
+        val w = Window.partitionBy("l_partkey")
+          .orderBy(col("bal_cents"), col("s_suppkey"))
+        Tables.lineitem(s, d)
+          .select("l_partkey", "l_suppkey").distinct()
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .withColumn("bal_cents", Q.cents(col("s_acctbal")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(broadcast(Tables.part(s, d)),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+            col("s_name"), col("bal_cents"))
+          .orderBy("p_partkey")
+      },
+      Some("""SELECT p_partkey, p_name, s_suppkey, s_name, bal_cents FROM (
+                SELECT ps.l_partkey, s_suppkey, s_name,
+                       CAST(round(s_acctbal * 100) AS BIGINT) AS bal_cents,
+                       row_number() OVER (PARTITION BY ps.l_partkey
+                         ORDER BY CAST(round(s_acctbal * 100) AS BIGINT),
+                                  s_suppkey) AS rn
+                FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+                JOIN supplier ON l_suppkey = s_suppkey)
+              JOIN part ON l_partkey = p_partkey
+              WHERE rn = 1 ORDER BY p_partkey"""))
   )
 }
