@@ -242,16 +242,19 @@ object Workloads {
 
     // TPC-H Q2 shape (min-cost supplier), adapted: no partsupp table in
     // this generator, so the part↔supplier relation comes from observed
-    // lineitem shipments. Distinct (part, supplier) pairs — one shuffle
-    // that also serves as pre-aggregation — then the per-part argmin by
-    // window rank with a unique tie-break. The supplier join broadcasts;
-    // the part join broadcasts; only the fact-derived distinct shuffles.
+    // lineitem shipments. The explicit repartition on l_partkey makes the
+    // chain single-data-shuffle (the d15 subset-partitioning pattern,
+    // pinned in PlanSpec): HashPartitioning(l_partkey) satisfies both the
+    // (l_partkey, l_suppkey) distinct's clustering and the per-part argmin
+    // window's. Supplier and part joins broadcast.
     Q("m9_tpch_q2",
       (s, d) => {
         val w = Window.partitionBy("l_partkey")
           .orderBy(col("bal_cents"), col("s_suppkey"))
         Tables.lineitem(s, d)
-          .select("l_partkey", "l_suppkey").distinct()
+          .select("l_partkey", "l_suppkey")
+          .repartition(col("l_partkey"))
+          .distinct()
           .join(broadcast(Tables.supplier(s, d)),
             col("l_suppkey") === col("s_suppkey"))
           .withColumn("bal_cents", Q.cents(col("s_acctbal")))

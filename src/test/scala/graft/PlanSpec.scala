@@ -80,6 +80,14 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
   }
 
+  test("m9 single data shuffle feeds both the distinct and the argmin window") {
+    val df = SparkEntry.queries("m9_tpch_q2")(spark, d)
+    // one hash exchange (the explicit l_partkey repartition) + the output
+    // sort's rangepartitioning; supplier and part join via broadcast
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+  }
+
   test("m8 reuses the l_orderkey aggregation partitioning for its join") {
     val df = SparkEntry.queries("m8_tpch_q18")(spark, d)
     // the grouped HAVING subquery and the orders join both key on the order
