@@ -1047,11 +1047,16 @@ object LlmOps {
             size(array_distinct(col("toks"))).cast("double") /
               size(col("toks")) > 0.2)
           .withColumn("ch", md5(col("clean")))
+          // fixed-width rows through the dedup shuffle: carry the token
+          // COUNT, not the token array (verified in the plan — without this
+          // the exchange hauls the full toks array per row)
+          .withColumn("n_toks", size(col("toks")).cast("long"))
+          .select("doc_id", "lang", "ch", "n_toks")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .groupBy("lang")
           .agg(count(lit(1)).as("kept_docs"),
-            sum(size(col("toks"))).cast("long").as("kept_tokens"),
+            sum(col("n_toks")).as("kept_tokens"),
             min("doc_id").as("first_doc"))
           .orderBy("lang")
       },
