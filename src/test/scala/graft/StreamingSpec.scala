@@ -417,6 +417,36 @@ class StreamingSpec extends AnyFunSuite {
       s"state not recovered: expected running count 5, saw ${seen.get(1L)}")
   }
 
+  test("running top-k recovers its bounded heap state across kill/restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-topk-ckpt")
+      .toString
+    val last = new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long)]()
+    val in = MemoryStream[Event]
+
+    def start() = runningTopK(in.toDS()).writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[UserTopK], _: Long) =>
+        df.collect().foreach(t =>
+          last.put(t.user_id, (t.top1, t.top2, t.top3)))
+      }.start()
+
+    val q1 = start()
+    in.addData(Seq(ev(1, "2024-01-01 10:00:00", 1, v = 5.0),
+      ev(2, "2024-01-01 10:01:00", 1, v = 9.0)))
+    q1.processAllAvailable()
+    q1.stop() // kill with state [900, 500]
+
+    val q2 = start() // resume: a mid-ranked value must slot BETWEEN them
+    in.addData(Seq(ev(3, "2024-01-01 10:02:00", 1, v = 7.0)))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(last.get(1L) == ((900L, 700L, 500L)),
+      s"heap state not recovered: ${last.get(1L)}")
+  }
+
   test("stream-static enrichment join matches batch left join") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
