@@ -22,7 +22,8 @@ object SparkEntry {
       StatefulShadows.queries ++
       LlmOps.queries ++
       CustomFns.queries ++
-      Workloads.queries
+      Workloads.queries ++
+      Workloads2.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,332 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Second tranche of composite TPC-H-shape workloads (SURVEY §2.M), covering
+  * the plan shapes the first tranche (m1–m9) does not: outer-join-driven
+  * distribution (Q13), count-distinct with an anti-joined exclusion list
+  * (Q16), correlated-average gating (Q17), disjunctive multi-column
+  * predicates (Q19), scalar-average threshold + anti join (Q22), symmetric
+  * nation-pair volume (Q7), argmax-by-scalar-subquery (Q15), aggregate-driven
+  * semi join (Q20), multi-dim profit rollup (Q9), and a global-share
+  * threshold (Q11). Adaptations to this generator's columns (no
+  * partsupp/comment/phone/shipmode) are noted per query; the plan shape —
+  * what actually matters at 100 TB — is preserved.
+  *
+  * Scale notes shared by the tranche: every dimension side is explicitly
+  * `broadcast()`; the lone fact-fact shuffle (lineitem⋈orders where present)
+  * is the only wide exchange; scalar-subquery thresholds are 1-row broadcast
+  * cross joins, never driver-side collects.
+  */
+object Workloads2 {
+
+  val queries: Seq[Q] = Seq(
+    // TPC-H Q13 (customer order distribution): LEFT join with a join-side
+    // filter (the comment NOT LIKE analogue is an o_orderpriority exclusion
+    // — it must sit IN the join condition, not a WHERE, to keep orderless
+    // customers). First agg groups on the join key itself, so the SMJ
+    // output's hash partitioning is reused — one shuffle serves join+agg;
+    // the second agg is over ≤|distinct counts| rows, negligible.
+    Q("m10_tpch_q13",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey)
+              GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // TPC-H Q16 (parts/supplier relationship): the part↔supplier relation is
+    // reconstructed from observed shipments (no partsupp in this generator);
+    // the "complaint" supplier exclusion is a broadcast LEFT ANTI join on
+    // the negative-balance suppliers. count(DISTINCT supplier) per part
+    // descriptor expands then de-dups in one partial/final pass.
+    Q("m11_tpch_q16",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 4, 9, 16, 25, 36, 49))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d).filter(col("s_acctbal") < 0)),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size")),
+      Some("""SELECT p_brand, p_size,
+                     CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+              JOIN part ON p_partkey = l_partkey
+              WHERE p_brand <> 'Brand#1' AND p_size IN (1,4,9,16,25,36,49)
+                AND l_suppkey NOT IN
+                  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              GROUP BY p_brand, p_size
+              ORDER BY supplier_cnt DESC, p_brand, p_size""")),
+
+    // TPC-H Q17 (small-quantity-order revenue): the correlated per-part
+    // average is a whole-partition window over the already-joined rows (the
+    // brand filter is on part attributes only, so every lineitem row of a
+    // qualifying part survives the join — the window average equals the
+    // correlated subquery exactly, without a second scan of lineitem).
+    // l_quantity is integer-valued, so avg() is exact in both engines and
+    // the 0.2× threshold cannot knife-edge.
+    Q("m12_tpch_q17",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#23")),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("avg_qty",
+          avg(col("l_quantity")).over(Window.partitionBy("l_partkey")))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(sum(Q.cents(col("l_extendedprice"))).as("rev_cents"),
+          count(lit(1)).as("n_small")),
+      Some("""WITH j AS (
+                SELECT l_quantity, l_extendedprice,
+                       avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#23')
+              SELECT CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+                       AS BIGINT) AS rev_cents,
+                     count(*) AS n_small
+              FROM j WHERE l_quantity < 0.2 * avg_qty""")),
+
+    // TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    // OR-branches each constraining both sides of the join. Catalyst
+    // extracts the per-side common disjunctions (brand∈{...} to the part
+    // scan, quantity ≤ 30 to the lineitem scan) so both scans prune before
+    // the broadcast join; the residual OR evaluates post-join.
+    Q("m13_tpch_q19",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#24" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(20, 30))))
+        .agg(sum(Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("rev_cents"),
+          count(lit(1)).as("n_lines")),
+      Some("""SELECT CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents,
+                     count(*) AS n_lines
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                       AND l_quantity BETWEEN 1 AND 11)
+                 OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                       AND l_quantity BETWEEN 10 AND 20)
+                 OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+                       AND l_quantity BETWEEN 20 AND 30)""")),
+
+    // TPC-H Q22 (global sales opportunity): customers above the positive-
+    // balance average with no orders, grouped by nation (the phone-prefix
+    // country code analogue). The average is computed over integer cents
+    // (exact sum, single IEEE division — identical across engines) and
+    // joins in as a 1-row broadcast; the "no orders" gate is a LEFT ANTI
+    // join that shuffles only the key column.
+    Q("m14_tpch_q22",
+      (s, d) => {
+        val cust = Tables.customer(s, d)
+          .withColumn("bal_cents", Q.cents(col("c_acctbal")))
+        val avgPos = cust.filter(col("c_acctbal") > 0)
+          .agg(avg(col("bal_cents")).as("avg_cents"))
+        cust.crossJoin(broadcast(avgPos))
+          .filter(col("bal_cents") > col("avg_cents"))
+          .join(Tables.orders(s, d),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("bal_cents")).as("totacctbal_cents"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS numcust,
+                     CAST(SUM(CAST(round(c_acctbal*100) AS BIGINT)) AS BIGINT)
+                       AS totacctbal_cents
+              FROM customer
+              WHERE CAST(round(c_acctbal*100) AS BIGINT) >
+                      (SELECT avg(CAST(round(c_acctbal*100) AS BIGINT))
+                       FROM customer WHERE c_acctbal > 0)
+                AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // TPC-H Q7 (volume shipping between two nations): both directions of the
+    // NATION_1↔NATION_2 pair. The nation filter lands on the 25-row dims
+    // FIRST, shrinking supplier and customer to ~2/25 before they broadcast
+    // into the facts — the lineitem⋈orders shuffle is again the only wide
+    // exchange, and it runs on pre-filtered orders (customer side applied
+    // before the fact-fact join).
+    Q("m15_tpch_q7",
+      (s, d) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val n1 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = Tables.nation(s, d).filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        val supp = Tables.supplier(s, d)
+          .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        val cust = Tables.customer(s, d)
+          .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d)
+            .join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+          .filter(
+            (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast(LongType).as("l_year"))
+          .agg(sum(Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("rev_cents"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+              GROUP BY supp_nation, cust_nation, l_year
+              ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // TPC-H Q15 (top supplier): the max-revenue scalar subquery re-reads the
+    // same grouped aggregate — expressed once and joined against its own
+    // 1-row max (broadcast), so the lineitem scan+shuffle happens once for
+    // the aggregate and the max costs one extra reduction over ~|suppliers|
+    // rows. Integer cents make the = max() equality exact.
+    Q("m16_tpch_q15",
+      (s, d) => {
+        val rev = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy("l_suppkey")
+          .agg(sum(Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("total_cents"))
+        rev.crossJoin(broadcast(rev.agg(max(col("total_cents")).as("max_cents"))))
+          .filter(col("total_cents") === col("max_cents"))
+          .join(broadcast(Tables.supplier(s, d)),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                         AS BIGINT)) AS BIGINT) AS total_cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+              SELECT s_suppkey, s_name, total_cents
+              FROM supplier JOIN rev ON s_suppkey = l_suppkey
+              WHERE total_cents = (SELECT max(total_cents) FROM rev)
+              ORDER BY s_suppkey""")),
+
+    // TPC-H Q20 (excess-inventory suppliers), adapted: suppliers that
+    // shipped > 2500 total units of 'small%' parts (the availqty > ½·qty
+    // analogue). The inner aggregate drives a LEFT SEMI join against the
+    // 100-row supplier dim — the expensive side collapses to qualifying
+    // keys before touching supplier.
+    Q("m17_tpch_q20",
+      (s, d) => {
+        val qual = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+            .filter(col("p_name").startsWith("small"))),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy("l_suppkey")
+          .agg(sum(col("l_quantity")).as("qty"))
+          .filter(col("qty") > 2500)
+        Tables.supplier(s, d)
+          .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+          .orderBy("s_suppkey")
+      },
+      Some("""SELECT s_suppkey, s_name FROM supplier
+              WHERE s_suppkey IN (
+                SELECT l_suppkey FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'small%'
+                GROUP BY l_suppkey HAVING sum(l_quantity) > 2500)
+              ORDER BY s_suppkey""")),
+
+    // TPC-H Q9 (product-type profit), adapted: supply cost proxied by
+    // p_retailprice per unit (no partsupp). Profit stays in exact integer
+    // cents — the per-unit cost multiplies a cast-to-long quantity, never a
+    // double. Two broadcast dims + the one fact-fact shuffle; grouped by
+    // supplier nation × order year.
+    Q("m18_tpch_q9",
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_name").contains("red"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast(LongType).as("o_year"))
+        .agg(sum(
+          Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))) -
+            col("l_quantity").cast(LongType) * Q.cents(col("p_retailprice")))
+          .as("profit_cents"))
+        .orderBy("n_name", "o_year"),
+      Some("""SELECT n_name, year(o_orderdate) AS o_year,
+                     CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                         AS BIGINT)
+                       - CAST(l_quantity AS BIGINT)
+                         * CAST(round(p_retailprice*100) AS BIGINT))
+                       AS BIGINT) AS profit_cents
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%red%'
+              GROUP BY n_name, o_year ORDER BY n_name, o_year""")),
+
+    // TPC-H Q11 (important stock), adapted: per-part shipped value with a
+    // global-share threshold (value > Σvalue / 2000). The global total is
+    // the second-level reduction of the same per-part aggregate — no second
+    // fact scan — and rejoins as a 1-row broadcast. All-integer compare:
+    // exact on both engines even though ~half the uniform parts sit near
+    // the threshold.
+    Q("m19_tpch_q11",
+      (s, d) => {
+        val perPart = Tables.lineitem(s, d)
+          .groupBy("l_partkey")
+          .agg(sum(Q.cents(col("l_extendedprice"))).as("value_cents"))
+        perPart
+          .crossJoin(broadcast(
+            perPart.agg(sum(col("value_cents")).as("total_cents"))))
+          .filter(col("value_cents") > expr("total_cents div 2000"))
+          .select("l_partkey", "value_cents")
+          .orderBy(col("value_cents").desc, col("l_partkey"))
+      },
+      Some("""SELECT l_partkey,
+                     CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+                       AS BIGINT) AS value_cents
+              FROM lineitem GROUP BY l_partkey
+              HAVING value_cents >
+                (SELECT SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+                 FROM lineitem) // 2000
+              ORDER BY value_cents DESC, l_partkey"""))
+  )
+}
