@@ -60,6 +60,23 @@ object LlmOps {
     */
   private def dot(a: String, b: String): String = s"graft_dot($a, $b)"
 
+  /** Lineage truncation between j13 supersteps. Default: `localCheckpoint`
+    * (executor-local blocks — fast, right for local mode). With
+    * `spark.graft.reliableCheckpoint=true` AND a checkpoint dir configured
+    * via `sparkContext.setCheckpointDir`, switches to a RELIABLE checkpoint:
+    * on a 1000-executor cluster an executor lost mid-loop would otherwise
+    * drop cached blocks and force recomputation of every superstep since the
+    * start (localCheckpoint lineage is truncated, so the data is simply
+    * GONE — reliable checkpoint to distributed storage is the only safe
+    * truncation under executor churn).
+    */
+  private def truncateLineage(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.conf
+          .getOption("spark.graft.reliableCheckpoint").contains("true"))
+      df.checkpoint()
+    else df.localCheckpoint()
+
   private def duckDot(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, 64),
         i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"""
@@ -415,18 +432,19 @@ object LlmOps {
     // verified pair graph; every doc gets cluster_id = min doc_id in its
     // component, and the minimum member is the canonical survivor — the
     // final stage of a dedup pipeline. Spark side: BSP min-label
-    // propagation over the (tiny-diameter) near-dup graph, fixed 8
-    // supersteps — no driver-side convergence loop, fully declarative; the
-    // 100 TB variant swaps in large-star/small-star. Oracle: recursive-CTE
-    // transitive closure + min.
+    // propagation run to FIXPOINT (convergence detected by a 1-row label-sum
+    // aggregate per superstep — the driver only actions that scalar, never
+    // the data); the 100 TB variant swaps in large-star/small-star. Oracle:
+    // recursive-CTE transitive closure + min.
     Q("j13_dedup_clusters",
       (s, d) => {
-        // localCheckpoint truncates lineage: checkpoint the verified pairs
+        // truncateLineage truncates lineage: checkpoint the verified pairs
         // ONCE (the union's two projections would otherwise each execute the
         // whole LSH pipeline), then per superstep so the final plan isn't N
-        // joins deep — the iterative-algorithm materialization pattern (at
-        // cluster scale: reliable checkpoint per superstep)
-        val pairs = neardupPairs(s, d).localCheckpoint()
+        // joins deep — the iterative-algorithm materialization pattern.
+        // spark.graft.reliableCheckpoint=true flips every truncation in this
+        // loop to a reliable checkpoint for executor-churn safety at scale.
+        val pairs = truncateLineage(neardupPairs(s, d))
         val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
           .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         var labels = Tables.documents(s, d)
@@ -444,11 +462,11 @@ object LlmOps {
               col("label").as("nlabel")), "dst")
             .groupBy(col("src").as("doc_id"))
             .agg(min("nlabel").as("nmin"))
-          labels = labels.join(nbr, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("label"), coalesce(col("nmin"), col("label")))
-                .as("label"))
-            .localCheckpoint()
+          labels = truncateLineage(
+            labels.join(nbr, Seq("doc_id"), "left")
+              .select(col("doc_id"),
+                least(col("label"), coalesce(col("nmin"), col("label")))
+                  .as("label")))
           prevSum = curSum
           curSum = labels.agg(sum("label")).head().getLong(0)
           iter += 1
@@ -881,6 +899,10 @@ object LlmOps {
     // an integer. All arithmetic is widened to double FIRST (float→double is
     // exact; double ops are IEEE-identical across engines) and both engines
     // round halves away from zero, so the quantized integers match exactly.
+    // The divisor is greatest(amax, 1e-30): an all-zero vector has amax = 0
+    // and would otherwise produce 0/0 = NaN, which CAST(NaN AS BIGINT)
+    // throws on under ANSI; with the floor the components are exactly 0.0
+    // and quantize to 0, which is the right answer for a zero vector.
     // Per-row work, zero shuffles before the output sort — at 100 TB this
     // is a pure map stage.
     Q("j20_embed_quantize",
@@ -888,7 +910,7 @@ object LlmOps {
         .withColumn("e", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
         .withColumn("amax", expr("array_max(transform(e, x -> abs(x)))"))
         .withColumn("q",
-          expr("transform(e, x -> CAST(round(x * 127.0 / amax) AS BIGINT))"))
+          expr("transform(e, x -> CAST(round(x * 127.0 / greatest(amax, 1e-30d)) AS BIGINT))"))
         .select(col("vec_id"),
           round(col("amax"), 6).as("amax_r"),
           expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x)").as("qsum"),
@@ -907,7 +929,8 @@ object LlmOps {
               qq AS (
                 SELECT vec_id, amax,
                        list_transform(e,
-                         x -> CAST(round(x * 127.0 / amax) AS BIGINT)) AS q
+                         x -> CAST(round(x * 127.0 / greatest(amax, 1e-30))
+                           AS BIGINT)) AS q
                 FROM a)
               SELECT vec_id, round(amax, 6) AS amax_r,
                      CAST(list_sum(q) AS BIGINT) AS qsum,

@@ -90,6 +90,61 @@ object StatefulShadows {
                GROUP BY user_id, session_id
                ORDER BY user_id, session_id""")),
 
+    // Batch shadow of the i5 STATE-TIMEOUT rule (mapGroupsWithState
+    // ProcessingTimeTimeout / transformWithState TTL): a key idle for > TTL
+    // has its state evicted, so at end-of-stream the state store holds
+    // exactly each user's LAST gap-delimited session. Registering that
+    // "last session per user with gap > TTL" projection makes the timeout
+    // rule itself hash-checkable against DuckDB (the live timeout path is
+    // differential-tested in StreamingSpec). Same single keyed shuffle as
+    // i3 plus a per-user top-1 — scale-safe.
+    Q("i5_timeout_shadow",
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val sess = Tables.events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(wOrd))
+          .withColumn("new_s",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > GapUs, 1)
+              .otherwise(0))
+          .withColumn("session_id", sum("new_s").over(wRun))
+          .groupBy("user_id", "session_id")
+          .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+            count(lit(1)).as("n_events"))
+        val wLast = Window.partitionBy("user_id")
+          .orderBy(col("session_id").desc)
+        sess.withColumn("rk", row_number().over(wLast))
+          .filter(col("rk") === 1)
+          .select("user_id", "n_events", "start_ts", "end_ts")
+          .orderBy("user_id")
+      },
+      Some(s"""WITH sess AS (
+                 SELECT user_id, session_id, min(ts) AS start_ts,
+                        max(ts) AS end_ts, COUNT(*) AS n_events
+                 FROM (
+                   SELECT user_id, ts,
+                          SUM(new_s) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                            AS session_id
+                   FROM (
+                     SELECT user_id, ts, event_id,
+                            CASE WHEN lag(ts, 1) OVER w IS NULL
+                                   OR epoch_us(ts)
+                                      - lag(epoch_us(ts), 1) OVER w > $GapUs
+                                 THEN 1 ELSE 0 END AS new_s
+                     FROM events
+                     WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts, event_id)))
+                 GROUP BY user_id, session_id)
+               SELECT user_id, n_events, start_ts, end_ts
+               FROM sess
+               QUALIFY row_number() OVER (PARTITION BY user_id
+                 ORDER BY session_id DESC) = 1
+               ORDER BY user_id""")),
+
     // Running count per (user, event_type) — THE batch equivalent of
     // updateStateByKey / mapGroupsWithState running counts (streaming twin:
     // graft.streaming.RunningCount).

@@ -49,6 +49,15 @@ object StreamOps {
   def micros(ts: Timestamp): Long =
     ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
 
+  /** Integer cents with SQL rounding semantics (half away from zero),
+    * bit-identical to the batch twins' `Q.cents` = `round(c*100)`. NOT
+    * `math.round`, which is floor(x+0.5) and diverges on negative *.xx5
+    * values (math.round(-0.125*100) = -12, SQL round gives -13) — the
+    * streaming/batch differential would fail on negative event values.
+    */
+  def cents(v: Double): Long =
+    BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   /** The canonical Spark-Streaming demo — streaming word count over a line
     * stream (`flatMap(_.split(" ")) → map((_,1)) → updateStateByKey` in the
     * classic API; incremental groupBy here). Batch twin: the h5_explode
@@ -73,7 +82,7 @@ object StreamOps {
           val prev = state.getOption.getOrElse(CountState(0L, 0L))
           var n = prev.n
           var cents = prev.cents
-          rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+          rows.foreach { e => n += 1; cents += StreamOps.cents(e.value) }
           val next = CountState(n, cents)
           state.update(next)
           KeyCount(key._1, key._2, next.n, next.cents)
@@ -98,7 +107,7 @@ object StreamOps {
         (uid: Long, rows: Iterator[Event], state: GroupState[TopKState]) =>
           val merged =
             (state.getOption.map(_.vals).getOrElse(Seq.empty) ++
-              rows.map(e => math.round(e.value * 100)))
+              rows.map(e => StreamOps.cents(e.value)))
               .sorted(Ordering[Long].reverse).take(k)
           state.update(TopKState(merged))
           val p = merged.padTo(k, -1L)
@@ -201,7 +210,7 @@ object StreamOps {
         if (countState.exists()) countState.get() else CountState(0L, 0L)
       var n = prev.n
       var cents = prev.cents
-      rows.foreach { e => n += 1; cents += math.round(e.value * 100) }
+      rows.foreach { e => n += 1; cents += StreamOps.cents(e.value) }
       val next = CountState(n, cents)
       countState.update(next)
       Iterator.single(KeyCount(key, "all", next.n, next.cents))

@@ -202,4 +202,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(once.count() ==
       once.dropDuplicates("doc_id").count())
   }
+
+  test("j13 reliable-checkpoint variant yields identical clusters") {
+    // spark.graft.reliableCheckpoint=true swaps localCheckpoint for a
+    // reliable checkpoint in the superstep loop (executor-churn safety at
+    // cluster scale) — the results must be bit-identical either way.
+    val base = SparkEntry.queries("j13_dedup_clusters")(spark, d).collect()
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      val reliable =
+        SparkEntry.queries("j13_dedup_clusters")(spark, d).collect()
+      assert(reliable.sameElements(base))
+    } finally spark.conf.unset("spark.graft.reliableCheckpoint")
+  }
+
+  test("j20 quantizes an all-zero embedding to zeros instead of NaN-crashing") {
+    import spark.implicits._
+    // amax = 0 makes x*127/amax = 0/0 = NaN, and CAST(NaN AS BIGINT) throws
+    // under ANSI — the greatest(amax, 1e-30) floor must make the zero vector
+    // quantize cleanly to all-zero integers. Run the REGISTERED query over an
+    // injected embeddings table so the guard is tested where it ships.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-j20").toString
+    Seq(
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.5f, -1.0f, 0.25f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("j20_embed_quantize")(spark, tmp)
+      .collect().map(r => r.getLong(r.fieldIndex("vec_id")) ->
+        ((r.getLong(r.fieldIndex("qsum")), r.getLong(r.fieldIndex("ql1")),
+          r.getLong(r.fieldIndex("qmax"))))).toMap
+    assert(out(1L) == ((0L, 0L, 0L)), "zero vector must quantize to zeros")
+    // amax=1.0: q = [64, -127, 32, 0] (0.5*127=63.5 rounds away from zero)
+    assert(out(2L) == ((-31L, 223L, 64L)))
+  }
 }

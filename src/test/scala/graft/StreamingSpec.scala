@@ -95,6 +95,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("running top-3 rounds negative halves away from zero (matches Q.cents)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // -0.125 → -12.5 cents: SQL round gives -13, math.round gives -12.
+    // All values exactly representable in double so the halves are exact.
+    val evs = Seq(
+      ev(1, "2024-01-01 00:00:00", 1, v = -0.125),
+      ev(2, "2024-01-01 00:00:01", 1, v = -0.375),
+      ev(3, "2024-01-01 00:00:02", 1, v = 0.125),
+      ev(4, "2024-01-01 00:00:03", 2, v = -2.125))
+    val in = MemoryStream[Event]
+    val q = runningTopK(in.toDS()).writeStream
+      .format("memory").queryName("topk_neg").outputMode("update").start()
+    in.addData(evs); q.processAllAvailable(); q.stop()
+    // single injected batch → exactly one update row per user = final state
+    // (the per-rank-max reduction used above is positive-only: -1 padding
+    // would outrank real negative cents)
+    val got = spark.table("topk_neg").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((13L, -13L, -38L)))
+    assert(got(2L) == ((-213L, -1L, -1L)))
+  }
+
   test("i5 transformWithState running counts converge to batch (differential)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
