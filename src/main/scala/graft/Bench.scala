@@ -49,6 +49,16 @@ object Bench {
       // install graft_dot/graft_minhash via the extensions path (the query
       // bodies' idempotent register() calls keep plain sessions working)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // size file splits to the data tier, per the scale brief ("size
+      // spark.sql.files.maxPartitionBytes ... at the target SF"): the sf
+      // parquet files are single-digit MB, so the default 128 MB/4 MB split
+      // policy scans lineitem on ~3 of the available cores. ~1 MB splits
+      // engage the full local parallelism. This is the LOCAL bench main's
+      // sizing only — on a cluster against TB-scale files the right value
+      // is the 128 MB default (SPARK_GRAFT_SPLIT_BYTES overrides here).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", "1m"))
+      .config("spark.sql.files.openCostInBytes", "256k")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

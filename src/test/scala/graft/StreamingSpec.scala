@@ -95,6 +95,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("StreamOps.cents matches SQL round for a ±value grid (all call sites)") {
+    import spark.implicits._
+    // pins the shared helper used by runningCounts, runningTopK, and the
+    // transformWithState processor against the batch twins' Q.cents
+    val vals = (-400 to 400).map(_ / 80.0) ++ // includes exact *.xx5 halves
+      Seq(-0.005, 0.005, -123.455, 123.455, -1e-3, 0.0)
+    val sql = vals.toDF("v").select(graft.Q.cents(col("v")).as("c"))
+      .as[Long].collect()
+    val helper = vals.map(StreamOps.cents)
+    assert(sql.sameElements(helper))
+  }
+
   test("running top-3 rounds negative halves away from zero (matches Q.cents)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
