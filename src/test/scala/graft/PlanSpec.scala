@@ -88,6 +88,16 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
   }
 
+  test("i5 timeout shadow is single-data-shuffle: user_id partitioning serves all stages") {
+    val df = SparkEntry.queries("i5_timeout_shadow")(spark, d)
+    // one hash exchange on user_id feeds the lag window, the running-sum
+    // window, the (user_id, session_id) aggregate (subset partitioning
+    // satisfies the clustered distribution), AND the last-session window;
+    // + the output sort's rangepartitioning
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+  }
+
   test("m8 reuses the l_orderkey aggregation partitioning for its join") {
     val df = SparkEntry.queries("m8_tpch_q18")(spark, d)
     // the grouped HAVING subquery and the orders join both key on the order
