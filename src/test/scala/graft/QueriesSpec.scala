@@ -203,6 +203,20 @@ class QueriesSpec extends AnyFunSuite {
       once.dropDuplicates("doc_id").count())
   }
 
+  test("i5 timeout shadow is exactly the last i3 session per user") {
+    // the timeout rule's cross-query law: what the state store holds after
+    // TTL eviction (i5_timeout_shadow) must be the final gap-delimited
+    // session of the i3 sessionization — no more, no less
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("session_id").desc)
+    val last = SparkEntry.queries("i3_session_window")(spark, d)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("user_id", "n_events", "start_ts", "end_ts")
+    val i5 = SparkEntry.queries("i5_timeout_shadow")(spark, d)
+    assert(i5.except(last).isEmpty && last.except(i5).isEmpty)
+  }
+
   test("j13 reliable-checkpoint variant yields identical clusters") {
     // spark.graft.reliableCheckpoint=true swaps localCheckpoint for a
     // reliable checkpoint in the superstep loop (executor-churn safety at
