@@ -1110,6 +1110,73 @@ object LlmOps {
               SELECT lang, count(*) AS kept_docs,
                      CAST(sum(n_toks) AS BIGINT) AS kept_tokens,
                      min(doc_id) AS first_doc
-              FROM deduped GROUP BY lang ORDER BY lang"""))
+              FROM deduped GROUP BY lang ORDER BY lang""")),
+
+    // Bigram collocation extraction by pointwise mutual information — the
+    // corpus-analysis pass behind tokenizer/vocab design (which word pairs
+    // behave as units and deserve a merged token). PMI(a,b) =
+    // ln( p(ab) / (p(a)·p(b)) ) with p from corpus counts; min-count floor
+    // keeps rare-pair noise out; ranking on the ROUNDED value + bigram
+    // tie-break is a total order. Two keyed shuffles (bigram counts, token
+    // counts); corpus totals are 1-row broadcasts; the bounded-vocab token
+    // counts broadcast into the bigram side (shuffle join is the unbounded-
+    // vocab fallback); top-20 plans as TakeOrderedAndProject. The double
+    // arithmetic is written with the SAME operation order in both engines,
+    // and ln is rounded at 6 dp per the §5.3 libm rule.
+    Q("j27_bigram_pmi",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+        val unic = toks.select(explode(col("t")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n_u"))
+        val bgc = toks.select(explode(expr(
+            """transform(sequence(1, size(t) - 1),
+               i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"""))
+            .as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        val totB = bgc.agg(sum("n_ab").as("tot_b"))
+        val totU = unic.agg(sum("n_u").as("tot_u"))
+        bgc.filter(col("n_ab") >= 20)
+          .join(broadcast(unic.select(col("tok").as("a"),
+            col("n_u").as("n_a"))), "a")
+          .join(broadcast(unic.select(col("tok").as("b"),
+            col("n_u").as("n_b"))), "b")
+          .crossJoin(broadcast(totB)).crossJoin(broadcast(totU))
+          .select(
+            concat_ws(" ", col("a"), col("b")).as("bigram"),
+            col("n_ab"),
+            round(log(
+              (col("n_ab").cast("double") / col("tot_b")) /
+                ((col("n_a").cast("double") / col("tot_u")) *
+                  (col("n_b").cast("double") / col("tot_u")))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("bigram"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+                SELECT string_split(text, ' ') AS t FROM documents
+                WHERE len(string_split(text, ' ')) >= 2),
+              unic AS (
+                SELECT tok, COUNT(*) AS n_u FROM (
+                  SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+              bgc AS (
+                SELECT p.a AS a, p.b AS b, COUNT(*) AS n_ab FROM (
+                  SELECT unnest(list_transform(
+                    generate_series(1, len(t) - 1),
+                    i -> {'a': t[i], 'b': t[i + 1]})) AS p FROM toks)
+                GROUP BY 1, 2),
+              totb AS (SELECT SUM(n_ab) AS tot_b FROM bgc),
+              totu AS (SELECT SUM(n_u) AS tot_u FROM unic)
+              SELECT a || ' ' || b AS bigram, n_ab,
+                     round(ln((n_ab::DOUBLE / tot_b) /
+                       ((ua.n_u::DOUBLE / tot_u) *
+                        (ub.n_u::DOUBLE / tot_u))), 6) AS pmi
+              FROM bgc
+              JOIN unic ua ON bgc.a = ua.tok
+              JOIN unic ub ON bgc.b = ub.tok
+              CROSS JOIN totb CROSS JOIN totu
+              WHERE n_ab >= 20
+              ORDER BY pmi DESC, bigram LIMIT 20"""))
   )
 }
