@@ -1177,6 +1177,58 @@ object LlmOps {
               JOIN unic ub ON bgc.b = ub.tok
               CROSS JOIN totb CROSS JOIN totu
               WHERE n_ab >= 20
-              ORDER BY pmi DESC, bigram LIMIT 20"""))
+              ORDER BY pmi DESC, bigram LIMIT 20""")),
+
+    // Unigram-LM surprisal per document — the cheap deterministic cousin of
+    // perplexity-based quality filtering (CCNet-style): score each doc by
+    // −mean ln p(token) under the corpus unigram model; high surprisal =
+    // rare-token-heavy text. Float-sum ordering is the hazard here (a
+    // shuffle-order Σln would differ from DuckDB in the last ulp), so the
+    // per-doc sum is an ORDER-PINNED fold: counts are collected as
+    // (pos, n) structs, sort_array'd, and reduced left-to-right with an
+    // explicit 0.0 seed — bit-identical to DuckDB's list_reduce over the
+    // same pos-ordered list (the `graft_dot` in-order-fold technique).
+    // Scale: one token-count shuffle + the per-doc regroup; the unigram
+    // table broadcasts (bounded vocab — shuffle join is the fallback);
+    // per-doc arrays are bounded by doc length, never by corpus size.
+    Q("j28_unigram_surprisal",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val unic = toks.groupBy("tok").agg(count(lit(1)).as("n_u"))
+        val tot = unic.agg(sum("n_u").as("tot_u"))
+        toks.join(broadcast(unic), "tok")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("pos"), col("n_u"))))
+            .as("pn"))
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"),
+            size(col("pn")).cast("long").as("n_toks"),
+            round(expr(
+              """-(aggregate(transform(pn, x -> x.n_u), CAST(0 AS DOUBLE),
+                   (a, n) -> a + ln(CAST(n AS DOUBLE) / tot_u))
+                 / size(pn))"""), 6).as("surprisal"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, p.pos AS pos, p.tok AS tok FROM (
+                  SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(string_split(text, ' '))),
+                    i -> {'pos': i, 'tok': string_split(text, ' ')[i]})) AS p
+                  FROM documents)),
+              unic AS (
+                SELECT tok, COUNT(*) AS n_u FROM toks GROUP BY tok),
+              tot AS (SELECT SUM(n_u) AS tot_u FROM unic),
+              arrs AS (
+                SELECT doc_id, list(n_u ORDER BY pos) AS pn
+                FROM toks JOIN unic USING (tok)
+                GROUP BY doc_id)
+              SELECT doc_id, CAST(len(pn) AS BIGINT) AS n_toks,
+                     round(-(list_reduce(
+                         list_transform(pn, n -> ln(n::DOUBLE / tot_u)),
+                         (a, b) -> a + b)
+                       / len(pn)), 6) AS surprisal
+              FROM arrs CROSS JOIN tot ORDER BY doc_id"""))
   )
 }
