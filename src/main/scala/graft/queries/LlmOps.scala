@@ -1229,6 +1229,53 @@ object LlmOps {
                          list_transform(pn, n -> ln(n::DOUBLE / tot_u)),
                          (a, b) -> a + b)
                        / len(pn)), 6) AS surprisal
-              FROM arrs CROSS JOIN tot ORDER BY doc_id"""))
+              FROM arrs CROSS JOIN tot ORDER BY doc_id""")),
+
+    // Benchmark decontamination — the pre-training hygiene pass: flag
+    // training documents sharing any word 8-gram with the held-out eval
+    // set (stand-in eval slice: doc_id % 20 == 0). The asymmetry is the
+    // scale story: the eval set is a FIXED benchmark suite, so its distinct
+    // 8-gram set broadcasts (or ships as a bloom filter) and contamination
+    // detection is a map-side probe of the 100 TB training stream — no
+    // wide join ever touches the training side; the only keyed shuffles
+    // are the per-doc distinct-gram dedups. Output: every contaminated
+    // training doc with its distinct-8-gram total and hit count.
+    Q("j29_decontaminate",
+      (s, d) => {
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(t) - 7),
+               i -> concat_ws(' ', slice(t, i, 8)))""")).as("g8"))
+          .distinct()
+        val evalG = grams.filter(col("doc_id") % 20 === 0)
+          .select("g8").distinct()
+        val train = grams.filter(col("doc_id") % 20 =!= 0)
+        val totals = train.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_g8"))
+        train.join(broadcast(evalG), "g8")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+          .join(totals, "doc_id")
+          .select(col("doc_id"), col("n_g8"), col("n_hit"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH grams AS (
+                SELECT DISTINCT doc_id, g8 FROM (
+                  SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(t) - 7),
+                    i -> array_to_string(t[i:i + 7], ' '))) AS g8
+                  FROM (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents WHERE
+                          len(string_split(text, ' ')) >= 8))),
+              ev AS (
+                SELECT DISTINCT g8 FROM grams WHERE doc_id % 20 = 0),
+              train AS (
+                SELECT doc_id, g8 FROM grams WHERE doc_id % 20 != 0),
+              totals AS (
+                SELECT doc_id, COUNT(*) AS n_g8 FROM train GROUP BY doc_id)
+              SELECT t.doc_id, n_g8, COUNT(*) AS n_hit
+              FROM train t JOIN ev USING (g8) JOIN totals USING (doc_id)
+              GROUP BY t.doc_id, n_g8 ORDER BY t.doc_id"""))
   )
 }
