@@ -98,6 +98,22 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
   }
 
+  test("j27 bigram PMI: broadcast unigram joins, top-20 as TakeOrderedAndProject") {
+    val plan = staticPlan("j27_bigram_pmi")
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+    assert(plan.contains("BroadcastHashJoin"), "unigram counts must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "no wide join may touch the bigram stream")
+  }
+
+  test("j29 decontamination probes a broadcast eval-gram set, never a wide join") {
+    val plan = staticPlan("j29_decontaminate")
+    assert(plan.contains("BroadcastHashJoin"), "eval gram set must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the training stream must be probed map-side, not shuffle-joined " +
+        "against the eval set")
+  }
+
   test("m8 reuses the l_orderkey aggregation partitioning for its join") {
     val df = SparkEntry.queries("m8_tpch_q18")(spark, d)
     // the grouped HAVING subquery and the orders join both key on the order
