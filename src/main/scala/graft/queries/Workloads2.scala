@@ -327,6 +327,126 @@ object Workloads2 {
               HAVING value_cents >
                 (SELECT SUM(CAST(round(l_extendedprice*100) AS BIGINT))
                  FROM lineitem) // 2000
-              ORDER BY value_cents DESC, l_partkey"""))
+              ORDER BY value_cents DESC, l_partkey""")),
+
+    // TPC-H Q21 (suppliers who kept orders waiting), adapted: no
+    // receipt/commit dates in this generator, so "late" = shipped more
+    // than 90 days after the order date. A NATION_3 supplier is charged
+    // with an order iff the order has ≥2 distinct suppliers, exactly one
+    // distinct LATE supplier, and it is that one — the classic
+    // EXISTS/NOT-EXISTS double correlation collapsed into one per-order
+    // aggregate (n_supp, n_late) instead of two self-joins of lineitem:
+    // the fact joins orders once on the order key, the per-order stats
+    // GROUP BY reuses that partitioning, and the late-line set rejoins the
+    // 2-column stats on the same key. Supplier dim broadcasts; top-20 is
+    // TakeOrderedAndProject. Integer counts end to end.
+    Q("m20_tpch_q21",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late",
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+        val ordStats = li.groupBy("l_orderkey")
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+          .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        li.filter(col("late"))
+          .select(col("l_orderkey"), col("l_suppkey")).distinct()
+          .join(ordStats, "l_orderkey")
+          .join(broadcast(Tables.supplier(s, d)
+            .join(broadcast(Tables.nation(s, d)
+              .filter(col("n_name") === "NATION_3")),
+              col("s_nationkey") === col("n_nationkey"))),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(20)
+      },
+      Some("""WITH li AS (
+                SELECT l_orderkey, l_suppkey,
+                       (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+              stats AS (
+                SELECT l_orderkey,
+                       COUNT(DISTINCT l_suppkey) AS n_supp,
+                       COUNT(DISTINCT CASE WHEN late THEN l_suppkey END)
+                         AS n_late
+                FROM li GROUP BY l_orderkey
+                HAVING n_supp >= 2 AND n_late = 1),
+              lateline AS (
+                SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late)
+              SELECT s_name, COUNT(*) AS numwait
+              FROM lateline
+              JOIN stats USING (l_orderkey)
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3'
+              GROUP BY s_name
+              ORDER BY numwait DESC, s_name LIMIT 20""")),
+
+    // TPC-H Q8 (national market share): NATION_5's share of PROMO-part
+    // revenue among ASIA-region customers, per order year. Plan shape:
+    // part is filtered THEN broadcast (the filter collapses it to ~1/6),
+    // customer→nation→region prune to the ASIA fifth before broadcasting,
+    // supplier+its nation broadcast for the numerator tag — the single
+    // wide exchange is again lineitem⋈orders. The share is a ratio of two
+    // exact integer-cents sums per year: one IEEE division then a 6-dp
+    // round, knife-edge-free across engines.
+    Q("m21_tpch_q8",
+      (s, d) => {
+        val asiaCust = Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey")
+        val suppNat = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .withColumnRenamed("n_name", "supp_nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")
+        Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)
+            .filter(col("p_type") === "PROMO")),
+            col("l_partkey") === col("p_partkey"))
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(asiaCust), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_5",
+              Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .otherwise(0L)).as("nation_cents"),
+            sum(Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+              .as("total_cents"))
+          .select(col("o_year"),
+            col("nation_cents"), col("total_cents"),
+            round(col("nation_cents").cast("double") / col("total_cents"), 6)
+              .as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                     CAST(SUM(CASE WHEN sn.n_name = 'NATION_5' THEN
+                       CAST(round(l_extendedprice*(1-l_discount)*100)
+                         AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_cents,
+                     CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                       AS BIGINT)) AS BIGINT) AS total_cents,
+                     round(CAST(SUM(CASE WHEN sn.n_name = 'NATION_5' THEN
+                         CAST(round(l_extendedprice*(1-l_discount)*100)
+                           AS BIGINT) ELSE 0 END) AS DOUBLE)
+                       / SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                           AS BIGINT)), 6) AS mkt_share
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN region ON cn.n_regionkey = r_regionkey
+                AND r_name = 'ASIA'
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              GROUP BY 1 ORDER BY o_year"""))
   )
 }
