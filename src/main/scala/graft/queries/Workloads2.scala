@@ -334,26 +334,29 @@ object Workloads2 {
     // than 90 days after the order date. A NATION_3 supplier is charged
     // with an order iff the order has ≥2 distinct suppliers, exactly one
     // distinct LATE supplier, and it is that one — the classic
-    // EXISTS/NOT-EXISTS double correlation collapsed into one per-order
-    // aggregate (n_supp, n_late) instead of two self-joins of lineitem:
-    // the fact joins orders once on the order key, the per-order stats
-    // GROUP BY reuses that partitioning, and the late-line set rejoins the
-    // 2-column stats on the same key. Supplier dim broadcasts; top-20 is
-    // TakeOrderedAndProject. Integer counts end to end.
+    // EXISTS/NOT-EXISTS double correlation, which textbook plans answer
+    // with TWO lineitem self-joins. Here lineitem is scanned ONCE
+    // (plan-test-pinned): the fact⋈orders hash partitioning on the order
+    // key satisfies the (l_orderkey, l_suppkey) per-supplier aggregate
+    // (subset clustering) AND the per-order window that derives
+    // (n_supp, n_late) — no diamond reuse, no second scan, no extra
+    // exchange. Supplier dim broadcasts; top-20 is TakeOrderedAndProject.
+    // Integer counts end to end.
     Q("m20_tpch_q21",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
+        val perSupp = Tables.lineitem(s, d)
           .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
             col("l_orderkey") === col("o_orderkey"))
           .withColumn("late",
             col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
-        val ordStats = li.groupBy("l_orderkey")
-          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-            countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
-          .filter(col("n_supp") >= 2 && col("n_late") === 1)
-        li.filter(col("late"))
-          .select(col("l_orderkey"), col("l_suppkey")).distinct()
-          .join(ordStats, "l_orderkey")
+          .groupBy("l_orderkey", "l_suppkey")
+          .agg(max(col("late")).as("late"))
+        val w = Window.partitionBy("l_orderkey")
+        perSupp
+          .withColumn("n_supp", count(lit(1)).over(w))
+          .withColumn("n_late",
+            sum(when(col("late"), 1L).otherwise(0L)).over(w))
+          .filter(col("late") && col("n_supp") >= 2 && col("n_late") === 1)
           .join(broadcast(Tables.supplier(s, d)
             .join(broadcast(Tables.nation(s, d)
               .filter(col("n_name") === "NATION_3")),

@@ -114,6 +114,21 @@ class PlanSpec extends AnyFunSuite {
         "against the eval set")
   }
 
+  test("m20 Q21 scans lineitem exactly once (no self-join for the double correlation)") {
+    val plan = staticPlan("m20_tpch_q21")
+    val scans = "lineitem\\.parquet".r.findAllIn(plan).length
+    assert(scans == 1,
+      s"expected 1 lineitem scan (per-order stats, not self-joins), got $scans")
+  }
+
+  test("m21 Q8 has at most one non-broadcast join (the fact-fact exchange)") {
+    val plan = staticPlan("m21_tpch_q8")
+    assert(plan.contains("BroadcastHashJoin"), "dimension sides must broadcast")
+    val wide = "SortMergeJoin".r.findAllIn(plan).length +
+      "ShuffledHashJoin".r.findAllIn(plan).length
+    assert(wide <= 1, s"expected ≤1 wide join (lineitem⋈orders), got $wide")
+  }
+
   test("m8 reuses the l_orderkey aggregation partitioning for its join") {
     val df = SparkEntry.queries("m8_tpch_q18")(spark, d)
     // the grouped HAVING subquery and the orders join both key on the order
