@@ -106,6 +106,13 @@ class PlanSpec extends AnyFunSuite {
       "no wide join may touch the bigram stream")
   }
 
+  test("j28 surprisal joins the unigram model via broadcast only") {
+    val plan = staticPlan("j28_unigram_surprisal")
+    assert(plan.contains("BroadcastHashJoin"), "unigram table must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the token stream must not shuffle-join the model")
+  }
+
   test("j29 decontamination probes a broadcast eval-gram set, never a wide join") {
     val plan = staticPlan("j29_decontaminate")
     assert(plan.contains("BroadcastHashJoin"), "eval gram set must broadcast")
