@@ -23,7 +23,8 @@ object SparkEntry {
       LlmOps.queries ++
       CustomFns.queries ++
       Workloads.queries ++
-      Workloads2.queries
+      Workloads2.queries ++
+      EventAnalytics.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
