@@ -24,6 +24,9 @@ final case class ClosedSession(
 final case class TopKState(vals: Seq[Long])
 final case class UserTopK(user_id: Long, top1: Long, top2: Long, top3: Long)
 
+final case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = unset
+final case class UserStage(user_id: Long, stage: Long)
+
 /** SURVEY §2 category I — the stateful streaming operators themselves
   * (the reference's core surface), built on Structured Streaming.
   *
@@ -112,6 +115,50 @@ object StreamOps {
           state.update(TopKState(merged))
           val p = merged.padTo(k, -1L)
           UserTopK(uid, p(0), p(1), p(2))
+      }
+  }
+
+  /** Streaming conversion-funnel state machine — the signature stateful-
+    * analytics shape: per user, track earliest view (t1), first click after
+    * it (t2), first purchase after that (t3); stage = how far the user got
+    * (0–3). State is THREE longs per user regardless of stream length.
+    * Within a batch, rows are sorted by (ts, event_id) before folding;
+    * across batches the machine assumes in-order delivery (same contract as
+    * the watermark-less forms — an out-of-order view cannot retroactively
+    * re-open a click window). Update-mode emission; stage is monotone
+    * nondecreasing, so the differential test reduces with max(stage).
+    * Batch twin: the registered `n1_funnel` oracle query.
+    */
+  def funnelStages(events: Dataset[Event]): Dataset[UserStage] = {
+    import events.sparkSession.implicits._
+    val None_ = -1L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(
+            FunnelState(None_, None_, None_))
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            e.event_type match {
+              case "view" if st.t1 == None_ =>
+                st = st.copy(t1 = t)
+              case "click" if st.t1 != None_ && st.t2 == None_ &&
+                  t > st.t1 =>
+                st = st.copy(t2 = t)
+              case "purchase" if st.t2 != None_ && st.t3 == None_ &&
+                  t > st.t2 =>
+                st = st.copy(t3 = t)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          val stage =
+            if (st.t3 != None_) 3L
+            else if (st.t2 != None_) 2L
+            else if (st.t1 != None_) 1L
+            else 0L
+          UserStage(uid, stage)
       }
   }
 

@@ -131,6 +131,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(2L) == ((-213L, -1L, -1L)))
   }
 
+  test("streaming funnel state machine converges to the registered n1 batch query") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = funnelStages(in.toDS()).writeStream
+      .format("memory").queryName("funnel").outputMode("update").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    // stage is monotone nondecreasing over updates → final state per user
+    // is the max emitted stage
+    val streamed = spark.table("funnel").groupBy("user_id")
+      .agg(max("stage").as("stage"))
+    val batch = SparkEntry.queries("n1_funnel")(spark, d)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("i5 transformWithState running counts converge to batch (differential)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
