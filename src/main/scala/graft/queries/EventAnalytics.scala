@@ -103,6 +103,48 @@ object EventAnalytics {
                      COUNT(DISTINCT user_id) AS n_users
               FROM acts JOIN firsts USING (user_id)
               GROUP BY w0, week_offset
-              ORDER BY cohort_week, week_offset"""))
+              ORDER BY cohort_week, week_offset""")),
+
+    // Daily anomaly scoring — the monitoring query of an event engine:
+    // per (event_type, day) counts z-scored against that type's daily
+    // distribution. Mean/variance are derived from EXACT integer sums
+    // (Σn, Σn², day count) with the identical operation order written in
+    // both engines — never the engines' own stddev aggregates, whose
+    // summation order is nondeterministic — then one sqrt and one division,
+    // rounded at 6 dp. The per-type window partitions are tiny (≤ #days);
+    // the single wide exchange is the (event_type, day) count.
+    Q("n3_anomaly_days",
+      (s, d) => {
+        val daily = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            to_date(date_trunc("day", col("ts"))).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val stats = daily.groupBy("event_type")
+          .agg(sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"),
+            count(lit(1)).as("k"))
+        daily.join(stats, "event_type")
+          .select(col("event_type"), col("day"), col("n"),
+            round(
+              (col("n").cast("double") - col("s1").cast("double") / col("k"))
+                / sqrt(
+                  (col("s2").cast("double")
+                    - col("s1").cast("double") * col("s1") / col("k"))
+                    / col("k")), 6).as("z"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+                SELECT event_type, CAST(date_trunc('day', ts) AS DATE)
+                         AS day, COUNT(*) AS n
+                FROM events GROUP BY event_type, day),
+              stats AS (
+                SELECT event_type, SUM(n) AS s1, SUM(n * n) AS s2,
+                       COUNT(*) AS k
+                FROM daily GROUP BY event_type)
+              SELECT event_type, day, n,
+                     round((n::DOUBLE - s1::DOUBLE / k)
+                       / sqrt((s2::DOUBLE - s1::DOUBLE * s1 / k) / k), 6)
+                       AS z
+              FROM daily JOIN stats USING (event_type)
+              ORDER BY event_type, day"""))
   )
 }
