@@ -27,4 +27,24 @@ object Q {
   def cents(c: Column): Column = round(c * 100).cast("long")
 
   val centsSql: String => String = x => s"CAST(round(($x) * 100) AS BIGINT)"
+
+  /** Lineage truncation for a shared subtree that is referenced more than
+    * once (the "diamond"): Spark re-plans each reference from scratch — and
+    * join-side null filters usually break AQE's exchange reuse across the
+    * branches, so the whole subtree (fact scan included) executes per
+    * reference. Materializing it once is the fix whenever the subtree's
+    * OUTPUT is small relative to its input (a keyed aggregate, a signature
+    * table). Default: `localCheckpoint` (executor-local blocks — fast, right
+    * for local mode). With `spark.graft.reliableCheckpoint=true` AND a
+    * checkpoint dir configured via `sparkContext.setCheckpointDir`, switches
+    * to a RELIABLE checkpoint: on a 1000-executor cluster an executor lost
+    * mid-query would otherwise drop the blocks and the truncated lineage
+    * cannot recompute them — reliable checkpoint to distributed storage is
+    * the only safe truncation under executor churn.
+    */
+  def truncateLineage(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf
+          .getOption("spark.graft.reliableCheckpoint").contains("true"))
+      df.checkpoint()
+    else df.localCheckpoint()
 }

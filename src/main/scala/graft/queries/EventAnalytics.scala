@@ -1,18 +1,20 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics workloads over the `events` table — the consumer-facing
   * queries a stateful event-analytics engine exists to serve (funnels,
-  * cohort retention). Both are deterministic: stage/offset/user counts are
+  * cohort retention). All are deterministic: stage/offset/user counts are
   * integers, timestamps compare at exact microseconds, output carries a
   * total order.
   *
-  * Scale notes: every stage keys on `user_id`, so after the first shuffle
-  * the per-stage joins and aggregates are co-partitioned — the chain costs
-  * one wide exchange per event-type slice, never a cross join or a driver
-  * collect; cohort counts are plain partial/final distinct aggregates.
+  * Scale notes: each query scans `events` exactly ONCE (PlanSpec-pinned).
+  * The funnel stage chain and the retention first-week derivation are
+  * window aggregates over a single user_id exchange — never a per-stage
+  * rejoin, which would re-scan the fact table per stage; anomaly stats are
+  * windows over the already-aggregated (tiny) daily table.
   */
 object EventAnalytics {
 
@@ -21,30 +23,32 @@ object EventAnalytics {
     // earliest view, the first click strictly after it, the first purchase
     // strictly after that. Emitting the per-user stage (0–3) rather than
     // the 3-row summary keeps the oracle hash strong (one row per user).
-    // Each stage is a keyed min-aggregate joined on user_id — co-partitioned
-    // after the first shuffle; the event-type filters prune each slice
-    // before it shuffles.
+    // One user_id exchange serves all three stage windows (each stage is a
+    // conditional min over the SAME partitioning — t2/t3 reference the
+    // previous stage's window result, so they chain without re-shuffling)
+    // AND the final per-user aggregate (subset partitioning). The fact
+    // table is scanned once, vs. once per stage slice in the naive
+    // filter–aggregate–rejoin formulation.
     Q("n1_funnel",
       (s, d) => {
-        val e = Tables.events(s, d)
-        val base = e.select("user_id").distinct()
-        val v = e.filter(col("event_type") === "view")
-          .groupBy("user_id").agg(min(col("ts")).as("t1"))
-        val c = e.filter(col("event_type") === "click")
-          .join(v, "user_id").filter(col("ts") > col("t1"))
-          .groupBy("user_id").agg(min(col("ts")).as("t2"))
-        val p = e.filter(col("event_type") === "purchase")
-          .join(c, "user_id").filter(col("ts") > col("t2"))
-          .groupBy("user_id").agg(min(col("ts")).as("t3"))
-        base
-          .join(v, Seq("user_id"), "left")
-          .join(c, Seq("user_id"), "left")
-          .join(p, Seq("user_id"), "left")
-          .select(col("user_id"),
-            when(col("t3").isNotNull, 3L)
-              .when(col("t2").isNotNull, 2L)
-              .when(col("t1").isNotNull, 1L)
-              .otherwise(0L).as("stage"))
+        val w = Window.partitionBy("user_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_type"), col("ts"))
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("ts") > col("t1"),
+              col("ts"))).over(w))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+              col("ts"))).over(w))
+          // t1/t2/t3 are constant within a user partition, so max() just
+          // collapses the per-event rows to the per-user stage
+          .groupBy("user_id")
+          .agg(max(when(col("t3").isNotNull, 3L)
+            .when(col("t2").isNotNull, 2L)
+            .when(col("t1").isNotNull, 1L)
+            .otherwise(0L)).as("stage"))
           .orderBy("user_id")
       },
       Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
@@ -73,22 +77,28 @@ object EventAnalytics {
     // n_users = distinct users of that cohort active in cohort-week +
     // offset. Both week stamps are date_trunc('week') (Monday 00:00 in
     // both engines), so the day difference is an exact multiple of 7 and
-    // the integer `div` is exact. Two keyed aggregates + one co-partitioned
-    // join; counts are partial/final distinct aggregates.
+    // the integer `div` is exact. One explicit user_id repartition serves
+    // BOTH the (user_id, week) dedup (subset partitioning) and the
+    // first-week window — date_trunc is monotone, so min(week) ≡
+    // week(min ts) and the dedup'd activity set suffices; the naive
+    // two-aggregate + rejoin shape scans events twice. Within a user the
+    // deduped weeks are distinct and w0 is fixed, so each user contributes
+    // at most one row per (cohort_week, week_offset) group and the final
+    // count needs no distinct expansion.
     Q("n2_retention",
       (s, d) => {
         val e = Tables.events(s, d)
-        // to_date both engines: DuckDB's date_trunc('week') returns DATE
-        // while Spark's returns TIMESTAMP — align the output type (the
-        // truncated stamp is midnight, so the cast is lossless)
-        val firsts = e.groupBy("user_id")
-          .agg(to_date(date_trunc("week", min(col("ts")))).as("w0"))
-        val acts = e.select(col("user_id"),
-          to_date(date_trunc("week", col("ts"))).as("w")).distinct()
-        acts.join(firsts, "user_id")
-          .groupBy(col("w0").as("cohort_week"),
+          // to_date both engines: DuckDB's date_trunc('week') returns DATE
+          // while Spark's returns TIMESTAMP — align the output type (the
+          // truncated stamp is midnight, so the cast is lossless)
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("w"))
+          .repartition(col("user_id"))
+          .distinct()
+          .withColumn("w0", min(col("w")).over(Window.partitionBy("user_id")))
+        e.groupBy(col("w0").as("cohort_week"),
             expr("datediff(w, w0) div 7").as("week_offset"))
-          .agg(countDistinct(col("user_id")).as("n_users"))
+          .agg(count(lit(1)).as("n_users"))
           .orderBy("cohort_week", "week_offset")
       },
       Some("""WITH firsts AS (
@@ -111,25 +121,32 @@ object EventAnalytics {
     // (Σn, Σn², day count) with the identical operation order written in
     // both engines — never the engines' own stddev aggregates, whose
     // summation order is nondeterministic — then one sqrt and one division,
-    // rounded at 6 dp. The per-type window partitions are tiny (≤ #days);
-    // the single wide exchange is the (event_type, day) count.
+    // rounded at 6 dp. The divisor is floored at 1e-30 (identically in both
+    // engines): a type seen on one day, or with identical daily counts, has
+    // exactly-zero variance (the sums are exact integers), and the exactly-
+    // zero numerator then yields z = 0.0 instead of 0/0 = NaN. Stats are
+    // windows over `event_type` ON THE DAILY TABLE (≤ types × days rows),
+    // so events is scanned once and the second exchange moves only the
+    // tiny aggregate — the rejoin formulation scans and shuffles the fact
+    // table twice.
     Q("n3_anomaly_days",
       (s, d) => {
         val daily = Tables.events(s, d)
           .groupBy(col("event_type"),
             to_date(date_trunc("day", col("ts"))).as("day"))
           .agg(count(lit(1)).as("n"))
-        val stats = daily.groupBy("event_type")
-          .agg(sum(col("n")).as("s1"), sum(col("n") * col("n")).as("s2"),
-            count(lit(1)).as("k"))
-        daily.join(stats, "event_type")
+        val w = Window.partitionBy("event_type")
+        daily
+          .withColumn("s1", sum(col("n")).over(w))
+          .withColumn("s2", sum(col("n") * col("n")).over(w))
+          .withColumn("k", count(lit(1)).over(w))
           .select(col("event_type"), col("day"), col("n"),
             round(
               (col("n").cast("double") - col("s1").cast("double") / col("k"))
-                / sqrt(
+                / greatest(sqrt(
                   (col("s2").cast("double")
                     - col("s1").cast("double") * col("s1") / col("k"))
-                    / col("k")), 6).as("z"))
+                    / col("k")), lit(1e-30)), 6).as("z"))
           .orderBy("event_type", "day")
       },
       Some("""WITH daily AS (
@@ -142,7 +159,8 @@ object EventAnalytics {
                 FROM daily GROUP BY event_type)
               SELECT event_type, day, n,
                      round((n::DOUBLE - s1::DOUBLE / k)
-                       / sqrt((s2::DOUBLE - s1::DOUBLE * s1 / k) / k), 6)
+                       / greatest(sqrt((s2::DOUBLE - s1::DOUBLE * s1 / k)
+                         / k), 1e-30), 6)
                        AS z
               FROM daily JOIN stats USING (event_type)
               ORDER BY event_type, day"""))

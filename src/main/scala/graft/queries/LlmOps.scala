@@ -60,22 +60,13 @@ object LlmOps {
     */
   private def dot(a: String, b: String): String = s"graft_dot($a, $b)"
 
-  /** Lineage truncation between j13 supersteps. Default: `localCheckpoint`
-    * (executor-local blocks — fast, right for local mode). With
-    * `spark.graft.reliableCheckpoint=true` AND a checkpoint dir configured
-    * via `sparkContext.setCheckpointDir`, switches to a RELIABLE checkpoint:
-    * on a 1000-executor cluster an executor lost mid-loop would otherwise
-    * drop cached blocks and force recomputation of every superstep since the
-    * start (localCheckpoint lineage is truncated, so the data is simply
-    * GONE — reliable checkpoint to distributed storage is the only safe
-    * truncation under executor churn).
+  /** Lineage truncation between j13 supersteps and for shared subtrees
+    * (j10's signature table, j29's gram set) — see [[graft.Q.truncateLineage]]
+    * for the localCheckpoint vs reliable-checkpoint contract.
     */
   private def truncateLineage(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    if (df.sparkSession.conf
-          .getOption("spark.graft.reliableCheckpoint").contains("true"))
-      df.checkpoint()
-    else df.localCheckpoint()
+    graft.Q.truncateLineage(df)
 
   private def duckDot(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, 64),
@@ -391,7 +382,16 @@ object LlmOps {
               ORDER BY doc_a, doc_b""")),
 
     // SimHash near-dup: 32-bit signature from md5-hex bit votes over the
-    // distinct token set; pairs within Hamming distance 4.
+    // distinct token set; pairs within Hamming distance 4. Pairing is a
+    // PIGEONHOLE BAND JOIN, never an all-pairs scan: the 32 bits split
+    // into 5 bands (7+7+6+6+6); two signatures within Hamming distance 4
+    // differ in at most 4 bands, so at least one band matches EXACTLY —
+    // candidates come from an equi-join on (band_idx, band_value) and
+    // only candidates pay the bit_count verify. The signature table
+    // (doc_id + one long) is lineage-truncated first so the token-stream
+    // aggregation runs once, not once per self-join side; at corpus scale
+    // it is a few bytes per doc, the cheapest thing in the pipeline to
+    // materialize.
     Q("j10_simhash_neardup",
       (s, d) => {
         val tok = Tables.documents(s, d)
@@ -404,13 +404,24 @@ object LlmOps {
         val simhash = (0 until 32).map(i =>
           when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _)
-        val sim = bits.select(col("doc_id"), simhash.as("simhash"))
-        val a = sim.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
-        val b = sim.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
-        a.join(b, col("doc_a") < col("doc_b"))
-          .withColumn("ham",
-            bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
-          .filter(col("ham") <= 4)
+        val sim = truncateLineage(
+          bits.select(col("doc_id"), simhash.as("simhash")))
+        // (offset, width) of the 5 bands covering all 32 signature bits
+        val bandDefs = Seq((0, 7), (7, 7), (14, 6), (20, 6), (26, 6))
+        val bands = sim.select(col("doc_id"), col("simhash"),
+          explode(array(bandDefs.zipWithIndex.map { case ((off, width), i) =>
+            struct(lit(i).as("bi"),
+              shiftright(col("simhash"), off)
+                .bitwiseAND(lit((1L << width) - 1)).as("bv"))
+          }: _*)).as("bk"))
+        bands.alias("x")
+          .join(bands.alias("y"),
+            col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+              .cast("long").as("ham"))
+          .filter(col("ham") <= 4) // verify BEFORE the dedup shuffle
+          .distinct() // a pair may collide in several bands — count it once
           .select("doc_a", "doc_b", "ham")
           .orderBy("doc_a", "doc_b")
       },
@@ -471,6 +482,11 @@ object LlmOps {
           curSum = labels.agg(sum("label")).head().getLong(0)
           iter += 1
         }
+        // the backstop exists only to stop a runaway loop — exiting on it
+        // means the labels are NOT a valid clustering, which must fail
+        // loudly rather than return silently-wrong components
+        require(curSum == prevSum,
+          s"j13 label propagation did not converge within $iter supersteps")
         labels
           .select(col("doc_id"), col("label").as("cluster_id"),
             (col("doc_id") === col("label")).as("is_canonical"))
@@ -582,22 +598,25 @@ object LlmOps {
                    ON a.vec_id < b.vec_id)
                WHERE dotp >= 0.45 ORDER BY vid_a, vid_b""")),
 
-    // tf-idf top terms per document. All three stages are shuffle-on-key
-    // aggregates (token → (doc,term) tf → term df); the corpus size joins in
-    // as a broadcast single-row aggregate, never a driver-side collect. Rank
-    // uses the ROUNDED score (+ term tie-break) so cross-engine libm ln
-    // differences can't reorder near-equal terms.
+    // tf-idf top terms per document. The token explode aggregates ONCE into
+    // the (doc, term) tf table; document frequency is a count window over
+    // `word` on that SAME table — deriving df as a separate aggregate and
+    // joining it back would re-execute the token explode + shuffle on the
+    // join's build side (the classic self-derived diamond). The corpus size
+    // joins in as a broadcast single-row count-only scan, never a
+    // driver-side collect. Rank uses the ROUNDED score (+ term tie-break)
+    // so cross-engine libm ln differences can't reorder near-equal terms.
     Q("j14_tfidf_topk",
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         val tf = toks.groupBy("doc_id", "word")
           .agg(count(lit(1)).as("tf"))
-        val dfq = tf.groupBy("word").agg(count(lit(1)).as("df"))
         val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("word"))
-        tf.join(dfq, "word")
+        tf.withColumn("df",
+            count(lit(1)).over(Window.partitionBy("word")))
           .crossJoin(broadcast(n))
           .withColumn("score",
             round(col("tf") *
@@ -1242,21 +1261,29 @@ object LlmOps {
     // training doc with its distinct-8-gram total and hit count.
     Q("j29_decontaminate",
       (s, d) => {
-        val grams = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .filter(size(col("t")) >= 8)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(t) - 7),
-               i -> concat_ws(' ', slice(t, i, 8)))""")).as("g8"))
-          .distinct()
+        // the distinct gram set is lineage-truncated ONCE: the eval slice,
+        // the probe, and the per-doc totals all read the materialized set
+        // instead of each re-running the explode + distinct (3 fact scans)
+        val grams = truncateLineage(
+          Tables.documents(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("t"))
+            .filter(size(col("t")) >= 8)
+            .select(col("doc_id"), explode(expr(
+              """transform(sequence(1, size(t) - 7),
+                 i -> concat_ws(' ', slice(t, i, 8)))""")).as("g8"))
+            .distinct())
         val evalG = grams.filter(col("doc_id") % 20 === 0)
           .select("g8").distinct()
-        val train = grams.filter(col("doc_id") % 20 =!= 0)
-        val totals = train.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_g8"))
-        train.join(broadcast(evalG), "g8")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-          .join(totals, "doc_id")
+          .withColumn("hit", lit(true))
+        // one pass over the training grams: the broadcast LEFT probe tags
+        // hits (evalG is distinct on g8, so no row multiplication) and a
+        // single keyed aggregate yields total + hit counts together — no
+        // totals/hits diamond, no second aggregate-and-rejoin
+        grams.filter(col("doc_id") % 20 =!= 0)
+          .join(broadcast(evalG), Seq("g8"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_g8"), count(col("hit")).as("n_hit"))
+          .filter(col("n_hit") > 0)
           .select(col("doc_id"), col("n_g8"), col("n_hit"))
           .orderBy("doc_id")
       },

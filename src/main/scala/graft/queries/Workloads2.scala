@@ -207,18 +207,21 @@ object Workloads2 {
               ORDER BY supp_nation, cust_nation, l_year""")),
 
     // TPC-H Q15 (top supplier): the max-revenue scalar subquery re-reads the
-    // same grouped aggregate — expressed once and joined against its own
-    // 1-row max (broadcast), so the lineitem scan+shuffle happens once for
-    // the aggregate and the max costs one extra reduction over ~|suppliers|
-    // rows. Integer cents make the = max() equality exact.
+    // same grouped aggregate — expressed once, lineage-truncated (the join's
+    // isnotnull pushdown makes the two branches canonically different, so
+    // AQE exchange reuse does NOT collapse the diamond and the lineitem
+    // scan+shuffle would run twice), and joined against its own 1-row max
+    // (broadcast). The materialized aggregate is one row per supplier —
+    // the cheapest node in the query. Integer cents make the = max()
+    // equality exact.
     Q("m16_tpch_q15",
       (s, d) => {
-        val rev = Tables.lineitem(s, d)
+        val rev = Q.truncateLineage(Tables.lineitem(s, d)
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
           .groupBy("l_suppkey")
           .agg(sum(Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-            .as("total_cents"))
+            .as("total_cents")))
         rev.crossJoin(broadcast(rev.agg(max(col("total_cents")).as("max_cents"))))
           .filter(col("total_cents") === col("max_cents"))
           .join(broadcast(Tables.supplier(s, d)),
@@ -304,15 +307,18 @@ object Workloads2 {
 
     // TPC-H Q11 (important stock), adapted: per-part shipped value with a
     // global-share threshold (value > Σvalue / 2000). The global total is
-    // the second-level reduction of the same per-part aggregate — no second
-    // fact scan — and rejoins as a 1-row broadcast. All-integer compare:
-    // exact on both engines even though ~half the uniform parts sit near
-    // the threshold.
+    // the second-level reduction of the same per-part aggregate, which is
+    // lineage-truncated first — AQE cannot dedupe the two branches (the
+    // cross-join side carries no isnotnull pushdown, so their canonical
+    // plans differ) and the fact scan would otherwise run twice. The
+    // materialized aggregate is one row per part; the total rejoins as a
+    // 1-row broadcast. All-integer compare: exact on both engines even
+    // though ~half the uniform parts sit near the threshold.
     Q("m19_tpch_q11",
       (s, d) => {
-        val perPart = Tables.lineitem(s, d)
+        val perPart = Q.truncateLineage(Tables.lineitem(s, d)
           .groupBy("l_partkey")
-          .agg(sum(Q.cents(col("l_extendedprice"))).as("value_cents"))
+          .agg(sum(Q.cents(col("l_extendedprice"))).as("value_cents")))
         perPart
           .crossJoin(broadcast(
             perPart.agg(sum(col("value_cents")).as("total_cents"))))

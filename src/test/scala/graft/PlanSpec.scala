@@ -24,6 +24,19 @@ class PlanSpec extends AnyFunSuite {
   private def staticPlan(name: String): String =
     SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
 
+  /** Pin how many times `table`.parquet is scanned in a query's static plan.
+    * Multi-branch queries regress silently when a shared subtree stops being
+    * shared (the "diamond": each reference re-executes the whole branch up
+    * to and including the fact scan) — the scan count is the cheapest
+    * observable that catches it.
+    */
+  private def assertScanCount(name: String, table: String,
+      expected: Int): Unit = {
+    val scans = s"$table\\.parquet".r.findAllIn(staticPlan(name)).length
+    assert(scans == expected,
+      s"$name: expected $expected $table scans in the static plan, got $scans")
+  }
+
   test("m4 pushes all three scan filters into the parquet reader") {
     val plan = staticPlan("m4_tpch_q6")
     assert(plan.contains("PushedFilters: ["), s"no pushdown section:\n$plan")
@@ -134,6 +147,89 @@ class PlanSpec extends AnyFunSuite {
     val wide = "SortMergeJoin".r.findAllIn(plan).length +
       "ShuffledHashJoin".r.findAllIn(plan).length
     assert(wide <= 1, s"expected ≤1 wide join (lineitem⋈orders), got $wide")
+  }
+
+  test("n1 funnel scans events once: the stage chain is windows, not rejoins") {
+    assertScanCount("n1_funnel", "events", 1)
+    // one user_id hash exchange feeds all three stage windows AND the
+    // per-user collapse (subset partitioning); + the output sort
+    val df = SparkEntry.queries("n1_funnel")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+  }
+
+  test("n2 retention scans events once: first-week is a window over the dedup") {
+    assertScanCount("n2_retention", "events", 1)
+    // user_id repartition serves the (user_id, week) dedup AND the min-week
+    // window; + the cohort-group exchange over the tiny dedup'd set + the
+    // output sort
+    val df = SparkEntry.queries("n2_retention")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges == 3, s"expected 3 exchanges, got $exchanges")
+  }
+
+  test("n3 anomaly scans events once: stats are windows over the daily agg") {
+    assertScanCount("n3_anomaly_days", "events", 1)
+    // the (event_type, day) count exchange + the event_type window exchange
+    // (moves only the tiny daily table) + the output sort
+    val df = SparkEntry.queries("n3_anomaly_days")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges == 3, s"expected 3 exchanges, got $exchanges")
+  }
+
+  test("j10 SimHash pairs via the banded equi-join, never an all-pairs scan") {
+    val plan = staticPlan("j10_simhash_neardup")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs BNLJ back in the SimHash pairing:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian pairing in the SimHash plan:\n$plan")
+    // the signature table is lineage-truncated before the self-join: the
+    // token-stream aggregation must not re-execute per join side
+    assertScanCount("j10_simhash_neardup", "documents", 0)
+  }
+
+  test("j13 final plan reads only the truncated label table, no fact re-scan") {
+    assertScanCount("j13_dedup_clusters", "documents", 0)
+  }
+
+  test("j14 tf-idf derives df as a window over tf: one token explode only") {
+    // 2 scans: the token explode feeding tf, and the count-only corpus-size
+    // scan (reads zero columns); df must NOT re-derive the tf subtree
+    assertScanCount("j14_tfidf_topk", "documents", 2)
+  }
+
+  test("j16 IVF assigns cells with two data passes + two pushed centroid reads") {
+    // 4 static embeddings scans: full-collection assignment, probe-subset
+    // assignment, and per assignment one 16-row centroid read whose
+    // vec_id < 16 filter is pushed to the parquet reader (row-group pruned
+    // at scale) — deriving probes FROM the assigned table instead would
+    // re-execute the full cross-join + rank (see the in-code comment)
+    assertScanCount("j16_ivf_ann", "embeddings", 4)
+    val pushed = staticPlan("j16_ivf_ann")
+      .split("PushedFilters: \\[").drop(1).map(_.split("\\]")(0))
+    assert(pushed.count(_.contains("LessThan(vec_id,16)")) == 2,
+      s"centroid reads must push vec_id < 16: ${pushed.mkString(" | ")}")
+  }
+
+  test("j29 gram subtree is materialized once: no documents re-scan, one pass") {
+    assertScanCount("j29_decontaminate", "documents", 0)
+    val df = SparkEntry.queries("j29_decontaminate")(spark, d)
+    // single keyed aggregate computes totals AND hits off the broadcast
+    // probe — no totals/hits diamond, so exactly the doc_id agg exchange
+    // + the eval-gram distinct exchange + the output sort
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges == 3, s"expected 3 exchanges, got $exchanges")
+  }
+
+  test("m16/m19 materialize the keyed aggregate once for the global-stat branch") {
+    // both queries cross-join a 1-row reduction of their own keyed
+    // aggregate back against it; AQE exchange reuse does NOT collapse the
+    // diamond (the join side's isnotnull pushdown makes the branches
+    // canonically different — verified empirically), so the aggregate is
+    // lineage-truncated and the fact table must not appear in the final
+    // plan at all
+    assertScanCount("m16_tpch_q15", "lineitem", 0)
+    assertScanCount("m19_tpch_q11", "lineitem", 0)
   }
 
   test("m8 reuses the l_orderkey aggregation partitioning for its join") {

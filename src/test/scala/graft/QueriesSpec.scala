@@ -222,14 +222,23 @@ class QueriesSpec extends AnyFunSuite {
     // reliable checkpoint in the superstep loop (executor-churn safety at
     // cluster scale) — the results must be bit-identical either way.
     val base = SparkEntry.queries("j13_dedup_clusters")(spark, d).collect()
-    spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    // the checkpoint-dir setting itself has no public unset and persists on
+    // the shared context — harmless, since nothing else checkpoints unless
+    // the flag below is set, and that IS restored
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
     spark.conf.set("spark.graft.reliableCheckpoint", "true")
     try {
       val reliable =
         SparkEntry.queries("j13_dedup_clusters")(spark, d).collect()
       assert(reliable.sameElements(base))
-    } finally spark.conf.unset("spark.graft.reliableCheckpoint")
+    } finally {
+      spark.conf.unset("spark.graft.reliableCheckpoint")
+      // drop the RDD checkpoint files the run left on disk
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   test("j20 quantizes an all-zero embedding to zeros instead of NaN-crashing") {
