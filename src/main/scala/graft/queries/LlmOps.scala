@@ -382,16 +382,26 @@ object LlmOps {
               ORDER BY doc_a, doc_b""")),
 
     // SimHash near-dup: 32-bit signature from md5-hex bit votes over the
-    // distinct token set; pairs within Hamming distance 4. Pairing is a
-    // PIGEONHOLE BAND JOIN, never an all-pairs scan: the 32 bits split
-    // into 5 bands (7+7+6+6+6); two signatures within Hamming distance 4
-    // differ in at most 4 bands, so at least one band matches EXACTLY —
-    // candidates come from an equi-join on (band_idx, band_value) and
-    // only candidates pay the bit_count verify. The signature table
-    // (doc_id + one long) is lineage-truncated first so the token-stream
-    // aggregation runs once, not once per self-join side; at corpus scale
-    // it is a few bytes per doc, the cheapest thing in the pipeline to
-    // materialize.
+    // distinct token set; pairs within Hamming distance 4. The pairing is
+    // never an all-pairs scan — three stacked public techniques keep it
+    // sub-quadratic AND dedup-shuffle-free:
+    //   1. SIGNATURE DEDUP: docs collapse to distinct signatures first
+    //     (a 32-bit space over homogeneous corpora is dense — sf0.1 has
+    //     2,255 distinct signatures for 5,000 docs — and the quadratic
+    //     core then runs on signatures, not docs; doc pairs come back at
+    //     the end via two equi-joins against the doc→sig map plus a
+    //     same-signature self-join for the Hamming-0 groups).
+    //   2. PIGEONHOLE BANDS: the 32 bits split into 5 bands (7+7+6+6+6);
+    //     distance ≤ 4 means at most 4 differing bands, so at least one
+    //     band matches EXACTLY — candidates come from an equi-join on
+    //     (band_idx, band_value), and only candidates pay the bit_count.
+    //   3. FIRST-MATCH EMISSION: a candidate that collides in several
+    //     bands is kept only where band_idx equals the FIRST index at
+    //     which the two signatures agree — exactly-once emission as a
+    //     map-side filter, replacing a multi-million-row distinct.
+    // The signature table (doc_id + one long — a few bytes per doc) is
+    // lineage-truncated once so the token-stream aggregation never
+    // re-executes across its five references.
     Q("j10_simhash_neardup",
       (s, d) => {
         val tok = Tables.documents(s, d)
@@ -408,20 +418,45 @@ object LlmOps {
           bits.select(col("doc_id"), simhash.as("simhash")))
         // (offset, width) of the 5 bands covering all 32 signature bits
         val bandDefs = Seq((0, 7), (7, 7), (14, 6), (20, 6), (26, 6))
-        val bands = sim.select(col("doc_id"), col("simhash"),
-          explode(array(bandDefs.zipWithIndex.map { case ((off, width), i) =>
-            struct(lit(i).as("bi"),
-              shiftright(col("simhash"), off)
-                .bitwiseAND(lit((1L << width) - 1)).as("bv"))
-          }: _*)).as("bk"))
-        bands.alias("x")
+        def bv(h: org.apache.spark.sql.Column, j: Int) = {
+          val (off, width) = bandDefs(j)
+          shiftright(h, off).bitwiseAND(lit((1L << width) - 1))
+        }
+        val usig = sim.select("simhash").distinct()
+        val bands = usig.select(col("simhash"),
+          explode(array(bandDefs.indices.map(j =>
+            struct(lit(j).as("bi"), bv(col("simhash"), j).as("bv"))): _*))
+            .as("bk"))
+        // first band index at which sa and sb agree (well-defined for any
+        // banded match; ≤ the joined band's index by construction)
+        val firstMatch = bandDefs.indices.foldRight(lit(-1)) { (j, rest) =>
+          when(bv(col("sa"), j) === bv(col("sb"), j), lit(j)).otherwise(rest)
+        }
+        val sigPairs = bands.alias("x")
           .join(bands.alias("y"),
-            col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-            bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
-              .cast("long").as("ham"))
-          .filter(col("ham") <= 4) // verify BEFORE the dedup shuffle
-          .distinct() // a pair may collide in several bands — count it once
+            col("x.bk") === col("y.bk") &&
+              col("x.simhash") < col("y.simhash"))
+          .select(col("x.simhash").as("sa"), col("y.simhash").as("sb"),
+            col("x.bk.bi").as("bi"))
+          .withColumn("ham",
+            bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+          .filter(col("ham") <= 4 && col("bi") === firstMatch)
+        // expand signature pairs to doc pairs (AQE broadcasts the doc→sig
+        // map at small SF; at corpus scale these are plain equi-joins)
+        val cross = sigPairs
+          .join(sim.select(col("simhash").as("sa"), col("doc_id").as("ida")),
+            "sa")
+          .join(sim.select(col("simhash").as("sb"), col("doc_id").as("idb")),
+            "sb")
+          .select(least(col("ida"), col("idb")).as("doc_a"),
+            greatest(col("ida"), col("idb")).as("doc_b"), col("ham"))
+        val same = sim.alias("a")
+          .join(sim.alias("b"),
+            col("a.simhash") === col("b.simhash") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            lit(0L).as("ham"))
+        cross.union(same)
           .select("doc_a", "doc_b", "ham")
           .orderBy("doc_a", "doc_b")
       },
