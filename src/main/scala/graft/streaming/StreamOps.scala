@@ -24,8 +24,12 @@ final case class ClosedSession(
 final case class TopKState(vals: Seq[Long])
 final case class UserTopK(user_id: Long, top1: Long, top2: Long, top3: Long)
 
-final case class FunnelState(t1: Long, t2: Long, t3: Long) // -1 = unset
-final case class UserStage(user_id: Long, stage: Long)
+// t1/t2/t3: -1 = unset; maxTs: latest event time seen in any prior batch
+// (-1 = none); nOoo: events that arrived in a later batch than one with a
+// greater timestamp — the in-order-delivery contract violations
+final case class FunnelState(
+    t1: Long, t2: Long, t3: Long, maxTs: Long, nOoo: Long)
+final case class UserStage(user_id: Long, stage: Long, n_ooo: Long)
 
 /** SURVEY §2 category I — the stateful streaming operators themselves
   * (the reference's core surface), built on Structured Streaming.
@@ -125,8 +129,13 @@ object StreamOps {
     * Within a batch, rows are sorted by (ts, event_id) before folding;
     * across batches the machine assumes in-order delivery (same contract as
     * the watermark-less forms — an out-of-order view cannot retroactively
-    * re-open a click window). Update-mode emission; stage is monotone
-    * nondecreasing, so the differential test reduces with max(stage).
+    * re-open a click window). The contract is GUARDED, not just assumed:
+    * state tracks the max event time seen, and any event arriving in a
+    * later batch than one with a greater timestamp increments the emitted
+    * `n_ooo` counter — a violated feed surfaces as n_ooo > 0 (and is
+    * asserted 0 in the differential test) instead of silently diverging
+    * from the batch twin. Update-mode emission; stage and n_ooo are
+    * monotone nondecreasing, so the differential test reduces with max().
     * Batch twin: the registered `n1_funnel` oracle query.
     */
   def funnelStages(events: Dataset[Event]): Dataset[UserStage] = {
@@ -137,9 +146,13 @@ object StreamOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(
-            FunnelState(None_, None_, None_))
+            FunnelState(None_, None_, None_, None_, 0L))
+          val prevMax = st.maxTs
           rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
             val t = micros(e.ts)
+            if (prevMax != None_ && t < prevMax)
+              st = st.copy(nOoo = st.nOoo + 1)
+            if (t > st.maxTs) st = st.copy(maxTs = t)
             e.event_type match {
               case "view" if st.t1 == None_ =>
                 st = st.copy(t1 = t)
@@ -158,7 +171,7 @@ object StreamOps {
             else if (st.t2 != None_) 2L
             else if (st.t1 != None_) 1L
             else 0L
-          UserStage(uid, stage)
+          UserStage(uid, stage, st.nOoo)
       }
   }
 

@@ -139,12 +139,36 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName("funnel").outputMode("update").start()
     chunks.foreach { c => in.addData(c); q.processAllAvailable() }
     q.stop()
+    // the chronological chunks honor the in-order contract — the guard
+    // must not fire (n_ooo > 0 would void the batch differential)
+    assert(spark.table("funnel").agg(max("n_ooo")).head().getLong(0) == 0L)
     // stage is monotone nondecreasing over updates → final state per user
     // is the max emitted stage
     val streamed = spark.table("funnel").groupBy("user_id")
       .agg(max("stage").as("stage"))
     val batch = SparkEntry.queries("n1_funnel")(spark, d)
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("funnel flags cross-batch out-of-order arrivals via n_ooo") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = funnelStages(in.toDS()).writeStream
+      .format("memory").queryName("funnel_ooo").outputMode("update").start()
+    // batch 1 delivers the click; the view arrives one batch LATE — the
+    // one-shot machine opens t1 but cannot retroactively apply the click,
+    // so it diverges from batch n1 (stage 1 vs 2). The guard must make
+    // that contract violation observable instead of silent.
+    in.addData(ev(1, "2024-01-01 00:10:00", 9001, "click"))
+    q.processAllAvailable()
+    in.addData(ev(2, "2024-01-01 00:05:00", 9001, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("funnel_ooo").filter(col("user_id") === 9001)
+      .agg(max("stage").as("stage"), max("n_ooo").as("n_ooo")).head()
+    assert(last.getLong(0) == 1L, "late view still opens t1 (stage 1)")
+    assert(last.getLong(1) == 1L, "the out-of-order arrival must be counted")
   }
 
   test("i5 transformWithState running counts converge to batch (differential)") {
