@@ -89,14 +89,18 @@ object LlmOps {
     */
   private def ngramPairCounts(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    val ng = Tables.documents(s, d).filter(col("lang") === "en")
+    // lineage-truncated: the gram table feeds both inverted-index join
+    // sides AND the per-doc sizes — without truncation the tokenize +
+    // explode re-executes per reference (4 fact scans, plan-verified)
+    val ng = truncateLineage(Tables.documents(s, d)
+      .filter(col("lang") === "en")
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(toks) >= 3
            THEN array_distinct(transform(sequence(1, size(toks)-2),
              i -> concat_ws(' ', element_at(toks, i),
                element_at(toks, i+1), element_at(toks, i+2))))
-           ELSE array() END""")).as("g"))
+           ELSE array() END""")).as("g")))
     val sizes = ng.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     ng.alias("x")
       .join(ng.alias("y"),
@@ -115,8 +119,12 @@ object LlmOps {
   private def neardupPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     graft.functions.MinHashSignature.register(s)
-    val sh = Tables.documents(s, d)
-      .select(col("doc_id"), expr(ShingleExpr).as("sh"))
+    // lineage-truncated: the shingle table feeds the signature pipeline
+    // AND both sides of the exact-Jaccard verify join — without truncation
+    // the shingle explode re-executes per reference (4 fact scans,
+    // plan-verified)
+    val sh = truncateLineage(Tables.documents(s, d)
+      .select(col("doc_id"), expr(ShingleExpr).as("sh")))
     val mh = sh.withColumn("mh", expr(s"graft_minhash(sh, $NumHashes)"))
     val bands = mh.select(col("doc_id"),
       explode(array((0 until NumBands).map(b =>

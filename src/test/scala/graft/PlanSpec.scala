@@ -192,6 +192,18 @@ class PlanSpec extends AnyFunSuite {
     assertScanCount("j13_dedup_clusters", "documents", 0)
   }
 
+  test("j2 shingle table is materialized once across signature + verify sides") {
+    // the shingle explode feeds the MinHash pipeline AND both exact-verify
+    // join sides — truncated, or it re-executes 4× (measured -1 s at sf0.1)
+    assertScanCount("j2_minhash_neardup", "documents", 0)
+  }
+
+  test("j9/j24 posting-list gram table is materialized once") {
+    // ng feeds both inverted-index join sides and the per-doc sizes
+    assertScanCount("j9_ngram_jaccard", "documents", 0)
+    assertScanCount("j24_ngram_containment", "documents", 0)
+  }
+
   test("j14 tf-idf derives df as a window over tf: one token explode only") {
     // 2 scans: the token explode feeding tf, and the count-only corpus-size
     // scan (reads zero columns); df must NOT re-derive the tf subtree
