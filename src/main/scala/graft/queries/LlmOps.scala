@@ -72,12 +72,20 @@ object LlmOps {
     s"""list_reduce(list_transform(generate_series(1, 64),
         i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"""
 
-  // ---- SimHash pieces (32-bit, md5-hex-derived so both engines agree) ----
-  private val simhashBitsSql = (0 until 32).map(i =>
-    s"SUM(CASE WHEN substring(md5(tok), ${i + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS b$i")
-    .mkString(", ")
-  private val simhashValSql = (0 until 32).map(i =>
-    s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+  // ---- SimHash pieces (63-bit, md5-hex-derived so both engines agree):
+  // bits 0..31 vote on md5(tok)'s 32 hex chars, bits 32..62 on
+  // md5('x' || tok) — a second independent hash; 63 bits keeps the
+  // signature positive in a signed BIGINT in both engines. Width matters
+  // for LSH: 32-bit signatures leave 6–7-bit bands (≤128 keys), which
+  // saturate and degrade the band join toward n²/128; 12–13-bit bands
+  // give 4k–8k keys each and room to grow with the corpus.
+  private val simhashBitsSql = (0 until 63).map { i =>
+    val h = if (i < 32) "md5(tok)" else "md5('x' || tok)"
+    val pos = if (i < 32) i + 1 else i - 31
+    s"SUM(CASE WHEN substring($h, $pos, 1) >= '8' THEN 1 ELSE -1 END) AS b$i"
+  }.mkString(", ")
+  private val simhashValSql = (0 until 63).map(i =>
+    s"(CASE WHEN b$i > 0 THEN (1::BIGINT << $i) ELSE 0 END)").mkString(" + ")
 
   /** Word 3-gram posting-list scaffold (shared by j9/j24): distinct 3-gram
     * sets per `lang='en'` doc, per-doc set sizes, and the pairwise
@@ -389,43 +397,55 @@ object LlmOps {
                 (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.8
               ORDER BY doc_a, doc_b""")),
 
-    // SimHash near-dup: 32-bit signature from md5-hex bit votes over the
-    // distinct token set; pairs within Hamming distance 4. The pairing is
-    // never an all-pairs scan — three stacked public techniques keep it
+    // SimHash near-dup: 63-bit signature from md5-hex bit votes over the
+    // distinct token set (two independent md5s — see simhashBitsSql —
+    // because signature WIDTH is what keeps LSH bands selective; the
+    // original 32-bit form left ≤128 keys per band, which saturates on any
+    // large corpus and silently degrades the band join toward n²/128, and
+    // at Hamming ≤ 4 of 32 it flagged 40% of all sf0.1 pairs — not a
+    // detector). Pairs within Hamming distance 4. The pairing is never an
+    // all-pairs scan — three stacked public techniques keep it
     // sub-quadratic AND dedup-shuffle-free:
     //   1. SIGNATURE DEDUP: docs collapse to distinct signatures first
-    //     (a 32-bit space over homogeneous corpora is dense — sf0.1 has
-    //     2,255 distinct signatures for 5,000 docs — and the quadratic
-    //     core then runs on signatures, not docs; doc pairs come back at
+    //     (duplicate-heavy corpora repeat signatures — the quadratic core
+    //     runs on distinct signatures, not docs; doc pairs come back at
     //     the end via two equi-joins against the doc→sig map plus a
     //     same-signature self-join for the Hamming-0 groups).
-    //   2. PIGEONHOLE BANDS: the 32 bits split into 5 bands (7+7+6+6+6);
-    //     distance ≤ 4 means at most 4 differing bands, so at least one
-    //     band matches EXACTLY — candidates come from an equi-join on
-    //     (band_idx, band_value), and only candidates pay the bit_count.
+    //   2. PIGEONHOLE BANDS: the 63 bits split into 5 bands
+    //     (13+13+13+12+12); distance ≤ 4 means at most 4 differing bands,
+    //     so at least one band matches EXACTLY — candidates come from an
+    //     equi-join on (band_idx, band_value), and only candidates pay the
+    //     bit_count verify.
     //   3. FIRST-MATCH EMISSION: a candidate that collides in several
     //     bands is kept only where band_idx equals the FIRST index at
     //     which the two signatures agree — exactly-once emission as a
     //     map-side filter, replacing a multi-million-row distinct.
     // The signature table (doc_id + one long — a few bytes per doc) is
     // lineage-truncated once so the token-stream aggregation never
-    // re-executes across its five references.
+    // re-executes across its five references. Honest local measurement:
+    // below ~10⁵ docs a brute-force all-pairs bit_count scan is still
+    // faster (1.25e9 codegen'd comparisons ≈ 2.4 s on 32 cores at 50k
+    // docs vs 7.1 s banded) — the banded path exists because the grid is
+    // gone at 10⁷+ docs while band buckets stay bounded.
     Q("j10_simhash_neardup",
       (s, d) => {
         val tok = Tables.documents(s, d)
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("tok"))
-        val bitCols = (0 until 32).map(i =>
-          sum(when(substring(md5(col("tok")), i + 1, 1) >= "8", 1L)
-            .otherwise(-1L)).as(s"b$i"))
+        val bitCols = (0 until 63).map { i =>
+          val h = if (i < 32) md5(col("tok"))
+                  else md5(concat(lit("x"), col("tok")))
+          val pos = if (i < 32) i + 1 else i - 31
+          sum(when(substring(h, pos, 1) >= "8", 1L).otherwise(-1L)).as(s"b$i")
+        }
         val bits = tok.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-        val simhash = (0 until 32).map(i =>
+        val simhash = (0 until 63).map(i =>
           when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
           .reduce(_ + _)
         val sim = truncateLineage(
           bits.select(col("doc_id"), simhash.as("simhash")))
-        // (offset, width) of the 5 bands covering all 32 signature bits
-        val bandDefs = Seq((0, 7), (7, 7), (14, 6), (20, 6), (26, 6))
+        // (offset, width) of the 5 bands covering all 63 signature bits
+        val bandDefs = Seq((0, 13), (13, 13), (26, 13), (39, 12), (51, 12))
         def bv(h: org.apache.spark.sql.Column, j: Int) = {
           val (off, width) = bandDefs(j)
           shiftright(h, off).bitwiseAND(lit((1L << width) - 1))
