@@ -444,8 +444,10 @@ object LlmOps {
           .reduce(_ + _)
         val sim = truncateLineage(
           bits.select(col("doc_id"), simhash.as("simhash")))
-        // (offset, width) of the 5 bands covering all 63 signature bits
-        val bandDefs = Seq((0, 13), (13, 13), (26, 13), (39, 12), (51, 12))
+        // (offset, width) of the 5 bands covering all 63 signature bits —
+        // shared with LawsSpec, which property-tests the pigeonhole-recall
+        // and exactly-once-emission invariants against these constants
+        val bandDefs = graft.functions.SimHashBands.defs
         def bv(h: org.apache.spark.sql.Column, j: Int) = {
           val (off, width) = bandDefs(j)
           shiftright(h, off).bitwiseAND(lit((1L << width) - 1))
@@ -468,7 +470,8 @@ object LlmOps {
             col("x.bk.bi").as("bi"))
           .withColumn("ham",
             bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
-          .filter(col("ham") <= 4 && col("bi") === firstMatch)
+          .filter(col("ham") <= graft.functions.SimHashBands.maxHamming &&
+            col("bi") === firstMatch)
         // expand signature pairs to doc pairs (AQE broadcasts the doc→sig
         // map at small SF; at corpus scale these are plain equi-joins)
         val cross = sigPairs

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHashSignature, Moments, WelfordStats}
+import graft.functions.{MinHashSignature, Moments, SimHashBands, WelfordStats}
 import graft.multimodal.MediaPipeline
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -78,6 +78,45 @@ object LawsSpec extends Properties("graft") {
 
   property("minhash: equal sets collide on every slot") =
     Prop.forAll(tokenSets) { ts => sig(ts) == sig(ts.reverse) }
+
+  // --- SimHash band laws: the two invariants j10's banded equi-join rests
+  // on, checked against the SAME (offset, width) constants the query
+  // builds its Column expressions from.
+
+  private val sig63 = Gen.choose(0L, Long.MaxValue) // 63-bit nonnegative
+
+  // a signature plus ≤ maxHamming distinct flipped bit positions
+  private val nearPair = for {
+    a <- sig63
+    k <- Gen.choose(0, SimHashBands.maxHamming)
+    bits <- Gen.listOfN(k, Gen.choose(0, 62)).map(_.distinct)
+  } yield (a, bits.foldLeft(a)((s, i) => s ^ (1L << i)))
+
+  property("simhash bands: partition the 63 bits (signature reconstructs)") =
+    Prop.forAll(sig63) { a =>
+      SimHashBands.defs.map(_._2).sum == 63 &&
+        SimHashBands.defs.indices
+          .map(j => SimHashBands.value(a, j) << SimHashBands.defs(j)._1)
+          .reduce(_ | _) == a
+    }
+
+  property("simhash bands: pigeonhole — Hamming <= 4 always shares a band") =
+    Prop.forAll(nearPair) { case (a, b) =>
+      java.lang.Long.bitCount(a ^ b) <= SimHashBands.maxHamming &&
+        SimHashBands.firstMatch(a, b) >= 0
+    }
+
+  property("simhash bands: first-match filter emits each pair exactly once") =
+    Prop.forAll(sig63, sig63) { (a, b) =>
+      // replicate the query's per-band emission predicate: a (band_idx)
+      // candidate row survives iff the band matches AND its index is the
+      // first matching one — summed over all bands that must be 1 when any
+      // band matches (the pair is emitted once) and 0 when none do
+      val emitted = SimHashBands.defs.indices.count(j =>
+        SimHashBands.value(a, j) == SimHashBands.value(b, j) &&
+          j == SimHashBands.firstMatch(a, b))
+      if (SimHashBands.firstMatch(a, b) >= 0) emitted == 1 else emitted == 0
+    }
 
   property("fakeDecode: nonempty payload histogram is normalized") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.choose(Byte.MinValue, Byte.MaxValue))) {
