@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Diagnostic main: print output row counts for selected queries (scale
+  * experiments report these next to wall times so "work tracks output" is
+  * checkable). Usage:
+  *   sbt "runMain graft.Rows <sfDir> <name> [name ...]"
+  */
+object Rows {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Rows <sfDir> <name> [name ...]")
+    val sfDir = args.head
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.tail.foreach { n =>
+      println(s"[rows] $n = ${SparkEntry.queries(n)(spark, sfDir).count()}")
+    }
+    spark.stop()
+  }
+}
