@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   * members differ by one unique token, so sketch paths must both FIND the
   * planted pairs and not drown in a dense signature space).
   *
-  * Usage: runMain graft.ScaleSynth <outDir> <nDocs>
+  * With a third argument it also writes an `embeddings.parquet`
+  * (vec_id, 64-dim float embedding, label) of deterministic pseudo-random
+  * vectors — the ANN queries' input at arbitrary collection sizes.
+  *
+  * Usage: runMain graft.ScaleSynth <outDir> <nDocs> [nVecs]
   * then e.g. SPARK_GRAFT_BENCH_ONLY=j10_simhash_neardup
   *           SPARK_GRAFT_SF_DIR=<outDir> runMain graft.Bench
   * (the bench warmup tolerates dirs holding only the tables an experiment
@@ -24,8 +28,9 @@ import org.apache.spark.sql.functions._
 object ScaleSynth {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ScaleSynth <outDir> <nDocs>")
+    require(args.length >= 2, "usage: ScaleSynth <outDir> <nDocs> [nVecs]")
     val (outDir, nDocs) = (args(0), args(1).toLong)
+    val nVecs = if (args.length >= 3) args(2).toLong else 0L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,6 +68,19 @@ object ScaleSynth {
 
     docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     println(s"[synth] wrote $nDocs docs to $outDir/documents.parquet")
+
+    if (nVecs > 0) {
+      spark.range(nVecs)
+        .select(
+          col("id").as("vec_id"),
+          // 64 uniform floats in [-1, 1), murmur3-derived per (id, dim)
+          expr("""transform(sequence(1, 64),
+                    i -> cast((pmod(hash(id, i), 2001) - 1000) / 1000.0
+                         as float))""").as("embedding"),
+          pmod(hash(col("id"), lit(11)), lit(10)).cast("int").as("label"))
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      println(s"[synth] wrote $nVecs vecs to $outDir/embeddings.parquet")
+    }
     spark.stop()
   }
 }
