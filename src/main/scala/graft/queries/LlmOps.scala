@@ -893,9 +893,14 @@ object LlmOps {
     Q("j18_langid_ngram",
       (s, d) => {
         // both branches (profile build, scoring) recompute this extraction;
-        // measured: recomputing the codegen'd substring explode beats
-        // materializing it (localCheckpoint was 1.35× SLOWER at 10× scale —
-        // cheap-to-recompute lineage should stay lineage)
+        // measured THREE times now: recomputing the codegen'd substring
+        // explode beats every materialization — raw-tris localCheckpoint
+        // was 1.35× slower at 10× scale, and a shared (doc_id, lang, tri)
+        // aggregate feeding both branches (one explode, one wide shuffle,
+        // truncated) measured 1.9× slower at sf0.1 / 1.2× at 500k docs:
+        // the profile branch's map-side partial aggregation makes its
+        // shuffle nearly free, so the "saved" explode costs less than the
+        // materialize-and-reread. Cheap-to-recompute lineage stays lineage.
         val tris = Tables.documents(s, d)
           .filter(length(col("text")) >= 3)
           .select(col("doc_id"), col("lang"), explode(expr(
