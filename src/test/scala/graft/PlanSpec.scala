@@ -204,6 +204,20 @@ class PlanSpec extends AnyFunSuite {
     assertScanCount("j24_ngram_containment", "documents", 0)
   }
 
+  test("j1/j17/j26 single-pass dedups scan documents exactly once") {
+    assertScanCount("j1_exact_dedup", "documents", 1)
+    assertScanCount("j17_chunk_dedup", "documents", 1)
+    // the e2e pipeline's whole clean→filter→dedup→yield chain rides one scan
+    assertScanCount("j26_pipeline_e2e", "documents", 1)
+  }
+
+  test("j18 lang-id recomputes the trigram explode per branch — exactly 2 scans") {
+    // deliberately 2, not 1: materializing the shared extraction measured
+    // slower at every scale (see the j18 comment); the pin catches a third
+    // branch sneaking in, not the measured two-pass design
+    assertScanCount("j18_langid_ngram", "documents", 2)
+  }
+
   test("j14 tf-idf derives df as a window over tf: one token explode only") {
     // 2 scans: the token explode feeding tf, and the count-only corpus-size
     // scan (reads zero columns); df must NOT re-derive the tf subtree
