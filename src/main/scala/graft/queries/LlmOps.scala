@@ -580,6 +580,99 @@ object LlmOps {
                      (a = min(b)) AS is_canonical
               FROM reach GROUP BY a ORDER BY doc_id""")),
 
+    // Connected components via alternating large-star/small-star — the
+    // O(log n)-ROUND algorithm (public technique: Kiveris et al.,
+    // "Connected Components in MapReduce and Beyond", SoCC'14) that
+    // replaces j13's min-label propagation where component DIAMETER, not
+    // size, is the adversary: label propagation needs O(diameter)
+    // supersteps (a 10⁶-doc near-dup chain = 10⁶ rounds), large/small-star
+    // provably converges in O(log n) rounds on any graph. Same verified
+    // pair graph, same oracle, bit-identical clusters to j13 (differential
+    // in QueriesSpec). Each round is two keyed exchanges (a min-window per
+    // star center + a dedup) — no driver-side graph state; the driver
+    // actions only the 1-row convergence triple per round.
+    //   large-star: every neighbor v > u re-links to m = min(Γ(u) ∪ {u})
+    //   small-star: every neighbor (all ≤ u after large-star) and u itself
+    //               re-link to m
+    Q("j30_cc_bigstar",
+      (s, d) => {
+        val pairs = truncateLineage(neardupPairs(s, d))
+        // parent-link edge set, maintained directed large→small (u > v)
+        var edges = truncateLineage(
+          pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+            .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+            .filter(col("u") > col("v")))
+        def stateOf(e: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+          val r = e.agg(count(lit(1)), coalesce(sum("u"), lit(0L)),
+            coalesce(sum("v"), lit(0L))).head()
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
+        var prev = (-1L, -1L, -1L)
+        var cur = stateOf(edges)
+        var iter = 0
+        while (cur != prev && iter < 50) {
+          // LARGE-STAR over the symmetric closure: per center u, the
+          // min-window computes m; strictly-larger neighbors re-link to m.
+          // Result stays large→small (v > u ≥ m), dedup bounds growth.
+          val sym = edges
+            .union(edges.select(col("v").as("u"), col("u").as("v")))
+          val wU = Window.partitionBy("u")
+          val ls = sym
+            .withColumn("m", least(min(col("v")).over(wU), col("u")))
+            .filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .distinct()
+          // SMALL-STAR: all neighbors are ≤ u now; re-link each of them AND
+          // u itself to m, drop self-loops, dedup.
+          val ss = ls
+            .withColumn("m", least(min(col("v")).over(wU), col("u")))
+            .select(explode(array(
+              struct(col("v").as("a"), col("m").as("b")),
+              struct(col("u").as("a"), col("m").as("b")))).as("e"))
+            .select(col("e.a").as("u"), col("e.b").as("v"))
+            .filter(col("u") =!= col("v"))
+            .distinct()
+          edges = truncateLineage(ss)
+          prev = cur
+          cur = stateOf(edges)
+          iter += 1
+        }
+        require(cur == prev,
+          s"large/small-star did not converge within $iter rounds")
+        // at the fixpoint the edges are a star forest: every non-root
+        // points at its component minimum (grouped-min is belt and braces)
+        val roots = edges.groupBy(col("u").as("doc_id"))
+          .agg(min(col("v")).as("root"))
+        Tables.documents(s, d).select(col("doc_id"))
+          .join(roots, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("root"), col("doc_id")).as("cluster_id"),
+            (col("doc_id") === coalesce(col("root"), col("doc_id")))
+              .as("is_canonical"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                         generate_series(1, length(text)-4),
+                         i -> substring(text, i, 5))) AS s
+                FROM documents),
+              pairs AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                  >= 0.9),
+              edges AS (SELECT src, dst FROM pairs
+                        UNION ALL SELECT dst, src FROM pairs),
+              reach(a, b) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+              SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id,
+                     (a = min(b)) AS is_canonical
+              FROM reach GROUP BY a ORDER BY doc_id""")),
+
     // ANN via LSH bucketing — the scale path beside brute-force j3/j4: 8
     // fixed random-hyperplane sign bits coarse-quantize the collection;
     // each probe searches ONLY its own bucket (collection shrinks ~256×

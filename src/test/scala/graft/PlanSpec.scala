@@ -192,6 +192,12 @@ class PlanSpec extends AnyFunSuite {
     assertScanCount("j13_dedup_clusters", "documents", 0)
   }
 
+  test("j30 star-contraction output joins truncated roots — one scan for ids") {
+    // the singleton left-join reads documents once for the id universe; the
+    // pair graph and every contraction round live in truncated lineage
+    assertScanCount("j30_cc_bigstar", "documents", 1)
+  }
+
   test("j2 shingle table is materialized once across signature + verify sides") {
     // the shingle explode feeds the MinHash pipeline AND both exact-verify
     // join sides — truncated, or it re-executes 4× (measured -1 s at sf0.1)

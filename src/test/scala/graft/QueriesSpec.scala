@@ -241,6 +241,15 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("j30 large/small-star yields bit-identical clusters to j13") {
+    // two independent algorithms over the same verified pair graph —
+    // O(log n)-round star contraction vs O(diameter) label propagation —
+    // must agree on every (doc_id, cluster_id, is_canonical) row
+    val lp = SparkEntry.queries("j13_dedup_clusters")(spark, d).collect()
+    val bs = SparkEntry.queries("j30_cc_bigstar")(spark, d).collect()
+    assert(bs.sameElements(lp))
+  }
+
   test("j20 quantizes an all-zero embedding to zeros instead of NaN-crashing") {
     import spark.implicits._
     // amax = 0 makes x*127/amax = 0/0 = NaN, and CAST(NaN AS BIGINT) throws
