@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * schemas (never inference in production paths).
   *
   * (`format("avro")` needs the spark-avro connector jar, which doesn't ship
-  * in this environment; parquet/orc/csv/json/text are the supported
-  * formats — ORC via the native `orc-core` that Spark bundles.)
+  * in this environment; parquet/orc/csv/json/text/binaryFile are the
+  * supported formats — ORC via the native `orc-core` that Spark bundles.)
   */
 object Formats {
 
@@ -77,6 +77,21 @@ object Formats {
 
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** Raw-asset ingestion for the multimodal pipeline: `binaryFile` yields
+    * one row per file — (path, modificationTime, length, content BINARY) —
+    * the standard lakehouse entry point for media blobs before any decode
+    * stage (`graft.multimodal.MediaPipeline` consumes `content` as the
+    * opaque payload). `pathGlobFilter` prunes at the LISTING level, so a
+    * `*.jpg` ingest over a mixed asset store never opens non-matching
+    * files; binary files are never split, one file = one row = one task
+    * input, and the codec-free scan parallelizes per file.
+    */
+  def readBinaryFiles(
+      spark: SparkSession, path: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
 
   /** Count the data files a query would actually scan (post-pruning). */
   def filesScanned(df: DataFrame): Long = {

@@ -27,6 +27,37 @@ class FormatsSpec extends AnyFunSuite {
     assert(week.count() == expected)
   }
 
+  test("binaryFile ingests raw blobs with glob pruning into the media pipeline") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bin")
+    val payloads = (0 until 4).map { i =>
+      val bytes = Array.tabulate[Byte](64 + i)(j => ((i * 31 + j) % 251).toByte)
+      val ext = if (i % 2 == 0) "jpg" else "txt"
+      java.nio.file.Files.write(dir.resolve(s"asset_$i.$ext"), bytes)
+      (s"asset_$i.$ext", bytes)
+    }.toMap
+    // glob prunes at listing time: only the two .jpg files become rows
+    val jpgs = Formats.readBinaryFiles(spark, dir.toString, "*.jpg")
+    assert(jpgs.count() == 2)
+    val byName = jpgs.select(col("path"), col("length"), col("content"))
+      .collect()
+      .map(r => (r.getString(0).split('/').last,
+        (r.getLong(1), r.getAs[Array[Byte]](2)))).toMap
+    byName.foreach { case (name, (len, content)) =>
+      assert(payloads(name).sameElements(content) &&
+        len == payloads(name).length, s"$name content mismatch")
+    }
+    // and the blobs flow into the multimodal decode stage unchanged
+    val items = jpgs.select(
+        expr("cast(regexp_extract(path, 'asset_([0-9]+)', 1) as long)")
+          .as("media_id"),
+        lit("image/jpeg").as("mime"), col("content").as("payload"))
+      .as[graft.multimodal.MediaItem]
+    val feats = graft.multimodal.MediaPipeline.extractFeatures(items).collect()
+    assert(feats.length == 2 && feats.forall(f =>
+      f.features.length == 16 && math.abs(f.features.sum - 1.0) < 1e-9))
+  }
+
   test("csv roundtrip preserves the events table (explicit schema)") {
     val path = java.nio.file.Files.createTempDirectory("graft-csv").toString
     val events = Tables.events(spark, d)
