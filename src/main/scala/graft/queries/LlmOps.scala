@@ -509,53 +509,19 @@ object LlmOps {
     // verified pair graph; every doc gets cluster_id = min doc_id in its
     // component, and the minimum member is the canonical survivor — the
     // final stage of a dedup pipeline. Spark side: BSP min-label
-    // propagation run to FIXPOINT (convergence detected by a 1-row label-sum
-    // aggregate per superstep — the driver only actions that scalar, never
-    // the data); the 100 TB variant swaps in large-star/small-star. Oracle:
-    // recursive-CTE transitive closure + min.
+    // propagation run to FIXPOINT via the reusable
+    // operators.ConnectedComponents.byLabelPropagation (the driver only
+    // actions a 1-row convergence scalar per superstep, lineage truncated
+    // per round, loud failure on the runaway backstop); j30 runs the
+    // SAME pair graph through the O(log n)-round star-contraction
+    // variant. The verified pairs are checkpointed ONCE here (the edge
+    // union's two projections would otherwise each execute the whole LSH
+    // pipeline). Oracle: recursive-CTE transitive closure + min.
     Q("j13_dedup_clusters",
       (s, d) => {
-        // truncateLineage truncates lineage: checkpoint the verified pairs
-        // ONCE (the union's two projections would otherwise each execute the
-        // whole LSH pipeline), then per superstep so the final plan isn't N
-        // joins deep — the iterative-algorithm materialization pattern.
-        // spark.graft.reliableCheckpoint=true flips every truncation in this
-        // loop to a reliable checkpoint for executor-churn safety at scale.
         val pairs = truncateLineage(neardupPairs(s, d))
-        val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-          .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        var labels = Tables.documents(s, d)
-          .select(col("doc_id"), col("doc_id").as("label"))
-        // run to FIXPOINT: labels are positive and the label sum strictly
-        // decreases until convergence, so one cheap agg per superstep
-        // detects it — no diameter assumption (Jaccard isn't transitive;
-        // long chains are legal). Bound only as a runaway backstop.
-        var prevSum = -1L
-        var iter = 0
-        var curSum = labels.agg(sum("label")).head().getLong(0)
-        while (curSum != prevSum && iter < 50) {
-          val nbr = edges
-            .join(labels.select(col("doc_id").as("dst"),
-              col("label").as("nlabel")), "dst")
-            .groupBy(col("src").as("doc_id"))
-            .agg(min("nlabel").as("nmin"))
-          labels = truncateLineage(
-            labels.join(nbr, Seq("doc_id"), "left")
-              .select(col("doc_id"),
-                least(col("label"), coalesce(col("nmin"), col("label")))
-                  .as("label")))
-          prevSum = curSum
-          curSum = labels.agg(sum("label")).head().getLong(0)
-          iter += 1
-        }
-        // the backstop exists only to stop a runaway loop — exiting on it
-        // means the labels are NOT a valid clustering, which must fail
-        // loudly rather than return silently-wrong components
-        require(curSum == prevSum,
-          s"j13 label propagation did not converge within $iter supersteps")
-        labels
-          .select(col("doc_id"), col("label").as("cluster_id"),
-            (col("doc_id") === col("label")).as("is_canonical"))
+        graft.operators.ConnectedComponents
+          .byLabelPropagation(Tables.documents(s, d).select("doc_id"), pairs)
           .orderBy("doc_id")
       },
       Some("""WITH RECURSIVE sh AS (
@@ -586,69 +552,16 @@ object LlmOps {
     // replaces j13's min-label propagation where component DIAMETER, not
     // size, is the adversary: label propagation needs O(diameter)
     // supersteps (a 10⁶-doc near-dup chain = 10⁶ rounds), large/small-star
-    // provably converges in O(log n) rounds on any graph. Same verified
-    // pair graph, same oracle, bit-identical clusters to j13 (differential
-    // in QueriesSpec). Each round is two keyed exchanges (a min-window per
-    // star center + a dedup) — no driver-side graph state; the driver
-    // actions only the 1-row convergence triple per round.
-    //   large-star: every neighbor v > u re-links to m = min(Γ(u) ∪ {u})
-    //   small-star: every neighbor (all ≤ u after large-star) and u itself
-    //               re-link to m
+    // provably converges in O(log n) rounds on any graph — demonstrated
+    // head-to-head on a path graph in QueriesSpec, where the propagation
+    // backstop fires and contraction converges. Same verified pair graph,
+    // same oracle, bit-identical clusters to j13 (differential-tested).
+    // Algorithm body: operators.ConnectedComponents.byStarContraction.
     Q("j30_cc_bigstar",
       (s, d) => {
         val pairs = truncateLineage(neardupPairs(s, d))
-        // parent-link edge set, maintained directed large→small (u > v)
-        var edges = truncateLineage(
-          pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-            .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-            .filter(col("u") > col("v")))
-        def stateOf(e: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
-          val r = e.agg(count(lit(1)), coalesce(sum("u"), lit(0L)),
-            coalesce(sum("v"), lit(0L))).head()
-          (r.getLong(0), r.getLong(1), r.getLong(2))
-        }
-        var prev = (-1L, -1L, -1L)
-        var cur = stateOf(edges)
-        var iter = 0
-        while (cur != prev && iter < 50) {
-          // LARGE-STAR over the symmetric closure: per center u, the
-          // min-window computes m; strictly-larger neighbors re-link to m.
-          // Result stays large→small (v > u ≥ m), dedup bounds growth.
-          val sym = edges
-            .union(edges.select(col("v").as("u"), col("u").as("v")))
-          val wU = Window.partitionBy("u")
-          val ls = sym
-            .withColumn("m", least(min(col("v")).over(wU), col("u")))
-            .filter(col("v") > col("u"))
-            .select(col("v").as("u"), col("m").as("v"))
-            .distinct()
-          // SMALL-STAR: all neighbors are ≤ u now; re-link each of them AND
-          // u itself to m, drop self-loops, dedup.
-          val ss = ls
-            .withColumn("m", least(min(col("v")).over(wU), col("u")))
-            .select(explode(array(
-              struct(col("v").as("a"), col("m").as("b")),
-              struct(col("u").as("a"), col("m").as("b")))).as("e"))
-            .select(col("e.a").as("u"), col("e.b").as("v"))
-            .filter(col("u") =!= col("v"))
-            .distinct()
-          edges = truncateLineage(ss)
-          prev = cur
-          cur = stateOf(edges)
-          iter += 1
-        }
-        require(cur == prev,
-          s"large/small-star did not converge within $iter rounds")
-        // at the fixpoint the edges are a star forest: every non-root
-        // points at its component minimum (grouped-min is belt and braces)
-        val roots = edges.groupBy(col("u").as("doc_id"))
-          .agg(min(col("v")).as("root"))
-        Tables.documents(s, d).select(col("doc_id"))
-          .join(roots, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("root"), col("doc_id")).as("cluster_id"),
-            (col("doc_id") === coalesce(col("root"), col("doc_id")))
-              .as("is_canonical"))
+        graft.operators.ConnectedComponents
+          .byStarContraction(Tables.documents(s, d).select("doc_id"), pairs)
           .orderBy("doc_id")
       },
       Some("""WITH RECURSIVE sh AS (

@@ -250,6 +250,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(bs.sameElements(lp))
   }
 
+  test("star contraction converges on the path graph that breaks propagation") {
+    // THE adversarial case the j30 variant exists for: a 1000-node path
+    // (diameter 999). Min-label propagation moves the label one hop per
+    // superstep, so a 10-superstep budget must trip its loud backstop;
+    // star contraction collapses the same path within its default budget
+    // (O(log n) rounds) and labels every node with the component minimum.
+    import spark.implicits._
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val nodes = (0L until 1000L).toDF("doc_id")
+    val cc = graft.operators.ConnectedComponents
+      .byStarContraction(nodes, pairs)
+    assert(cc.agg(countDistinct("cluster_id")).head().getLong(0) == 1L &&
+      cc.agg(max("cluster_id")).head().getLong(0) == 0L)
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.ConnectedComponents
+        .byLabelPropagation(nodes, pairs, maxSupersteps = 10).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("j20 quantizes an all-zero embedding to zeros instead of NaN-crashing") {
     import spark.implicits._
     // amax = 0 makes x*127/amax = 0/0 = NaN, and CAST(NaN AS BIGINT) throws
