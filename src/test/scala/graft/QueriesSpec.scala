@@ -250,6 +250,40 @@ class QueriesSpec extends AnyFunSuite {
     assert(bs.sameElements(lp))
   }
 
+  test("both CC algorithms match union-find truth on seeded random graphs") {
+    // topology sweep: sparse/dense random graphs, fixed seed. Ground truth
+    // is a plain in-test union-find; both distributed algorithms must
+    // reproduce it exactly (min-id labeling, isolated nodes included).
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 20 + trial * 15
+      val m = n * (trial + 1) / 4
+      val edges = Seq.fill(m) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(e => e._1 != e._2).distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val truth = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      Seq(
+        graft.operators.ConnectedComponents.byStarContraction(nodes, pairs),
+        graft.operators.ConnectedComponents.byLabelPropagation(nodes, pairs)
+      ).foreach { cc =>
+        val got = cc.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == truth, s"trial $trial (n=$n, m=${edges.size})")
+      }
+    }
+  }
+
   test("star contraction converges on the path graph that breaks propagation") {
     // THE adversarial case the j30 variant exists for: a 1000-node path
     // (diameter 999). Min-label propagation moves the label one hop per
