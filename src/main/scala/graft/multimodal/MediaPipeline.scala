@@ -102,4 +102,32 @@ object MediaPipeline {
         col("text").cast("binary").as("payload"))
       .as[MediaItem]
   }
+
+  /** Streaming media ingest — the streaming twin of
+    * `sources.Formats.readBinaryFiles`: watch a directory of raw asset
+    * files (`binaryFile` source; new files = new micro-batches,
+    * `Trigger.AvailableNow` = bounded-lag backfill over an existing asset
+    * store), map each file to a `MediaItem` (id from the trailing digits
+    * of the file name, mime from the extension), and feed the same
+    * per-partition decode stages as the batch path. `pathGlobFilter`
+    * prunes non-matching files at LISTING time, before any bytes move.
+    */
+  def mediaFileStream(
+      spark: SparkSession, dir: String,
+      glob: String = "*"): Dataset[MediaItem] = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .schema("path STRING, modificationTime TIMESTAMP, " +
+        "length BIGINT, content BINARY")
+      .load(dir)
+      .select(
+        expr("""cast(regexp_extract(path, '([0-9]+)\\.[^.]+$', 1)
+                as long)""").as("media_id"),
+        expr("""CASE WHEN path LIKE '%.jpg' THEN 'image/jpeg'
+                     WHEN path LIKE '%.wav' THEN 'audio/wav'
+                     ELSE 'application/octet-stream' END""").as("mime"),
+        col("content").as("payload"))
+      .as[MediaItem]
+  }
 }

@@ -633,4 +633,29 @@ class StreamingSpec extends AnyFunSuite {
     q.awaitTermination(60000)
     assert(spark.table("filesrc").count() == 1000L)
   }
+
+  test("streaming media ingest: binaryFile backfill through the decode stage") {
+    // raw asset files land in a watched directory; the glob prunes at
+    // listing time, each matching file becomes a MediaItem, and the SAME
+    // per-partition decode stage as the batch path runs inside the stream
+    val dir = java.nio.file.Files.createTempDirectory("graft-media")
+    (0 until 3).foreach { i =>
+      val bytes = Array.tabulate[Byte](100 + i)(j => ((i * 37 + j) % 251).toByte)
+      java.nio.file.Files.write(dir.resolve(s"asset_$i.jpg"), bytes)
+    }
+    java.nio.file.Files.write(dir.resolve("ignore_9.txt"),
+      Array.tabulate[Byte](32)(_.toByte))
+    val items = graft.multimodal.MediaPipeline
+      .mediaFileStream(spark, dir.toString, "*.jpg")
+    val q = graft.multimodal.MediaPipeline.extractFeatures(items)
+      .writeStream.format("memory").queryName("mediasrc")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("mediasrc").collect()
+    assert(rows.length == 3, s"glob should admit only the 3 jpgs: ${rows.length}")
+    assert(rows.forall(_.getString(1) == "image/jpeg"))
+    assert(rows.map(_.getLong(0)).sorted.sameElements(Array(0L, 1L, 2L)))
+    val feats = rows.map(r => r.getSeq[Double](3))
+    assert(feats.forall(f => f.length == 16 && math.abs(f.sum - 1.0) < 1e-9))
+  }
 }
