@@ -12,15 +12,7 @@ object Diff {
   def main(args: Array[String]): Unit = {
     require(args.length == 3, "usage: Diff <sfDir> <nameA> <nameB>")
     val Array(sfDir, nameA, nameB) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.build(defaultCpus = "32")
     val a = SparkEntry.queries(nameA)(spark, sfDir)
     val b = SparkEntry.queries(nameB)(spark, sfDir)
     val (na, nb) = (a.count(), b.count())

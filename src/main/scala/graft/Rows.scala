@@ -11,15 +11,7 @@ object Rows {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: Rows <sfDir> <name> [name ...]")
     val sfDir = args.head
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.build(defaultCpus = "32")
     args.tail.foreach { n =>
       println(s"[rows] $n = ${SparkEntry.queries(n)(spark, sfDir).count()}")
     }

@@ -31,14 +31,7 @@ object ScaleSynth {
     require(args.length >= 2, "usage: ScaleSynth <outDir> <nDocs> [nVecs]")
     val (outDir, nDocs) = (args(0), args(1).toLong)
     val nVecs = if (args.length >= 3) args(2).toLong else 0L
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.build(defaultCpus = "32")
 
     val docs = spark.range(nDocs)
       // clone-cluster members read the group base id's token stream; all

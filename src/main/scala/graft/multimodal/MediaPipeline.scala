@@ -111,6 +111,12 @@ object MediaPipeline {
     * of the file name, mime from the extension), and feed the same
     * per-partition decode stages as the batch path. `pathGlobFilter`
     * prunes non-matching files at LISTING time, before any bytes move.
+    *
+    * Naming contract: asset files are `<anything><digits>.<ext>` — the
+    * trailing digits are the media id. A file the glob admits but whose
+    * name carries no id (e.g. a stray `README.txt` in the asset dir) is
+    * SKIPPED with a filter here rather than killing the whole streaming
+    * query when NULL hits MediaItem's non-nullable `media_id`.
     */
   def mediaFileStream(
       spark: SparkSession, dir: String,
@@ -122,12 +128,15 @@ object MediaPipeline {
         "length BIGINT, content BINARY")
       .load(dir)
       .select(
-        expr("""cast(regexp_extract(path, '([0-9]+)\\.[^.]+$', 1)
+        // try_cast: regexp_extract yields '' on no match, and an ANSI
+        // cast('') would throw before the null-id filter can skip the row
+        expr("""try_cast(regexp_extract(path, '([0-9]+)\\.[^.]+$', 1)
                 as long)""").as("media_id"),
         expr("""CASE WHEN path LIKE '%.jpg' THEN 'image/jpeg'
                      WHEN path LIKE '%.wav' THEN 'audio/wav'
                      ELSE 'application/octet-stream' END""").as("mime"),
         col("content").as("payload"))
+      .filter(col("media_id").isNotNull)
       .as[MediaItem]
   }
 }

@@ -40,10 +40,19 @@ object ConnectedComponents {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
-    var prevSum = -1L
+    var prevSum: java.math.BigDecimal = java.math.BigDecimal.valueOf(-1L)
     var iter = 0
-    var curSum = labels.agg(sum("label")).head().getLong(0)
-    while (curSum != prevSum && iter < maxSupersteps) {
+    // coalesce: sum() over an empty label set is NULL — the degenerate
+    // empty-input case must return empty output, not NPE. Decimal sum:
+    // exact and overflow-proof (a long sum of billions of wide ids would
+    // throw under ANSI arithmetic at 100-TB node counts), preserving the
+    // monotone-decrease convergence argument unchanged.
+    def sumOf(l: DataFrame): java.math.BigDecimal =
+      l.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
+    var curSum = sumOf(labels)
+    // compareTo, not equals: BigDecimal.equals is scale-sensitive
+    while (curSum.compareTo(prevSum) != 0 && iter < maxSupersteps) {
       val nbr = edges
         .join(labels.select(col("doc_id").as("dst"),
           col("label").as("nlabel")), "dst")
@@ -55,10 +64,10 @@ object ConnectedComponents {
             least(col("label"), coalesce(col("nmin"), col("label")))
               .as("label")))
       prevSum = curSum
-      curSum = labels.agg(sum("label")).head().getLong(0)
+      curSum = sumOf(labels)
       iter += 1
     }
-    require(curSum == prevSum,
+    require(curSum.compareTo(prevSum) == 0,
       s"label propagation did not converge within $iter supersteps " +
         "(component diameter exceeds the superstep budget — use " +
         "byStarContraction, which is O(log n) rounds on any graph)")
@@ -81,15 +90,25 @@ object ConnectedComponents {
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
         .filter(col("u") > col("v")))
-    def stateOf(e: DataFrame): (Long, Long, Long) = {
-      val r = e.agg(count(lit(1)), coalesce(sum("u"), lit(0L)),
-        coalesce(sum("v"), lit(0L))).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
+    // Convergence is two-tier: a cheap per-round digest (count + key sums +
+    // an XORed per-edge hash — XOR is order-independent and cannot overflow
+    // under ANSI arithmetic) detects a CANDIDATE fixpoint, and an exact
+    // set-difference then CONFIRMS it. Digest equality alone must never end
+    // the loop — two different edge sets could collide on the digest, and
+    // this operator's contract is fail-loud, never silently-wrong. Both
+    // sides of the compare are distinct sets with equal count (count is in
+    // the digest), so one empty `except` proves set equality.
+    def stateOf(e: DataFrame): (Long, Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u))"), lit(0L)),
+        coalesce(expr("bit_xor(xxhash64(v))"), lit(0L)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
-    var prev = (-1L, -1L, -1L)
     var cur = stateOf(edges)
     var iter = 0
-    while (cur != prev && iter < maxRounds) {
+    var fixpoint = false
+    while (!fixpoint && iter < maxRounds) {
       val sym = edges
         .union(edges.select(col("v").as("u"), col("u").as("v")))
       val wU = Window.partitionBy("u")
@@ -106,12 +125,14 @@ object ConnectedComponents {
         .select(col("e.a").as("u"), col("e.b").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-      edges = trunc(ss)
-      prev = cur
-      cur = stateOf(edges)
+      val next = trunc(ss)
+      val nxt = stateOf(next)
+      if (nxt == cur) fixpoint = next.except(edges).isEmpty
+      edges = next
+      cur = nxt
       iter += 1
     }
-    require(cur == prev,
+    require(fixpoint,
       s"large/small-star did not converge within $iter rounds")
     val roots = edges.groupBy(col("u").as("doc_id"))
       .agg(min(col("v")).as("root"))

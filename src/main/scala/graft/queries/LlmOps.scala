@@ -429,12 +429,18 @@ object LlmOps {
     // gone at 10⁷+ docs while band buckets stay bounded.
     Q("j10_simhash_neardup",
       (s, d) => {
+        // the two hex digests are projected ONCE per (doc, token) row —
+        // inside the 63 aggregate expressions below, each md5 would be
+        // evaluated per-row per-expression (up to 63 hashes/row) unless
+        // codegen happens to eliminate the common subexpressions; hoisting
+        // guarantees 2 hashes/row on the most hash-bound query in the repo
         val tok = Tables.documents(s, d)
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .select(col("doc_id"), md5(col("tok")).as("h1"),
+            md5(concat(lit("x"), col("tok"))).as("h2"))
         val bitCols = (0 until 63).map { i =>
-          val h = if (i < 32) md5(col("tok"))
-                  else md5(concat(lit("x"), col("tok")))
+          val h = if (i < 32) col("h1") else col("h2")
           val pos = if (i < 32) i + 1 else i - 31
           sum(when(substring(h, pos, 1) >= "8", 1L).otherwise(-1L)).as(s"b$i")
         }
@@ -763,9 +769,15 @@ object LlmOps {
         val wAssign = Window.partitionBy("vec_id")
           .orderBy(col("cscore").desc, col("cent_id"))
         // same deterministic assignment formula applied to the full
-        // collection once and to the tiny probe subset once — deriving
-        // probes FROM `assigned` would execute the full cross-join +
-        // window rank twice (the plan is not shared across the self-join)
+        // collection once and to the tiny probe subset once. Measured
+        // negative (round 6): truncateLineage(assignCells(e)) + filtering
+        // probes from the materialized table is 3.2× SLOWER at sf0.1
+        // (warm-min 1.67 s vs 0.52 s) — `assigned` carries the full
+        // embedding vectors, so the checkpoint writes/reads the whole
+        // collection, while the duplicate probe-side pass only re-assigns
+        // the 1% probe subset. The materialize-once rule applies to
+        // SMALL-output subtrees (signatures, keyed aggs), not here; the
+        // gap only widens at 100 TB where materializing ≈ the input size.
         def assignCells(df: org.apache.spark.sql.DataFrame) =
           df.crossJoin(broadcast(cents))
             .withColumn("cscore", round(expr(dot("embedding", "cvec")), 6))

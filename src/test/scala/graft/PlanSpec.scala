@@ -234,8 +234,9 @@ class PlanSpec extends AnyFunSuite {
     // 4 static embeddings scans: full-collection assignment, probe-subset
     // assignment, and per assignment one 16-row centroid read whose
     // vec_id < 16 filter is pushed to the parquet reader (row-group pruned
-    // at scale) — deriving probes FROM the assigned table instead would
-    // re-execute the full cross-join + rank (see the in-code comment)
+    // at scale) — truncating `assigned` and filtering probes from it was
+    // measured 3.2× slower (the table carries the embedding vectors; see
+    // the in-code negative), so the 4-scan shape is the pinned winner
     assertScanCount("j16_ivf_ann", "embeddings", 4)
     val pushed = staticPlan("j16_ivf_ann")
       .split("PushedFilters: \\[").drop(1).map(_.split("\\]")(0))

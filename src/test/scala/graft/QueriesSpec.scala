@@ -284,6 +284,18 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("both CC algorithms return empty output on empty input") {
+    // degenerate case: sum()/bit_xor() over zero rows is NULL — both
+    // convergence scalars must coalesce instead of NPE on the driver
+    import spark.implicits._
+    val nodes = Seq.empty[Long].toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.operators.ConnectedComponents
+      .byLabelPropagation(nodes, pairs).count() == 0L)
+    assert(graft.operators.ConnectedComponents
+      .byStarContraction(nodes, pairs).count() == 0L)
+  }
+
   test("star contraction converges on the path graph that breaks propagation") {
     // THE adversarial case the j30 variant exists for: a 1000-node path
     // (diameter 999). Min-label propagation moves the label one hop per

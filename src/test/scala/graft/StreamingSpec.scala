@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import graft.streaming._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{TTLConfig, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** SURVEY §5.2.3 — the streaming = batch differential harness. Every
@@ -363,13 +363,43 @@ class StreamingSpec extends AnyFunSuite {
       s"timer did not expire u1 exactly once with full state: ${rows.toSeq}")
   }
 
-  // NOTE: TTL *expiry* is wall-clock-driven (TimeMode.ProcessingTime makes
-  // the query schedule continuous micro-batches, so processAllAvailable
-  // never settles) — it can't be deterministically asserted without Spark's
-  // internal manual-clock harness. The TTL configuration path is covered by
-  // runningCountsTws' mode selection; expiry semantics are delegated to
-  // Spark's own state-TTL guarantees. Event-time expiry IS covered (timer
-  // test above + flatMapGroupsWithState timeout test below).
+  test("i5 state TTL evicts idle state between batches") {
+    // TTL expiry is processing-time (wall-clock) driven and there is no
+    // manual-clock harness in the public API. Two consequences shape this
+    // test: (1) `processAllAvailable` NEVER SETTLES under
+    // TimeMode.ProcessingTime (empirically confirmed this round — the
+    // query keeps scheduling micro-batches, the call parks forever), so
+    // the sink is POLLED to a deadline instead; (2) the assertion
+    // direction is one-sided-safe: with a 500 ms TTL and a 3 s idle gap,
+    // the second batch MUST see expired (absent) state and restart the
+    // count at 1 instead of resuming at 2 — a slow box only widens the
+    // gap, never flips the outcome (the flaky direction, asserting state
+    // SURVIVES a sub-TTL gap, is deliberately not tested).
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = runningCountsTws(in.toDS(),
+        TTLConfig(java.time.Duration.ofMillis(500))).writeStream
+      .format("memory").queryName("ttlevict").outputMode("update").start()
+    def awaitRows(n: Long): Unit = {
+      val deadline = System.nanoTime() + 120e9.toLong
+      while (spark.table("ttlevict").count() < n) {
+        assert(System.nanoTime() < deadline,
+          s"sink did not reach $n rows within 120 s")
+        Thread.sleep(100)
+      }
+    }
+    in.addData(Seq(ev(1, "2024-01-01 10:00:00", 1)))
+    awaitRows(1)
+    Thread.sleep(3000) // let the 500 ms TTL lapse
+    in.addData(Seq(ev(2, "2024-01-01 10:00:01", 1)))
+    awaitRows(2)
+    q.stop()
+    val ns = spark.table("ttlevict").as[KeyCount].collect()
+      .filter(_.user_id == 1L).map(_.n).toSeq
+    assert(ns == Seq(1L, 1L),
+      s"state survived its TTL: per-batch counts $ns (expected 1, 1)")
+  }
 
   test("i5 late within-watermark event does not regress the session end") {
     import spark.implicits._
@@ -645,6 +675,11 @@ class StreamingSpec extends AnyFunSuite {
     }
     java.nio.file.Files.write(dir.resolve("ignore_9.txt"),
       Array.tabulate[Byte](32)(_.toByte))
+    // admitted by the glob but carries no trailing-digit id: must be
+    // SKIPPED by the null-id filter, not kill the query when NULL hits
+    // MediaItem's non-nullable media_id
+    java.nio.file.Files.write(dir.resolve("cover.jpg"),
+      Array.tabulate[Byte](16)(_.toByte))
     val items = graft.multimodal.MediaPipeline
       .mediaFileStream(spark, dir.toString, "*.jpg")
     val q = graft.multimodal.MediaPipeline.extractFeatures(items)
@@ -652,7 +687,8 @@ class StreamingSpec extends AnyFunSuite {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(60000)
     val rows = spark.table("mediasrc").collect()
-    assert(rows.length == 3, s"glob should admit only the 3 jpgs: ${rows.length}")
+    assert(rows.length == 3,
+      s"3 id-bearing jpgs (txt glob-pruned, id-less jpg filtered): ${rows.length}")
     assert(rows.forall(_.getString(1) == "image/jpeg"))
     assert(rows.map(_.getLong(0)).sorted.sameElements(Array(0L, 1L, 2L)))
     val feats = rows.map(r => r.getSeq[Double](3))
