@@ -1392,6 +1392,133 @@ object LlmOps {
                 SELECT doc_id, COUNT(*) AS n_g8 FROM train GROUP BY doc_id)
               SELECT t.doc_id, n_g8, COUNT(*) AS n_hit
               FROM train t JOIN ev USING (g8) JOIN totals USING (doc_id)
-              GROUP BY t.doc_id, n_g8 ORDER BY t.doc_id"""))
+              GROUP BY t.doc_id, n_g8 ORDER BY t.doc_id""")),
+
+    // Repetition / boilerplate scoring — the Gopher-style quality rule:
+    // per-doc duplicate-token and duplicate-word-trigram fractions, in
+    // basis points (integer division — no double division in output, §5.3).
+    // Map-only at any scale: every column is per-row array math over the
+    // codegen'd split/transform, the only exchange is the output sort.
+    // Docs under 3 tokens have no trigram and are filtered (sequence(1, n)
+    // DESCENDS for n < 1 — same guard as j29's 8-grams).
+    Q("j31_dup_ngram_ratio",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("t", split(col("text"), " "))
+        .filter(size(col("t")) >= 3)
+        .withColumn("g3", expr(
+          """transform(sequence(1, size(t) - 2),
+             i -> concat_ws(' ', slice(t, i, 3)))"""))
+        .select(col("doc_id"),
+          size(col("t")).cast("long").as("n_tokens"),
+          // `div`, not `/`: Spark's Column./ is always double division
+          expr("(size(t) - size(array_distinct(t))) * 10000 div size(t)")
+            .as("dup_tok_bp"),
+          size(col("g3")).cast("long").as("n_tri"),
+          expr("(size(g3) - size(array_distinct(g3))) * 10000 div size(g3)")
+            .as("dup_tri_bp"))
+        // two-signal flag, thresholds near p99/p90 of the synthetic corpus
+        // so the rule actually discriminates (a never-firing flag is vacuous)
+        .withColumn("flagged",
+          (col("dup_tri_bp") > 150 || col("dup_tok_bp") > 6500).cast("int"))
+        .orderBy("doc_id"),
+      Some("""WITH a AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE len(string_split(text, ' ')) >= 3),
+              b AS (
+                SELECT doc_id, t,
+                       list_transform(generate_series(1, len(t) - 2),
+                         i -> array_to_string(t[i:i + 2], ' ')) AS g3
+                FROM a),
+              c AS (
+                SELECT doc_id,
+                       CAST(len(t) AS BIGINT) AS n_tokens,
+                       (len(t) - len(list_distinct(t))) * 10000 // len(t)
+                         AS dup_tok_bp,
+                       CAST(len(g3) AS BIGINT) AS n_tri,
+                       (len(g3) - len(list_distinct(g3))) * 10000 // len(g3)
+                         AS dup_tri_bp
+                FROM b)
+              SELECT doc_id, n_tokens, dup_tok_bp, n_tri, dup_tri_bp,
+                     CAST(dup_tri_bp > 150 OR dup_tok_bp > 6500 AS INTEGER)
+                       AS flagged
+              FROM c ORDER BY doc_id""")),
+
+    // Training-mixture sampling — deterministic per-source downsampling to
+    // target rates. The 100-TB story: the rate derives from the source name
+    // ((src# % 5 + 1) / 10) and the keep decision is a per-row integer LCG
+    // over doc_id, so sampling is a pure MAP-SIDE filter of the document
+    // stream — no shuffle, no RNG state, reproducible across reruns and
+    // engines (rand() is neither). The only exchange here is the tiny
+    // per-source yield summary this query emits to audit the mixture.
+    // All arithmetic is exact BIGINT: u < rate*2^31 is tested as
+    // u*10 < k*2^31 to avoid engine-divergent double→int casts.
+    Q("j32_mixture_sample",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("k",
+          expr("cast(substring(source, 4) as int) % 5 + 1"))
+        .withColumn("kept", expr(
+          """CASE WHEN ((doc_id % 100000007) * 1103515245 + 12345)
+                       % 2147483648 * 10 < k * 2147483648
+             THEN 1 END"""))
+        .groupBy("source")
+        .agg(max(col("k")).as("k"),
+          count(lit(1)).as("n_docs"),
+          count(col("kept")).as("n_kept"))
+        .select(col("source"), round(col("k") / 10.0, 1).as("rate"),
+          col("n_docs"), col("n_kept"),
+          expr("n_kept * 10000 div n_docs").as("kept_bp"))
+        .orderBy("source"),
+      Some("""WITH s AS (
+                SELECT source,
+                       CAST(substr(source, 4) AS INT) % 5 + 1 AS k,
+                       ((doc_id % 100000007) * 1103515245 + 12345)
+                         % 2147483648 * 10 AS u10
+                FROM documents)
+              SELECT source, round(max(k) / 10.0, 1) AS rate,
+                     count(*) AS n_docs,
+                     CAST(count(*) FILTER (WHERE u10 < k * 2147483648)
+                       AS BIGINT) AS n_kept,
+                     count(*) FILTER (WHERE u10 < k * 2147483648) * 10000
+                       // count(*) AS kept_bp
+              FROM s GROUP BY source ORDER BY source""")),
+
+    // Sequence-length histogram — the packing/seq-len planning profile: doc
+    // token counts bucketed at width 32, with cumulative doc share in basis
+    // points. One keyed aggregate over the corpus; the windows run on the
+    // few-dozen-row HISTOGRAM (single-partition window is deliberate and
+    // safe — its input is the aggregated bucket table, never the corpus).
+    Q("j33_seqlen_hist",
+      (s, d) => {
+        val h = Tables.documents(s, d)
+          .select(expr("size(split(text, ' '))").as("tok"))
+          .select(expr("tok div 32").as("bucket"), col("tok"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("tok").as("sum_tokens"))
+        val cum = Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        h.withColumn("cum_docs", sum("n_docs").over(cum))
+          .withColumn("total", sum("n_docs").over(tot))
+          .select(col("bucket"), (col("bucket") * 32).as("lo"),
+            (col("bucket") * 32 + 31).as("hi"),
+            col("n_docs"), col("sum_tokens"), col("cum_docs"),
+            expr("cum_docs * 10000 div total").as("cum_bp"))
+          .orderBy("bucket")
+      },
+      Some("""WITH h AS (
+                SELECT len(string_split(text, ' ')) // 32 AS bucket,
+                       count(*) AS n_docs,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                         AS sum_tokens
+                FROM documents GROUP BY 1)
+              SELECT bucket, bucket * 32 AS lo, bucket * 32 + 31 AS hi,
+                     n_docs, sum_tokens,
+                     CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT)
+                       AS cum_docs,
+                     CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT)
+                       * 10000 // CAST(sum(n_docs) OVER () AS BIGINT)
+                       AS cum_bp
+              FROM h ORDER BY bucket"""))
   )
 }

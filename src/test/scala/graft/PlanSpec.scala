@@ -84,6 +84,34 @@ class PlanSpec extends AnyFunSuite {
       "missing output sort")
   }
 
+  test("j31 repetition scoring is map-only: no exchange except the output sort") {
+    val df = SparkEntry.queries("j31_dup_ngram_ratio")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    // all the trigram/dup math is per-row array work — the single exchange
+    // is the rangepartitioning for the deterministic ORDER BY
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+    assertScanCount("j31_dup_ngram_ratio", "documents", 1)
+  }
+
+  test("j32 mixture sampling filters map-side: one keyed agg + output sort") {
+    val df = SparkEntry.queries("j32_mixture_sample")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    // the keep-decision must never shuffle the corpus — only the per-source
+    // yield summary (hash exchange) and its ORDER BY (range) may exchange
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+    assertScanCount("j32_mixture_sample", "documents", 1)
+  }
+
+  test("j33 seq-len histogram aggregates the corpus once; windows run post-agg") {
+    val df = SparkEntry.queries("j33_seqlen_hist")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    // bucket agg (hash) + single-partition window + final sort — the
+    // windows must sit ABOVE the aggregate, so ≤3 exchanges total and the
+    // corpus is scanned exactly once
+    assert(exchanges <= 3, s"expected ≤3 exchanges, got $exchanges")
+    assertScanCount("j33_seqlen_hist", "documents", 1)
+  }
+
   test("d15 mode chain is single-shuffle: subset partitioning feeds count AND rank") {
     val df = SparkEntry.queries("d15_mode_agg")(spark, d)
     // one hash exchange (the explicit user_id repartition serves both the
