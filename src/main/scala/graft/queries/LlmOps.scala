@@ -1452,6 +1452,9 @@ object LlmOps {
     // per-source yield summary this query emits to audit the mixture.
     // All arithmetic is exact BIGINT: u < rate*2^31 is tested as
     // u*10 < k*2^31 to avoid engine-divergent double→int casts.
+    // Naming contract: sources are 'src<N>' (TESTDATA [E2]); any other
+    // shape yields a NULL rate and keeps nothing for that source rather
+    // than failing the query (measured on the ScaleSynth 's<N>' corpus).
     Q("j32_mixture_sample",
       (s, d) => Tables.documents(s, d)
         .withColumn("k",
