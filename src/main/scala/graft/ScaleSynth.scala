@@ -55,7 +55,9 @@ object ScaleSynth {
         element_at(array(lit("en"), lit("de"), lit("fr"), lit("es"),
           lit("it")), (pmod(hash(col("id"), lit(3)), lit(5)) + 1).cast("int"))
           .as("lang"),
-        concat(lit("s"), pmod(hash(col("id"), lit(5)), lit(100)))
+        // 'src<N>' — j32's documented naming contract, so mixture-sampling
+        // yield audits are valid on synthesized corpora too
+        concat(lit("src"), pmod(hash(col("id"), lit(5)), lit(100)))
           .as("source"),
         length(col("text")).cast("long").as("n_chars"))
 

@@ -153,6 +153,52 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** Shared DuckDB CTE block producing the exact J ≥ 0.9 near-dup pair set
+    * `pairs(doc_a, doc_b, jac)` — the oracle for j2 and the edge set for the
+    * j13/j30 cluster oracles. NOT a mirror of the Spark MinHash banding: it
+    * is prefix filtering (Bayardo, Ma & Srikant, "Scaling Up All Pairs
+    * Similarity Search", WWW'07) — rank each doc's shingles by global
+    * document frequency, keep only the first n - ceil(0.9·n) + 1 as the
+    * prefix, and candidates must share a prefix shingle. Complete by
+    * pigeonhole: a qualifying pair shares ≥ ceil(0.9·n) shingles, more than
+    * fit in the n - p suffix — so the exact-Jaccard verify over candidates
+    * only loses nothing, yet the n² pair space is never materialized.
+    * Validated identical to the exhaustive join at sf0.001 and sf0.01, and
+    * feasible at sf0.1 (~6 min vs >30 min exhaustive), which empties the
+    * sf0.1 oracle skip list. Length arithmetic is exact integer
+    * ((9n+9)//10 = ceil(0.9n); a.n*10 >= b.n*9 is the |a| ≥ 0.9|b| length
+    * filter) so a boundary-length pair can't be lost to float rounding.
+    */
+  private[graft] val NeardupPairsSql: String =
+    """sh AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(generate_series(1, length(text)-4),
+      |           i -> substring(text, i, 5))) AS s
+      |  FROM documents),
+      |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      |freq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+      |pref AS (
+      |  SELECT doc_id, g, n FROM (
+      |    SELECT e.doc_id, e.g, e.n,
+      |           row_number() OVER (PARTITION BY e.doc_id
+      |                              ORDER BY f.df, e.g) AS rk
+      |    FROM ex e JOIN freq f ON e.g = f.g)
+      |  WHERE rk <= n - (9 * n + 9) // 10 + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM pref a JOIN pref b
+      |    ON a.g = b.g AND a.doc_id < b.doc_id
+      |   AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9),
+      |pairs AS (
+      |  SELECT doc_a, doc_b, jac FROM (
+      |    SELECT c.doc_a, c.doc_b,
+      |           CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+      |             (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)))
+      |             AS jac
+      |    FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+      |                JOIN sh y ON y.doc_id = c.doc_b)
+      |  WHERE jac >= 0.9)""".stripMargin
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup: content-hash the text, keep the lowest doc_id per hash.
@@ -176,24 +222,17 @@ object LlmOps {
 
     // MinHash + LSH banding near-dup: shingle → fused 32-slot signature →
     // 4 bands of 8 → bucket equi-join for candidates → exact-Jaccard verify
-    // ≥ 0.9. The oracle is the exhaustive exact-Jaccard pair join — the
-    // banded path must find every qualifying pair (at the corpus's J≈0.99
-    // near-dups, per-pair miss probability ≈ (1-0.99⁸)⁴ ≈ 4e-5; recall
-    // verified exact by the oracle and by QueriesSpec at sf0.001 and sf0.1).
+    // ≥ 0.9. The oracle is an exact (prefix-filtered, NeardupPairsSql) pair
+    // join via a different algorithm — the banded path must find every
+    // qualifying pair (at the corpus's J≈0.99 near-dups, per-pair miss
+    // probability ≈ (1-0.99⁸)⁴ ≈ 4e-5; recall verified exact by the oracle
+    // at every sf incl. sf0.1, and by QueriesSpec at sf0.001 and sf0.1).
     Q("j2_minhash_neardup",
       (s, d) => neardupPairs(s, d)
         .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jaccard"))
         .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH sh AS (SELECT doc_id,
-                 list_distinct(list_transform(generate_series(1, length(text)-4),
-                   i -> substring(text, i, 5))) AS s FROM documents)
-               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
-                        4) AS jaccard
-               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-               WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9
+      Some(s"""WITH $NeardupPairsSql
+               SELECT doc_a, doc_b, round(jac, 4) AS jaccard FROM pairs
                ORDER BY doc_a, doc_b""")),
 
     // Brute-force cosine top-k (embeddings are L2-normalized → cosine ≡ dot).
@@ -530,20 +569,9 @@ object LlmOps {
           .byLabelPropagation(Tables.documents(s, d).select("doc_id"), pairs)
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE sh AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                         generate_series(1, length(text)-4),
-                         i -> substring(text, i, 5))) AS s
-                FROM documents),
-              pairs AS (
-                SELECT a.doc_id AS src, b.doc_id AS dst
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-                  >= 0.9),
-              edges AS (SELECT src, dst FROM pairs
-                        UNION ALL SELECT dst, src FROM pairs),
+      Some(s"""WITH RECURSIVE $NeardupPairsSql,
+              edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                        UNION ALL SELECT doc_b, doc_a FROM pairs),
               reach(a, b) AS (
                 SELECT doc_id, doc_id FROM documents
                 UNION
@@ -570,20 +598,9 @@ object LlmOps {
           .byStarContraction(Tables.documents(s, d).select("doc_id"), pairs)
           .orderBy("doc_id")
       },
-      Some("""WITH RECURSIVE sh AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                         generate_series(1, length(text)-4),
-                         i -> substring(text, i, 5))) AS s
-                FROM documents),
-              pairs AS (
-                SELECT a.doc_id AS src, b.doc_id AS dst
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
-                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
-                  >= 0.9),
-              edges AS (SELECT src, dst FROM pairs
-                        UNION ALL SELECT dst, src FROM pairs),
+      Some(s"""WITH RECURSIVE $NeardupPairsSql,
+              edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                        UNION ALL SELECT doc_b, doc_a FROM pairs),
               reach(a, b) AS (
                 SELECT doc_id, doc_id FROM documents
                 UNION
@@ -1452,13 +1469,17 @@ object LlmOps {
     // per-source yield summary this query emits to audit the mixture.
     // All arithmetic is exact BIGINT: u < rate*2^31 is tested as
     // u*10 < k*2^31 to avoid engine-divergent double→int casts.
-    // Naming contract: sources are 'src<N>' (TESTDATA [E2]); any other
-    // shape yields a NULL rate and keeps nothing for that source rather
-    // than failing the query (measured on the ScaleSynth 's<N>' corpus).
+    // Naming contract: sources are 'src<N>' (TESTDATA [E2]). try_cast (not
+    // cast — ANSI mode throws CAST_INVALID_INPUT on '' / non-numeric) maps
+    // any other shape to a NULL rate, and the violation is LOUD: such a
+    // source keeps nothing AND emits unmatched=1, so a mis-named corpus
+    // shows up in the audit table instead of silently vanishing from the
+    // mixture. DuckDB's TRY_CAST has the same NULL-on-failure contract, so
+    // the oracle can't diverge on bad names either.
     Q("j32_mixture_sample",
       (s, d) => Tables.documents(s, d)
         .withColumn("k",
-          expr("cast(substring(source, 4) as int) % 5 + 1"))
+          expr("try_cast(substring(source, 4) as int) % 5 + 1"))
         .withColumn("kept", expr(
           """CASE WHEN ((doc_id % 100000007) * 1103515245 + 12345)
                        % 2147483648 * 10 < k * 2147483648
@@ -1469,11 +1490,12 @@ object LlmOps {
           count(col("kept")).as("n_kept"))
         .select(col("source"), round(col("k") / 10.0, 1).as("rate"),
           col("n_docs"), col("n_kept"),
-          expr("n_kept * 10000 div n_docs").as("kept_bp"))
+          expr("n_kept * 10000 div n_docs").as("kept_bp"),
+          expr("cast(k is null as int)").as("unmatched"))
         .orderBy("source"),
       Some("""WITH s AS (
                 SELECT source,
-                       CAST(substr(source, 4) AS INT) % 5 + 1 AS k,
+                       TRY_CAST(substr(source, 4) AS INT) % 5 + 1 AS k,
                        ((doc_id % 100000007) * 1103515245 + 12345)
                          % 2147483648 * 10 AS u10
                 FROM documents)
@@ -1482,7 +1504,8 @@ object LlmOps {
                      CAST(count(*) FILTER (WHERE u10 < k * 2147483648)
                        AS BIGINT) AS n_kept,
                      count(*) FILTER (WHERE u10 < k * 2147483648) * 10000
-                       // count(*) AS kept_bp
+                       // count(*) AS kept_bp,
+                     CAST(max(k) IS NULL AS INT) AS unmatched
               FROM s GROUP BY source ORDER BY source""")),
 
     // Sequence-length histogram — the packing/seq-len planning profile: doc

@@ -336,4 +336,60 @@ class QueriesSpec extends AnyFunSuite {
     // amax=1.0: q = [64, -127, 32, 0] (0.5*127=63.5 rounds away from zero)
     assert(out(2L) == ((-31L, 223L, 64L)))
   }
+
+  test("j31 flagged rule discriminates: fires on >0 and <all docs") {
+    // A quality flag that fires never (thresholds too loose) or always
+    // (too tight) is vacuous — the corpus-tuned thresholds must split the
+    // corpus at every sf we test. Checked at sf0.001 and sf0.01.
+    for (dir <- Seq(d, TestSpark.Sf001)) {
+      val flags = SparkEntry.queries("j31_dup_ngram_ratio")(spark, dir)
+        .groupBy("flagged").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(flags.getOrElse(1, 0L) > 0, s"$dir: flag never fires")
+      assert(flags.getOrElse(0, 0L) > 0, s"$dir: flag fires on every doc")
+    }
+  }
+
+  test("j32 kept counts are EXACT per source (deterministic LCG, no slack)") {
+    import spark.implicits._
+    // The keep rule is a pure function of (doc_id, source) — so the test can
+    // compute the exact expected n_kept per source, not a binomial interval.
+    val docs = (0L until 2000L).map(id => (id, s"src${id % 7}"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-j32").toString
+    docs.toDF("doc_id", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def kept(id: Long, srcNum: Long): Boolean = {
+      val k = srcNum % 5 + 1
+      val u = ((id % 100000007L) * 1103515245L + 12345L) % 2147483648L
+      u * 10 < k * 2147483648L
+    }
+    val expect = docs.groupBy(_._2).map { case (src, rows) =>
+      src -> rows.count { case (id, s) => kept(id, s.drop(3).toLong) }.toLong
+    }
+    val got = SparkEntry.queries("j32_mixture_sample")(spark, tmp)
+      .collect().map(r => r.getString(r.fieldIndex("source")) ->
+        r.getLong(r.fieldIndex("n_kept"))).toMap
+    assert(got == expect, s"exact kept counts diverge: $got vs $expect")
+  }
+
+  test("j32 mis-named sources are LOUD: unmatched=1, NULL rate, zero kept") {
+    import spark.implicits._
+    // ScaleSynth corpora used to name sources 's<N>' — substring(source, 4)
+    // is '' there, which ANSI cast would throw on. The contract: try_cast
+    // keeps the query alive, the source keeps nothing, and unmatched=1
+    // flags the naming violation in the audit table instead of silently
+    // dropping 100% of the source.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-j32m").toString
+    Seq((1L, "s0"), (2L, "s0"), (3L, "web"), (4L, "src2"))
+      .toDF("doc_id", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = SparkEntry.queries("j32_mixture_sample")(spark, tmp)
+      .collect().map(r => r.getString(r.fieldIndex("source")) ->
+        ((r.getInt(r.fieldIndex("unmatched")),
+          r.isNullAt(r.fieldIndex("rate")),
+          r.getLong(r.fieldIndex("n_kept"))))).toMap
+    assert(rows("s0") == ((1, true, 0L)), "s0 must be flagged unmatched")
+    assert(rows("web") == ((1, true, 0L)), "web must be flagged unmatched")
+    assert(rows("src2")._1 == 0, "well-named source must not be flagged")
+  }
 }

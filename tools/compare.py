@@ -19,23 +19,31 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 # The clustering queries get a SECOND, cheap oracle: union-find over the
-# verified near-dup pair set (the j2 spark output — itself exact-oracled at
-# sf0.01; its n^2 DuckDB baseline exceeds 30 min at sf0.1). This checks the
+# exact near-dup pair set, computed IN DUCKDB by j2's prefix-filtered
+# oracle SQL (banded since round 7 — feasible at any sf, so the pair set
+# no longer bootstraps from j2's own Spark output). This checks the
 # connected-components + min-label step independently of Spark's two CC
-# implementations at ANY sf, so at sf0.1 — where the recursive-CTE SQL
-# oracle is impractical and sits on the skip list — clustering correctness
-# no longer rests on the j13==j30 differential alone. When a cluster query
-# is NOT skipped, both checks run and both must pass.
+# implementations at ANY sf. When a cluster query is on the skip list only
+# the (slow recursive-CTE) SQL oracle is skipped; the union-find check
+# always runs and must pass.
 CLUSTER_QUERIES = {"j13_dedup_clusters", "j30_cc_bigstar"}
 PAIRS_QUERY = "j2_minhash_neardup"
+_pairs_cache = {}
 
 
-def union_find_clusters(con, sf_dir, out_dir):
+def oracle_pairs(con, oracle):
+    """Exact (doc_a, doc_b) near-dup pairs via j2's DuckDB oracle SQL —
+    engine-independent of Spark. Cached: one build per compare run."""
+    if "pairs" not in _pairs_cache:
+        _pairs_cache["pairs"] = [
+            (r[0], r[1]) for r in con.execute(oracle[PAIRS_QUERY]).fetchall()]
+    return _pairs_cache["pairs"]
+
+
+def union_find_clusters(con, sf_dir, oracle):
     """(doc_id, cluster_id, is_canonical) by doc_id — the j13/j30 contract,
-    derived by union-find over the spark-emitted verified pair set."""
-    pairs = con.execute(
-        f"SELECT doc_a, doc_b FROM "
-        f"read_parquet('{out_dir}/{PAIRS_QUERY}/*.parquet')").fetchall()
+    derived by union-find over the DuckDB-computed verified pair set."""
+    pairs = oracle_pairs(con, oracle)
     ids = [r[0] for r in con.execute(
         f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
         f"ORDER BY doc_id").fetchall()]
@@ -56,16 +64,17 @@ def union_find_clusters(con, sf_dir, out_dir):
     return [(i, find(i), i == find(i)) for i in ids]
 
 
-def check_clusters(con, sf_dir, out_dir, name):
+def check_clusters(con, sf_dir, out_dir, name, oracle):
     """None if the spark output matches the union-find oracle, else a
     failure description."""
-    if not glob.glob(f"{out_dir}/{PAIRS_QUERY}/*.parquet"):
-        return f"no {PAIRS_QUERY} spark output to build the pair set from"
-    expected = union_find_clusters(con, sf_dir, out_dir)
+    expected = union_find_clusters(con, sf_dir, oracle)
     try:
+        # explicit ORDER BY: the expected list is doc_id-ordered, and file
+        # row order surviving coalesce(1) is not a contract worth relying on
         spark = con.execute(
             f"SELECT doc_id, cluster_id, is_canonical FROM "
-            f"read_parquet('{out_dir}/{name}/*.parquet')").fetchall()
+            f"read_parquet('{out_dir}/{name}/*.parquet') "
+            f"ORDER BY doc_id").fetchall()
     except Exception as e:
         return f"spark parquet read error: {str(e)[:200]}"
     if len(spark) != len(expected):
@@ -95,7 +104,7 @@ def main(sf_dir, out_dir, skip=()):
     n_pass = n_fail = 0
     for name in sorted(oracle):
         if name in CLUSTER_QUERIES:
-            err = check_clusters(con, sf_dir, out_dir, name)
+            err = check_clusters(con, sf_dir, out_dir, name, oracle)
             if err:
                 print(f"FAIL {name}: union-find oracle: {err}")
                 n_fail += 1
