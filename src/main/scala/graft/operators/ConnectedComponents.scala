@@ -71,6 +71,9 @@ object ConnectedComponents {
       s"label propagation did not converge within $iter supersteps " +
         "(component diameter exceeds the superstep budget — use " +
         "byStarContraction, which is O(log n) rounds on any graph)")
+    // telemetry: the O(diameter)-vs-O(log n) claim should carry a measured
+    // round count per corpus (scale runs cite this line in the README)
+    System.err.println(s"[cc] label-propagation fixpoint in $iter supersteps")
     labels.select(col("doc_id"), col("label").as("cluster_id"),
       (col("doc_id") === col("label")).as("is_canonical"))
   }
@@ -134,6 +137,7 @@ object ConnectedComponents {
     }
     require(fixpoint,
       s"large/small-star did not converge within $iter rounds")
+    System.err.println(s"[cc] star-contraction fixpoint in $iter rounds")
     val roots = edges.groupBy(col("u").as("doc_id"))
       .agg(min(col("v")).as("root"))
     nodes.select(col("doc_id"))
