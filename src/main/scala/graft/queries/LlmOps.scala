@@ -1545,6 +1545,148 @@ object LlmOps {
                      CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT)
                        * 10000 // CAST(sum(n_docs) OVER () AS BIGINT)
                        AS cum_bp
-              FROM h ORDER BY bucket"""))
+              FROM h ORDER BY bucket""")),
+
+    // Training-sequence packing — concat-and-chunk: docs concatenated in
+    // doc_id order and split into 2048-token context windows, the way LLM
+    // pre-training actually consumes a corpus. pack_id = running-token-sum
+    // start div 2048, plus a boundary-crossing flag, rolled up per pack.
+    // The 100-TB story: the running sum partitions on (source, shard =
+    // doc_id div 100k) — packing is order-sensitive so it CANNOT be a plain
+    // map, but sub-sharding bounds every window partition to ~100k docs, so
+    // the corpus packs in parallel instead of serializing per source (the
+    // unsharded variant would put a whole source's docs through one task).
+    Q("j34_seq_packing",
+      (s, d) => {
+        val w = Window.partitionBy("source", "shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            expr("doc_id div 100000").as("shard"),
+            expr("size(split(text, ' '))").as("toks"))
+          .withColumn("cum", sum("toks").over(w))
+          .withColumn("pack_id", expr("(cum - toks) div 2048"))
+          .withColumn("spans",
+            expr("cast((cum - 1) div 2048 != pack_id as int)"))
+          .groupBy("source", "shard", "pack_id")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("toks").cast("long").as("n_tokens"),
+            sum("spans").cast("long").as("n_spanning"))
+          .orderBy("source", "shard", "pack_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id, source, doc_id // 100000 AS shard,
+                       len(string_split(text, ' ')) AS toks
+                FROM documents),
+              w AS (
+                SELECT source, shard, toks,
+                       CAST(sum(toks) OVER (PARTITION BY source, shard
+                         ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                         AS BIGINT) AS cum
+                FROM t),
+              p AS (
+                SELECT source, shard, (cum - toks) // 2048 AS pack_id, toks,
+                       CASE WHEN (cum - 1) // 2048 != (cum - toks) // 2048
+                            THEN 1 ELSE 0 END AS spans
+                FROM w)
+              SELECT source, shard, pack_id, count(*) AS n_docs,
+                     CAST(sum(toks) AS BIGINT) AS n_tokens,
+                     CAST(sum(spans) AS BIGINT) AS n_spanning
+              FROM p GROUP BY source, shard, pack_id
+              ORDER BY source, shard, pack_id""")),
+
+    // Mixture drift monitoring — per-source unigram-distribution L1
+    // distance vs the corpus, over the global top-50 vocabulary, in EXACT
+    // basis points (per-token shares via BIGINT div — integer arithmetic
+    // end to end, so the drift number can hash-match across engines; a
+    // double KL/chi-square would flake at the last ulp). Shape: ONE
+    // token-count shuffle; source totals, global counts, and the top-50
+    // all derive from that count table (vocabulary-sized); the 50×sources
+    // grid is broadcast back against the counts, so the corpus is never
+    // re-scanned and nothing wide shuffles twice.
+    Q("j35_unigram_drift",
+      (s, d) => {
+        val counts = truncateLineage(Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c")))
+        val stot = counts.groupBy("source").agg(sum("c").as("stot"))
+        val glob = counts.groupBy("tok").agg(sum("c").as("gc"))
+        val ctot = glob.agg(sum("gc").as("ctot"))
+        val top = glob.crossJoin(broadcast(ctot))
+          .orderBy(col("gc").desc, col("tok")).limit(50)
+        broadcast(top).crossJoin(broadcast(stot))
+          .join(counts, Seq("source", "tok"), "left")
+          .select(col("source"),
+            expr("coalesce(c, 0) * 10000 div stot").as("obs_bp"),
+            expr("gc * 10000 div ctot").as("corpus_bp"))
+          .groupBy("source")
+          .agg(sum(expr("abs(obs_bp - corpus_bp)")).cast("long")
+            .as("drift_bp_l1"))
+          .orderBy("source")
+      },
+      Some("""WITH e AS (
+                SELECT source, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              cnt AS (SELECT source, tok, count(*) AS c FROM e GROUP BY 1, 2),
+              stot AS (SELECT source, CAST(sum(c) AS BIGINT) AS stot
+                       FROM cnt GROUP BY 1),
+              gcnt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS gc
+                       FROM cnt GROUP BY 1),
+              ctot AS (SELECT CAST(sum(gc) AS BIGINT) AS ctot FROM gcnt),
+              top AS (SELECT tok, gc FROM gcnt ORDER BY gc DESC, tok
+                      LIMIT 50),
+              grid AS (SELECT s.source, s.stot, t.tok, t.gc, c.ctot
+                       FROM stot s CROSS JOIN top t CROSS JOIN ctot c),
+              j AS (SELECT g.source,
+                           coalesce(c.c, 0) * 10000 // g.stot AS obs_bp,
+                           g.gc * 10000 // g.ctot AS corpus_bp
+                    FROM grid g LEFT JOIN cnt c
+                      ON c.source = g.source AND c.tok = g.tok)
+              SELECT source,
+                     CAST(sum(abs(obs_bp - corpus_bp)) AS BIGINT)
+                       AS drift_bp_l1
+              FROM j GROUP BY source ORDER BY source""")),
+
+    // Train/val/test holdout split — the j32 exact-BIGINT LCG over doc_id,
+    // mod 100 → 80/10/10. No RNG state: the assignment is a pure function
+    // of doc_id, reproducible across engines and reruns, so at 100 TB the
+    // split is a map-side tag on the document stream (j29's decontamination
+    // would then run val/test against train). Emitted audit: per
+    // (lang, split) counts + within-lang share in basis points — the tiny
+    // (languages × 3)-row table; the window runs on the audit, not the
+    // corpus.
+    Q("j36_data_split",
+      (s, d) => {
+        val a = Tables.documents(s, d)
+          .withColumn("u",
+            expr("((doc_id % 1000003) * 2654435761 + 101) % 2147483648 % 100"))
+          .withColumn("split", expr(
+            """CASE WHEN u < 80 THEN 'train'
+                    WHEN u < 90 THEN 'val' ELSE 'test' END"""))
+          .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+        val wl = Window.partitionBy("lang")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        a.withColumn("lang_total", sum("n_docs").over(wl))
+          .select(col("lang"), col("split"), col("n_docs"),
+            expr("n_docs * 10000 div lang_total").as("share_bp"))
+          .orderBy("lang", "split")
+      },
+      Some("""WITH b AS (
+                SELECT lang,
+                       ((doc_id % 1000003) * 2654435761 + 101)
+                         % 2147483648 % 100 AS u
+                FROM documents),
+              s AS (SELECT lang,
+                           CASE WHEN u < 80 THEN 'train'
+                                WHEN u < 90 THEN 'val' ELSE 'test' END
+                             AS split
+                    FROM b),
+              a AS (SELECT lang, split, count(*) AS n_docs
+                    FROM s GROUP BY 1, 2)
+              SELECT lang, split, n_docs,
+                     n_docs * 10000 //
+                       CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+                       AS share_bp
+              FROM a ORDER BY lang, split"""))
   )
 }

@@ -112,6 +112,37 @@ class PlanSpec extends AnyFunSuite {
     assertScanCount("j33_seqlen_hist", "documents", 1)
   }
 
+  test("j34 packing windows and aggregates on ONE (source, shard) exchange") {
+    val df = SparkEntry.queries("j34_seq_packing")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    // running-sum window partitions on (source, shard); the per-pack
+    // rollup's keys are a superset, so the agg must REUSE that exchange —
+    // only the window hash + the output sort range may appear
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+    assertScanCount("j34_seq_packing", "documents", 1)
+  }
+
+  test("j35 drift derives everything from ONE materialized token-count table") {
+    val df = SparkEntry.queries("j35_unigram_drift")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    // source totals, global counts, corpus total, and the top-50 all roll
+    // up from the lineage-truncated (source, tok) count table; the final
+    // plan must contain NO documents scan (the explode ran exactly once at
+    // materialization) and only vocabulary-sized exchanges above it
+    assert(exchanges == 5, s"expected 5 exchanges, got $exchanges")
+    assertScanCount("j35_unigram_drift", "documents", 0)
+  }
+
+  test("j36 split tags map-side: one audit agg + audit window + sort") {
+    val df = SparkEntry.queries("j36_data_split")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    // the LCG tag itself must never shuffle the corpus — the exchanges are
+    // the (lang, split) audit agg, the per-lang window over the 15-row
+    // audit table, and the output sort
+    assert(exchanges == 3, s"expected 3 exchanges, got $exchanges")
+    assertScanCount("j36_data_split", "documents", 1)
+  }
+
   test("d15 mode chain is single-shuffle: subset partitioning feeds count AND rank") {
     val df = SparkEntry.queries("d15_mode_agg")(spark, d)
     // one hash exchange (the explicit user_id repartition serves both the

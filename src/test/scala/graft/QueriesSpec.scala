@@ -337,6 +337,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(out(2L) == ((-31L, 223L, 64L)))
   }
 
+  test("j34 packing conserves tokens and pack ids tile the shard") {
+    val packs = SparkEntry.queries("j34_seq_packing")(spark, d).collect()
+    val totalToks = Tables.documents(spark, d)
+      .select(expr("size(split(text, ' '))").as("t"))
+      .agg(sum("t")).head().getLong(0)
+    assert(packs.map(r => r.getLong(r.fieldIndex("n_tokens"))).sum
+      == totalToks, "packing must conserve the corpus token count")
+    // within a (source, shard), pack ids must be the contiguous range
+    // 0..last — concat-and-chunk leaves no gaps
+    packs.groupBy(r => (r.getString(r.fieldIndex("source")),
+      r.getLong(r.fieldIndex("shard")))).foreach { case (k, rs) =>
+      val ids = rs.map(_.getLong(rs.head.fieldIndex("pack_id"))).sorted
+      assert(ids.head == 0L && ids.last == ids.length - 1,
+        s"$k: pack ids not contiguous from 0: ${ids.toSeq}")
+    }
+  }
+
+  test("j36 split shares sum to ~10000 bp per lang with train dominant") {
+    val rows = SparkEntry.queries("j36_data_split")(spark, d).collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val byName = rs.map(r => r.getString(r.fieldIndex("split")) ->
+        r.getLong(r.fieldIndex("share_bp"))).toMap
+      assert(byName.keySet == Set("train", "val", "test"),
+        s"$lang: missing a split: ${byName.keySet}")
+      val s = byName.values.sum
+      // integer div truncates each share, so the sum is in (10000-3, 10000]
+      assert(s > 9997 && s <= 10000, s"$lang: shares sum to $s bp")
+      assert(byName("train") > byName("val") &&
+        byName("train") > byName("test"),
+        s"$lang: train not dominant: $byName")
+    }
+  }
+
   test("j31 flagged rule discriminates: fires on >0 and <all docs") {
     // A quality flag that fires never (thresholds too loose) or always
     // (too tight) is vacuous — the corpus-tuned thresholds must split the
