@@ -1687,6 +1687,233 @@ object LlmOps {
                      n_docs * 10000 //
                        CAST(sum(n_docs) OVER (PARTITION BY lang) AS BIGINT)
                        AS share_bp
-              FROM a ORDER BY lang, split"""))
+              FROM a ORDER BY lang, split""")),
+
+    // Skip-gram collocation PMI — j27's window generalization (word2vec-
+    // style): co-occurrence pairs at token distance 1..3, not just adjacent
+    // bigrams, the statistic behind embedding-training context windows and
+    // phrase mining. The 100-TB shape is the point: pairs are generated
+    // PER ROW by nested array transforms (map-side, no positional
+    // self-join — a posexplode + range self-join on doc_id would shuffle
+    // the corpus twice and explode skewed long docs quadratically), then
+    // counted in one keyed shuffle. Spark's sequence(1, n) descends for
+    // n < 1 so the k=2,3 offsets guard the short-doc case with an explicit
+    // CASE (same pitfall as ShingleExpr); DuckDB's generate_series is
+    // empty there. Ranking on the ROUNDED pmi + pair tie-break per §5.3.
+    Q("j37_skipgram_pmi",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+        val pairs = toks.select(explode(expr(
+            """flatten(transform(sequence(1, 3), k ->
+                 CASE WHEN size(t) - k >= 1
+                 THEN transform(sequence(1, size(t) - k),
+                      i -> struct(element_at(t, i) AS a,
+                                  element_at(t, i + k) AS b))
+                 ELSE array() END))""")).as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        val unic = toks.select(explode(col("t")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n_u"))
+        val totP = pairs.agg(sum("n_ab").as("tot_p"))
+        val totU = unic.agg(sum("n_u").as("tot_u"))
+        pairs.filter(col("n_ab") >= 30)
+          .join(broadcast(unic.select(col("tok").as("a"),
+            col("n_u").as("n_a"))), "a")
+          .join(broadcast(unic.select(col("tok").as("b"),
+            col("n_u").as("n_b"))), "b")
+          .crossJoin(broadcast(totP)).crossJoin(broadcast(totU))
+          .select(
+            concat_ws(" ", col("a"), col("b")).as("pair"),
+            col("n_ab"),
+            round(log(
+              (col("n_ab").cast("double") / col("tot_p")) /
+                ((col("n_a").cast("double") / col("tot_u")) *
+                  (col("n_b").cast("double") / col("tot_u")))), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+                SELECT string_split(text, ' ') AS t FROM documents
+                WHERE len(string_split(text, ' ')) >= 2),
+              pairs AS (
+                SELECT p.a AS a, p.b AS b, COUNT(*) AS n_ab FROM (
+                  SELECT unnest(flatten(list_transform(
+                    generate_series(1, 3), k -> list_transform(
+                      generate_series(1, len(t) - k),
+                      i -> {'a': t[i], 'b': t[i + k]})))) AS p
+                  FROM toks)
+                GROUP BY 1, 2),
+              unic AS (
+                SELECT tok, COUNT(*) AS n_u FROM (
+                  SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+              totp AS (SELECT SUM(n_ab) AS tot_p FROM pairs),
+              totu AS (SELECT SUM(n_u) AS tot_u FROM unic)
+              SELECT a || ' ' || b AS pair, n_ab,
+                     round(ln((n_ab::DOUBLE / tot_p) /
+                       ((ua.n_u::DOUBLE / tot_u) *
+                        (ub.n_u::DOUBLE / tot_u))), 6) AS pmi
+              FROM pairs
+              JOIN unic ua ON pairs.a = ua.tok
+              JOIN unic ub ON pairs.b = ub.tok
+              CROSS JOIN totp CROSS JOIN totu
+              WHERE n_ab >= 30
+              ORDER BY pmi DESC, pair LIMIT 20""")),
+
+    // BM25 keyword retrieval — top-10 documents for the fixed query
+    // {spark, join, stream} (k1=1.2, b=0.75), the lexical-retrieval half of
+    // a RAG / eval-search stack. Scale shape: the token stream is filtered
+    // to the query terms BEFORE the keyed shuffle (at 100 TB only matching
+    // tokens leave the mappers), the per-doc tf table is lineage-truncated
+    // ONCE and re-aggregated for document frequencies (tiny — matched docs
+    // only), and corpus stats (N, Σdl) come from a separate count-only pass
+    // with no explode. Per-term scores live in disjoint conditional-sum
+    // slots (each sums ONE nonzero value + exact 0.0s — no float-order
+    // hazard) and combine in a fixed a+b+c order; ranking uses the ROUNDED
+    // score + doc_id tie-break, planning as TakeOrderedAndProject.
+    Q("j38_bm25_topk",
+      (s, d) => {
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("dl"),
+            split(col("text"), " ").as("t"))
+        val corpus = base.agg(count(lit(1)).as("n_docs"),
+          sum("dl").as("sum_dl"))
+        val tf = truncateLineage(base
+          .select(col("doc_id"), col("dl"), explode(col("t")).as("w"))
+          .filter(col("w").isin("spark", "join", "stream"))
+          .groupBy("doc_id")
+          .agg(max("dl").as("dl"),
+            sum(when(col("w") === "spark", 1).otherwise(0)).as("tf1"),
+            sum(when(col("w") === "join", 1).otherwise(0)).as("tf2"),
+            sum(when(col("w") === "stream", 1).otherwise(0)).as("tf3")))
+        val dfs = tf.agg(
+          sum(expr("cast(tf1 > 0 as int)")).as("df1"),
+          sum(expr("cast(tf2 > 0 as int)")).as("df2"),
+          sum(expr("cast(tf3 > 0 as int)")).as("df3"))
+        def term(i: Int) =
+          s"""CASE WHEN tf$i > 0
+              THEN ln((n_docs - df$i + 0.5) / (df$i + 0.5) + 1.0) *
+                   (tf$i * 2.2) /
+                   (tf$i + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+              ELSE 0.0 END"""
+        tf.crossJoin(broadcast(dfs)).crossJoin(broadcast(corpus))
+          .withColumn("avgdl", expr("cast(sum_dl as double) / n_docs"))
+          .withColumn("score",
+            round(expr(s"${term(1)} + ${term(2)} + ${term(3)}"), 4))
+          .select("doc_id", "tf1", "tf2", "tf3", "score")
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH base AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+                       string_split(text, ' ') AS t
+                FROM documents),
+              corpus AS (SELECT COUNT(*) AS n_docs,
+                                CAST(SUM(dl) AS BIGINT) AS sum_dl FROM base),
+              tf AS (
+                SELECT doc_id, MAX(dl) AS dl,
+                       CAST(SUM(CASE WHEN w = 'spark' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS tf1,
+                       CAST(SUM(CASE WHEN w = 'join' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS tf2,
+                       CAST(SUM(CASE WHEN w = 'stream' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS tf3
+                FROM (SELECT doc_id, dl, unnest(t) AS w FROM base)
+                WHERE w IN ('spark', 'join', 'stream')
+                GROUP BY doc_id),
+              dfs AS (
+                SELECT CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS df1,
+                       CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS df2,
+                       CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS df3
+                FROM tf)
+              SELECT doc_id, tf1, tf2, tf3,
+                     round(
+                       (CASE WHEN tf1 > 0
+                        THEN ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0) *
+                             (tf1 * 2.2) /
+                             (tf1 + 1.2 * (1.0 - 0.75 + 0.75 *
+                               (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+                        ELSE 0.0 END) +
+                       (CASE WHEN tf2 > 0
+                        THEN ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0) *
+                             (tf2 * 2.2) /
+                             (tf2 + 1.2 * (1.0 - 0.75 + 0.75 *
+                               (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+                        ELSE 0.0 END) +
+                       (CASE WHEN tf3 > 0
+                        THEN ln((n_docs - df3 + 0.5) / (df3 + 0.5) + 1.0) *
+                             (tf3 * 2.2) /
+                             (tf3 + 1.2 * (1.0 - 0.75 + 0.75 *
+                               (dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+                        ELSE 0.0 END), 4) AS score
+              FROM tf CROSS JOIN dfs CROSS JOIN corpus
+              ORDER BY score DESC, doc_id LIMIT 10""")),
+
+    // Temperature-scaled mixture weights — multilingual/multi-source
+    // sampling at temperature α=0.5 (w_s ∝ p_s^0.5, the up-weight-the-tail
+    // rule from multilingual LM training), with a 1M-token budget
+    // allocation and the resulting per-source oversample factor. α=0.5 is
+    // deliberately sqrt: IEEE sqrt is correctly rounded, so the weights are
+    // bit-identical across engines where pow(x, 0.33) would not be. The
+    // weight normalizer Σ√tokens is an ORDER-PINNED fold over the
+    // source-sorted struct list (the j28 technique) — a plain double SUM
+    // would differ in the last ulp under shuffle order. Scale shape: token
+    // counts come from per-row size(split()) — NO explode — rolled up by
+    // one map-side-partial keyed agg; everything above the truncated
+    // per-source table is source-cardinality work.
+    Q("j39_mixture_temperature",
+      (s, d) => {
+        val src = truncateLineage(Tables.documents(s, d)
+          .groupBy("source")
+          .agg(sum(size(split(col("text"), " "))).cast("long")
+            .as("n_tokens")))
+        val tot = src
+          .agg(sort_array(collect_list(struct(col("source"),
+            col("n_tokens")))).as("st"))
+          .select(
+            expr("""aggregate(st, CAST(0 AS DOUBLE),
+                    (a, x) -> a + sqrt(CAST(x.n_tokens AS DOUBLE)))""")
+              .as("tot_w"),
+            expr("aggregate(st, CAST(0 AS BIGINT), (a, x) -> a + x.n_tokens)")
+              .as("tot_tokens"))
+        src.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_tokens"),
+            expr("n_tokens * 10000 div tot_tokens").as("raw_bp"),
+            expr("""cast(floor(sqrt(cast(n_tokens as double)) * 10000
+                    / tot_w) as bigint)""").as("temp_bp"),
+            expr("""cast(floor(sqrt(cast(n_tokens as double)) * 1000000
+                    / tot_w) as bigint)""").as("alloc_tokens"))
+          .withColumn("oversample",
+            round(expr("alloc_tokens / cast(n_tokens as double)"), 4))
+          .orderBy("source")
+      },
+      Some("""WITH src AS (
+                SELECT source,
+                       CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                         AS n_tokens
+                FROM documents GROUP BY 1),
+              tot AS (
+                SELECT list_reduce(
+                         list_transform(list(n_tokens ORDER BY source),
+                           n -> sqrt(n::DOUBLE)),
+                         (a, b) -> a + b) AS tot_w,
+                       CAST(sum(n_tokens) AS BIGINT) AS tot_tokens
+                FROM src)
+              SELECT source, n_tokens,
+                     n_tokens * 10000 // tot_tokens AS raw_bp,
+                     CAST(floor(sqrt(n_tokens::DOUBLE) * 10000 / tot_w)
+                       AS BIGINT) AS temp_bp,
+                     CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000 / tot_w)
+                       AS BIGINT) AS alloc_tokens,
+                     round(CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000
+                         / tot_w) AS BIGINT) / n_tokens::DOUBLE, 4)
+                       AS oversample
+              FROM src CROSS JOIN tot ORDER BY source"""))
   )
 }

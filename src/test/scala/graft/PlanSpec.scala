@@ -143,6 +143,38 @@ class PlanSpec extends AnyFunSuite {
     assertScanCount("j36_data_split", "documents", 1)
   }
 
+  test("j37 skip-gram pairs generate map-side and plan a bounded top-k") {
+    val plan = staticPlan("j37_skipgram_pmi")
+    // pair generation must be per-row array math feeding ONE keyed count —
+    // a positional self-join on doc_id would show as a join on the corpus
+    // side; only the broadcast joins against the tiny unigram/total tables
+    // may appear, and the top-20 must not global-sort
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side SMJ:\n$plan")
+  }
+
+  test("j38 BM25 filters the token stream before its only corpus shuffle") {
+    val df = SparkEntry.queries("j38_bm25_topk")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    // the tf table is lineage-truncated once; the visible exchanges are the
+    // corpus-stats agg and the df re-agg of the materialized tf table (both
+    // single-row), with the top-10 as TakeOrderedAndProject
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+    assert(staticPlan("j38_bm25_topk").contains("TakeOrderedAndProject"),
+      "global sort for a bounded top-10")
+    assertScanCount("j38_bm25_topk", "documents", 1)
+  }
+
+  test("j39 temperature weights touch the corpus only at materialization") {
+    val df = SparkEntry.queries("j39_mixture_temperature")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    // the per-source token counts materialize once (per-row size(split) —
+    // no explode); above that everything is source-cardinality: the
+    // ordered-fold normalizer agg and the output sort
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+    assertScanCount("j39_mixture_temperature", "documents", 0)
+  }
+
   test("d15 mode chain is single-shuffle: subset partitioning feeds count AND rank") {
     val df = SparkEntry.queries("d15_mode_agg")(spark, d)
     // one hash exchange (the explicit user_id repartition serves both the

@@ -425,4 +425,71 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows("web") == ((1, true, 0L)), "web must be flagged unmatched")
     assert(rows("src2")._1 == 0, "well-named source must not be flagged")
   }
+
+  test("j37 skip-gram counts dominate j27's adjacent-bigram counts") {
+    // distance-1 pairs are a subset of distance-≤3 pairs, so for any pair
+    // both emit, the skip-gram count must be ≥ the bigram count — a cheap
+    // cross-operator consistency law tying the window generalization back
+    // to j27's oracled counts.
+    val skip = SparkEntry.queries("j37_skipgram_pmi")(spark, d).collect()
+      .map(r => r.getString(r.fieldIndex("pair")) ->
+        r.getLong(r.fieldIndex("n_ab"))).toMap
+    val bi = SparkEntry.queries("j27_bigram_pmi")(spark, d).collect()
+      .map(r => r.getString(r.fieldIndex("bigram")) ->
+        r.getLong(r.fieldIndex("n_ab"))).toMap
+    val common = skip.keySet intersect bi.keySet
+    common.foreach { p =>
+      assert(skip(p) >= bi(p), s"$p: skip-gram ${skip(p)} < bigram ${bi(p)}")
+    }
+    val pmis = SparkEntry.queries("j37_skipgram_pmi")(spark, d).collect()
+      .map(r => r.getDouble(r.fieldIndex("pmi")))
+    assert(pmis.sameElements(pmis.sortBy(-_)), "pmi not descending")
+  }
+
+  test("j38 BM25 hits actually contain a query term; scores descend") {
+    val hits = SparkEntry.queries("j38_bm25_topk")(spark, d).collect()
+    assert(hits.length == 10)
+    val scores = hits.map(r => r.getDouble(r.fieldIndex("score")))
+    assert(scores.sameElements(scores.sortBy(-_)), "scores not descending")
+    assert(scores.forall(_ > 0), "a retrieved doc scored ≤ 0")
+    // every hit must have at least one positive term frequency, and the
+    // underlying document must really contain that term (retrieval is
+    // grounded in the text, not an artifact of the scoring table)
+    val ids = hits.map(r => r.getLong(r.fieldIndex("doc_id"))).toSet
+    val texts = Tables.documents(spark, d)
+      .filter(col("doc_id").isin(ids.toSeq: _*))
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getString(r.fieldIndex("text")).split(" ").toSet).toMap
+    hits.foreach { r =>
+      val id = r.getLong(r.fieldIndex("doc_id"))
+      val tfs = Seq("tf1" -> "spark", "tf2" -> "join", "tf3" -> "stream")
+        .map { case (c, w) => w -> r.getLong(r.fieldIndex(c)) }
+      assert(tfs.exists(_._2 > 0), s"doc $id: no query term matched")
+      tfs.filter(_._2 > 0).foreach { case (w, _) =>
+        assert(texts(id).contains(w), s"doc $id: tf>0 but '$w' not in text")
+      }
+    }
+  }
+
+  test("j39 temperature flattens the mixture toward uniform") {
+    val rows = SparkEntry.queries("j39_mixture_temperature")(spark, d)
+      .collect().map(r => (r.getString(r.fieldIndex("source")),
+        r.getLong(r.fieldIndex("raw_bp")), r.getLong(r.fieldIndex("temp_bp")),
+        r.getLong(r.fieldIndex("alloc_tokens"))))
+    assert(rows.length > 1, "need ≥2 sources for a mixture")
+    // sqrt-scaling compresses shares toward uniform: the largest source
+    // must lose share, the smallest must gain (strictly, unless the two
+    // coincide), and both share columns must sum to ~10000 bp (each entry
+    // floor-truncated, so the defect is < n_sources)
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    assert(big._3 <= big._2, s"largest source gained share: $big")
+    assert(small._3 >= small._2, s"smallest source lost share: $small")
+    for (col <- Seq(rows.map(_._2), rows.map(_._3))) {
+      val s = col.sum
+      assert(s > 10000 - rows.length && s <= 10000, s"shares sum to $s bp")
+    }
+    val alloc = rows.map(_._4).sum
+    assert(alloc > 1000000 - rows.length && alloc <= 1000000,
+      s"allocation sums to $alloc of the 1M budget")
+  }
 }
