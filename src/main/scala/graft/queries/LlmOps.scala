@@ -121,16 +121,16 @@ object LlmOps {
         "doc_b")
   }
 
-  /** The j2 pipeline up to verified pairs: shingles → fused MinHash
-    * signature → banded candidates → exact-Jaccard verify ≥ 0.9.
+  /** Shingle table + banded MinHash signature keys — the shared front half
+    * of the near-dup pipelines (j2's symmetric all-pairs, j40's asymmetric
+    * delta-vs-index probe). The shingle table is lineage-truncated: it
+    * feeds the signature pipeline AND both sides of the exact-Jaccard
+    * verify join — without truncation the shingle explode re-executes per
+    * reference (4 fact scans, plan-verified).
     */
-  private def neardupPairs(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+  private def shingleBands(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     graft.functions.MinHashSignature.register(s)
-    // lineage-truncated: the shingle table feeds the signature pipeline
-    // AND both sides of the exact-Jaccard verify join — without truncation
-    // the shingle explode re-executes per reference (4 fact scans,
-    // plan-verified)
     val sh = truncateLineage(Tables.documents(s, d)
       .select(col("doc_id"), expr(ShingleExpr).as("sh")))
     val mh = sh.withColumn("mh", expr(s"graft_minhash(sh, $NumHashes)"))
@@ -138,6 +138,15 @@ object LlmOps {
       explode(array((0 until NumBands).map(b =>
         struct(lit(b).as("b") +: (0 until RowsPerBand).map(r =>
           col("mh")(RowsPerBand * b + r).as(s"v$r")): _*)): _*)).as("bk"))
+    (sh, bands)
+  }
+
+  /** The j2 pipeline up to verified pairs: shingles → fused MinHash
+    * signature → banded candidates → exact-Jaccard verify ≥ 0.9.
+    */
+  private def neardupPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val (sh, bands) = shingleBands(s, d)
     val cand = bands.alias("x")
       .join(bands.alias("y"),
         col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
@@ -1914,6 +1923,67 @@ object LlmOps {
                      round(CAST(floor(sqrt(n_tokens::DOUBLE) * 1000000
                          / tot_w) AS BIGINT) / n_tokens::DOUBLE, 4)
                        AS oversample
-              FROM src CROSS JOIN tot ORDER BY source"""))
+              FROM src CROSS JOIN tot ORDER BY source""")),
+
+    // Incremental near-dup — the production dedup shape: a new-crawl DELTA
+    // (stand-in: doc_id % 10 == 0) probed against the existing INDEX (the
+    // other 90%), reusing j2's shingle→MinHash→band machinery but with an
+    // ASYMMETRIC banded join: delta bands × index bands, no within-index
+    // pairing. At 100 TB the index's band keys are precomputed and stored
+    // (signature build is incremental by construction — new docs never
+    // re-signature the index), so a daily delta costs O(|delta| + matched
+    // buckets), not a corpus-wide re-dedup; within-delta duplicates are
+    // j1/j2's job on the delta alone. Output: per matched delta doc, its
+    // best index match (max Jaccard, min doc_id tie-break on the EXACT
+    // division both engines compute identically) + the match count.
+    Q("j40_incremental_neardup",
+      (s, d) => {
+        val (sh, bands) = shingleBands(s, d)
+        val bd = bands.filter(col("doc_id") % 10 === 0)
+        val bi = bands.filter(col("doc_id") % 10 =!= 0)
+        val cand = bd.alias("x").join(bi.alias("y"),
+            col("x.bk") === col("y.bk"))
+          .select(col("x.doc_id").as("delta_doc"),
+            col("y.doc_id").as("index_doc"))
+          .distinct()
+        val shD = sh.select(col("doc_id").as("delta_doc"),
+          col("sh").as("sh_d"))
+        val shI = sh.select(col("doc_id").as("index_doc"),
+          col("sh").as("sh_i"))
+        val w = Window.partitionBy("delta_doc")
+          .orderBy(col("jac").desc, col("index_doc"))
+        cand.join(shD, "delta_doc").join(shI, "index_doc")
+          .withColumn("inter",
+            size(array_intersect(col("sh_d"), col("sh_i"))))
+          .withColumn("jac", col("inter").cast("double") /
+            (size(col("sh_d")) + size(col("sh_i")) - col("inter")))
+          .filter(col("jac") >= 0.9)
+          .withColumn("rk", row_number().over(w))
+          .withColumn("n_matches",
+            count(lit(1)).over(Window.partitionBy("delta_doc")))
+          .filter(col("rk") === 1)
+          .select(col("delta_doc"), col("index_doc").as("best_match"),
+            round(col("jac"), 4).as("jaccard"), col("n_matches"))
+          .orderBy("delta_doc")
+      },
+      Some(s"""WITH $NeardupPairsSql,
+               cross_pairs AS (
+                 SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END
+                          AS delta_doc,
+                        CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END
+                          AS index_doc,
+                        jac
+                 FROM pairs
+                 WHERE (doc_a % 10 = 0) != (doc_b % 10 = 0)),
+               r AS (
+                 SELECT delta_doc, index_doc, jac,
+                        row_number() OVER (PARTITION BY delta_doc
+                          ORDER BY jac DESC, index_doc) AS rk,
+                        count(*) OVER (PARTITION BY delta_doc) AS n_matches
+                 FROM cross_pairs)
+               SELECT delta_doc, index_doc AS best_match,
+                      round(jac, 4) AS jaccard,
+                      CAST(n_matches AS BIGINT) AS n_matches
+               FROM r WHERE rk = 1 ORDER BY delta_doc"""))
   )
 }

@@ -165,6 +165,17 @@ class PlanSpec extends AnyFunSuite {
     assertScanCount("j38_bm25_topk", "documents", 1)
   }
 
+  test("j40 incremental probe reads only the materialized shingle table") {
+    val plan = staticPlan("j40_incremental_neardup")
+    // the shingle table materializes once and feeds the signature build
+    // AND both verify sides — the final plan must never re-scan documents
+    // (at scale the index's band keys are precomputed; re-scanning the
+    // corpus per reference is exactly the regression this pins against)
+    assertScanCount("j40_incremental_neardup", "documents", 0)
+    assert(plan.contains("TakeOrderedAndProject") ||
+      plan.contains("rangepartitioning"), "missing deterministic output sort")
+  }
+
   test("j39 temperature weights touch the corpus only at materialization") {
     val df = SparkEntry.queries("j39_mixture_temperature")(spark, d)
     val exchanges = graft.layout.Layout.countExchanges(df)

@@ -471,6 +471,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("j40 incremental matches are exactly j2's cross delta/index pairs") {
+    // j40 must agree with the symmetric all-pairs oracle restricted to
+    // pairs with exactly one delta (doc_id % 10 == 0) endpoint: same
+    // matched delta docs, same per-delta match counts, and the emitted
+    // best match carries the group's max (rounded) Jaccard.
+    val sym = SparkEntry.queries("j2_minhash_neardup")(spark, d).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_a")),
+        r.getLong(r.fieldIndex("doc_b")),
+        r.getDouble(r.fieldIndex("jaccard"))))
+    val cross = sym.flatMap { case (a, b, j) =>
+      (a % 10 == 0, b % 10 == 0) match {
+        case (true, false) => Some((a, b, j))
+        case (false, true) => Some((b, a, j))
+        case _ => None
+      }
+    }.groupBy(_._1)
+    val inc = SparkEntry.queries("j40_incremental_neardup")(spark, d)
+      .collect().map(r => r.getLong(r.fieldIndex("delta_doc")) ->
+        ((r.getLong(r.fieldIndex("best_match")),
+          r.getDouble(r.fieldIndex("jaccard")),
+          r.getLong(r.fieldIndex("n_matches"))))).toMap
+    assert(inc.keySet == cross.keySet,
+      s"matched delta docs diverge: ${inc.keySet} vs ${cross.keySet}")
+    assert(inc.nonEmpty, "no cross pairs at this sf — the law is vacuous")
+    cross.foreach { case (delta, rows) =>
+      val (best, jac, n) = inc(delta)
+      assert(n == rows.length, s"$delta: n_matches $n != ${rows.length}")
+      assert(rows.exists(_._2 == best), s"$delta: best $best not a match")
+      assert(jac == rows.map(_._3).max, s"$delta: jac $jac not the max")
+    }
+  }
+
   test("j39 temperature flattens the mixture toward uniform") {
     val rows = SparkEntry.queries("j39_mixture_temperature")(spark, d)
       .collect().map(r => (r.getString(r.fieldIndex("source")),
