@@ -121,25 +121,80 @@ object LlmOps {
         "doc_b")
   }
 
-  /** Shingle table + banded MinHash signature keys — the shared front half
-    * of the near-dup pipelines (j2's symmetric all-pairs, j40's asymmetric
-    * delta-vs-index probe). The shingle table is lineage-truncated: it
-    * feeds the signature pipeline AND both sides of the exact-Jaccard
-    * verify join — without truncation the shingle explode re-executes per
-    * reference (4 fact scans, plan-verified).
-    */
-  private def shingleBands(s: org.apache.spark.sql.SparkSession, d: String)
-      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    graft.functions.MinHashSignature.register(s)
-    val sh = truncateLineage(Tables.documents(s, d)
-      .select(col("doc_id"), expr(ShingleExpr).as("sh")))
+  /** Banded MinHash signature keys `(doc_id, bk)` from a shingle table. */
+  private def bandKeys(sh: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val mh = sh.withColumn("mh", expr(s"graft_minhash(sh, $NumHashes)"))
-    val bands = mh.select(col("doc_id"),
+    mh.select(col("doc_id"),
       explode(array((0 until NumBands).map(b =>
         struct(lit(b).as("b") +: (0 until RowsPerBand).map(r =>
           col("mh")(RowsPerBand * b + r).as(s"v$r")): _*)): _*)).as("bk"))
-    (sh, bands)
   }
+
+  /** Near-dup index over `docs(doc_id, text, ...)`: the lineage-truncated
+    * shingle table + its banded signature keys — the shared front half of
+    * the near-dup pipelines (j2's symmetric all-pairs, j40's asymmetric
+    * probe, and the streaming probe in `StreamOps`). Truncation matters:
+    * the shingle table feeds the signature pipeline AND the exact-Jaccard
+    * verify side — without it the shingle explode re-executes per
+    * reference (4 fact scans, plan-verified). At 100 TB this pair is what
+    * a production pipeline PERSISTS — signatures are incremental by
+    * construction, so new documents never re-signature the index.
+    */
+  private[graft] def buildNeardupIndex(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    graft.functions.MinHashSignature.register(docs.sparkSession)
+    val sh = truncateLineage(
+      docs.select(col("doc_id"), expr(ShingleExpr).as("sh")))
+    (sh, bandKeys(sh))
+  }
+
+  /** j40's probe, reusable per streaming micro-batch: band the delta docs,
+    * equi-join the index band table for candidates, exact-Jaccard verify
+    * ≥ 0.9, and emit per matched delta doc its best index match (max
+    * Jaccard, min doc_id tie-break) + the match count. The batch j40 query
+    * and `StreamOps.neardupProbeStream` both run exactly this code —
+    * batch/stream parity is by construction (and differential-tested).
+    */
+  private[graft] def probeNeardupIndex(
+      deltaDocs: org.apache.spark.sql.DataFrame,
+      index: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame))
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.MinHashSignature.register(deltaDocs.sparkSession)
+    val (shI, bandsI) = index
+    val shD = truncateLineage(
+      deltaDocs.select(col("doc_id"), expr(ShingleExpr).as("sh")))
+    val cand = bandKeys(shD).alias("x")
+      .join(bandsI.alias("y"), col("x.bk") === col("y.bk"))
+      .select(col("x.doc_id").as("delta_doc"),
+        col("y.doc_id").as("index_doc"))
+      .distinct()
+    val w = Window.partitionBy("delta_doc")
+      .orderBy(col("jac").desc, col("index_doc"))
+    cand
+      .join(shD.select(col("doc_id").as("delta_doc"), col("sh").as("sh_d")),
+        "delta_doc")
+      .join(shI.select(col("doc_id").as("index_doc"), col("sh").as("sh_i")),
+        "index_doc")
+      .withColumn("inter", size(array_intersect(col("sh_d"), col("sh_i"))))
+      .withColumn("jac", col("inter").cast("double") /
+        (size(col("sh_d")) + size(col("sh_i")) - col("inter")))
+      .filter(col("jac") >= 0.9)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_matches",
+        count(lit(1)).over(Window.partitionBy("delta_doc")))
+      .filter(col("rk") === 1)
+      .select(col("delta_doc"), col("index_doc").as("best_match"),
+        round(col("jac"), 4).as("jaccard"), col("n_matches"))
+      .orderBy("delta_doc")
+  }
+
+  /** The symmetric shingle+band front for j2: one shingle pass over the
+    * whole table (the symmetric all-pairs join filters sides itself).
+    */
+  private def shingleBands(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    buildNeardupIndex(Tables.documents(s, d))
 
   /** The j2 pipeline up to verified pairs: shingles → fused MinHash
     * signature → banded candidates → exact-Jaccard verify ≥ 0.9.
@@ -1938,33 +1993,9 @@ object LlmOps {
     // division both engines compute identically) + the match count.
     Q("j40_incremental_neardup",
       (s, d) => {
-        val (sh, bands) = shingleBands(s, d)
-        val bd = bands.filter(col("doc_id") % 10 === 0)
-        val bi = bands.filter(col("doc_id") % 10 =!= 0)
-        val cand = bd.alias("x").join(bi.alias("y"),
-            col("x.bk") === col("y.bk"))
-          .select(col("x.doc_id").as("delta_doc"),
-            col("y.doc_id").as("index_doc"))
-          .distinct()
-        val shD = sh.select(col("doc_id").as("delta_doc"),
-          col("sh").as("sh_d"))
-        val shI = sh.select(col("doc_id").as("index_doc"),
-          col("sh").as("sh_i"))
-        val w = Window.partitionBy("delta_doc")
-          .orderBy(col("jac").desc, col("index_doc"))
-        cand.join(shD, "delta_doc").join(shI, "index_doc")
-          .withColumn("inter",
-            size(array_intersect(col("sh_d"), col("sh_i"))))
-          .withColumn("jac", col("inter").cast("double") /
-            (size(col("sh_d")) + size(col("sh_i")) - col("inter")))
-          .filter(col("jac") >= 0.9)
-          .withColumn("rk", row_number().over(w))
-          .withColumn("n_matches",
-            count(lit(1)).over(Window.partitionBy("delta_doc")))
-          .filter(col("rk") === 1)
-          .select(col("delta_doc"), col("index_doc").as("best_match"),
-            round(col("jac"), 4).as("jaccard"), col("n_matches"))
-          .orderBy("delta_doc")
+        val docs = Tables.documents(s, d)
+        val index = buildNeardupIndex(docs.filter(col("doc_id") % 10 =!= 0))
+        probeNeardupIndex(docs.filter(col("doc_id") % 10 === 0), index)
       },
       Some(s"""WITH $NeardupPairsSql,
                cross_pairs AS (

@@ -488,6 +488,29 @@ object StreamOps {
   def purchaseClickLeftJoin(events: Dataset[Event]): DataFrame =
     purchaseClickIntervalJoin(events, "left_outer")
 
+  /** Streaming incremental near-dup: a stream of new documents
+    * `(doc_id BIGINT, text STRING)` probed per micro-batch against a
+    * prebuilt STATIC near-dup index (`LlmOps.buildNeardupIndex`) — the
+    * batch j40 delta-vs-index shape as continuous ingestion. foreachBatch
+    * runs the SAME probe code as the batch query (`probeNeardupIndex`), so
+    * batch/stream parity is by construction; the differential test asserts
+    * it. Per-doc results are complete within the doc's own micro-batch (a
+    * document is one row), so batching granularity cannot change the
+    * output. The index pair is built once by the caller — at scale it is a
+    * persisted band table, and each micro-batch costs O(batch + matched
+    * buckets), never a corpus re-dedup.
+    */
+  def neardupProbeStream(
+      deltaDocs: DataFrame,
+      index: (DataFrame, DataFrame),
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deltaDocs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.queries.LlmOps.probeNeardupIndex(batch, index), id)
+      }
+      .start()
+
   /** `eventsDir` must be a DIRECTORY of events-schema parquet files (file
     * streaming sources watch directories; new files = new micro-batches).
     */

@@ -694,4 +694,32 @@ class StreamingSpec extends AnyFunSuite {
     val feats = rows.map(r => r.getSeq[Double](3))
     assert(feats.forall(f => f.length == 16 && math.abs(f.sum - 1.0) < 1e-9))
   }
+
+  test("streaming incremental near-dup matches the batch j40 exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // same corpus split as the registered j40: index = 90%, delta = the
+    // doc_id % 10 == 0 docs, streamed in two micro-batches
+    val docs = Tables.documents(spark, d)
+    val index = graft.queries.LlmOps
+      .buildNeardupIndex(docs.filter(col("doc_id") % 10 =!= 0))
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val in = MemoryStream[(Long, String)]
+    val buf = scala.collection.mutable.Buffer.empty[(Long, Long, Double, Long)]
+    val q = StreamOps.neardupProbeStream(
+      in.toDS().toDF("doc_id", "text"), index,
+      (out, _) => buf ++= out.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3))))
+    delta.grouped((delta.size + 1) / 2).foreach { half =>
+      in.addData(half); q.processAllAvailable()
+    }
+    q.stop()
+    val batch = SparkEntry.queries("j40_incremental_neardup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3))).toSeq
+    assert(batch.nonEmpty, "no matches at this sf — differential is vacuous")
+    assert(buf.sortBy(_._1).toSeq == batch.sortBy(_._1),
+      s"stream/batch diverge:\n  stream=${buf.sortBy(_._1)}\n  batch =$batch")
+  }
 }
