@@ -503,6 +503,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("j40 probe always finds exact clones — J=1 recall is deterministic") {
+    import spark.implicits._
+    // An exact clone has an identical shingle set, hence an identical
+    // MinHash signature, hence EVERY band collides: unlike the
+    // probabilistic J<1 recall, clone recall is a certainty the test can
+    // assert without slack. Junk docs (J≈0 vs everything) must not match.
+    val a = ("the quick brown fox jumps over the lazy dog " * 4).trim
+    val b = ("pack my box with five dozen liquor jugs now " * 4).trim
+    val c = ("how vexingly quick daft zebras jump today ok " * 4).trim
+    val junk = ("zzqy xkwv jjfp qqmn vvbb ggrr hhss ttuu wwoo " * 4).trim
+    val index = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val delta = Seq((10L, a), (20L, b), (40L, junk)).toDF("doc_id", "text")
+    val out = graft.queries.LlmOps
+      .probeNeardupIndex(delta, graft.queries.LlmOps.buildNeardupIndex(index))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+    assert(out.keySet == Set(10L, 20L), s"matched set wrong: ${out.keySet}")
+    assert(out(10L) == ((1L, 1.0, 1L)), s"clone 10: ${out(10L)}")
+    assert(out(20L) == ((2L, 1.0, 1L)), s"clone 20: ${out(20L)}")
+  }
+
   test("j39 temperature flattens the mixture toward uniform") {
     val rows = SparkEntry.queries("j39_mixture_temperature")(spark, d)
       .collect().map(r => (r.getString(r.fieldIndex("source")),
