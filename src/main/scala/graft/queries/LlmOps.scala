@@ -2015,6 +2015,213 @@ object LlmOps {
                SELECT delta_doc, index_doc AS best_match,
                       round(jac, 4) AS jaccard,
                       CAST(n_matches AS BIGINT) AS n_matches
-               FROM r WHERE rk = 1 ORDER BY delta_doc"""))
+               FROM r WHERE rk = 1 ORDER BY delta_doc""")),
+
+    // Count-Min-sketch heavy hitters — the fixed-memory frequency sketch
+    // (Cormode & Muthukrishnan, J.Alg'05): d=4 salted hash rows × w=256
+    // buckets; est(t) = min over rows of the bucket count, which can only
+    // OVERcount (collisions add, never subtract) — that one-sided error is
+    // the invariant QueriesSpec asserts. Hashes are md5-hex digits (the
+    // cross-engine-reproducible j10 technique: bucket = first two hex
+    // chars of md5('cm<r>:'||tok), so both engines compute the identical
+    // 1024-cell sketch bit for bit). Scale shape: the sketch is 1,024
+    // cells — a map-side-combining aggregate whose shuffle is 1,024 rows
+    // per partition REGARDLESS of corpus size; that is the whole point of
+    // the sketch at 100 TB, where the exact vocabulary shuffle (j22) pays
+    // per distinct token. Here the registered query derives both sketch
+    // and exact counts from ONE materialized token-count table (the
+    // vocab-sized j22 aggregate) so the measured overestimate is exact and
+    // oracle-checked — the j9/j11 pattern: the exact side is the
+    // correctness baseline the sketch is judged against.
+    Q("j41_cms_heavyhitters",
+      (s, d) => {
+        // one corpus token shuffle, materialized once; the sketch build,
+        // the top-k candidates, and the probe all read this tiny table
+        val counts = truncateLineage(Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("c")))
+        // (row, bucket) per token via a nested transform: the inner
+        // transform materializes the 4 salted md5s ONCE each, the outer
+        // reads 2 hex digits per hash — 4 md5 evals per token, not 8
+        val rbExpr =
+          """transform(
+               transform(sequence(0, 3),
+                 r -> md5(concat('cm', r, ':', tok))),
+               h -> (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+                  + (instr('0123456789abcdef', substring(h, 2, 1)) - 1))"""
+        val cells = counts
+          .select(col("c"), posexplode(expr(rbExpr)).as(Seq("r", "b")))
+          .groupBy("r", "b").agg(sum("c").as("cell"))
+        val probe = counts
+          .orderBy(col("c").desc, col("tok")).limit(20)
+          .select(col("tok"), col("c"), posexplode(expr(rbExpr))
+            .as(Seq("r", "b")))
+        probe.join(broadcast(cells), Seq("r", "b"))
+          .groupBy("tok", "c").agg(min("cell").as("cms_est"))
+          .select(col("tok"), col("c").as("exact_tf"), col("cms_est"),
+            expr("(cms_est - c) * 10000 div c").as("over_bp"))
+          .orderBy(col("exact_tf").desc, col("tok"))
+      },
+      Some("""WITH counts AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY tok),
+              rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+              cells AS (
+                SELECT r,
+                       (strpos('0123456789abcdef', substring(
+                          md5('cm' || r || ':' || tok), 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substring(
+                          md5('cm' || r || ':' || tok), 2, 1)) - 1) AS b,
+                       CAST(sum(c) AS BIGINT) AS cell
+                FROM counts CROSS JOIN rs GROUP BY 1, 2),
+              top AS (SELECT tok, c FROM counts
+                      ORDER BY c DESC, tok LIMIT 20),
+              probe AS (
+                SELECT tok, c, r,
+                       (strpos('0123456789abcdef', substring(
+                          md5('cm' || r || ':' || tok), 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substring(
+                          md5('cm' || r || ':' || tok), 2, 1)) - 1) AS b
+                FROM top CROSS JOIN rs)
+              SELECT tok, c AS exact_tf, min(cell) AS cms_est,
+                     (min(cell) - c) * 10000 // c AS over_bp
+              FROM probe JOIN cells USING (r, b)
+              GROUP BY tok, c ORDER BY exact_tf DESC, tok""")),
+
+    // Deterministic bottom-k sampling — the distributed-correct reservoir:
+    // priority = md5('bk:'||doc_id), keep the k lowest priorities per
+    // source. Bottom-k by hashed priority is MERGEABLE (bottom-k of a
+    // union = bottom-k of the per-partition bottom-k's — the LawsSpec
+    // property), which plain sequential reservoir sampling is not: that is
+    // what makes this the sampling shape that survives partitioned
+    // execution, retries, and incremental appends at 100 TB, and the
+    // sample is reproducible run over run (no RNG state, j32's principle).
+    // Shape: one window shuffle on source; at cluster scale the same
+    // bottom-k is expressible as a per-key bounded heap (the k2/streaming
+    // top-k Aggregator) when even the window's full-partition sort is too
+    // much.
+    Q("j42_bottomk_sample",
+      (s, d) => {
+        val w = Window.partitionBy("source").orderBy("pri", "doc_id")
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            md5(concat(lit("bk:"), col("doc_id").cast("string"))).as("pri"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 10)
+          .select("source", "rk", "doc_id", "pri")
+          .orderBy("source", "rk")
+      },
+      Some("""WITH p AS (
+                SELECT source, doc_id,
+                       md5('bk:' || CAST(doc_id AS VARCHAR)) AS pri
+                FROM documents),
+              r AS (
+                SELECT source, doc_id, pri,
+                       CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY pri, doc_id) AS BIGINT) AS rk
+                FROM p)
+              SELECT source, rk, doc_id, pri
+              FROM r WHERE rk <= 10 ORDER BY source, rk""")),
+
+    // Bloom-filter decontamination — j29's broadcast-probe design with the
+    // bloom filter made literal: the eval suite's 8-grams set k=3 salted
+    // md5 positions in an m=4096-bit filter, and a training gram is a
+    // bloom HIT iff all 3 of its positions are set. The filter is ≤4,096
+    // distinct positions → broadcasts at any corpus size, so detection
+    // stays a map-side probe of the 100 TB training stream with FIXED
+    // memory — where j29's exact gram set grows with the eval suite. The
+    // price is one-sided error: false POSITIVES only (never negatives —
+    // the LawsSpec-grade invariant: bloom_hits ≥ exact_hits per doc, and
+    // every j29-contaminated doc reappears here). The exact probe rides
+    // along to measure the FP rate; a production pass would drop it or
+    // use it as the second-stage verify on the (tiny) bloom-flagged slice.
+    Q("j43_bloom_decontaminate",
+      (s, d) => {
+        val grams = truncateLineage(
+          Tables.documents(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("t"))
+            .filter(size(col("t")) >= 8)
+            .select(col("doc_id"), explode(expr(
+              """transform(sequence(1, size(t) - 7),
+                 i -> concat_ws(' ', slice(t, i, 8)))""")).as("g8"))
+            .distinct())
+        // nested transform = 3 md5 evals per gram (inner materializes the
+        // salted hashes, outer reads 3 hex digits from each — the j41
+        // CollapseProject dodge); 3 hex chars → positions in [0, 4096)
+        val posExpr =
+          """transform(
+               transform(sequence(0, 2),
+                 i -> md5(concat('bf', i, ':', g8))),
+               h -> (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 256
+                  + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 16
+                  + (instr('0123456789abcdef', substring(h, 3, 1)) - 1))"""
+        val evalG = grams.filter(col("doc_id") % 20 === 0)
+          .select("g8").distinct()
+        val bits = evalG.select(explode(expr(posExpr)).as("pos"))
+          .distinct().withColumn("set", lit(true))
+        // probe: 3 (gram, pos) rows per training gram, broadcast bit-set
+        // join, bloom hit = all 3 positions present; then one LEFT probe
+        // of the exact eval set (j29's shape) measures the FP rate
+        val bhit = grams.filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"), col("g8"), explode(expr(posExpr)).as("pos"))
+          .join(broadcast(bits), Seq("pos"), "left")
+          .groupBy("doc_id", "g8")
+          .agg((count(col("set")) === 3).cast("int").as("bhit"))
+        bhit.join(broadcast(evalG.withColumn("ex", lit(true))),
+            Seq("g8"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_g8"),
+            sum("bhit").as("bloom_hits"),
+            count(col("ex")).as("exact_hits"))
+          .filter(col("bloom_hits") > 0)
+          .withColumn("false_pos", col("bloom_hits") - col("exact_hits"))
+          .select("doc_id", "n_g8", "bloom_hits", "exact_hits", "false_pos")
+          .orderBy("doc_id")
+      },
+      Some("""WITH grams AS (
+                SELECT DISTINCT doc_id, g8 FROM (
+                  SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(t) - 7),
+                    i -> array_to_string(t[i:i + 7], ' '))) AS g8
+                  FROM (SELECT doc_id, string_split(text, ' ') AS t
+                        FROM documents WHERE
+                          len(string_split(text, ' ')) >= 8))),
+              ev AS (
+                SELECT DISTINCT g8 FROM grams WHERE doc_id % 20 = 0),
+              bits AS (
+                SELECT DISTINCT unnest(list_transform(
+                  list_transform([0, 1, 2], i -> md5('bf' || i || ':' || g8)),
+                  h -> (strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+                         * 256
+                     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+                         * 16
+                     + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1)))
+                  AS pos
+                FROM ev),
+              gp AS (
+                SELECT doc_id, g8, unnest(list_transform(
+                  list_transform([0, 1, 2], i -> md5('bf' || i || ':' || g8)),
+                  h -> (strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+                         * 256
+                     + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+                         * 16
+                     + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1)))
+                  AS pos
+                FROM grams WHERE doc_id % 20 != 0),
+              b AS (
+                SELECT doc_id, g8,
+                       CASE WHEN count(CASE WHEN pos IN
+                              (SELECT pos FROM bits) THEN 1 END) = 3
+                            THEN 1 ELSE 0 END AS bhit
+                FROM gp GROUP BY doc_id, g8)
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_g8,
+                     CAST(sum(bhit) AS BIGINT) AS bloom_hits,
+                     CAST(count(e.m) AS BIGINT) AS exact_hits,
+                     CAST(sum(bhit) - count(e.m) AS BIGINT) AS false_pos
+              FROM b LEFT JOIN (SELECT g8, TRUE AS m FROM ev) e USING (g8)
+              GROUP BY doc_id HAVING sum(bhit) > 0 ORDER BY doc_id"""))
   )
 }

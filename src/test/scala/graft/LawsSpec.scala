@@ -124,4 +124,29 @@ object LawsSpec extends Properties("graft") {
         val h = MediaPipeline.fakeDecode(bs.toArray)
         h.length == 16 && math.abs(h.sum - 1.0) < 1e-9 && h.forall(_ >= 0.0)
     }
+
+  // ---- j42 bottom-k sampling: the property that makes hashed-priority
+  // bottom-k the DISTRIBUTED-correct reservoir — merging per-partition
+  // bottom-k's and re-taking the bottom k gives exactly the global
+  // bottom-k, for ANY partitioning. Plain sequential reservoir sampling
+  // has no such merge. Replicates the query's priority (md5 of
+  // 'bk:'||doc_id, hex-string order) in pure JVM code.
+  private def bkPriority(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"bk:$id".getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
+  private def bottomK(ids: Seq[Long], k: Int): Seq[Long] =
+    ids.distinct.map(id => (bkPriority(id), id)).sorted.take(k).map(_._2)
+
+  property("bottom-k by hashed priority: merge of partitions == whole") =
+    Prop.forAll(
+      Gen.listOf(Gen.choose(0L, 100000L)),
+      Gen.choose(1, 8), Gen.choose(1, 12)) { (ids0, nParts, k) =>
+      val ids = ids0.distinct
+      val parts = ids.groupBy(id => math.abs(id.hashCode) % nParts)
+        .values.toSeq
+      bottomK(parts.flatMap(p => bottomK(p, k)), k) == bottomK(ids, k)
+    }
 }

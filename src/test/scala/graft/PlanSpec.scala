@@ -377,4 +377,37 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2,
       s"extra shuffle below the Q18 join (got $exchanges exchanges)")
   }
+
+  test("j41 CMS derives sketch + candidates from ONE materialized count table") {
+    val df = SparkEntry.queries("j41_cms_heavyhitters")(spark, d)
+    // the token explode and its keyed count run exactly once at
+    // materialization: the final plan must contain NO documents scan, the
+    // 1,024-cell sketch side must broadcast into the 80-row probe join,
+    // and only vocabulary-sized exchanges may remain above the truncation
+    assertScanCount("j41_cms_heavyhitters", "documents", 0)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "sketch cells must broadcast")
+  }
+
+  test("j42 bottom-k is one window shuffle on source + the output sort") {
+    val df = SparkEntry.queries("j42_bottomk_sample")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    // the priority hash is map-side; the window's source hash exchange and
+    // the deterministic ORDER BY range exchange are the only shuffles
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+    assertScanCount("j42_bottomk_sample", "documents", 1)
+  }
+
+  test("j43 bloom probes broadcast-only above the materialized gram table") {
+    val df = SparkEntry.queries("j43_bloom_decontaminate")(spark, d)
+    // the gram table (shared with the eval slice) is lineage-truncated
+    // once — no documents scan in the final plan; the bit-set and the
+    // exact eval set must BROADCAST into the training stream (the whole
+    // 100-TB point: the training side never wide-joins), leaving only the
+    // per-(doc,gram) and per-doc keyed aggregates as hash exchanges
+    assertScanCount("j43_bloom_decontaminate", "documents", 0)
+    val plan = df.queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast == 2, s"expected 2 broadcast joins, got $nBroadcast")
+  }
 }

@@ -545,4 +545,65 @@ class QueriesSpec extends AnyFunSuite {
     assert(alloc > 1000000 - rows.length && alloc <= 1000000,
       s"allocation sums to $alloc of the 1M budget")
   }
+
+  test("j41 CMS error is one-sided: est ≥ exact for every heavy hitter") {
+    // The Count-Min guarantee: collisions ADD counts, never subtract, so
+    // the sketch can only overestimate. An underestimate anywhere means
+    // the hash rows or the min are wrong. Checked at two sfs.
+    for (dir <- Seq(d, TestSpark.Sf001)) {
+      val rows = SparkEntry.queries("j41_cms_heavyhitters")(spark, dir)
+        .collect()
+      assert(rows.length == 20, s"$dir: expected top-20")
+      rows.foreach { r =>
+        val (tf, est, bp) = (r.getLong(r.fieldIndex("exact_tf")),
+          r.getLong(r.fieldIndex("cms_est")),
+          r.getLong(r.fieldIndex("over_bp")))
+        assert(est >= tf, s"$dir: CMS underestimates: est=$est < tf=$tf")
+        assert(bp >= 0 && bp == (est - tf) * 10000 / tf,
+          s"$dir: over_bp inconsistent")
+      }
+    }
+  }
+
+  test("j42 bottom-k emits exactly min(k, group size) rows per source") {
+    val perSrc = SparkEntry.queries("j42_bottomk_sample")(spark, d)
+      .groupBy("source").agg(count(lit(1)).as("n"), max("rk").as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sizes = Tables.documents(spark, d).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSrc.map(_._1).toSet == sizes.keySet, "a source is missing")
+    perSrc.foreach { case (src, n, mx) =>
+      val want = math.min(10L, sizes(src))
+      assert(n == want && mx == want,
+        s"$src: $n rows / max rank $mx, want $want")
+    }
+  }
+
+  test("j43 bloom has no false negatives: superset of j29, exact FP ledger") {
+    // The bloom invariant is one-sided error in the OTHER direction from
+    // j41: a set gram always finds all its bits set, so every
+    // j29-contaminated doc must reappear with exact_hits == j29's n_hit
+    // (and the same n_g8 denominator); bloom_hits may only exceed it.
+    val bloom = SparkEntry.queries("j43_bloom_decontaminate")(spark, d)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        ((r.getLong(r.fieldIndex("n_g8")),
+          r.getLong(r.fieldIndex("bloom_hits")),
+          r.getLong(r.fieldIndex("exact_hits")),
+          r.getLong(r.fieldIndex("false_pos"))))).toMap
+    val exact = SparkEntry.queries("j29_decontaminate")(spark, d)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        ((r.getLong(r.fieldIndex("n_g8")),
+          r.getLong(r.fieldIndex("n_hit"))))).toMap
+    exact.foreach { case (id, (ng, nh)) =>
+      assert(bloom.contains(id), s"doc $id contaminated but not bloom-hit")
+      val (bg, bh, eh, fp) = bloom(id)
+      assert(bg == ng, s"doc $id: n_g8 $bg vs j29 $ng")
+      assert(eh == nh, s"doc $id: exact_hits $eh vs j29 n_hit $nh")
+      assert(bh >= eh && fp == bh - eh, s"doc $id: bloom ledger wrong")
+    }
+    bloom.foreach { case (id, (_, _, eh, _)) =>
+      assert(eh == 0 || exact.contains(id),
+        s"doc $id claims exact hits but j29 disagrees")
+    }
+  }
 }
