@@ -2139,6 +2139,23 @@ object LlmOps {
     // use it as the second-stage verify on the (tiny) bloom-flagged slice.
     Q("j43_bloom_decontaminate",
       (s, d) => {
+        // Filter CAPACITY is the one bloom parameter that must scale with
+        // the data: FP = (1 - e^(-k·n/m))^k, so m must grow with the eval
+        // gram count n (rule of thumb at k=3: m ≥ 10·n for FP < 1%). The
+        // default m=4096 matches the oracle SQL and the sf-tier eval sizes
+        // (~1.3k grams → 60% fill, 23% per-gram FP — deliberately lossy so
+        // the FP ledger is non-trivially exercised); scale runs size the
+        // filter to the suite via SPARK_GRAFT_BLOOM_BITS (e.g. 2^22 bits =
+        // 512 KiB for a 205k-gram suite → 0.25% per-gram FP — still
+        // broadcastable, still fixed-memory). A saturated filter (all bits
+        // set) is the measured failure mode of NOT scaling m: at 50k docs
+        // the 4096-bit default saturates, every gram "hits", and the probe
+        // degenerates to emitting the whole corpus (44 s wall); at 2^22
+        // bits the same corpus takes 23 s and flags 10,581 docs vs 2,000
+        // exact — the per-gram FP matches (1-e^(-kn/m))^k, amplified to
+        // doc level by ~80 grams/doc, which is why production keeps the
+        // second-stage exact verify on the flagged slice.
+        val mBits = sys.env.getOrElse("SPARK_GRAFT_BLOOM_BITS", "4096").toInt
         val grams = truncateLineage(
           Tables.documents(s, d)
             .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -2148,15 +2165,20 @@ object LlmOps {
                  i -> concat_ws(' ', slice(t, i, 8)))""")).as("g8"))
             .distinct())
         // nested transform = 3 md5 evals per gram (inner materializes the
-        // salted hashes, outer reads 3 hex digits from each — the j41
-        // CollapseProject dodge); 3 hex chars → positions in [0, 4096)
+        // salted hashes, outer reads the hex digits from each — the j41
+        // CollapseProject dodge); ceil(log16 m) hex chars, value % m.
+        // At the default m=4096 this is exactly the oracle's 3-hex-digit
+        // position (16^3 = 4096 makes the % a no-op).
+        val nHex = math.max(1,
+          math.ceil(math.log(mBits.toDouble) / math.log(16.0)).toInt)
+        val hexVal = (1 to nHex)
+          .map(i => s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)")
+          .reduceLeft((acc, dd) => s"($acc * 16 + $dd)")
         val posExpr =
-          """transform(
+          s"""transform(
                transform(sequence(0, 2),
                  i -> md5(concat('bf', i, ':', g8))),
-               h -> (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 256
-                  + (instr('0123456789abcdef', substring(h, 2, 1)) - 1) * 16
-                  + (instr('0123456789abcdef', substring(h, 3, 1)) - 1))"""
+               h -> $hexVal % $mBits)"""
         val evalG = grams.filter(col("doc_id") % 20 === 0)
           .select("g8").distinct()
         val bits = evalG.select(explode(expr(posExpr)).as("pos"))
