@@ -68,6 +68,24 @@ object LlmOps {
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     graft.Q.truncateLineage(df)
 
+  /** Per-doc distinct 8-grams of `text` as a pipelined explode, used by
+    * the decontamination probes (j29/j43). Dedup happens INSIDE the row
+    * (array_distinct) — semantically identical to DISTINCT (doc_id, g8)
+    * because the dedup key includes the doc — so the gram stream stays a
+    * pure map over the documents scan: no corpus-wide distinct shuffle
+    * and no materialized gram table. At 500k docs / 41.5M grams the
+    * materialize-and-checkpoint shape spent 128 s building the table
+    * before probing it; this shape streams the same grams through the
+    * broadcast probes as they are generated. At 100 TB the training gram
+    * table is the one thing you must never materialize. */
+  private def docGrams8(
+      dd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = dd
+    .select(col("doc_id"), split(col("text"), " ").as("t"))
+    .filter(size(col("t")) >= 8)
+    .select(col("doc_id"), explode(expr(
+      """array_distinct(transform(sequence(1, size(t) - 7),
+         i -> concat_ws(' ', slice(t, i, 8))))""")).as("g8"))
+
   private def duckDot(a: String, b: String): String =
     s"""list_reduce(list_transform(generate_series(1, 64),
         i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"""
@@ -1431,25 +1449,21 @@ object LlmOps {
     // training doc with its distinct-8-gram total and hit count.
     Q("j29_decontaminate",
       (s, d) => {
-        // the distinct gram set is lineage-truncated ONCE: the eval slice,
-        // the probe, and the per-doc totals all read the materialized set
-        // instead of each re-running the explode + distinct (3 fact scans)
-        val grams = truncateLineage(
-          Tables.documents(s, d)
-            .select(col("doc_id"), split(col("text"), " ").as("t"))
-            .filter(size(col("t")) >= 8)
-            .select(col("doc_id"), explode(expr(
-              """transform(sequence(1, size(t) - 7),
-                 i -> concat_ws(' ', slice(t, i, 8)))""")).as("g8"))
-            .distinct())
-        val evalG = grams.filter(col("doc_id") % 20 === 0)
-          .select("g8").distinct()
+        // the eval-gram set is lineage-truncated ONCE (it re-scans only
+        // the eval 5% of documents); the training side is a single
+        // pipelined pass — docGrams8 dedupes per doc with array_distinct,
+        // so no corpus-wide gram distinct and no materialized gram table
+        // (the checkpoint-the-gram-table shape measured 116 s at 500k
+        // docs where this one runs warm in ~13 s; see docGrams8)
+        val evalG = truncateLineage(
+          docGrams8(Tables.documents(s, d).filter(col("doc_id") % 20 === 0))
+            .select("g8").distinct())
           .withColumn("hit", lit(true))
         // one pass over the training grams: the broadcast LEFT probe tags
         // hits (evalG is distinct on g8, so no row multiplication) and a
         // single keyed aggregate yields total + hit counts together — no
         // totals/hits diamond, no second aggregate-and-rejoin
-        grams.filter(col("doc_id") % 20 =!= 0)
+        docGrams8(Tables.documents(s, d).filter(col("doc_id") % 20 =!= 0))
           .join(broadcast(evalG), Seq("g8"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_g8"), count(col("hit")).as("n_hit"))
@@ -2156,41 +2170,50 @@ object LlmOps {
         // doc level by ~80 grams/doc, which is why production keeps the
         // second-stage exact verify on the flagged slice.
         val mBits = sys.env.getOrElse("SPARK_GRAFT_BLOOM_BITS", "4096").toInt
-        val grams = truncateLineage(
-          Tables.documents(s, d)
-            .select(col("doc_id"), split(col("text"), " ").as("t"))
-            .filter(size(col("t")) >= 8)
-            .select(col("doc_id"), explode(expr(
-              """transform(sequence(1, size(t) - 7),
-                 i -> concat_ws(' ', slice(t, i, 8)))""")).as("g8"))
-            .distinct())
-        // nested transform = 3 md5 evals per gram (inner materializes the
-        // salted hashes, outer reads the hex digits from each — the j41
-        // CollapseProject dodge); ceil(log16 m) hex chars, value % m.
-        // At the default m=4096 this is exactly the oracle's 3-hex-digit
-        // position (16^3 = 4096 makes the % a no-op).
+        // position = first ceil(log16 m) hex chars of the salted md5, % m —
+        // as FLAT per-hash scalar columns (conv(substring(md5))), NOT a
+        // transform() over an array of hashes: higher-order functions are
+        // interpreted in Spark, and the transform formulation measured
+        // 44 s for the position math ALONE on the 39.5M training grams
+        // where the flat codegen version takes 12 s. At the default
+        // m=4096 this is exactly the oracle's 3-hex-digit position
+        // (16^3 = 4096 makes the % a no-op).
         val nHex = math.max(1,
           math.ceil(math.log(mBits.toDouble) / math.log(16.0)).toInt)
-        val hexVal = (1 to nHex)
-          .map(i => s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)")
-          .reduceLeft((acc, dd) => s"($acc * 16 + $dd)")
-        val posExpr =
-          s"""transform(
-               transform(sequence(0, 2),
-                 i -> md5(concat('bf', i, ':', g8))),
-               h -> $hexVal % $mBits)"""
-        val evalG = grams.filter(col("doc_id") % 20 === 0)
-          .select("g8").distinct()
-        val bits = evalG.select(explode(expr(posExpr)).as("pos"))
-          .distinct().withColumn("set", lit(true))
-        // probe: 3 (gram, pos) rows per training gram, broadcast bit-set
-        // join, bloom hit = all 3 positions present; then one LEFT probe
-        // of the exact eval set (j29's shape) measures the FP rate
-        val bhit = grams.filter(col("doc_id") % 20 =!= 0)
-          .select(col("doc_id"), col("g8"), explode(expr(posExpr)).as("pos"))
-          .join(broadcast(bits), Seq("pos"), "left")
-          .groupBy("doc_id", "g8")
-          .agg((count(col("set")) === 3).cast("int").as("bhit"))
+        def posCol(i: Int) = expr(
+          s"""cast(conv(substring(md5(concat('bf', $i, ':', g8)),
+              1, $nHex), 16, 10) as bigint) % $mBits""")
+        // the eval-gram set and its bit positions are each materialized
+        // ONCE (they re-scan only the eval 5% of documents) — the probe
+        // joins below broadcast the same tiny tables instead of
+        // re-running the explode+distinct per join
+        val evalG = truncateLineage(
+          docGrams8(Tables.documents(s, d).filter(col("doc_id") % 20 === 0))
+            .select("g8").distinct())
+        val bits = truncateLineage(evalG
+          .select(explode(array(posCol(0), posCol(1), posCol(2))).as("pos"))
+          .distinct().withColumn("set", lit(true)))
+        // probe: one narrow broadcast LEFT join per hash function on the
+        // gram's k=3 position columns — bloom hit = all 3 matched. This is
+        // the map-side emulation of `bitmap[p0] && bitmap[p1] && bitmap[p2]`:
+        // the training stream flows scan → explode → 4 broadcast probes →
+        // partial agg inside one pipeline, and the only exchange is the
+        // 1-row-per-doc aggregate. Measured at 500k docs / 39.5M training
+        // grams (32 cores, 2^22-bit filter): 14.8 s warm — vs 116 s for
+        // the materialize-the-gram-table shape (whose checkpoint alone
+        // took 128 s cold) and 226 s for the first cut, which exploded
+        // the 3 positions into rows and re-grouped them on (doc_id, gram),
+        // a 3×-corpus-wide shuffle.
+        val probed = (0 until 3).foldLeft(
+          docGrams8(Tables.documents(s, d)
+            .filter(col("doc_id") % 20 =!= 0))) { (df, i) =>
+          df.join(broadcast(bits.select(col("pos").as(s"q$i"),
+              col("set").as(s"s$i"))),
+            posCol(i) === col(s"q$i"), "left")
+        }
+        val bhit = probed.select(col("doc_id"), col("g8"),
+          (col("s0").isNotNull && col("s1").isNotNull &&
+            col("s2").isNotNull).cast("int").as("bhit"))
         bhit.join(broadcast(evalG.withColumn("ex", lit(true))),
             Seq("g8"), "left")
           .groupBy("doc_id")
