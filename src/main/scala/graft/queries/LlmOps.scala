@@ -139,10 +139,21 @@ object LlmOps {
         "doc_b")
   }
 
-  /** Banded MinHash signature keys `(doc_id, bk)` from a shingle table. */
+  /** Banded MinHash signature keys `(doc_id, bk)` from a shingle table.
+    *
+    * Empty shingle sets are dropped BEFORE signing: `graft_minhash` of an
+    * empty array is the constant all-`Long.MaxValue` signature, so every
+    * sub-5-char doc would otherwise share all `NumBands` band keys — one
+    * degenerate bucket that goes quadratic on a real crawl (billions of
+    * tiny docs). Correctness is unchanged: an empty set has Jaccard 0/0
+    * (NaN, filtered) against everything, so those docs can never be
+    * near-dups anyway. Guarding here covers all three callers (j2's
+    * symmetric pairs, j40's asymmetric probe, the streaming probe).
+    */
   private def bandKeys(sh: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val mh = sh.withColumn("mh", expr(s"graft_minhash(sh, $NumHashes)"))
+    val mh = sh.filter(size(col("sh")) > 0)
+      .withColumn("mh", expr(s"graft_minhash(sh, $NumHashes)"))
     mh.select(col("doc_id"),
       explode(array((0 until NumBands).map(b =>
         struct(lit(b).as("b") +: (0 until RowsPerBand).map(r =>

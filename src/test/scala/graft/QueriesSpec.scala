@@ -524,6 +524,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(out(20L) == ((2L, 1.0, 1L)), s"clone 20: ${out(20L)}")
   }
 
+  test("empty shingle sets never reach LSH banding (no degenerate bucket)") {
+    import spark.implicits._
+    // Sub-5-char docs have an empty shingle set, whose MinHash signature is
+    // the constant all-Long.MaxValue vector — unguarded, every short doc
+    // shares every band key and the band join goes quadratic on a real
+    // crawl. The guard must (a) drop them from banding entirely, and
+    // (b) leave real near-dup recall untouched.
+    val shorts = (1L to 1000L).map(i => (i, s"d${i % 7}"))
+      .toDF("doc_id", "text")
+    val (sh, bands) = graft.queries.LlmOps.buildNeardupIndex(shorts)
+    assert(sh.count() == 1000, "shingle table must keep all docs")
+    assert(bands.count() == 0, "sub-5-char docs must produce NO band keys")
+    // Mixed corpus: 1k short docs on both sides generate zero candidate
+    // pairs; the one genuine clone pair still matches at J=1.
+    val a = ("the quick brown fox jumps over the lazy dog " * 4).trim
+    val index = shorts.union(Seq((5001L, a)).toDF("doc_id", "text"))
+    val delta = (2001L to 3000L).map(i => (i, "hi")).toDF("doc_id", "text")
+      .union(Seq((6001L, a)).toDF("doc_id", "text"))
+    val out = graft.queries.LlmOps
+      .probeNeardupIndex(delta, graft.queries.LlmOps.buildNeardupIndex(index))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+    assert(out.keySet == Set(6001L), s"short docs leaked matches: ${out.keySet}")
+    assert(out(6001L) == ((5001L, 1.0, 1L)), s"clone: ${out(6001L)}")
+  }
+
   test("j39 temperature flattens the mixture toward uniform") {
     val rows = SparkEntry.queries("j39_mixture_temperature")(spark, d)
       .collect().map(r => (r.getString(r.fieldIndex("source")),
