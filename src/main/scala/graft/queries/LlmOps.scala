@@ -2278,6 +2278,75 @@ object LlmOps {
                      CAST(count(e.m) AS BIGINT) AS exact_hits,
                      CAST(sum(bhit) - count(e.m) AS BIGINT) AS false_pos
               FROM b LEFT JOIN (SELECT g8, TRUE AS m FROM ev) e USING (g8)
-              GROUP BY doc_id HAVING sum(bhit) > 0 ORDER BY doc_id"""))
+              GROUP BY doc_id HAVING sum(bhit) > 0 ORDER BY doc_id""")),
+
+    // The Count-Min sketch EXECUTED as a sketch: j41 derives the 1,024
+    // cells from the exact vocabulary table (so the overestimate is
+    // oracle-checked); this row builds the identical cells with the
+    // mergeable typed Aggregator (graft.functions.CountMinSketch) — the
+    // token stream folds map-side into one fixed-size array per partition
+    // and the only exchange carries ONE sketch row per partition (plan-
+    // pinned in PlanSpec), never a per-distinct-token row. The oracle
+    // recomputes the cells exactly in DuckDB, so hash-match proves the
+    // distributed fold is cell-for-cell identical to the SQL derivation.
+    Q("j44_cms_sketch",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok")).as[String]
+        toks.select(graft.functions.CountMinSketch.toColumn.as("sk"))
+          .select(posexplode(col("sk.cells")).as(Seq("i", "cell")))
+          .filter(col("cell") > 0)
+          .select(expr("CAST(i DIV 256 AS BIGINT)").as("r"),
+            expr("CAST(i % 256 AS BIGINT)").as("b"), col("cell"))
+          .orderBy("r", "b")
+      },
+      Some("""WITH counts AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY tok),
+              rs AS (SELECT unnest(generate_series(0, 3)) AS r)
+              SELECT r,
+                     (strpos('0123456789abcdef', substring(
+                        md5('cm' || r || ':' || tok), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substring(
+                        md5('cm' || r || ':' || tok), 2, 1)) - 1) AS b,
+                     CAST(sum(c) AS BIGINT) AS cell
+              FROM counts CROSS JOIN rs
+              GROUP BY 1, 2 ORDER BY r, b""")),
+
+    // j42's bottom-k sample EXECUTED as a bounded heap: same output, no
+    // corpus-wide window sort — each partition keeps ≤k entries per source
+    // (graft.functions.BottomK), partials merge by sorted-merge-take-k
+    // (mergeability is the LawsSpec property), and the one exchange
+    // carries ≤k-entry buffers keyed by source (plan-pinned: no Window,
+    // no full-partition Sort below the aggregate). Oracle is j42's: the
+    // outputs are byte-identical (also differential-tested directly).
+    Q("j45_bottomk_heap",
+      (s, d) => {
+        import s.implicits._
+        val ds = Tables.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            md5(concat(lit("bk:"), col("doc_id").cast("string"))).as("pri"))
+          .as[graft.functions.DocPri]
+        ds.groupByKey(_.source)
+          .agg(new graft.functions.BottomK(10).toColumn.name("bk"))
+          .toDF("source", "bk")
+          .select(col("source"), posexplode(col("bk.entries")).as(Seq("i", "e")))
+          .select(col("source"), (col("i") + 1).cast("long").as("rk"),
+            col("e.docId").as("doc_id"), col("e.pri").as("pri"))
+          .orderBy("source", "rk")
+      },
+      Some("""WITH pri AS (
+                SELECT source, doc_id, md5('bk:' || doc_id) AS pri
+                FROM documents),
+              r AS (
+                SELECT source, doc_id, pri,
+                       row_number() OVER (PARTITION BY source
+                                          ORDER BY pri, doc_id) AS rk
+                FROM pri)
+              SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, pri
+              FROM r WHERE rk <= 10 ORDER BY source, rk"""))
   )
 }
