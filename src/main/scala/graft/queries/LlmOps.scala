@@ -2347,6 +2347,78 @@ object LlmOps {
                                           ORDER BY pri, doc_id) AS rk
                 FROM pri)
               SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, pri
-              FROM r WHERE rk <= 10 ORDER BY source, rk"""))
+              FROM r WHERE rk <= 10 ORDER BY source, rk""")),
+
+    // Multi-probe IVF ANN: j16 with nprobe=2 — each probe searches its TWO
+    // nearest centroid cells instead of one, the standard recall lever for
+    // cross-boundary neighbors (a probe near a cell border has its true
+    // neighbors split across both sides; searching both recovers them at
+    // 2× the scan cost — still 1/8th of the collection at 16 cells, and
+    // the fraction only improves as the cell count grows at scale). The
+    // collection assignment is unchanged (each vector lives in exactly ONE
+    // cell, so the widened probe join cannot duplicate candidates); only
+    // the probe side keeps ark <= 2. Recall vs exact j4-style ground truth
+    // is measured in QueriesSpec (vs j16's single-probe recall) and on the
+    // 500k synth ladder in README.
+    Q("j46_ivf_multiprobe",
+      (s, d) => {
+        DotProduct.register(s)
+        val e = Tables.embeddings(s, d)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("cscore").desc, col("cent_id"))
+        def assignCells(df: org.apache.spark.sql.DataFrame, nprobe: Int) =
+          df.crossJoin(broadcast(cents))
+            .withColumn("cscore", round(expr(dot("embedding", "cvec")), 6))
+            .withColumn("ark", row_number().over(wAssign))
+            .filter(col("ark") <= nprobe)
+            .select(col("vec_id"), col("embedding"),
+              col("cent_id").as("cell"))
+        val assigned = assignCells(e, 1)
+        val probes = assignCells(e.filter(col("vec_id") % 100 === 7), 2)
+          .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
+            col("cell").as("pcell"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("score").desc, col("vec_id"))
+        assigned.join(broadcast(probes),
+          col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+          .withColumn("score", round(expr(dot("embedding", "p")), 6))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("probe_id", "vec_id", "score", "rk")
+          .orderBy("probe_id", "rk")
+      },
+      Some(s"""WITH c AS (
+                 SELECT vec_id AS cent_id, embedding AS cvec
+                 FROM embeddings WHERE vec_id < 16),
+               a AS (
+                 SELECT vec_id, embedding, cent_id AS cell FROM (
+                   SELECT e.vec_id, e.embedding, c.cent_id,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(${duckDot("e.embedding", "c.cvec")},
+                              6) DESC, c.cent_id) AS ark
+                   FROM embeddings e CROSS JOIN c)
+                 WHERE ark = 1),
+               p2 AS (
+                 SELECT vec_id, embedding, cent_id AS cell FROM (
+                   SELECT e.vec_id, e.embedding, c.cent_id,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(${duckDot("e.embedding", "c.cvec")},
+                              6) DESC, c.cent_id) AS ark
+                   FROM embeddings e CROSS JOIN c
+                   WHERE e.vec_id % 100 = 7)
+                 WHERE ark <= 2)
+               SELECT probe_id, vec_id, score, rk FROM (
+                 SELECT p.vec_id AS probe_id, a.vec_id,
+                        round(${duckDot("a.embedding", "p.embedding")}, 6)
+                          AS score,
+                        CAST(row_number() OVER (PARTITION BY p.vec_id
+                          ORDER BY round(${duckDot("a.embedding",
+                            "p.embedding")}, 6) DESC, a.vec_id) AS BIGINT)
+                          AS rk
+                 FROM a JOIN p2 p
+                   ON a.cell = p.cell AND a.vec_id != p.vec_id)
+               WHERE rk <= 3 ORDER BY probe_id, rk"""))
   )
 }

@@ -149,4 +149,76 @@ object LawsSpec extends Properties("graft") {
         .values.toSeq
       bottomK(parts.flatMap(p => bottomK(p, k)), k) == bottomK(ids, k)
     }
+
+  // ---- CountMinSketch Aggregator (j44): the merge law that lets the
+  // token stream fold map-side — reducing a whole stream into one sketch
+  // equals reducing any split of it and cell-wise-summing the partials.
+  import graft.functions.{BkEntry, BkState, BottomK, CmsSketch, CountMinSketch, DocPri}
+
+  private val tokenStream = Gen.listOf(Gen.identifier.map(_.take(6)))
+
+  private def cmsOf(toks: Seq[String]): CmsSketch =
+    toks.foldLeft(CountMinSketch.zero)(CountMinSketch.reduce)
+
+  property("cms: merge of split == reduce of whole (cell-for-cell)") =
+    Prop.forAll(tokenStream, tokenStream) { (xs, ys) =>
+      val whole = cmsOf(xs ++ ys)
+      val split = CountMinSketch.merge(cmsOf(xs), cmsOf(ys))
+      whole.cells.sameElements(split.cells)
+    }
+
+  property("cms: zero is identity for merge") =
+    Prop.forAll(tokenStream) { xs =>
+      val m = cmsOf(xs)
+      CountMinSketch.merge(m, CountMinSketch.zero).cells.sameElements(m.cells) &&
+        CountMinSketch.merge(CountMinSketch.zero, m).cells.sameElements(m.cells)
+    }
+
+  property("cms: estimate never undercounts the true frequency") =
+    Prop.forAll(tokenStream.suchThat(_.nonEmpty)) { xs =>
+      val sk = cmsOf(xs)
+      xs.distinct.forall { t =>
+        CountMinSketch.estimate(sk, t) >= xs.count(_ == t).toLong
+      }
+    }
+
+  property("cms: every row's cells sum to the stream length") =
+    Prop.forAll(tokenStream) { xs =>
+      val sk = cmsOf(xs)
+      (0 until CountMinSketch.Depth).forall { r =>
+        sk.cells.slice(r * CountMinSketch.Width, (r + 1) * CountMinSketch.Width)
+          .sum == xs.length.toLong
+      }
+    }
+
+  // ---- BottomK Aggregator (j45): same merge law as the pure-JVM bottom-k
+  // above, but over the Aggregator's actual buffer type — merging
+  // per-partition bounded heaps and re-taking k equals folding the whole
+  // stream through one heap.
+  private val docPris = Gen.listOf(Gen.choose(0L, 100000L)).map(ids =>
+    ids.distinct.map(id => DocPri("s", id, bkPriority(id))))
+
+  private def bkOf(agg: BottomK, xs: Seq[DocPri]): BkState =
+    xs.foldLeft(agg.zero)(agg.reduce)
+
+  property("bottomk aggregator: merge of split == reduce of whole") =
+    Prop.forAll(docPris, docPris, Gen.choose(1, 12)) { (xs0, ys0, k) =>
+      val (xs, ys) = (xs0, ys0.filterNot(y => xs0.exists(_.doc_id == y.doc_id)))
+      val agg = new BottomK(k)
+      agg.merge(bkOf(agg, xs), bkOf(agg, ys)) == bkOf(agg, xs ++ ys)
+    }
+
+  property("bottomk aggregator: matches the window-sort oracle") =
+    Prop.forAll(docPris, Gen.choose(1, 12)) { (xs, k) =>
+      val agg = new BottomK(k)
+      bkOf(agg, xs).entries ==
+        xs.map(x => BkEntry(x.pri, x.doc_id))
+          .sortBy(e => (e.pri, e.docId)).take(k)
+    }
+
+  property("bottomk aggregator: buffer never exceeds k entries") =
+    Prop.forAll(docPris, Gen.choose(1, 12)) { (xs, k) =>
+      val agg = new BottomK(k)
+      xs.scanLeft(agg.zero)(agg.reduce).forall(_.entries.size <= k)
+    }
 }

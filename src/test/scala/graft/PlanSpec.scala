@@ -421,4 +421,37 @@ class PlanSpec extends AnyFunSuite {
       s"training stream must not shuffle before the per-doc agg " +
         s"(got $exchanges exchanges)")
   }
+
+  test("j44 sketch folds map-side: no per-token keyed exchange anywhere") {
+    // The Aggregator's execution shape IS the claim: the token stream
+    // reduces into a fixed 1,024-cell array inside each partition
+    // (partial agg), and the only exchanges are the SinglePartition merge
+    // of one sketch row per partition and the deterministic output sort —
+    // never a per-distinct-token shuffle (that is j41's exact path).
+    val df = SparkEntry.queries("j44_cms_sketch")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("keys=[tok"),
+      s"per-token keyed aggregate in the sketch path:\n$plan")
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges <= 2,
+      s"expected sketch-merge + output sort only, got $exchanges exchanges")
+    assertScanCount("j44_cms_sketch", "documents", 1)
+    // partial+final typed aggregation actually present (the map-side fold)
+    assert("Aggregate".r.findAllIn(plan).length >= 2,
+      s"no partial/final aggregate pair:\n$plan")
+  }
+
+  test("j45 bounded heap plans with NO window and no pre-agg sort") {
+    // j42's shape is Window(row_number) over a full per-source sort; the
+    // heap replaces it with partial/final typed aggregation whose buffers
+    // are ≤k entries — the plan must show no Window operator at all and
+    // only the keyed agg exchange + the deterministic output sort.
+    val df = SparkEntry.queries("j45_bottomk_heap")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sneaked back in:\n$plan")
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges <= 2,
+      s"expected source-agg + output sort only, got $exchanges exchanges")
+    assertScanCount("j45_bottomk_heap", "documents", 1)
+  }
 }

@@ -632,4 +632,71 @@ class QueriesSpec extends AnyFunSuite {
         s"doc $id claims exact hits but j29 disagrees")
     }
   }
+
+  test("j44 Aggregator sketch is cell-for-cell the exact-derived sketch") {
+    // The differential that makes the constant-size-shuffle claim
+    // executable: fold the EXACT token counts (computed independently
+    // here) through the same hash family in plain JVM code, and require
+    // the distributed Aggregator's 1,024 cells to match exactly — at two
+    // sfs, so partial/merge paths both engage (sf0.01 has 32 partitions).
+    import graft.functions.CountMinSketch
+    for (dir <- Seq(d, TestSpark.Sf001)) {
+      val exactCounts = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val expect = new Array[Long](CountMinSketch.Depth * CountMinSketch.Width)
+      exactCounts.foreach { case (tok, c) =>
+        val bs = CountMinSketch.buckets(tok)
+        var r = 0
+        while (r < CountMinSketch.Depth) {
+          expect(r * CountMinSketch.Width + bs(r)) += c; r += 1
+        }
+      }
+      val got = new Array[Long](CountMinSketch.Depth * CountMinSketch.Width)
+      SparkEntry.queries("j44_cms_sketch")(spark, dir).collect().foreach { r =>
+        got((r.getLong(0) * CountMinSketch.Width + r.getLong(1)).toInt) =
+          r.getLong(2)
+      }
+      assert(got.sameElements(expect),
+        s"$dir: Aggregator cells differ from the exact derivation")
+    }
+  }
+
+  test("j44 sketch estimates reproduce j41's oracle-checked cms_est") {
+    // Same corpus, same hash family: probing the Aggregator-built sketch
+    // for j41's top-20 heavy hitters must give j41's exact-derived
+    // estimates (j41's are oracle-checked, so this transitively oracles
+    // the Aggregator's estimate path too).
+    import graft.functions.{CmsSketch, CountMinSketch}
+    val cells = new Array[Long](CountMinSketch.Depth * CountMinSketch.Width)
+    SparkEntry.queries("j44_cms_sketch")(spark, d).collect().foreach { r =>
+      cells((r.getLong(0) * CountMinSketch.Width + r.getLong(1)).toInt) =
+        r.getLong(2)
+    }
+    val sk = CmsSketch(cells)
+    SparkEntry.queries("j41_cms_heavyhitters")(spark, d).collect().foreach {
+      r =>
+        val tok = r.getString(r.fieldIndex("tok"))
+        val est = r.getLong(r.fieldIndex("cms_est"))
+        assert(CountMinSketch.estimate(sk, tok) == est,
+          s"$tok: aggregator estimate ${CountMinSketch.estimate(sk, tok)} " +
+            s"vs j41 $est")
+    }
+  }
+
+  test("j45 bounded-heap output is byte-identical to j42's window sort") {
+    // The bounded heap replaces a full per-source window sort; identical
+    // output is the whole contract. Both orderBy (source, rk), so the
+    // collected sequences must match row for row — at two sfs.
+    for (dir <- Seq(d, TestSpark.Sf001)) {
+      def rows(name: String) = SparkEntry.queries(name)(spark, dir)
+        .collect().map(r => (r.getString(r.fieldIndex("source")),
+          r.getLong(r.fieldIndex("rk")), r.getLong(r.fieldIndex("doc_id")),
+          r.getString(r.fieldIndex("pri")))).toSeq
+      val heap = rows("j45_bottomk_heap")
+      val window = rows("j42_bottomk_sample")
+      assert(heap == window, s"$dir: heap and window bottom-k diverge")
+    }
+  }
 }
