@@ -56,14 +56,23 @@ object Bench {
     // warmup: pre-count every table present in the target dir (baseline
     // protocol pre-counted the referenced tables) — pulls parquet footers/
     // pages into the OS cache and JITs the read path; tolerant of partial
-    // synthesized dirs so BENCH_ONLY experiments warm what they read
+    // synthesized dirs so BENCH_ONLY experiments warm what they read.
+    // Each count is individually guarded: round 8's mid-round testdata
+    // regen broke the events reader and the then-unguarded warmup crashed
+    // the WHOLE bench before timing a single query — one broken table must
+    // only cost its own queries, and the artifact must still publish.
+    val warmupErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def warmTable(t: String)(count: => Long): Unit =
+      if (new java.io.File(s"$sfDir/$t.parquet").exists())
+        try count catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup of $t failed: ${e.getMessage}")
+          warmupErrors(t) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "documents", "embeddings").foreach { t =>
-      if (new java.io.File(s"$sfDir/$t.parquet").exists())
-        Tables.table(spark, sfDir, t).count()
+      warmTable(t)(Tables.table(spark, sfDir, t).count())
     }
-    if (new java.io.File(s"$sfDir/events.parquet").exists())
-      Tables.events(spark, sfDir).count()
+    warmTable("events")(Tables.events(spark, sfDir).count())
 
     // SPARK_GRAFT_BENCH_ALL=1 → time every registered query (scale-smoke
     // sweep); SPARK_GRAFT_BENCH_ONLY=a,b,c → time just those queries
@@ -165,7 +174,9 @@ object Bench {
       "loadavg_end" -> f"${loadAvg()}%.2f",
       "spread_limit" -> SpreadLimit.toString,
       "resampled" -> retriedQs.map(jstr).mkString("[", ",", "]"),
-      "contended" -> contendedQs.map(jstr).mkString("[", ",", "]")))
+      "contended" -> contendedQs.map(jstr).mkString("[", ",", "]"),
+      "warmup_errors" -> obj(warmupErrors.toSeq.map {
+        case (t, m) => t -> jstr(m) })))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"runs":$rs,"errors":$es,"protocol":$protocol,"sf":"$sfDir"}""")
     spark.stop()
   }

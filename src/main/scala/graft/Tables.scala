@@ -25,15 +25,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.ts` is parquet `timestamp[ns]`, which Spark 4 refuses to read by
-    * default (`PARQUET_TYPE_ILLEGAL`). Recipe (SURVEY [E5]/[E6]): read the
-    * column as raw long nanoseconds via the legacy conf, then truncate to
-    * microseconds with integer division — bit-identical to DuckDB's silent
-    * ns→µs truncation, so oracle comparisons line up.
+  /** Schema-adaptive events reader. The driver has shipped `events.ts` in
+    * two physical layouts (regen 2026-08-13 moved ns→µs mid-round-8), so the
+    * loader branches on the type Spark infers rather than assuming either:
+    *
+    *  - parquet `timestamp[ns]` (pre-regen): Spark 4 refuses it by default
+    *    (`PARQUET_TYPE_ILLEGAL`); with `nanosAsLong` it arrives as raw long
+    *    nanoseconds, which we truncate to µs with integer division —
+    *    bit-identical to DuckDB's silent ns→µs truncation (SURVEY [E5]/[E6]).
+    *  - parquet `timestamp[us]` (current): inferred as TIMESTAMP_NTZ; cast
+    *    to the session-TZ timestamp type. Under the UTC session TZ pinned in
+    *    [[LocalSession]] the cast is value-preserving, and downstream
+    *    consumers keep seeing the same `TimestampType` as always.
+    *
+    * `nanosAsLong` stays set so BOTH layouts read; the ns↔µs equivalence is
+    * pinned by a FormatsSpec test on a synthesized ns-long file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 }

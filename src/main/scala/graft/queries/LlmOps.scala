@@ -2294,8 +2294,12 @@ object LlmOps {
         import s.implicits._
         val toks = Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("tok")).as[String]
-        toks.select(graft.functions.CountMinSketch.toColumn.as("sk"))
-          .select(posexplode(col("sk.cells")).as(Seq("i", "cell")))
+        // .name (not .as) keeps the TypedColumn so the TYPED select overload
+        // is chosen — `.as` widens to Column and Spark rejects an Aggregator
+        // column in the untyped select API at runtime. The resulting
+        // Dataset[CmsSketch] flattens the product to its `cells` field.
+        toks.select(graft.functions.CountMinSketch.toColumn.name("sk"))
+          .select(posexplode(col("cells")).as(Seq("i", "cell")))
           .filter(col("cell") > 0)
           .select(expr("CAST(i DIV 256 AS BIGINT)").as("r"),
             expr("CAST(i % 256 AS BIGINT)").as("b"), col("cell"))
@@ -2357,9 +2361,10 @@ object LlmOps {
     // the fraction only improves as the cell count grows at scale). The
     // collection assignment is unchanged (each vector lives in exactly ONE
     // cell, so the widened probe join cannot duplicate candidates); only
-    // the probe side keeps ark <= 2. Recall vs exact j4-style ground truth
-    // is measured in QueriesSpec (vs j16's single-probe recall) and on the
-    // 500k synth ladder in README.
+    // the probe side keeps ark <= 2. QueriesSpec pins the recall
+    // differential: j46's hits against the exact brute-force top-3 are >=
+    // j16's single-probe hits (guaranteed — the candidate set is a strict
+    // superset containing the ark=1 cell).
     Q("j46_ivf_multiprobe",
       (s, d) => {
         DotProduct.register(s)

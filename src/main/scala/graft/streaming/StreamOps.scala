@@ -513,17 +513,29 @@ object StreamOps {
 
   /** `eventsDir` must be a DIRECTORY of events-schema parquet files (file
     * streaming sources watch directories; new files = new micro-batches).
+    *
+    * File streams require an explicit schema, so the reader probes the
+    * directory with a one-off batch read and mirrors [[graft.Tables.events]]'
+    * schema-adaptive recipe: raw long nanoseconds (pre-regen layout, via
+    * `nanosAsLong`) truncate to µs; `timestamp[us]`/NTZ (current layout)
+    * casts to the UTC-session timestamp. Either way the stream's element
+    * type stays [[Event]] with a `TimestampType` event time.
     */
   def eventsFileStream(
       spark: org.apache.spark.sql.SparkSession,
       eventsDir: String): Dataset[Event] = {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+    val tsIsLong = spark.read.parquet(eventsDir)
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val tsDdl = if (tsIsLong) "BIGINT" else "TIMESTAMP_NTZ"
+    val raw = spark.readStream
+      .schema(s"event_id BIGINT, ts $tsDdl, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")
       .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .as[Event]
+    val fixed =
+      if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw.withColumn("ts", col("ts").cast("timestamp"))
+    fixed.as[Event]
   }
 }

@@ -98,6 +98,27 @@ class FormatsSpec extends AnyFunSuite {
     assert(a == b, "orc roundtrip changed data")
   }
 
+  test("events reader: ns-long layout reads identically to the µs layout") {
+    // The driver's testdata has shipped `events.ts` both as timestamp[ns]
+    // (read as raw longs under nanosAsLong) and as timestamp[us] (regen
+    // 2026-08-13). Tables.events branches on the inferred type; this pins
+    // the two paths row-for-row equal by synthesizing the ns-long layout
+    // from the current data and reading it back through the same loader.
+    val dir = java.nio.file.Files.createTempDirectory("graft-nsev").toString
+    val current = Tables.events(spark, d)
+    current
+      .withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val viaNs = Tables.events(spark, dir)
+    assert(viaNs.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(viaNs.count() == current.count())
+    assert(viaNs.exceptAll(current).count() == 0 &&
+      current.exceptAll(viaNs).count() == 0,
+      "ns-long recipe diverges from the µs pass-through")
+  }
+
   test("json-lines roundtrip preserves the events table") {
     val path = java.nio.file.Files.createTempDirectory("graft-json").toString
     val events = Tables.events(spark, d)

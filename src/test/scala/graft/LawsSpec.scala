@@ -202,8 +202,20 @@ object LawsSpec extends Properties("graft") {
     xs.foldLeft(agg.zero)(agg.reduce)
 
   property("bottomk aggregator: merge of split == reduce of whole") =
-    Prop.forAll(docPris, docPris, Gen.choose(1, 12)) { (xs0, ys0, k) =>
-      val (xs, ys) = (xs0, ys0.filterNot(y => xs0.exists(_.doc_id == y.doc_id)))
+    Prop.forAll(docPris, docPris, Gen.choose(1, 12)) { (xs, ys, k) =>
+      // NO cross-list dedup: the law must hold for multisets — Spark can
+      // deliver the same row to reduce on one side and merge from another
+      // under task retry/speculation, so duplicate doc_ids across partials
+      // are a real input shape, not a generator artifact
+      val agg = new BottomK(k)
+      agg.merge(bkOf(agg, xs), bkOf(agg, ys)) == bkOf(agg, xs ++ ys)
+    }
+
+  property("bottomk aggregator: merge with forced-overlap partials") =
+    Prop.forAll(docPris, docPris, Gen.choose(1, 12)) { (xs, ys0, k) =>
+      // ys repeats half of xs — the guaranteed-duplicate shape a
+      // speculative retry produces; pins merge semantics under duplicates
+      val ys = ys0 ++ xs.take(xs.length / 2)
       val agg = new BottomK(k)
       agg.merge(bkOf(agg, xs), bkOf(agg, ys)) == bkOf(agg, xs ++ ys)
     }

@@ -699,4 +699,33 @@ class QueriesSpec extends AnyFunSuite {
       assert(heap == window, s"$dir: heap and window bottom-k diverge")
     }
   }
+
+  test("j46 multi-probe recall >= j16 single-probe recall vs exact top-k") {
+    // The recall differential behind multi-probe's existence: j46's probe
+    // searches its TWO nearest cells, so its candidate set is a superset
+    // of j16's (the ark=1 cell is common to both) — its hits against the
+    // EXACT top-3 can therefore only grow. Ground truth is a brute-force
+    // top-3 per probe using the SAME rounded dot + tie-break, so the
+    // arithmetic is bit-identical and the assertion is deterministic.
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, d)
+    val probes = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("score", round(expr("graft_dot(embedding, p)"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == probes.count() * 3, "exact truth incomplete")
+    def hits(name: String): Int =
+      SparkEntry.queries(name)(spark, d).select("probe_id", "vec_id")
+        .collect().count(r => exact((r.getLong(0), r.getLong(1))))
+    val (h16, h46) = (hits("j16_ivf_ann"), hits("j46_ivf_multiprobe"))
+    assert(h46 >= h16, s"multi-probe hits $h46 < single-probe hits $h16")
+    assert(h46 > 0, "zero recall — probe wiring broken")
+  }
 }
