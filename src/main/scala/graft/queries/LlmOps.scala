@@ -2424,6 +2424,96 @@ object LlmOps {
                           AS rk
                  FROM a JOIN p2 p
                    ON a.cell = p.cell AND a.vec_id != p.vec_id)
-               WHERE rk <= 3 ORDER BY probe_id, rk"""))
+               WHERE rk <= 3 ORDER BY probe_id, rk""")),
+
+    // HyperLogLog EXECUTED as a sketch — the cardinality twin of j44's
+    // CMS row: d2 is the exact distinct (full token shuffle), d3 is
+    // Spark's built-in HLL++ estimate; this row is the sketch AS the
+    // product — 256 auditable registers that persist per shard/day and
+    // re-merge across arbitrary slices later without rescanning, the
+    // operation a 100-TB dedup/reporting pipeline actually runs. The token
+    // stream folds map-side into one fixed 256-register array per
+    // partition (merge = element-wise max: idempotent, so retries and
+    // speculation cannot skew it, unlike a count) and the only exchange
+    // carries ONE sketch row per partition — plan-pinned like j44. The
+    // md5-hex hash family makes the registers EXACTLY derivable in DuckDB
+    // (integer/string ops only, no floats), so hash-match proves the
+    // distributed fold register-for-register; the estimate path is
+    // law-tested in LawsSpec and bounds-tested in QueriesSpec.
+    Q("j47_hll_registers",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok")).as[String]
+        toks.select(graft.functions.HyperLogLog.toColumn.name("sk"))
+          .select(posexplode(col("registers")).as(Seq("b", "rho")))
+          .filter(col("rho") > 0)
+          .select(col("b").cast("long").as("b"), col("rho"))
+          .orderBy("b")
+      },
+      Some("""WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              h AS (SELECT md5('hll:' || tok) AS hx FROM toks),
+              br AS (SELECT
+                  (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS b,
+                  CASE WHEN ltrim(substring(hx, 3, 8), '0') = '' THEN 33
+                       ELSE (8 - length(ltrim(substring(hx, 3, 8), '0'))) * 4
+                          + CASE WHEN substring(ltrim(substring(hx, 3, 8),
+                                   '0'), 1, 1) = '1' THEN 3
+                                 WHEN substring(ltrim(substring(hx, 3, 8),
+                                   '0'), 1, 1) IN ('2', '3') THEN 2
+                                 WHEN substring(ltrim(substring(hx, 3, 8),
+                                   '0'), 1, 1) IN ('4', '5', '6', '7') THEN 1
+                                 ELSE 0 END
+                          + 1 END AS rho
+                FROM h)
+              SELECT CAST(b AS BIGINT) AS b, CAST(max(rho) AS BIGINT) AS rho
+              FROM br GROUP BY b ORDER BY b""")),
+
+    // The grouped HLL — "distinct users per key" at 100 TB: one keyed
+    // exchange on source whose rows are fixed 256-register arrays, never
+    // per-distinct-value sets (the exact formulation shuffles every
+    // distinct (source, tok) pair; this shuffles 20 sketch rows). Same
+    // auditable hash family as j47, so the per-source registers are
+    // oracle-checked exactly; per-source estimates are bounds-tested
+    // against the exact distinct counts in QueriesSpec.
+    Q("j48_hll_by_source",
+      (s, d) => {
+        import s.implicits._
+        val ds = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .as[graft.functions.SrcTok]
+        ds.groupByKey(_.source)
+          .agg(graft.functions.HyperLogLogBySource.toColumn.name("sk"))
+          .toDF("source", "sk")
+          .select(col("source"),
+            posexplode(col("sk.registers")).as(Seq("b", "rho")))
+          .filter(col("rho") > 0)
+          .select(col("source"), col("b").cast("long").as("b"), col("rho"))
+          .orderBy("source", "b")
+      },
+      Some("""WITH toks AS (
+                SELECT source, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              h AS (SELECT source, md5('hll:' || tok) AS hx FROM toks),
+              br AS (SELECT source,
+                  (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS b,
+                  CASE WHEN ltrim(substring(hx, 3, 8), '0') = '' THEN 33
+                       ELSE (8 - length(ltrim(substring(hx, 3, 8), '0'))) * 4
+                          + CASE WHEN substring(ltrim(substring(hx, 3, 8),
+                                   '0'), 1, 1) = '1' THEN 3
+                                 WHEN substring(ltrim(substring(hx, 3, 8),
+                                   '0'), 1, 1) IN ('2', '3') THEN 2
+                                 WHEN substring(ltrim(substring(hx, 3, 8),
+                                   '0'), 1, 1) IN ('4', '5', '6', '7') THEN 1
+                                 ELSE 0 END
+                          + 1 END AS rho
+                FROM h)
+              SELECT source, CAST(b AS BIGINT) AS b,
+                     CAST(max(rho) AS BIGINT) AS rho
+              FROM br GROUP BY source, b ORDER BY source, b"""))
   )
 }

@@ -191,6 +191,49 @@ object LawsSpec extends Properties("graft") {
       }
     }
 
+  // ---- HyperLogLog Aggregator (j47/j48): merge is element-wise max, so
+  // it is not just mergeable but IDEMPOTENT — re-merging the same partial
+  // (a retried/speculated task) cannot change the sketch, the property
+  // that makes the register file safe under at-least-once execution.
+  import graft.functions.{HllSketch, HyperLogLog}
+
+  private def hllOf(toks: Seq[String]): HllSketch =
+    toks.foldLeft(HyperLogLog.zero)(HyperLogLog.reduce)
+
+  property("hll: merge of split == reduce of whole (register-for-register)") =
+    Prop.forAll(tokenStream, tokenStream) { (xs, ys) =>
+      val whole = hllOf(xs ++ ys)
+      val split = HyperLogLog.merge(hllOf(xs), hllOf(ys))
+      whole.registers.sameElements(split.registers)
+    }
+
+  property("hll: merge is idempotent (retry/speculation-safe)") =
+    Prop.forAll(tokenStream) { xs =>
+      val m = hllOf(xs)
+      HyperLogLog.merge(m, m).registers.sameElements(m.registers)
+    }
+
+  property("hll: zero is identity for merge") =
+    Prop.forAll(tokenStream) { xs =>
+      val m = hllOf(xs)
+      HyperLogLog.merge(m, HyperLogLog.zero).registers
+        .sameElements(m.registers) &&
+        HyperLogLog.merge(HyperLogLog.zero, m).registers
+          .sameElements(m.registers)
+    }
+
+  property("hll: duplicates never move the sketch (set semantics)") =
+    Prop.forAll(tokenStream) { xs =>
+      hllOf(xs ++ xs).registers.sameElements(hllOf(xs.distinct).registers)
+    }
+
+  property("hll: estimate within 2x of true distinct (6.5% std error)") =
+    Prop.forAll(tokenStream.suchThat(_.distinct.size >= 20)) { xs =>
+      val n = xs.distinct.size.toDouble
+      val e = HyperLogLog.estimate(hllOf(xs))
+      e >= n / 2 && e <= n * 2
+    }
+
   // ---- BottomK Aggregator (j45): same merge law as the pure-JVM bottom-k
   // above, but over the Aggregator's actual buffer type — merging
   // per-partition bounded heaps and re-taking k equals folding the whole

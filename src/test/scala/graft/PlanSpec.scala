@@ -454,4 +454,35 @@ class PlanSpec extends AnyFunSuite {
       s"expected source-agg + output sort only, got $exchanges exchanges")
     assertScanCount("j45_bottomk_heap", "documents", 1)
   }
+
+  test("j47 HLL folds map-side: no per-token keyed exchange anywhere") {
+    // Same execution-shape claim as j44's CMS: tokens reduce into a fixed
+    // 256-register array inside each partition, and the only exchanges
+    // are the SinglePartition sketch merge and the output sort — never a
+    // per-distinct-token shuffle (that is d2's exact path).
+    val df = SparkEntry.queries("j47_hll_registers")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("keys=[tok"),
+      s"per-token keyed aggregate in the sketch path:\n$plan")
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges <= 2,
+      s"expected sketch-merge + output sort only, got $exchanges exchanges")
+    assertScanCount("j47_hll_registers", "documents", 1)
+    assert("Aggregate".r.findAllIn(plan).length >= 2,
+      s"no partial/final aggregate pair:\n$plan")
+  }
+
+  test("j48 grouped HLL shuffles sketch rows keyed by source only") {
+    // the grouped sketch's whole point: the keyed exchange carries one
+    // 256-register row per (partition, source), never the distinct
+    // (source, token) pairs the exact formulation shuffles
+    val df = SparkEntry.queries("j48_hll_by_source")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("keys=[tok"),
+      s"per-token keyed aggregate in the grouped sketch path:\n$plan")
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges <= 2,
+      s"expected source-keyed agg + output sort only, got $exchanges")
+    assertScanCount("j48_hll_by_source", "documents", 1)
+  }
 }

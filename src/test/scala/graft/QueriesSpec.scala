@@ -728,4 +728,38 @@ class QueriesSpec extends AnyFunSuite {
     assert(h46 >= h16, s"multi-probe hits $h46 < single-probe hits $h16")
     assert(h46 > 0, "zero recall — probe wiring broken")
   }
+
+  test("j47/j48 HLL registers reconstruct estimates near the exact counts") {
+    // The registers themselves are oracle-checked (hash-match); this is
+    // the ESTIMATE path: rebuild the sketch from each query's output rows
+    // and require the cardinality estimate within HLL's error envelope of
+    // the exact distinct count (m=256 → 6.5% std error; bounds are ~4σ).
+    import graft.functions.{HllSketch, HyperLogLog}
+    for (dir <- Seq(d, TestSpark.Sf001)) {
+      val exact = Tables.documents(spark, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(countDistinct("tok")).collect()(0).getLong(0).toDouble
+      val regs = new Array[Long](HyperLogLog.M)
+      SparkEntry.queries("j47_hll_registers")(spark, dir).collect()
+        .foreach(r => regs(r.getLong(0).toInt) = r.getLong(1))
+      val est = HyperLogLog.estimate(HllSketch(regs))
+      assert(est > exact * 0.75 && est < exact * 1.35,
+        s"$dir: global estimate $est vs exact $exact")
+    }
+    // grouped: per-source cardinalities are small → linear-counting regime
+    val perSrc = Tables.documents(spark, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source").agg(countDistinct("tok").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val bySrc = SparkEntry.queries("j48_hll_by_source")(spark, d).collect()
+      .groupBy(_.getString(0))
+    assert(bySrc.keySet == perSrc.keySet, "per-source sketch keys diverge")
+    bySrc.foreach { case (src, rows) =>
+      val regs = new Array[Long](HyperLogLog.M)
+      rows.foreach(r => regs(r.getLong(1).toInt) = r.getLong(2))
+      val est = HyperLogLog.estimate(HllSketch(regs))
+      val n = perSrc(src)
+      assert(est > n * 0.7 && est < n * 1.4, s"$src: estimate $est vs exact $n")
+    }
+  }
 }
