@@ -2514,6 +2514,40 @@ object LlmOps {
                 FROM h)
               SELECT source, CAST(b AS BIGINT) AS b,
                      CAST(max(rho) AS BIGINT) AS rho
-              FROM br GROUP BY source, b ORDER BY source, b"""))
+              FROM br GROUP BY source, b ORDER BY source, b""")),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis, IPL'06),
+    // deterministic: uniform u from the first 48 md5 bits of the doc id
+    // (exact integer in both engines — doubles are exact below 2^53),
+    // priority = -ln(u)/w with w = n_chars, keep the k lowest. Selection
+    // probability ∝ weight — long/high-weight docs over-represented by
+    // construction (pinned in QueriesSpec) — yet reproducible run-over-run
+    // with no RNG state (j32/j42's principle: a retry or a re-run of the
+    // 100-TB job draws the SAME sample). Execution shape: orderBy+limit
+    // compiles to TakeOrderedAndProject — per-partition bounded top-k
+    // heaps merged at the driver, NO global sort exchange (plan-pinned),
+    // the same mergeable-bottom-k shape as j42/j45 so per-shard samples
+    // recombine exactly. Priorities round to 12 dp (~8 significant digits
+    // at these magnitudes) so the two engines' last-ulp ln() differences
+    // cannot flip the ordering.
+    Q("j49_weighted_sample",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("hx",
+            md5(concat(lit("ws:"), col("doc_id").cast("string"))))
+          .withColumn("v",
+            expr("cast(conv(substring(hx, 1, 12), 16, 10) as double)"))
+          .withColumn("pri", round(
+            -log((col("v") + 0.5) / lit(281474976710656.0)) / col("n_chars"),
+            12))
+          .orderBy(col("pri"), col("doc_id"))
+          .limit(50)
+          .select(col("doc_id"), col("n_chars").as("w_chars"), col("pri"))
+      },
+      Some("""SELECT doc_id, n_chars AS w_chars,
+                     round(-ln((('0x' || substring(md5('ws:' || doc_id), 1,
+                             12))::BIGINT + 0.5) / 281474976710656.0)
+                           / n_chars, 12) AS pri
+              FROM documents ORDER BY pri, doc_id LIMIT 50"""))
   )
 }

@@ -485,4 +485,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected source-keyed agg + output sort only, got $exchanges")
     assertScanCount("j48_hll_by_source", "documents", 1)
   }
+
+  test("j49 weighted sample is a TakeOrdered heap merge, not a global sort") {
+    // orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    // bounded heaps merged at the driver) — a full sort exchange here
+    // would be the classic sample-at-scale mistake
+    val df = SparkEntry.queries("j49_weighted_sample")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Window"), s"window in the sample path:\n$plan")
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges == 0,
+      s"weighted sample should not shuffle at all, got $exchanges exchanges")
+    assertScanCount("j49_weighted_sample", "documents", 1)
+  }
 }

@@ -762,4 +762,34 @@ class QueriesSpec extends AnyFunSuite {
       assert(est > n * 0.7 && est < n * 1.4, s"$src: estimate $est vs exact $n")
     }
   }
+
+  test("j49 weighted sample over-represents heavy documents") {
+    // Efraimidis–Spirakis: P(selected) ∝ weight, so the sample's mean
+    // n_chars must exceed the corpus mean. The sample is deterministic
+    // (hash-derived uniforms), so this is a fixed-dataset invariant, not a
+    // flaky statistical test. Also pin exact selection: the 50 rows must
+    // be exactly the bottom-50 by the recomputed JVM-side priority.
+    val sample = SparkEntry.queries("j49_weighted_sample")(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(sample.length == 50)
+    val corpus = Tables.documents(spark, d)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val sampleMean = sample.map(_._2).sum.toDouble / sample.length
+    val corpusMean = corpus.map(_._2).sum.toDouble / corpus.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+    def pri(id: Long, w: Long): Double = {
+      val d0 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ws:$id".getBytes("UTF-8"))
+      val v = d0.take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+      val u = (v + 0.5) / 281474976710656.0
+      BigDecimal(-math.log(u) / w)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = corpus.map { case (id, w) => (pri(id, w), id) }
+      .sorted.take(50).map(_._2).toSet
+    assert(sample.map(_._1).toSet == expect,
+      "sample is not the exact bottom-50 by priority")
+  }
 }
