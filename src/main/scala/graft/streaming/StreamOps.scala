@@ -24,6 +24,9 @@ final case class ClosedSession(
 final case class TopKState(vals: Seq[Long])
 final case class UserTopK(user_id: Long, top1: Long, top2: Long, top3: Long)
 
+final case class TypeHll(
+    event_type: String, registers: Seq[Long], estimate: Double)
+
 // t1/t2/t3: -1 = unset; maxTs: latest event time seen in any prior batch
 // (-1 = none); nOoo: events that arrived in a later batch than one with a
 // greater timestamp — the in-order-delivery contract violations
@@ -93,6 +96,31 @@ object StreamOps {
           val next = CountState(n, cents)
           state.update(next)
           KeyCount(key._1, key._2, next.n, next.cents)
+      }
+  }
+
+  /** Streaming distinct-cardinality per key with CONSTANT state: the keyed
+    * state is j47's 256-register HLL file (one small array per key — 256
+    * bytes of real state), never a distinct-user-id set, so a key with 10⁹
+    * distinct users costs exactly what a key with 10 costs — the streaming
+    * cardinality shape at 100 TB. Register merge is element-wise max
+    * (idempotent), so a replayed micro-batch after failure recovery cannot
+    * skew the registers the way a count would. Update-mode emission: every
+    * key touched re-emits its current registers + estimate; the registers
+    * are monotone per slot, so the differential test reduces the update
+    * stream with a per-slot max. Batch twin: fold the same events through
+    * the same Aggregator ([[graft.functions.HyperLogLog]]).
+    */
+  def distinctUsersHll(events: Dataset[Event]): Dataset[TypeHll] = {
+    import events.sparkSession.implicits._
+    import graft.functions.{HllSketch, HyperLogLog}
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Event], state: GroupState[HllSketch]) =>
+          val sk = state.getOption.getOrElse(HyperLogLog.zero)
+          rows.foreach(e => HyperLogLog.reduce(sk, e.user_id.toString))
+          state.update(sk)
+          TypeHll(key, sk.registers.toSeq, HyperLogLog.estimate(sk))
       }
   }
 

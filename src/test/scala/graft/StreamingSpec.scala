@@ -66,6 +66,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming per-type HLL registers converge to the batch fold") {
+    import spark.implicits._
+    import graft.functions.{HllSketch, HyperLogLog}
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.distinctUsersHll(in.toDS()).writeStream
+      .format("memory").queryName("hllstream").outputMode("update").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    // per-slot max over the update stream == the final state per key
+    // (registers are monotone nondecreasing per slot)
+    val streamed = spark.table("hllstream").as[TypeHll].collect()
+      .groupBy(_.event_type).map { case (t, rows) =>
+        t -> rows.map(_.registers).reduce((a, b) =>
+          a.zip(b).map(p => math.max(p._1, p._2)))
+      }
+    val expected = chunks.flatten.groupBy(_.event_type).map { case (t, es) =>
+      t -> es.foldLeft(HyperLogLog.zero)((sk, e) =>
+        HyperLogLog.reduce(sk, e.user_id.toString))
+    }
+    assert(streamed.keySet == expected.keySet, "event_type keys diverge")
+    streamed.foreach { case (t, regs) =>
+      assert(regs == expected(t).registers.toSeq,
+        s"$t: streamed registers diverge from the batch fold")
+      // and the estimate lands inside HLL's envelope of the true distinct
+      val n = chunks.flatten.filter(_.event_type == t)
+        .map(_.user_id).distinct.size.toDouble
+      val est = HyperLogLog.estimate(HllSketch(regs.toArray))
+      assert(est > n * 0.7 && est < n * 1.4, s"$t: estimate $est vs exact $n")
+    }
+  }
+
   test("running top-3 values per user converge to batch (bounded keyed state)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
