@@ -2548,6 +2548,53 @@ object LlmOps {
                      round(-ln((('0x' || substring(md5('ws:' || doc_id), 1,
                              12))::BIGINT + 0.5) / 281474976710656.0)
                            / n_chars, 12) AS pri
-              FROM documents ORDER BY pri, doc_id LIMIT 50"""))
+              FROM documents ORDER BY pri, doc_id LIMIT 50""")),
+
+    // The claim j47's Scaladoc makes — "persisted per shard and re-merged
+    // across arbitrary slices later without rescanning data" — executed:
+    // build the per-source sketches (j48's shape, the thing a daily job
+    // would PERSIST), then merge them back into the global sketch with
+    // plain column ops (posexplode + max per register — element-wise max
+    // is the whole merge). The oracle derives the same global registers
+    // from raw data, so hash-match proves slice-merge == direct-fold; the
+    // QueriesSpec differential additionally pins j50 ≡ j47 row-for-row.
+    // At 100 TB the first stage is yesterday's saved 20-row sketch table
+    // and this query touches no documents at all.
+    Q("j50_hll_merge",
+      (s, d) => {
+        import s.implicits._
+        val ds = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .as[graft.functions.SrcTok]
+        val perSource = ds.groupByKey(_.source)
+          .agg(graft.functions.HyperLogLogBySource.toColumn.name("sk"))
+          .toDF("source", "sk")
+        perSource
+          .select(posexplode(col("sk.registers")).as(Seq("b", "rho")))
+          .groupBy("b").agg(max("rho").as("rho"))
+          .filter(col("rho") > 0)
+          .select(col("b").cast("long").as("b"), col("rho"))
+          .orderBy("b")
+      },
+      Some("""WITH toks AS (
+                SELECT unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+              h AS (SELECT md5('hll:' || tok) AS hx FROM toks),
+              br AS (SELECT
+                  (strpos('0123456789abcdef', substring(hx, 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substring(hx, 2, 1)) - 1) AS b,
+                  CASE WHEN ltrim(substring(hx, 3, 8), '0') = '' THEN 33
+                       ELSE (8 - length(ltrim(substring(hx, 3, 8), '0'))) * 4
+                          + CASE WHEN substring(ltrim(substring(hx, 3, 8),
+                                   '0'), 1, 1) = '1' THEN 3
+                                 WHEN substring(ltrim(substring(hx, 3, 8),
+                                   '0'), 1, 1) IN ('2', '3') THEN 2
+                                 WHEN substring(ltrim(substring(hx, 3, 8),
+                                   '0'), 1, 1) IN ('4', '5', '6', '7') THEN 1
+                                 ELSE 0 END
+                          + 1 END AS rho
+                FROM h)
+              SELECT CAST(b AS BIGINT) AS b, CAST(max(rho) AS BIGINT) AS rho
+              FROM br GROUP BY b ORDER BY b"""))
   )
 }

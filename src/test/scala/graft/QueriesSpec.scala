@@ -792,4 +792,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(sample.map(_._1).toSet == expect,
       "sample is not the exact bottom-50 by priority")
   }
+
+  test("j50 slice-merge reproduces j47's direct fold register-for-register") {
+    // the re-mergeability contract at Dataset level: merging the persisted
+    // per-source sketches (element-wise max over plain columns) must land
+    // on EXACTLY the registers the one-pass global fold produces — at two
+    // sfs so multi-partition partials engage on both paths
+    for (dir <- Seq(d, TestSpark.Sf001)) {
+      def rows(name: String) = SparkEntry.queries(name)(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows("j50_hll_merge") == rows("j47_hll_registers"),
+        s"$dir: slice-merged registers diverge from the direct fold")
+    }
+  }
 }
