@@ -25,7 +25,33 @@ final case class CmsSketch(cells: Array[Long])
   * Aggregator's output cell-for-cell comparable against the SQL derivation,
   * which is the QueriesSpec differential.
   */
-object CountMinSketch extends Aggregator[String, CmsSketch, CmsSketch] {
+class CmsAggregator[IN](elem: IN => String)
+    extends Aggregator[IN, CmsSketch, CmsSketch] {
+  import CountMinSketch.{Depth, Width}
+
+  override def zero: CmsSketch = CmsSketch(new Array[Long](Depth * Width))
+
+  override def reduce(b: CmsSketch, in: IN): CmsSketch = {
+    val bs = CountMinSketch.buckets(elem(in))
+    var r = 0
+    while (r < Depth) { b.cells(r * Width + bs(r)) += 1L; r += 1 }
+    b
+  }
+
+  override def merge(a: CmsSketch, b: CmsSketch): CmsSketch = {
+    val out = new Array[Long](Depth * Width)
+    var i = 0
+    while (i < out.length) { out(i) = a.cells(i) + b.cells(i); i += 1 }
+    CmsSketch(out)
+  }
+
+  override def finish(r: CmsSketch): CmsSketch = r
+
+  override def bufferEncoder: Encoder[CmsSketch] = Encoders.product[CmsSketch]
+  override def outputEncoder: Encoder[CmsSketch] = Encoders.product[CmsSketch]
+}
+
+object CountMinSketch extends CmsAggregator[String](identity) {
   val Depth = 4
   val Width = 256
 
@@ -41,24 +67,6 @@ object CountMinSketch extends Aggregator[String, CmsSketch, CmsSketch] {
     }
   }
 
-  override def zero: CmsSketch = CmsSketch(new Array[Long](Depth * Width))
-
-  override def reduce(b: CmsSketch, tok: String): CmsSketch = {
-    val bs = buckets(tok)
-    var r = 0
-    while (r < Depth) { b.cells(r * Width + bs(r)) += 1L; r += 1 }
-    b
-  }
-
-  override def merge(a: CmsSketch, b: CmsSketch): CmsSketch = {
-    val out = new Array[Long](Depth * Width)
-    var i = 0
-    while (i < out.length) { out(i) = a.cells(i) + b.cells(i); i += 1 }
-    CmsSketch(out)
-  }
-
-  override def finish(r: CmsSketch): CmsSketch = r
-
   /** Point estimate: min over rows of the token's bucket — can only
     * OVERcount (collisions add, never subtract; the j41 invariant).
     */
@@ -71,7 +79,10 @@ object CountMinSketch extends Aggregator[String, CmsSketch, CmsSketch] {
     }
     est
   }
-
-  override def bufferEncoder: Encoder[CmsSketch] = Encoders.product[CmsSketch]
-  override def outputEncoder: Encoder[CmsSketch] = Encoders.product[CmsSketch]
 }
+
+/** Grouped variant: per-key frequency sketch (j51's input — the table a
+  * daily shard job persists), same hash family so slices stay cell-for-cell
+  * comparable and their cell-wise sum IS the global sketch.
+  */
+object CountMinSketchBySource extends CmsAggregator[SrcTok](_.tok)

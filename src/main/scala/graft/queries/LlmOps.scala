@@ -2595,6 +2595,45 @@ object LlmOps {
                           + 1 END AS rho
                 FROM h)
               SELECT CAST(b AS BIGINT) AS b, CAST(max(rho) AS BIGINT) AS rho
-              FROM br GROUP BY b ORDER BY b"""))
+              FROM br GROUP BY b ORDER BY b""")),
+
+    // j50's re-merge contract for the FREQUENCY sketch: per-source CMS
+    // sketches (the persisted shard table) re-combine into j44's global
+    // cells by plain cell-wise SUM — addition is the entire CMS merge, so
+    // sharded counts compose exactly (where HLL's merge was max). Oracle
+    // derives the same cells from raw data; QueriesSpec pins j51 ≡ j44
+    // row-for-row. Same 100-TB shape: stage 1 reads yesterday's 20 sketch
+    // rows, not the corpus.
+    Q("j51_cms_merge",
+      (s, d) => {
+        import s.implicits._
+        val ds = Tables.documents(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .as[graft.functions.SrcTok]
+        val perSource = ds.groupByKey(_.source)
+          .agg(graft.functions.CountMinSketchBySource.toColumn.name("sk"))
+          .toDF("source", "sk")
+        perSource
+          .select(posexplode(col("sk.cells")).as(Seq("i", "cell")))
+          .groupBy("i").agg(sum("cell").as("cell"))
+          .filter(col("cell") > 0)
+          .select(expr("CAST(i DIV 256 AS BIGINT)").as("r"),
+            expr("CAST(i % 256 AS BIGINT)").as("b"), col("cell"))
+          .orderBy("r", "b")
+      },
+      Some("""WITH counts AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS c
+                FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY tok),
+              rs AS (SELECT unnest(generate_series(0, 3)) AS r)
+              SELECT r,
+                     (strpos('0123456789abcdef', substring(
+                        md5('cm' || r || ':' || tok), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substring(
+                        md5('cm' || r || ':' || tok), 2, 1)) - 1) AS b,
+                     CAST(sum(c) AS BIGINT) AS cell
+              FROM counts CROSS JOIN rs
+              GROUP BY 1, 2 ORDER BY r, b"""))
   )
 }

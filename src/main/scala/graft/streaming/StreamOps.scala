@@ -27,6 +27,8 @@ final case class UserTopK(user_id: Long, top1: Long, top2: Long, top3: Long)
 final case class TypeHll(
     event_type: String, registers: Seq[Long], estimate: Double)
 
+final case class TypeCms(event_type: String, cells: Seq[Long])
+
 // t1/t2/t3: -1 = unset; maxTs: latest event time seen in any prior batch
 // (-1 = none); nOoo: events that arrived in a later batch than one with a
 // greater timestamp — the in-order-delivery contract violations
@@ -121,6 +123,28 @@ object StreamOps {
           rows.foreach(e => HyperLogLog.reduce(sk, e.user_id.toString))
           state.update(sk)
           TypeHll(key, sk.registers.toSeq, HyperLogLog.estimate(sk))
+      }
+  }
+
+  /** Streaming per-key frequency sketch — [[distinctUsersHll]]'s twin for
+    * COUNTS: keyed state is j44's 1,024-cell CMS (8 KB per key, constant
+    * regardless of how many distinct users flow through), so "how often
+    * has user u hit event type t" is answerable from bounded state on an
+    * unbounded stream — the alternative, a per-(type, user) count map,
+    * grows with distinct users. Cells only ever grow, so the update stream
+    * is per-slot monotone and the differential test reduces it with max;
+    * batch twin: the same Aggregator folded over the union of batches.
+    */
+  def userFreqCms(events: Dataset[Event]): Dataset[TypeCms] = {
+    import events.sparkSession.implicits._
+    import graft.functions.{CmsSketch, CountMinSketch}
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Event], state: GroupState[CmsSketch]) =>
+          val sk = state.getOption.getOrElse(CountMinSketch.zero)
+          rows.foreach(e => CountMinSketch.reduce(sk, e.user_id.toString))
+          state.update(sk)
+          TypeCms(key, sk.cells.toSeq)
       }
   }
 

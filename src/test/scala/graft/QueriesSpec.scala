@@ -805,4 +805,16 @@ class QueriesSpec extends AnyFunSuite {
         s"$dir: slice-merged registers diverge from the direct fold")
     }
   }
+
+  test("j51 CMS slice-merge reproduces j44's direct fold cell-for-cell") {
+    // the frequency-sketch twin of the j50 differential: cell-wise SUM of
+    // the per-source sketches must equal the one-pass global fold exactly
+    for (dir <- Seq(d, TestSpark.Sf001)) {
+      def rows(name: String) = SparkEntry.queries(name)(spark, dir)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows("j51_cms_merge") == rows("j44_cms_sketch"),
+        s"$dir: slice-merged cells diverge from the direct fold")
+    }
+  }
 }

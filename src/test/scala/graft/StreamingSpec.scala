@@ -98,6 +98,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming per-type CMS cells converge to the batch fold") {
+    import spark.implicits._
+    import graft.functions.CountMinSketch
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.userFreqCms(in.toDS()).writeStream
+      .format("memory").queryName("cmsstream").outputMode("update").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    // cells only grow → per-slot max over the update stream = final state
+    val streamed = spark.table("cmsstream").as[TypeCms].collect()
+      .groupBy(_.event_type).map { case (t, rows) =>
+        t -> rows.map(_.cells).reduce((a, b) =>
+          a.zip(b).map(p => math.max(p._1, p._2)))
+      }
+    val expected = chunks.flatten.groupBy(_.event_type).map { case (t, es) =>
+      t -> es.foldLeft(CountMinSketch.zero)((sk, e) =>
+        CountMinSketch.reduce(sk, e.user_id.toString))
+    }
+    assert(streamed.keySet == expected.keySet, "event_type keys diverge")
+    streamed.foreach { case (t, cells) =>
+      assert(cells == expected(t).cells.toSeq,
+        s"$t: streamed cells diverge from the batch fold")
+      // and the estimates actually answer the frequency question: every
+      // (type, user) estimate >= the true count (one-sided CMS error)
+      val byUser = chunks.flatten.filter(_.event_type == t)
+        .groupBy(_.user_id).map { case (u, es) => u -> es.size.toLong }
+      byUser.foreach { case (u, n) =>
+        val est = CountMinSketch.estimate(
+          graft.functions.CmsSketch(cells.toArray), u.toString)
+        assert(est >= n, s"$t/$u: estimate $est undercounts $n")
+      }
+    }
+  }
+
   test("running top-3 values per user converge to batch (bounded keyed state)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
