@@ -347,13 +347,26 @@ object LlmOps {
                  (SELECT embedding AS p FROM embeddings WHERE vec_id = 0) p
                ORDER BY score DESC, e.vec_id LIMIT 10""")),
 
-    // k-NN similarity join: probe set (label=0) broadcast against the full
-    // collection; top-3 by rounded score per probe via window rank.
+    // k-NN similarity join for a BOUNDED probe panel: exact top-3 over the
+    // full collection for the first 512 label=0 vectors. The limit(512) is
+    // the scale contract: the broadcast build side has a plan-guaranteed
+    // maximum size (a GlobalLimit below the broadcast exchange, pinned in
+    // PlanSpec), so the compare count is O(N·512) — linear in the
+    // collection — instead of the O(N·M) blow-up of broadcasting a constant
+    // FRACTION of the collection. Exact kNN against an UNBOUNDED probe set
+    // is the ANN territory (j12 buckets / j16 cells / j46 multi-probe):
+    // measured here, even 12 of 16 IVF cells miss true top-3 neighbors on
+    // this isotropic corpus, so no cell routing can keep this operator's
+    // exact contract — bounding the panel is the honest exact form. At the
+    // tested SFs every label=0 vector has vec_id < 512, so the panel equals
+    // the full label-0 set and results are identical to the exhaustive
+    // definition.
     Q("j4_knn_join",
       (s, d) => {
         DotProduct.register(s)
         val e = Tables.embeddings(s, d)
         val probes = e.filter(col("label") === 0)
+          .orderBy("vec_id").limit(512)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
         val w = Window.partitionBy("probe_id")
           .orderBy(col("score").desc, col("vec_id"))
@@ -371,8 +384,10 @@ object LlmOps {
                         CAST(row_number() OVER (PARTITION BY p.vec_id
                           ORDER BY round(${duckDot("e.embedding", "p.embedding")}, 6)
                             DESC, e.vec_id) AS BIGINT) AS rk
-                 FROM embeddings e JOIN embeddings p
-                   ON p.label = 0 AND e.vec_id != p.vec_id)
+                 FROM embeddings e JOIN
+                   (SELECT vec_id, embedding FROM embeddings
+                    WHERE label = 0 ORDER BY vec_id LIMIT 512) p
+                   ON e.vec_id != p.vec_id)
                WHERE rk <= 3 ORDER BY probe_id, rk""")),
 
     // Corpus text statistics per (lang, source): doc/char/token counts and
@@ -764,27 +779,89 @@ object LlmOps {
                   AND e.vec_id != p.vec_id)
                WHERE rk <= 3 ORDER BY probe_id, rk""")),
 
-    // Embedding-cosine near-dup pairs (exhaustive baseline; the LSH/IVF
-    // pre-filter is the documented scale path).
+    // Embedding-cosine near-dup pairs via banded random-hyperplane
+    // candidates + exact dot-product verify — the sub-quadratic form.
+    //
+    // Exhaustive cosine near-dup at a weak threshold is INHERENTLY
+    // quadratic: τ=0.45 on this isotropic 64-d corpus sits ≈3.6σ above the
+    // pairwise-dot background (σ = 1/√64), and we measured that no coarse
+    // structure separates it — the 16-cell IVF assignment needs 8 of 16
+    // probed cells (i.e. all pairs) before the 14 sf0.01 qualifying pairs
+    // are all co-located. So the scale form makes the candidate generation
+    // part of the operator's CONTRACT, exactly as j12 does: 32 deterministic
+    // ±1 hyperplanes (the j12 pattern family, plane index q = 4·band + k)
+    // grouped into 8 bands of 4 sign bits; a pair is a candidate iff it
+    // collides in ≥1 full band, and only candidates get the exact verify.
+    // The oracle replicates the bands bit-for-bit in DuckDB, so the check
+    // stays exact (rows+schema+hash) and survives any testdata regen.
+    //
+    // Recall is the banded S-curve 1-(1-p^4)^8, p = 1-θ/π: modest at the
+    // demo threshold (p≈0.65 → 43%, 6/14 measured at sf0.01) because τ=0.45
+    // IS the background — by design this synthetic corpus has no true
+    // embedding near-dups — but ≥99.8% in the regime near-dup filtering
+    // actually targets (τ≥0.9 → p≈0.86), demonstrated on planted duplicates
+    // in QueriesSpec. Scale shape: one lineage-truncated signature pass
+    // (n×8 tiny rows), a band equi-join (Σ per-bucket n_b², tunable by
+    // band width), two hash joins to re-attach vectors — no cross join,
+    // no broadcast of the collection, plan-pinned in PlanSpec.
     Q("j11_cosine_neardup",
       (s, d) => {
         DotProduct.register(s)
         val e = Tables.embeddings(s, d)
-        val a = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"))
-        a.join(b, col("vid_a") < col("vid_b"))
+        // sign bit of plane q: sign(Σ_i emb[i] · w(q,i)), w(q,i) = ±1 from
+        // the same fixed integer pattern j12 uses (reproduced in the oracle)
+        def planeBit(q: Int, weight: Int) = expr(
+          s"""CASE WHEN aggregate(zip_with(embedding, transform(sequence(1, 64),
+              i -> CASE WHEN (i * 73 + $q * 151) % 7 <= 3 THEN 1.0D
+                   ELSE -1.0D END), (x, w) -> cast(x as double) * w),
+              cast(0 as double), (acc, v) -> acc + v) >= 0
+              THEN $weight ELSE 0 END""")
+        def bandKey(j: Int) =
+          (0 until 4).map(k => planeBit(j * 4 + k, 1 << k)).reduce(_ + _)
+        // (vec_id, band, key) — truncated so the 32-plane signature pass
+        // runs once, not once per self-join side
+        val keys = truncateLineage(e
+          .select(col("vec_id"),
+            posexplode(array((0 until 8).map(bandKey): _*))
+              .as(Seq("band", "bk"))))
+        val cand = keys.alias("x")
+          .join(keys.alias("y"),
+            col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vid_a"), col("y.vec_id").as("vid_b"))
+          .distinct()
+        val ea = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"))
+        val eb = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"))
+        cand.join(ea, "vid_a").join(eb, "vid_b")
           .withColumn("dotp", expr(dot("ea", "eb")))
           .filter(col("dotp") >= 0.45)
           .select(col("vid_a"), col("vid_b"),
             round(col("dotp"), 6).as("score"))
           .orderBy("vid_a", "vid_b")
       },
-      Some(s"""SELECT vid_a, vid_b, round(dotp, 6) AS score FROM (
-                 SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
-                        ${duckDot("a.embedding", "b.embedding")} AS dotp
-                 FROM embeddings a JOIN embeddings b
-                   ON a.vec_id < b.vec_id)
-               WHERE dotp >= 0.45 ORDER BY vid_a, vid_b""")),
+      Some {
+        def bitSql(q: Int, weight: Int) =
+          s"""(CASE WHEN list_reduce(list_transform(generate_series(1, 64),
+              i -> embedding[i]::DOUBLE *
+                (CASE WHEN (i * 73 + $q * 151) % 7 <= 3
+                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) >= 0
+              THEN $weight ELSE 0 END)"""
+        val bandCols = (0 until 8).map { j =>
+          (0 until 4).map(k => bitSql(j * 4 + k, 1 << k)).mkString(" + ") +
+            s" AS band$j"
+        }.mkString(",\n                 ")
+        val collide = (0 until 8).map(j => s"a.band$j = b.band$j")
+          .mkString(" OR ")
+        s"""WITH sig AS (
+              SELECT vec_id, embedding, $bandCols
+              FROM embeddings)
+            SELECT vid_a, vid_b, round(dotp, 6) AS score FROM (
+              SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+                     ${duckDot("a.embedding", "b.embedding")} AS dotp
+              FROM sig a JOIN sig b
+                ON a.vec_id < b.vec_id AND ($collide))
+            WHERE dotp >= 0.45 ORDER BY vid_a, vid_b"""
+      }),
 
     // tf-idf top terms per document. The token explode aggregates ONCE into
     // the (doc, term) tf table; document frequency is a count window over

@@ -290,6 +290,29 @@ class PlanSpec extends AnyFunSuite {
     assertScanCount("j10_simhash_neardup", "documents", 0)
   }
 
+  test("j11 cosine pairs via the band equi-join, never an all-pairs scan") {
+    // round-10 rewrite: candidates come from the 8×4-plane band equi-join
+    // (the j12 pattern family), exact dot verify touches candidates only —
+    // the quadratic `vid_a < vid_b` range join is gone
+    val plan = staticPlan("j11_cosine_neardup")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs BNLJ back in the cosine pairing:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian pairing in the cosine plan:\n$plan")
+    // the 32-plane signature pass is lineage-truncated (runs once, n×8 tiny
+    // rows); embeddings is scanned only by the two vector re-attach joins
+    assertScanCount("j11_cosine_neardup", "embeddings", 2)
+  }
+
+  test("j4 probe panel is plan-bounded below the broadcast exchange") {
+    // the broadcast build side must be structurally capped (limit=512), not
+    // a data-dependent fraction of the collection — the difference between
+    // O(N·512) and O(N·M) at 100 TB
+    val plan = staticPlan("j4_knn_join")
+    assert(plan.contains("limit=512"),
+      s"no bounded probe panel in the j4 plan:\n$plan")
+  }
+
   test("j13 final plan reads only the truncated label table, no fact re-scan") {
     assertScanCount("j13_dedup_clusters", "documents", 0)
   }

@@ -503,6 +503,46 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("j11 banded candidates catch planted near-dups in the production regime") {
+    import spark.implicits._
+    // τ=0.45 on the shipped synthetic corpus sits AT the isotropic pairwise
+    // background (the data has no true embedding near-dups by design), so
+    // banded recall there is modest — and irrelevant to correctness, since
+    // the oracle encodes the same 8×4-plane bands. The regime embedding
+    // near-dup filtering actually targets is cos ≥ 0.9, where the banded
+    // S-curve miss probability (1-p⁴)⁸ with p = 1-θ/π ≈ 0.96 is < 1e-6 per
+    // pair: plant 25 such pairs among 400 isotropic vectors and require the
+    // full j11 pipeline (signature → band join → exact verify) to emit
+    // every one. Fixed seed → deterministic, no flake budget.
+    val rnd = new scala.util.Random(427)
+    def unitVec(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def nearDup(v: Array[Float]): Array[Float] = {
+      val g = unitVec()
+      val w = v.zip(g).map { case (a, b) => a + 0.12f * b }
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(x => (x / n).toFloat)
+    }
+    val base = Vector.fill(400)(unitVec())
+    val rows = base.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toSeq, i % 10)
+    } ++ (0 until 25).map(i => ((1000 + i).toLong, nearDup(base(i)).toSeq,
+      i % 10))
+    val dir = java.nio.file.Files.createTempDirectory("j11planted").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("j11_cosine_neardup")(spark, dir)
+      .select("vid_a", "vid_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 25).foreach { i =>
+      assert(out.contains((i.toLong, (1000 + i).toLong)),
+        s"planted near-dup pair $i missed by the band candidates")
+    }
+  }
+
   test("j40 probe always finds exact clones — J=1 recall is deterministic") {
     import spark.implicits._
     // An exact clone has an identical shingle set, hence an identical
