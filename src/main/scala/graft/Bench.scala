@@ -61,10 +61,12 @@ object Bench {
     // regen broke the events reader and the then-unguarded warmup crashed
     // the WHOLE bench before timing a single query — one broken table must
     // only cost its own queries, and the artifact must still publish.
+    // NonFatal only: an OutOfMemoryError or other fatal JVM error must
+    // abort the run rather than publish timings from a broken JVM
     val warmupErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def warmTable(t: String)(count: => Long): Unit =
       if (new java.io.File(s"$sfDir/$t.parquet").exists())
-        try count catch { case e: Throwable =>
+        try count catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] warmup of $t failed: ${e.getMessage}")
           warmupErrors(t) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
         }
@@ -103,8 +105,11 @@ object Bench {
     // default to cold single runs — smoke/scale checks, not the headline.
     val sweep = sys.env.contains("SPARK_GRAFT_BENCH_ONLY") ||
       sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
+    // 5 warm runs for the headline: enough samples that the published
+    // p50/p95 mean something and round-over-round comparison stops
+    // depending on min-of-3 luck
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
-      .getOrElse(if (sweep) 1 else 3)
+      .getOrElse(if (sweep) 1 else 5)
     val warm = sys.env.get("SPARK_GRAFT_BENCH_WARM").map(_ == "1")
       .getOrElse(!sweep)
     def loadAvg(): Double = java.lang.management.ManagementFactory
@@ -125,7 +130,7 @@ object Bench {
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           Left(s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }
@@ -153,8 +158,23 @@ object Bench {
     } + "\""
     def obj(kvs: Seq[(String, String)]): String =
       kvs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // linear-interpolated percentile over the warm samples — published per
+    // query so the artifact self-describes its variance (p50 = the robust
+    // round-over-round comparator, p95 = the tail a contended run shows)
+    def pctl(ts: Seq[Double], p: Double): Option[Double] =
+      if (ts.isEmpty) None else {
+        val s = ts.sorted
+        val idx = p * (s.size - 1)
+        val lo = idx.toInt
+        val hi = math.min(lo + 1, s.size - 1)
+        Some(s(lo) + (idx - lo) * (s(hi) - s(lo)))
+      }
     val qs = obj(results.map { case (k, v, _, _, _, _) =>
       k -> v.map(_.toString).getOrElse("null") })
+    val p50s = obj(results.map { case (k, _, _, ss, _, _) =>
+      k -> pctl(ss, 0.5).map(_.toString).getOrElse("null") })
+    val p95s = obj(results.map { case (k, _, _, ss, _, _) =>
+      k -> pctl(ss, 0.95).map(_.toString).getOrElse("null") })
     val cs = obj(results.collect { case (k, _, Some(c), _, _, _) =>
       k -> c.toString })
     val rs = obj(results.map { case (k, _, _, ss, _, _) =>
@@ -177,7 +197,7 @@ object Bench {
       "contended" -> contendedQs.map(jstr).mkString("[", ",", "]"),
       "warmup_errors" -> obj(warmupErrors.toSeq.map {
         case (t, m) => t -> jstr(m) })))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cs,"runs":$rs,"errors":$es,"protocol":$protocol,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50s,"p95":$p95s,"cold":$cs,"runs":$rs,"errors":$es,"protocol":$protocol,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,6 +25,9 @@ object LocalSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // both events.ts layouts must read (ns-long pre-regen, µs current) —
+      // set once at session build, not mutated at query-build time
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     extra.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()

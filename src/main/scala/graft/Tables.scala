@@ -38,11 +38,13 @@ object Tables {
     *    [[LocalSession]] the cast is value-preserving, and downstream
     *    consumers keep seeing the same `TimestampType` as always.
     *
-    * `nanosAsLong` stays set so BOTH layouts read; the ns↔µs equivalence is
-    * pinned by a FormatsSpec test on a synthesized ns-long file.
+    * `nanosAsLong` is set once at session build ([[LocalSession.build]],
+    * which every main AND the test session go through) so BOTH layouts
+    * read without this loader mutating shared session conf at
+    * query-build time; the ns↔µs equivalence is pinned by a FormatsSpec
+    * test on a synthesized ns-long file.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -18,10 +18,16 @@ final case class MediaFrame(
 
 /** Multimodal column plumbing (SURVEY §2 j6 / task-brief "multimodal
   * columns"). The Spark-side mechanics — schema, partition-preserving
-  * `mapPartitions`, batched per-partition decode — are real and tested; the
-  * decoder itself is a STUB (`fakeDecode`): this container has no image/
-  * audio codecs, so it computes a deterministic 16-bin byte histogram where
-  * a real deployment would plug libjpeg/ffmpeg/etc. into the same signature.
+  * `mapPartitions`, batched per-partition decode — are real and tested.
+  * Decoders by modality:
+  *
+  *  - image mimes: REAL decode via `javax.imageio` (PNG/BMP/GIF readers ship
+  *    with the JDK — no new dependency): payload → pixels → pixel-derived
+  *    features, and a real decode→scale→re-encode resize. Round 10.
+  *  - everything else (audio/video/unknown): a declared STUB — the
+  *    container has no ffmpeg/audio codecs, so `fakeDecode` computes a
+  *    deterministic 16-bin byte histogram where a real deployment would
+  *    plug its codec into the same payload → Array[Double] signature.
   *
   * Scale notes (100 TB of media): decode runs per-partition with no shuffle
   * — `mapPartitions` keeps the scan→decode→feature pipeline inside one
@@ -30,6 +36,54 @@ final case class MediaFrame(
   * similarity/dedup operators unchanged.
   */
 object MediaPipeline {
+
+  /** Real image decode (pure JVM, `javax.imageio`). None ⇔ the payload is
+    * not a decodable image — callers fall back to the byte-histogram stub
+    * so a corrupt file degrades to weaker features instead of killing the
+    * partition (at 100 TB some fraction of any crawl's images is broken).
+    */
+  def decodeImage(
+      payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Pixel-derived features from a REAL decode: [width, height, meanR,
+    * meanG, meanB] ++ 16-bin normalized luminance histogram (21 doubles).
+    * Plain while-loops over getRGB — the per-pixel hot path allocates
+    * nothing.
+    */
+  def imageFeatures(img: java.awt.image.BufferedImage): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val hist = new Array[Double](16)
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        // integer Rec.601 luma, range 0..255 → bins of 16
+        hist((r * 299 + g * 587 + b * 114) / 1000 >> 4) += 1.0
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toDouble
+    Array(w.toDouble, h.toDouble, sr / n, sg / n, sb / n) ++ hist.map(_ / n)
+  }
+
+  /** Modality dispatch: image mimes get the real codec (stub fallback on
+    * undecodable bytes); other mimes keep the declared stub.
+    */
+  def decodeFeatures(mime: String, payload: Array[Byte]): Array[Double] =
+    if (mime.startsWith("image/"))
+      decodeImage(payload).map(imageFeatures).getOrElse(fakeDecode(payload))
+    else fakeDecode(payload)
 
   /** STUB decoder — deterministic stand-in for a real codec. Real
     * implementation would decode `payload` (e.g. JPEG → pixels) and emit
@@ -43,14 +97,17 @@ object MediaPipeline {
     bins.map(_ / total)
   }
 
-  /** Per-partition decode + feature extraction — one stage, no shuffle. */
+  /** Per-partition decode + feature extraction — one stage, no shuffle.
+    * Dispatches per item on mime: real `javax.imageio` decode for images,
+    * byte-histogram stub otherwise.
+    */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
-      // per-partition init of a real decoder would go here (amortized)
+      // per-partition init of a heavier decoder would go here (amortized)
       it.map { m =>
         MediaFeatures(m.media_id, m.mime, m.payload.length.toLong,
-          fakeDecode(m.payload))
+          decodeFeatures(m.mime, m.payload))
       }
     }
   }
@@ -67,10 +124,36 @@ object MediaPipeline {
     Array.tabulate((payload.length + factor - 1) / factor)(k =>
       payload(k * factor))
 
+  /** REAL image resize: decode → bilinear downscale by 1/factor →
+    * re-encode PNG (lossless, deterministic). None ⇔ payload didn't decode
+    * or is smaller than the factor; callers fall back to the stride stub.
+    */
+  def resizeImage(payload: Array[Byte], factor: Int): Option[Array[Byte]] =
+    decodeImage(payload)
+      .filter(i => i.getWidth >= factor && i.getHeight >= factor)
+      .map { img =>
+        val w = img.getWidth / factor
+        val h = img.getHeight / factor
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+
   def resize(items: Dataset[MediaItem], factor: Int = 2): Dataset[MediaItem] = {
     import items.sparkSession.implicits._
-    items.mapPartitions(_.map(m =>
-      m.copy(payload = fakeResize(m.payload, factor))))
+    items.mapPartitions(_.map { m =>
+      val resized =
+        if (m.mime.startsWith("image/")) resizeImage(m.payload, factor)
+        else None
+      m.copy(payload = resized.getOrElse(fakeResize(m.payload, factor)))
+    })
   }
 
   /** Frame sampling — the 1:N generate stage of a video pipeline: chop the

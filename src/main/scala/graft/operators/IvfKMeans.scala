@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Spherical k-means training for IVF cell centroids (Lloyd iterations on a
+  * bounded deterministic sample), plus the same assign/search machinery the
+  * registered j16/j46 queries use — so a LEARNED codebook drops in behind
+  * the identical interface. The j16/j46 ORACLE stays on the fixed
+  * data-derived centroids (exactly reproducible in SQL); this learned path
+  * is the production refinement, differential-tested in QueriesSpec for
+  * recall ≥ the fixed codebook at the same nprobe.
+  *
+  * Scale design (100 TB):
+  *  - training reads a BOUNDED deterministic sample (hash-ordered limit —
+  *    one TakeOrdered, no full sort), so cost is O(sample·k·d·iters),
+  *    independent of collection size;
+  *  - the model (k×d doubles) lives on the driver between iterations —
+  *    that is O(k·d) MODEL state, not data (same legitimacy as any
+  *    broadcast variable), re-shipped per iteration as a broadcast literal;
+  *  - the per-iteration mean is posexplode + (cell, dim) aggregation, so
+  *    the shuffle carries k·d partial rows per partition, never vectors;
+  *  - empty cells keep their previous centroid (the standard Lloyd guard);
+  *  - centroids renormalize to unit length each round (spherical k-means),
+  *    keeping dot-product assignment ≡ cosine assignment.
+  */
+object IvfKMeans {
+
+  /** In-order double dot between the float `embedding` column and a double
+    * array column `c` (centroids are means — double — so the cast sits on
+    * the data side, matching how DuckDB's oracle arithmetic casts).
+    */
+  private def dotD(emb: String, c: String) = expr(
+    s"""aggregate(zip_with($emb, $c,
+        (x, y) -> cast(x as double) * y),
+        cast(0 as double), (acc, v) -> acc + v)""")
+
+  private def centsDf(emb: DataFrame, cents: Array[Array[Double]]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cent_id", "cvec")
+  }
+
+  /** Train k unit-norm centroids. Seeds are the k lowest-`vec_id` sample
+    * vectors — the same deterministic convention as the fixed j16 codebook,
+    * so iteration 0 IS the fixed codebook and every improvement is
+    * attributable to Lloyd refinement. Fully deterministic: no RNG state,
+    * stable under repartitioning.
+    */
+  def train(emb: DataFrame, k: Int = 16, iters: Int = 5,
+      sampleN: Int = 4096): Array[Array[Double]] = {
+    val sample = graft.Q.truncateLineage(
+      emb.select(col("vec_id"), col("embedding"))
+        .orderBy(pmod(hash(col("vec_id")), lit(1000003)), col("vec_id"))
+        .limit(sampleN))
+    var cents: Array[Array[Double]] = sample.orderBy("vec_id").limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .map(normalize)
+    val wA = Window.partitionBy("vec_id")
+      .orderBy(col("cscore").desc, col("cent_id"))
+    for (_ <- 0 until iters) {
+      val assigned = sample.crossJoin(broadcast(centsDf(emb, cents)))
+        .withColumn("cscore", dotD("embedding", "cvec"))
+        .withColumn("ark", row_number().over(wA))
+        .filter(col("ark") === 1)
+        .select(col("cent_id").as("cell"), col("embedding"))
+      // (cell, dim) means — k·d tiny rows to the driver = the new model
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep previous centroid
+      means.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getDouble(2)
+      }
+      cents = next.map(normalize)
+    }
+    cents
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Nearest-`nprobe` cell assignment — the exact shape j16/j46 use
+    * (broadcast codebook join + one window rank), against a learned
+    * codebook. nprobe = 1 for the collection (each vector lives in ONE
+    * cell), > 1 for probes (multi-probe recall lever).
+    */
+  def assignCells(emb: DataFrame, cents: Array[Array[Double]],
+      nprobe: Int): DataFrame = {
+    val wA = Window.partitionBy("vec_id")
+      .orderBy(col("cscore").desc, col("cent_id"))
+    emb.crossJoin(broadcast(centsDf(emb, cents)))
+      .withColumn("cscore", dotD("embedding", "cvec"))
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+  }
+
+  /** Top-k per probe within the probe's cells — identical scoring and
+    * tie-break to j16/j46 (rounded dot, then vec_id), so recall
+    * comparisons against them are bit-fair.
+    */
+  def searchTopK(assigned: DataFrame, probes: DataFrame,
+      k: Int): DataFrame = {
+    graft.functions.DotProduct.register(assigned.sparkSession)
+    val p = probes.select(col("vec_id").as("probe_id"),
+      col("embedding").as("p"), col("cell").as("pcell"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    assigned.join(broadcast(p),
+        col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .withColumn("score", round(expr("graft_dot(embedding, p)"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("probe_id", "vec_id", "score", "rk")
+  }
+}

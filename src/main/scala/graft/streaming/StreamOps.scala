@@ -577,17 +577,36 @@ object StreamOps {
       spark: org.apache.spark.sql.SparkSession,
       eventsDir: String): Dataset[Event] = {
     import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsIsLong = spark.read.parquet(eventsDir)
-      .schema("ts").dataType == org.apache.spark.sql.types.LongType
-    val tsDdl = if (tsIsLong) "BIGINT" else "TIMESTAMP_NTZ"
+    // the declared stream schema must match the files' physical type or the
+    // source misreads them, so branch the DDL on the probed type exactly as
+    // Tables.events branches the fix-up: BIGINT (ns-long), TIMESTAMP
+    // (adjusted-to-UTC µs), TIMESTAMP_NTZ (current regen layout). A watched
+    // directory that starts EMPTY is legitimate for a file stream — the
+    // probe then fails schema inference and we default to the current
+    // layout; files appearing later must match it, as with any explicit
+    // stream schema.
+    val probed =
+      try Some(spark.read.parquet(eventsDir).schema("ts").dataType)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    val tsDdl = probed match {
+      case Some(LongType) => "BIGINT"
+      case Some(TimestampType) => "TIMESTAMP"
+      case _ => "TIMESTAMP_NTZ"
+    }
     val raw = spark.readStream
       .schema(s"event_id BIGINT, ts $tsDdl, user_id BIGINT, " +
         "event_type STRING, value DOUBLE, props STRING")
       .parquet(eventsDir)
-    val fixed =
-      if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw.withColumn("ts", col("ts").cast("timestamp"))
+    val fixed = probed match {
+      case Some(LongType) =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampType) => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
     fixed.as[Event]
   }
 }

@@ -35,6 +35,59 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits the skewed join partition; result equals the salted rewrite") {
+    // c9 proves the MANUAL salt (the form for paths AQE can't see, e.g.
+    // streaming-static). This pins the claimed production path for batch:
+    // AQE detects the hot key's oversized shuffle partition at runtime and
+    // splits it into sub-partitions, replicating the matching build rows —
+    // same trick as the salt, decided adaptively and only where skew
+    // actually materialized. Thresholds are tuned down to demonstrate on
+    // test-scale data (defaults target 256 MB cluster partitions).
+    val hot = 0L
+    // ~90% of fact rows land on one key → one shuffle partition dwarfs the
+    // median and trips the skew detector
+    val fact = spark.range(400000L).select(
+      when(pmod(col("id"), lit(10)) < 9, lit(hot))
+        .otherwise(pmod(col("id"), lit(200))).as("jk"),
+      col("id").as("payload"))
+    val dim = spark.range(200L).select(col("id").as("jk"),
+      concat(lit("grp_"), pmod(col("id"), lit(10))).as("grp"))
+    val keys = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      // no broadcast shortcut: skew split is a sort-merge-join rewrite
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = fact.join(dim, "jk")
+        .select(col("jk"), col("payload"), col("grp"))
+      val viaAqe = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew split did not fire:\n$plan")
+      // differential: identical multiset of rows to c9's manual salt form
+      val viaSalt = Layout.saltedJoin(fact, dim, "jk",
+          probeSaltExpr = pmod(col("payload"), lit(8)), nSalts = 8)
+        .select(col("jk"), col("payload"), col("grp")).collect()
+      def canon(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+      assert(canon(viaAqe).sameElements(canon(viaSalt)),
+        "AQE skew-split join and salted join disagree")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // Spark's runtime row-level filtering: a selective filter on the small
     // (creation) side of a shuffle join injects a bloom-filter semi-join

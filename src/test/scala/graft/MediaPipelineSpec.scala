@@ -40,6 +40,59 @@ class MediaPipelineSpec extends AnyFunSuite {
     }
   }
 
+  private def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("image codec decodes real PNG bytes into pixel-derived features") {
+    import spark.implicits._
+    val items = Seq(
+      MediaItem(1L, "image/png", solidPng(32, 16, 0xff0000)),
+      MediaItem(2L, "image/png", solidPng(8, 8, 0x808080)),
+      MediaItem(3L, "text/plain", "hello world".getBytes("UTF-8")),
+      // valid mime, garbage bytes: must DEGRADE to the stub, not fail
+      MediaItem(4L, "image/png", Array[Byte](1, 2, 3, 4))).toDS()
+    val f = MediaPipeline.extractFeatures(items).collect()
+      .map(x => x.media_id -> x.features).toMap
+    // solid red 32×16: [w, h, meanR, meanG, meanB] from REAL pixels
+    assert(f(1L).take(5).toSeq == Seq(32.0, 16.0, 255.0, 0.0, 0.0),
+      s"red header: ${f(1L).take(5).toSeq}")
+    // red's Rec.601 luma = 255·299/1000 = 76 → all mass in bin 4
+    assert(f(1L)(5 + 4) == 1.0, "red luma mass not in bin 4")
+    assert(f(2L).take(5).toSeq == Seq(8.0, 8.0, 128.0, 128.0, 128.0),
+      s"gray header: ${f(2L).take(5).toSeq}")
+    assert(f(2L)(5 + 8) == 1.0, "gray luma mass not in bin 8")
+    // non-image mime and undecodable bytes both ride the 16-bin stub
+    assert(f(3L).length == 16, "text payload must keep the stub features")
+    assert(f(4L).length == 16, "corrupt image must degrade to the stub")
+  }
+
+  test("image resize really rescales pixels (decode → bilinear → re-encode)") {
+    import spark.implicits._
+    val items = Seq(
+      MediaItem(1L, "image/png", solidPng(32, 16, 0x00ff00)),
+      MediaItem(2L, "image/png", Array[Byte](9, 9, 9))).toDS()
+    val out = MediaPipeline.resize(items, factor = 2).collect()
+      .map(m => m.media_id -> m.payload).toMap
+    val img = MediaPipeline.decodeImage(out(1L))
+      .getOrElse(fail("resized payload is not a decodable image"))
+    assert(img.getWidth == 16 && img.getHeight == 8,
+      s"expected 16×8, got ${img.getWidth}×${img.getHeight}")
+    // bilinear scale of a solid color is the same solid color
+    assert((img.getRGB(7, 3) & 0xffffff) == 0x00ff00,
+      f"color drifted: 0x${img.getRGB(7, 3) & 0xffffff}%06x")
+    // undecodable "image" falls back to the stride stub: ceil(3/2) bytes
+    assert(out(2L).length == 2, "corrupt image must use the stride stub")
+  }
+
   test("frame sampling keeps every stride-th fixed-size frame") {
     val items = MediaPipeline.documentsAsMedia(spark, TestSpark.Sf0001)
     val nBytes = items.collect().map(m => m.media_id -> m.payload.length).toMap
