@@ -801,9 +801,14 @@ object LlmOps {
     // embedding near-dups — but ≥99.8% in the regime near-dup filtering
     // actually targets (τ≥0.9 → p≈0.86), demonstrated on planted duplicates
     // in QueriesSpec. Scale shape: one lineage-truncated signature pass
-    // (n×8 tiny rows), a band equi-join (Σ per-bucket n_b², tunable by
-    // band width), two hash joins to re-attach vectors — no cross join,
-    // no broadcast of the collection, plan-pinned in PlanSpec.
+    // (n×8 tiny rows), a band equi-join (Σ per-bucket n_b²), two hash
+    // joins to re-attach vectors — no cross join, no broadcast of the
+    // collection, plan-pinned in PlanSpec. Band WIDTH is the saturation
+    // knob (the j10 signature-width lesson): 4-bit keys = 16 buckets/band
+    // is sized for this corpus; a production corpus raises r so the 2^r
+    // key space keeps per-bucket counts bounded (r=12–16 at τ≥0.9, where
+    // p≈0.86 keeps the S-curve recall ≥ 1-(1-0.86^r)^b high), which is a
+    // constant change here and in the oracle's generated SQL.
     Q("j11_cosine_neardup",
       (s, d) => {
         DotProduct.register(s)
