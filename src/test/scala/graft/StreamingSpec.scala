@@ -871,6 +871,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("filesrc").count() == 1000L)
   }
 
+  test("streaming file source starts on an EMPTY watched directory") {
+    // legitimate for file streams: the directory exists but no files have
+    // landed yet. The schema probe can't infer anything, so the source
+    // defaults to the current (µs/NTZ) layout and picks up files that
+    // arrive later — the round-10 fix for the probe throwing on empty dirs.
+    val dir = java.nio.file.Files.createTempDirectory("graft-evempty")
+    val stream = StreamOps.eventsFileStream(spark, dir.toString)
+    val q = stream.writeStream.format("memory").queryName("emptysrc")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("emptysrc").count() == 0L, "empty dir reads zero rows")
+    // files arriving later read through the declared schema
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q2 = StreamOps.eventsFileStream(spark, dir.toString).writeStream
+      .format("memory").queryName("emptysrc2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(spark.table("emptysrc2").count() == 1000L,
+      "late-arriving file did not read through the default schema")
+  }
+
   test("streaming media ingest: binaryFile backfill through the decode stage") {
     // raw asset files land in a watched directory; the glob prunes at
     // listing time, each matching file becomes a MediaItem, and the SAME
