@@ -821,6 +821,23 @@ class QueriesSpec extends AnyFunSuite {
       s"learned codebook recall $learnedTotal < fixed codebook $fixedTotal")
   }
 
+  test("IvfKMeans training is deterministic and emits unit-norm centroids") {
+    // No RNG anywhere (hash-ordered sample, lowest-id seeds, Lloyd means):
+    // two trainings must agree bit-for-bit — the property that makes the
+    // learned codebook reproducible across retries/speculative re-runs —
+    // and spherical k-means requires unit-length output.
+    import graft.operators.IvfKMeans
+    val e = Tables.embeddings(spark, d)
+    val a = IvfKMeans.train(e, k = 8, iters = 2)
+    val b = IvfKMeans.train(e, k = 8, iters = 2)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "k-means training is not deterministic")
+    a.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-9, s"centroid norm $n != 1")
+    }
+  }
+
   test("j47/j48 HLL registers reconstruct estimates near the exact counts") {
     // The registers themselves are oracle-checked (hash-match); this is
     // the ESTIMATE path: rebuild the sketch from each query's output rows
