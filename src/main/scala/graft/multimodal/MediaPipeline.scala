@@ -24,10 +24,13 @@ final case class MediaFrame(
   *  - image mimes: REAL decode via `javax.imageio` (PNG/BMP/GIF readers ship
   *    with the JDK — no new dependency): payload → pixels → pixel-derived
   *    features, and a real decode→scale→re-encode resize. Round 10.
-  *  - everything else (audio/video/unknown): a declared STUB — the
-  *    container has no ffmpeg/audio codecs, so `fakeDecode` computes a
-  *    deterministic 16-bin byte histogram where a real deployment would
-  *    plug its codec into the same payload → Array[Double] signature.
+  *  - audio mimes: REAL WAV/16-bit-PCM decode via `javax.sound.sampled`
+  *    (also JDK-shipped): payload → normalized mono samples →
+  *    duration/RMS/zero-cross/envelope features. Round 10.
+  *  - compressed audio + video + unknown: a declared STUB — the container
+  *    has no ffmpeg, so `fakeDecode` computes a deterministic 16-bin byte
+  *    histogram where a real deployment would plug its codec into the
+  *    same payload → Array[Double] signature.
   *
   * Scale notes (100 TB of media): decode runs per-partition with no shuffle
   * — `mapPartitions` keeps the scan→decode→feature pipeline inside one
@@ -77,12 +80,91 @@ object MediaPipeline {
     Array(w.toDouble, h.toDouble, sr / n, sg / n, sb / n) ++ hist.map(_ / n)
   }
 
-  /** Modality dispatch: image mimes get the real codec (stub fallback on
-    * undecodable bytes); other mimes keep the declared stub.
+  /** Real WAV/PCM decode via `javax.sound.sampled` (pure JVM — the WAV
+    * parser ships in the JDK's java.desktop module). Returns the sample
+    * rate and channel-averaged mono samples normalized to [-1, 1]; None
+    * for compressed/undecodable payloads (callers fall back to the stub).
+    * Only 16-bit signed PCM is handled — the canonical uncompressed
+    * interchange format; MP3/AAC/etc. need external codecs and stay stubs.
+    */
+  def decodeWav(payload: Array[Byte]): Option[(Float, Array[Double])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      val pcm16 = fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16
+      if (!pcm16) None
+      else {
+        val bytes = ais.readAllBytes()
+        val ch = fmt.getChannels
+        val frames = bytes.length / (2 * ch)
+        val mono = new Array[Double](frames)
+        val big = fmt.isBigEndian
+        var f = 0
+        while (f < frames) {
+          var acc = 0.0
+          var c = 0
+          while (c < ch) {
+            val i = (f * ch + c) * 2
+            val s =
+              if (big) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
+              else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
+            acc += s / 32768.0
+            c += 1
+          }
+          mono(f) = acc / ch
+          f += 1
+        }
+        Some((fmt.getSampleRate, mono))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Sample-derived audio features: [durationSec, rms, zeroCrossPerSec,
+    * peak] ++ 8-bin RMS envelope (energy over equal time slices) —
+    * 12 doubles. The envelope is what audio dedup/quality filters key on
+    * (silence detection, clipping, loudness drift).
+    */
+  def audioFeatures(sampleRate: Float, samples: Array[Double]): Array[Double] = {
+    val n = samples.length
+    if (n == 0 || sampleRate <= 0) return new Array[Double](12)
+    var sumSq = 0.0
+    var peak = 0.0
+    var crossings = 0
+    var i = 0
+    while (i < n) {
+      val s = samples(i)
+      sumSq += s * s
+      if (math.abs(s) > peak) peak = math.abs(s)
+      if (i > 0 && (s >= 0) != (samples(i - 1) >= 0)) crossings += 1
+      i += 1
+    }
+    val dur = n / sampleRate.toDouble
+    val env = new Array[Double](8)
+    var b = 0
+    while (b < 8) {
+      val lo = (n.toLong * b / 8).toInt
+      val hi = (n.toLong * (b + 1) / 8).toInt
+      var e = 0.0
+      var j = lo
+      while (j < hi) { e += samples(j) * samples(j); j += 1 }
+      env(b) = if (hi > lo) math.sqrt(e / (hi - lo)) else 0.0
+      b += 1
+    }
+    Array(dur, math.sqrt(sumSq / n), crossings / dur, peak) ++ env
+  }
+
+  /** Modality dispatch: image and WAV-audio mimes get real codecs (stub
+    * fallback on undecodable bytes); everything else keeps the declared
+    * stub (no JVM codec exists for video/compressed audio).
     */
   def decodeFeatures(mime: String, payload: Array[Byte]): Array[Double] =
     if (mime.startsWith("image/"))
       decodeImage(payload).map(imageFeatures).getOrElse(fakeDecode(payload))
+    else if (mime.startsWith("audio/"))
+      decodeWav(payload).map { case (sr, s) => audioFeatures(sr, s) }
+        .getOrElse(fakeDecode(payload))
     else fakeDecode(payload)
 
   /** STUB decoder — deterministic stand-in for a real codec. Real

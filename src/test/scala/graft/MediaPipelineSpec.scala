@@ -93,6 +93,51 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(out(2L).length == 2, "corrupt image must use the stride stub")
   }
 
+  private def sineWav(freqHz: Double, seconds: Double, amp: Double,
+      rateHz: Float = 8000f): Array[Byte] = {
+    val n = (seconds * rateHz).toInt
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (amp * math.sin(2 * math.Pi * freqHz * i / rateHz) *
+        32767).toInt.toShort
+      pcm(2 * i) = (s & 0xff).toByte // little-endian 16-bit mono
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rateHz, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio codec decodes real WAV bytes into sample-derived features") {
+    import spark.implicits._
+    // 440 Hz sine, 0.5 s, amplitude 0.5: duration/RMS/zero-cross/peak are
+    // textbook closed forms, so the decode path is checked against MATH,
+    // not against itself
+    val items = Seq(
+      MediaItem(1L, "audio/wav", sineWav(440.0, 0.5, 0.5)),
+      MediaItem(2L, "audio/wav", Array[Byte](1, 2, 3, 4))).toDS()
+    val f = MediaPipeline.extractFeatures(items).collect()
+      .map(x => x.media_id -> x.features).toMap
+    val feats = f(1L)
+    assert(feats.length == 12, s"expected 12 audio features: ${feats.length}")
+    assert(math.abs(feats(0) - 0.5) < 1e-3, s"duration ${feats(0)} != 0.5 s")
+    // RMS of a sine = amp/√2
+    assert(math.abs(feats(1) - 0.5 / math.sqrt(2)) < 0.01,
+      s"rms ${feats(1)} != ${0.5 / math.sqrt(2)}")
+    // a 440 Hz sine crosses zero 880×/s
+    assert(math.abs(feats(2) - 880.0) < 10.0, s"zcr ${feats(2)} != ~880/s")
+    assert(math.abs(feats(3) - 0.5) < 0.01, s"peak ${feats(3)} != ~0.5")
+    // steady tone → flat RMS envelope across all 8 slices
+    (4 until 12).foreach(i => assert(math.abs(feats(i) - feats(1)) < 0.01,
+      s"envelope bin ${i - 4} (${feats(i)}) drifts from rms ${feats(1)}"))
+    // undecodable audio degrades to the 16-bin stub
+    assert(f(2L).length == 16, "corrupt audio must degrade to the stub")
+  }
+
   test("frame sampling keeps every stride-th fixed-size frame") {
     val items = MediaPipeline.documentsAsMedia(spark, TestSpark.Sf0001)
     val nBytes = items.collect().map(m => m.media_id -> m.payload.length).toMap
