@@ -789,17 +789,18 @@ object LlmOps {
     // probed cells (i.e. all pairs) before the 14 sf0.01 qualifying pairs
     // are all co-located. So the scale form makes the candidate generation
     // part of the operator's CONTRACT, exactly as j12 does: 32 deterministic
-    // ±1 hyperplanes (the j12 pattern family, plane index q = 4·band + k)
-    // grouped into 8 bands of 4 sign bits; a pair is a candidate iff it
-    // collides in ≥1 full band, and only candidates get the exact verify.
-    // The oracle replicates the bands bit-for-bit in DuckDB, so the check
-    // stays exact (rows+schema+hash) and survives any testdata regen.
+    // ±1 hyperplanes (the de-periodized operators.CosineBands family —
+    // plane q = 4·band + k) grouped into 8 bands of 4 sign bits; a pair is
+    // a candidate iff it collides in ≥1 full band, and only candidates get
+    // the exact verify. The oracle replicates the bands bit-for-bit in
+    // DuckDB, so the check stays exact (rows+schema+hash) and survives any
+    // testdata regen.
     //
-    // Recall is the banded S-curve 1-(1-p^4)^8, p = 1-θ/π: modest at the
-    // demo threshold (p≈0.65 → 43%, 6/14 measured at sf0.01) because τ=0.45
-    // IS the background — by design this synthetic corpus has no true
-    // embedding near-dups — but ≥99.8% in the regime near-dup filtering
-    // actually targets (τ≥0.9 → p≈0.86), demonstrated on planted duplicates
+    // Recall is the banded S-curve 1-(1-p^4)^8, p = 1-θ/π: at the demo
+    // threshold p≈0.65 predicts ~83%, and 12/14 (86%) is measured at
+    // sf0.01 — τ=0.45 IS the background (by design this synthetic corpus
+    // has no true embedding near-dups); ≥99.8% in the regime near-dup
+    // filtering actually targets (τ≥0.9 → p≈0.86), demonstrated on planted
     // in QueriesSpec. Scale shape: one lineage-truncated signature pass
     // (n×8 tiny rows), a band equi-join (Σ per-bucket n_b²), two hash
     // joins to re-attach vectors — no cross join, no broadcast of the
@@ -813,28 +814,10 @@ object LlmOps {
       (s, d) => {
         DotProduct.register(s)
         val e = Tables.embeddings(s, d)
-        // sign bit of plane q: sign(Σ_i emb[i] · w(q,i)), w(q,i) = ±1 from
-        // the same fixed integer pattern j12 uses (reproduced in the oracle)
-        def planeBit(q: Int, weight: Int) = expr(
-          s"""CASE WHEN aggregate(zip_with(embedding, transform(sequence(1, 64),
-              i -> CASE WHEN (i * 73 + $q * 151) % 7 <= 3 THEN 1.0D
-                   ELSE -1.0D END), (x, w) -> cast(x as double) * w),
-              cast(0 as double), (acc, v) -> acc + v) >= 0
-              THEN $weight ELSE 0 END""")
-        def bandKey(j: Int) =
-          (0 until 4).map(k => planeBit(j * 4 + k, 1 << k)).reduce(_ + _)
-        // (vec_id, band, key) — truncated so the 32-plane signature pass
-        // runs once, not once per self-join side
-        val keys = truncateLineage(e
-          .select(col("vec_id"),
-            posexplode(array((0 until 8).map(bandKey): _*))
-              .as(Seq("band", "bk"))))
-        val cand = keys.alias("x")
-          .join(keys.alias("y"),
-            col("x.band") === col("y.band") && col("x.bk") === col("y.bk") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("vid_a"), col("y.vec_id").as("vid_b"))
-          .distinct()
+        // band machinery lives in operators.CosineBands (parameterized —
+        // the corpus-scale wide-band variant is law-tested there); this
+        // query instantiates (r=4, b=8) per the saturation note above
+        val cand = graft.operators.CosineBands.candidatePairs(e, r = 4, b = 8)
         val ea = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"))
         val eb = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"))
         cand.join(ea, "vid_a").join(eb, "vid_b")
@@ -845,15 +828,8 @@ object LlmOps {
           .orderBy("vid_a", "vid_b")
       },
       Some {
-        def bitSql(q: Int, weight: Int) =
-          s"""(CASE WHEN list_reduce(list_transform(generate_series(1, 64),
-              i -> embedding[i]::DOUBLE *
-                (CASE WHEN (i * 73 + $q * 151) % 7 <= 3
-                 THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y) >= 0
-              THEN $weight ELSE 0 END)"""
         val bandCols = (0 until 8).map { j =>
-          (0 until 4).map(k => bitSql(j * 4 + k, 1 << k)).mkString(" + ") +
-            s" AS band$j"
+          graft.operators.CosineBands.bandSql(j, 4) + s" AS band$j"
         }.mkString(",\n                 ")
         val collide = (0 until 8).map(j => s"a.band$j = b.band$j")
           .mkString(" OR ")

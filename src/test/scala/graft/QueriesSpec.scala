@@ -543,6 +543,51 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("wide bands stay near-linear at 20k vectors with planted recall intact") {
+    import spark.implicits._
+    // The saturation rule measured, not asserted: j11's demo bands (r=4,
+    // 16 keys) saturate beyond toy corpora, so the production setting is
+    // wider keys. At 20k isotropic vectors with r=12 (4096 keys/band),
+    // b=8: (a) every one of 100 planted cos≈0.99 pairs must survive the
+    // candidate join + exact τ≥0.9 verify, and (b) the candidate set must
+    // stay near-linear — orders of magnitude under the 2×10⁸ pair grid.
+    // Fixed seed → deterministic, no flake budget.
+    val rnd = new scala.util.Random(911)
+    def unitVec(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    def nearDup(v: Array[Float]): Array[Float] = {
+      val g = unitVec()
+      val w = v.zip(g).map { case (a, b) => a + 0.08f * b }
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(x => (x / n).toFloat)
+    }
+    val nBase = 20000
+    val base = Vector.fill(nBase)(unitVec())
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) } ++
+      (0 until 100).map(i => ((100000 + i).toLong, nearDup(base(i)).toSeq))
+    val e = rows.toDF("vec_id", "embedding")
+    val cand = graft.operators.CosineBands.candidatePairs(e, r = 12, b = 8)
+    val nCand = cand.count()
+    val n = nBase + 100
+    assert(nCand < 60L * n,
+      s"wide-band candidates $nCand exceed 60n (${60L * n}) — saturated")
+    // exact verify on candidates only, τ = 0.9 (the production threshold)
+    graft.functions.DotProduct.register(spark)
+    val ea = e.select(col("vec_id").as("vid_a"), col("embedding").as("ea"))
+    val eb = e.select(col("vec_id").as("vid_b"), col("embedding").as("eb"))
+    val verified = cand.join(ea, "vid_a").join(eb, "vid_b")
+      .filter(expr("graft_dot(ea, eb)") >= 0.9)
+      .select("vid_a", "vid_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = (0 until 100)
+      .filterNot(i => verified((i.toLong, (100000 + i).toLong)))
+    assert(missed.isEmpty,
+      s"planted pairs missed at r=12: ${missed.take(5)} (${missed.size}/100)")
+  }
+
   test("j40 probe always finds exact clones — J=1 recall is deterministic") {
     import spark.implicits._
     // An exact clone has an identical shingle set, hence an identical
