@@ -720,26 +720,21 @@ object LlmOps {
     // ANN via LSH bucketing — the scale path beside brute-force j3/j4: 8
     // fixed random-hyperplane sign bits coarse-quantize the collection;
     // each probe searches ONLY its own bucket (collection shrinks ~256×
-    // per probe at scale). Hyperplane weights are a deterministic ±1
-    // pattern reproducible in SQL, so the whole ANN result — bucketing
+    // per probe at scale). Hyperplane weights are the deterministic ±1
+    // CosineBands family (de-periodized round 10: the original mod-7
+    // pattern made plane 7 ≡ plane 0, silently halving the bucket space
+    // to 128), reproducible in SQL, so the whole ANN result — bucketing
     // included — is exactly oracle-checkable. Recall vs exhaustive j4 is
-    // the usual ANN trade-off, not a correctness property.
+    // the usual ANN trade-off, not a correctness property. The bucket IS
+    // one 8-bit CosineBands band, so j11's band machinery and this
+    // bucketing can only drift together.
     Q("j12_ann_lsh_bucket",
       (s, d) => {
         DotProduct.register(s)
-        val planes = 8
-        // sign bit k = sign(Σ_i emb[i] · w(k,i)),  w(k,i) = ±1 from a fixed
-        // integer pattern (same formula in the DuckDB oracle)
-        def bucketBit(k: Int, embCol: String) = expr(
-          s"""CASE WHEN aggregate(zip_with($embCol, transform(sequence(1, 64),
-              i -> CASE WHEN (i * 73 + $k * 151) % 7 <= 3 THEN 1.0D
-                   ELSE -1.0D END), (x, w) -> cast(x as double) * w),
-              cast(0 as double), (acc, v) -> acc + v) >= 0
-              THEN ${1 << k} ELSE 0 END""")
-        def withBucket(df: org.apache.spark.sql.DataFrame, embCol: String) =
+        def withBucket(df: org.apache.spark.sql.DataFrame) =
           df.withColumn("bucket",
-            (0 until planes).map(k => bucketBit(k, embCol)).reduce(_ + _))
-        val e = withBucket(Tables.embeddings(s, d), "embedding")
+            graft.operators.CosineBands.bandKey(0, 8))
+        val e = withBucket(Tables.embeddings(s, d))
           .select(col("vec_id"), col("embedding"), col("bucket"))
         val probes = e.filter(col("vec_id") % 50 === 0)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
@@ -757,14 +752,7 @@ object LlmOps {
       },
       Some(s"""WITH b AS (
                  SELECT vec_id, embedding,
-                        ${(0 until 8).map(k =>
-                          s"""(CASE WHEN list_reduce(list_transform(
-                              generate_series(1, 64),
-                              i -> embedding[i]::DOUBLE *
-                                (CASE WHEN (i * 73 + $k * 151) % 7 <= 3
-                                 THEN 1.0 ELSE -1.0 END)),
-                              (x, y) -> x + y) >= 0
-                              THEN ${1 << k} ELSE 0 END)""").mkString(" + ")}
+                        ${graft.operators.CosineBands.bandSql(0, 8)}
                           AS bucket
                  FROM embeddings)
                SELECT probe_id, vec_id, score, rk FROM (
