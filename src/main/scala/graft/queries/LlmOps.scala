@@ -2680,6 +2680,71 @@ object LlmOps {
                         md5('cm' || r || ':' || tok), 2, 1)) - 1) AS b,
                      CAST(sum(c) AS BIGINT) AS cell
               FROM counts CROSS JOIN rs
-              GROUP BY 1, 2 ORDER BY r, b"""))
+              GROUP BY 1, 2 ORDER BY r, b""")),
+
+    // PII scrubbing — the redaction pass every training-data pipeline runs
+    // before anything else sees the text: email / IPv4 / phone patterns →
+    // typed placeholder tokens, plus per-doc match counts for the
+    // compliance audit trail. Map-only (one scan, no shuffle before the
+    // output sort) — at 100 TB this is a pure pipelined stage.
+    //
+    // The shipped synthetic corpus contains no PII (counts would be zero
+    // everywhere and the redaction vacuous), so the DEMO augments each doc
+    // with deterministic synthetic PII derived from its own doc_id — built
+    // identically in Spark and the oracle — which makes every row exercise
+    // all three regex engines' match+replace paths and the md5 compare
+    // non-trivial. The patterns stay in the shared-dialect subset (\d, \b,
+    // character classes, bounded repetition — identical semantics in Java
+    // regex and DuckDB's RE2); replacement order email→ip→phone is fixed
+    // on both sides.
+    Q("j52_pii_scrub",
+      (s, d) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+        Tables.documents(s, d)
+          .withColumn("aug", concat(col("text"),
+            lit(" contact doc"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".7 call 555-123-4567")))
+          .withColumn("n_emails",
+            regexp_count(col("aug"), lit(email)).cast("long"))
+          .withColumn("n_ips",
+            regexp_count(col("aug"), lit(ipv4)).cast("long"))
+          .withColumn("n_phones",
+            regexp_count(col("aug"), lit(phone)).cast("long"))
+          .withColumn("redacted",
+            regexp_replace(regexp_replace(regexp_replace(col("aug"),
+              email, "<EMAIL>"), ipv4, "<IP>"), phone, "<PHONE>"))
+          .select(col("doc_id"), col("n_emails"), col("n_ips"),
+            col("n_phones"), md5(col("redacted")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+                SELECT doc_id,
+                       text || ' contact doc' || CAST(doc_id AS VARCHAR)
+                         || '@example.com from 10.0.'
+                         || CAST(doc_id % 256 AS VARCHAR)
+                         || '.7 call 555-123-4567' AS aug
+                FROM documents)
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(aug,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                     CAST(len(regexp_extract_all(aug,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                       AS BIGINT) AS n_ips,
+                     CAST(len(regexp_extract_all(aug,
+                       '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))
+                       AS BIGINT) AS n_phones,
+                     md5(regexp_replace(regexp_replace(regexp_replace(aug,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g'),
+                       '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
+                       '<PHONE>', 'g')) AS redacted_md5
+              FROM aug ORDER BY doc_id"""))
   )
 }
