@@ -30,7 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object CosineBands {
 
-  /** Sign bit of plane q as 0/`weight` (packing term for the band key). */
+  /** Sign bit of plane q as 0/`weight` — the REFERENCE interpreted
+    * formulation (higher-order-function fold). The hot path uses the fused
+    * codegen'd [[graft.functions.CosinePlaneKeys]] expression instead;
+    * this Column is kept for the lockstep spec that pins the two
+    * bit-identical (IEEE ±1.0 multiplication is exact, so the folds
+    * cannot diverge).
+    */
   def planeBit(q: Int, weight: Int, embCol: String = "embedding"): Column =
     expr(
       s"""CASE WHEN aggregate(zip_with($embCol, transform(sequence(1, 64),
@@ -39,18 +45,24 @@ object CosineBands {
           cast(0 as double), (acc, v) -> acc + v) >= 0
           THEN $weight ELSE 0 END""")
 
-  /** Band j's packed r-bit key. */
-  def bandKey(j: Int, r: Int, embCol: String = "embedding"): Column =
-    (0 until r).map(k => planeBit(j * r + k, 1 << k, embCol)).reduce(_ + _)
-
-  /** `(vec_id, band, bk)` — one row per vector per band, lineage-truncated
-    * so the signature pass runs once, not once per self-join side.
+  /** Band j's packed r-bit key — one fused codegen'd pass (computes bands
+    * 0..j and takes the last; for the j12 single-bucket use j=0 so nothing
+    * is wasted).
     */
-  def bandKeys(e: DataFrame, r: Int, b: Int): DataFrame =
+  def bandKey(j: Int, r: Int, embCol: String = "embedding"): Column =
+    expr(s"element_at(graft_plane_keys($embCol, $r, ${j + 1}), ${j + 1})")
+
+  /** `(vec_id, band, bk)` — one row per vector per band from ONE fused
+    * signature pass per row, lineage-truncated so it runs once, not once
+    * per self-join side.
+    */
+  def bandKeys(e: DataFrame, r: Int, b: Int): DataFrame = {
+    graft.functions.CosinePlaneKeys.register(e.sparkSession)
     graft.Q.truncateLineage(e
       .select(col("vec_id"),
-        posexplode(array((0 until b).map(j => bandKey(j, r)): _*))
+        posexplode(expr(s"graft_plane_keys(embedding, $r, $b)"))
           .as(Seq("band", "bk"))))
+  }
 
   /** Distinct candidate pairs `(vid_a, vid_b)`, vid_a < vid_b, colliding in
     * ≥ 1 band — a hash equi-join on (band, key), never an all-pairs scan.

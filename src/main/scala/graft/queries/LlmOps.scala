@@ -731,6 +731,7 @@ object LlmOps {
     Q("j12_ann_lsh_bucket",
       (s, d) => {
         DotProduct.register(s)
+        graft.functions.CosinePlaneKeys.register(s)
         def withBucket(df: org.apache.spark.sql.DataFrame) =
           df.withColumn("bucket",
             graft.operators.CosineBands.bandKey(0, 8))

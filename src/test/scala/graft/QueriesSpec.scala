@@ -543,6 +543,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("fused plane-keys expression is bit-identical to the interpreted fold") {
+    // The codegen'd CosinePlaneKeys replaces r·b interpreted HOF folds per
+    // row; the hash-match gate rests on the two never diverging, so pin
+    // them key-for-key on real vectors (both eval and codegen paths render
+    // the same ±1.0 multiplications in the same order — exact in IEEE).
+    import graft.operators.CosineBands
+    graft.functions.CosinePlaneKeys.register(spark)
+    val e = Tables.embeddings(spark, d)
+    for ((r, b) <- Seq((4, 8), (8, 1), (12, 8))) {
+      val interpreted = e.select(col("vec_id"),
+        array((0 until b).map(j => (0 until r)
+          .map(k => CosineBands.planeBit(j * r + k, 1 << k))
+          .reduce(_ + _)): _*).as("keys"))
+      val fused = e.select(col("vec_id"),
+        expr(s"graft_plane_keys(embedding, $r, $b)").as("keys"))
+      val lhs = interpreted.collect()
+        .map(row => row.getLong(0) -> row.getSeq[Int](1)).toMap
+      fused.collect().foreach { row =>
+        assert(row.getSeq[Int](1) == lhs(row.getLong(0)),
+          s"r=$r b=$b: fused keys diverge for vec ${row.getLong(0)}")
+      }
+    }
+  }
+
   test("wide bands stay near-linear at 20k vectors with planted recall intact") {
     import spark.implicits._
     // The saturation rule measured, not asserted: j11's demo bands (r=4,
