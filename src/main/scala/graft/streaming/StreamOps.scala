@@ -540,6 +540,15 @@ object StreamOps {
   def purchaseClickLeftJoin(events: Dataset[Event]): DataFrame =
     purchaseClickIntervalJoin(events, "left_outer")
 
+  /** Stream–stream FULL OUTER interval join — both directions null-extend
+    * after watermark proof: purchases with no preceding click AND clicks
+    * that never led to a purchase within the interval each emit once the
+    * engine can prove no match can still arrive. Same shared core, same
+    * bounded state.
+    */
+  def purchaseClickFullJoin(events: Dataset[Event]): DataFrame =
+    purchaseClickIntervalJoin(events, "full_outer")
+
   /** Streaming incremental near-dup: a stream of new documents
     * `(doc_id BIGINT, text STRING)` probed per micro-batch against a
     * prebuilt STATIC near-dup index (`LlmOps.buildNeardupIndex`) — the

@@ -831,6 +831,40 @@ class StreamingSpec extends AnyFunSuite {
       s"got ${rows.toSeq}")
   }
 
+  test("stream-stream FULL OUTER join null-extends both sides post-watermark") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = purchaseClickFullJoin(in.toDS()).writeStream
+      .format("memory").queryName("ssfull").outputMode("append").start()
+    in.addData(Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click"),
+      ev(2, "2024-01-01 10:05:00", 1, "purchase"), // matched inner row
+      ev(3, "2024-01-01 10:06:00", 2, "purchase"), // no click for u2
+      ev(4, "2024-01-01 10:07:00", 3, "click"))) // no purchase for u3
+    q.processAllAvailable()
+    // neither unmatched side may emit before the watermark proves no
+    // match can still arrive
+    assert(spark.table("ssfull")
+      .filter(col("p_id") === 3 || col("c_id") === 4).count() == 0L,
+      "null-extended row emitted before watermark proof")
+    // push the global watermark past both intervals, then one more batch
+    // (eviction + null emission happen while processing the NEXT batch)
+    in.addData(Seq(ev(9, "2024-01-01 12:00:00", 9, "click"),
+      ev(10, "2024-01-01 12:30:00", 9, "purchase")))
+    q.processAllAvailable()
+    in.addData(Seq(ev(11, "2024-01-01 13:30:00", 8, "click")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssfull")
+      .filter(col("p_id").isin(2L, 3L) || col("c_id") === 4L)
+      .select("p_id", "c_id").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1)))
+    assert(rows.toSeq.sorted == Seq((-1L, 4L), (2L, 1L), (3L, -1L)),
+      s"got ${rows.toSeq}")
+  }
+
   test("foreachBatch sink receives every micro-batch with its id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
