@@ -565,6 +565,22 @@ class QueriesSpec extends AnyFunSuite {
           s"r=$r b=$b: fused keys diverge for vec ${row.getLong(0)}")
       }
     }
+    // degenerate inputs mirror the HOF semantics: wrong length or a null
+    // element nulls every interpreted fold, so every bit is 0 — the fused
+    // form must produce all-zero keys, never garbage or a crash
+    import spark.implicits._
+    val weird = Seq(
+      (1L, Some(Seq[Option[Float]](Some(1f), Some(2f)))), // length 2
+      (2L, Some((1 to 65).map(i => Option(i.toFloat)))), // length 65
+      (3L, Some(Seq[Option[Float]](Some(1f), None) ++
+        (3 to 64).map(i => Option(i.toFloat)))) // null element
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    weird.select(expr("graft_plane_keys(embedding, 4, 8)").as("keys"))
+      .collect().foreach { row =>
+        assert(row.getSeq[Int](0) == Seq.fill(8)(0),
+          s"degenerate vector must yield all-zero keys: ${row.getSeq[Int](0)}")
+      }
   }
 
   test("wide bands stay near-linear at 20k vectors with planted recall intact") {
