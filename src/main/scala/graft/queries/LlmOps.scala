@@ -737,7 +737,10 @@ object LlmOps {
             graft.operators.CosineBands.bandKey(0, 8))
         val e = withBucket(Tables.embeddings(s, d))
           .select(col("vec_id"), col("embedding"), col("bucket"))
+        // probe panel structurally capped like j4/j16/j46 (limit below
+        // the broadcast) — all probes survive the cap at tested SFs
         val probes = e.filter(col("vec_id") % 50 === 0)
+          .orderBy("vec_id").limit(512)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
             col("bucket").as("pbucket"))
         val w = Window.partitionBy("probe_id")
@@ -763,8 +766,10 @@ object LlmOps {
                         CAST(row_number() OVER (PARTITION BY p.vec_id
                           ORDER BY round(${duckDot("e.embedding", "p.embedding")}, 6)
                             DESC, e.vec_id) AS BIGINT) AS rk
-                 FROM b e JOIN b p
-                   ON p.vec_id % 50 = 0 AND e.bucket = p.bucket
+                 FROM b e JOIN
+                   (SELECT * FROM b WHERE vec_id % 50 = 0
+                    ORDER BY vec_id LIMIT 512) p
+                   ON e.bucket = p.bucket
                   AND e.vec_id != p.vec_id)
                WHERE rk <= 3 ORDER BY probe_id, rk""")),
 
@@ -943,7 +948,11 @@ object LlmOps {
             .select(col("vec_id"), col("embedding"),
               col("cent_id").as("cell"))
         val assigned = assignCells(e)
-        val probes = assignCells(e.filter(col("vec_id") % 100 === 7))
+        // probe panel structurally capped like j4 (limit below the
+        // broadcast): the broadcast side can never grow with the
+        // collection; all probes survive the cap at tested SFs
+        val probes = assignCells(
+            e.filter(col("vec_id") % 100 === 7).orderBy("vec_id").limit(512))
           .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
             col("cell").as("pcell"))
         val w = Window.partitionBy("probe_id")
@@ -975,8 +984,10 @@ object LlmOps {
                           ORDER BY round(${duckDot("a.embedding",
                             "p.embedding")}, 6) DESC, a.vec_id) AS BIGINT)
                           AS rk
-                 FROM a JOIN a p
-                   ON p.vec_id % 100 = 7 AND a.cell = p.cell
+                 FROM a JOIN
+                   (SELECT * FROM a WHERE vec_id % 100 = 7
+                    ORDER BY vec_id LIMIT 512) p
+                   ON a.cell = p.cell
                   AND a.vec_id != p.vec_id)
                WHERE rk <= 3 ORDER BY probe_id, rk""")),
 
@@ -2428,7 +2439,11 @@ object LlmOps {
             .select(col("vec_id"), col("embedding"),
               col("cent_id").as("cell"))
         val assigned = assignCells(e, 1)
-        val probes = assignCells(e.filter(col("vec_id") % 100 === 7), 2)
+        // probe panel structurally capped like j4/j16 (limit below the
+        // broadcast) — all probes survive the cap at tested SFs
+        val probes = assignCells(
+            e.filter(col("vec_id") % 100 === 7).orderBy("vec_id").limit(512),
+            2)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
             col("cell").as("pcell"))
         val w = Window.partitionBy("probe_id")
@@ -2458,8 +2473,8 @@ object LlmOps {
                           row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY round(${duckDot("e.embedding", "c.cvec")},
                               6) DESC, c.cent_id) AS ark
-                   FROM embeddings e CROSS JOIN c
-                   WHERE e.vec_id % 100 = 7)
+                   FROM (SELECT * FROM embeddings WHERE vec_id % 100 = 7
+                         ORDER BY vec_id LIMIT 512) e CROSS JOIN c)
                  WHERE ark <= 2)
                SELECT probe_id, vec_id, score, rk FROM (
                  SELECT p.vec_id AS probe_id, a.vec_id,

@@ -304,13 +304,17 @@ class PlanSpec extends AnyFunSuite {
     assertScanCount("j11_cosine_neardup", "embeddings", 2)
   }
 
-  test("j4 probe panel is plan-bounded below the broadcast exchange") {
-    // the broadcast build side must be structurally capped (limit=512), not
-    // a data-dependent fraction of the collection — the difference between
-    // O(N·512) and O(N·M) at 100 TB
-    val plan = staticPlan("j4_knn_join")
-    assert(plan.contains("limit=512"),
-      s"no bounded probe panel in the j4 plan:\n$plan")
+  test("probe panels are plan-bounded below every ANN broadcast") {
+    // broadcast build sides must be structurally capped (limit=512), not a
+    // data-dependent fraction of the collection — the difference between
+    // O(N·512) and O(N·M) at 100 TB. Applies to the exact kNN join AND all
+    // three bucketed ANN paths (their probe sides were the same disease).
+    for (q <- Seq("j4_knn_join", "j12_ann_lsh_bucket", "j16_ivf_ann",
+        "j46_ivf_multiprobe")) {
+      val plan = staticPlan(q)
+      assert(plan.contains("limit=512"),
+        s"no bounded probe panel in the $q plan:\n$plan")
+    }
   }
 
   test("j13 final plan reads only the truncated label table, no fact re-scan") {
