@@ -839,24 +839,28 @@ object LlmOps {
       }),
 
     // tf-idf top terms per document. The token explode aggregates ONCE into
-    // the (doc, term) tf table; document frequency is a count window over
-    // `word` on that SAME table — deriving df as a separate aggregate and
-    // joining it back would re-execute the token explode + shuffle on the
-    // join's build side (the classic self-derived diamond). The corpus size
-    // joins in as a broadcast single-row count-only scan, never a
-    // driver-side collect. Rank uses the ROUNDED score (+ term tie-break)
-    // so cross-engine libm ln differences can't reorder near-equal terms.
+    // the (doc, term) tf table, which is lineage-truncated so BOTH df and
+    // the final score derive from the same materialized pass (no
+    // self-derived diamond re-running the explode). df is a map-side-
+    // combinable groupBy + an equi-join back on `word` — round 10 replaced
+    // the earlier count-window-over-word form: a window partition is ONE
+    // task, so every stopword's full posting list landed in a single task
+    // with no adaptive mitigation, while join skew is exactly what AQE's
+    // skew split handles. The corpus size joins in as a broadcast
+    // single-row count-only scan, never a driver-side collect. Rank uses
+    // the ROUNDED score (+ term tie-break) so cross-engine libm ln
+    // differences can't reorder near-equal terms.
     Q("j14_tfidf_topk",
       (s, d) => {
         val toks = Tables.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        val tf = toks.groupBy("doc_id", "word")
-          .agg(count(lit(1)).as("tf"))
+        val tf = truncateLineage(toks.groupBy("doc_id", "word")
+          .agg(count(lit(1)).as("tf")))
+        val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
         val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val w = Window.partitionBy("doc_id")
           .orderBy(col("score").desc, col("word"))
-        tf.withColumn("df",
-            count(lit(1)).over(Window.partitionBy("word")))
+        tf.join(df, "word")
           .crossJoin(broadcast(n))
           .withColumn("score",
             round(col("tf") *

@@ -102,7 +102,10 @@ object Windows {
 
     // Distribution functions over account balances (unique total order via
     // c_custkey tie-break makes ntile/percent_rank/cume_dist exact rationals
-    // — identical doubles in both engines; rounded anyway).
+    // — identical doubles in both engines; rounded anyway). The GLOBAL
+    // window is the operator's semantics — ntile/percent_rank over a whole
+    // table are definitionally a total order; at 100 TB you reach for the
+    // d13 approx-percentile sketch instead, which is why both exist.
     Q("e5_ntile_pctl",
       (s, d) => {
         val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))

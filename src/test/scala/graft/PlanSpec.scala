@@ -353,10 +353,15 @@ class PlanSpec extends AnyFunSuite {
     assertScanCount("j18_langid_ngram", "documents", 2)
   }
 
-  test("j14 tf-idf derives df as a window over tf: one token explode only") {
-    // 2 scans: the token explode feeding tf, and the count-only corpus-size
-    // scan (reads zero columns); df must NOT re-derive the tf subtree
-    assertScanCount("j14_tfidf_topk", "documents", 2)
+  test("j14 tf-idf derives df from the truncated tf table: no explode re-run") {
+    // 1 visible scan: the count-only corpus-size read. The token explode
+    // feeding tf runs inside the truncated subtree (a LogicalRDD in this
+    // plan), and BOTH the df aggregate and the score join read that
+    // materialization — df re-deriving the explode would show as a second
+    // documents scan. (Round 10 moved df from a count-window-over-word —
+    // one task per stopword posting list — to a combinable groupBy + join,
+    // the skew-mitigable shape.)
+    assertScanCount("j14_tfidf_topk", "documents", 1)
   }
 
   test("j16 IVF assigns cells with two data passes + two pushed centroid reads") {
