@@ -1527,7 +1527,12 @@ object LlmOps {
         // pipelined pass — docGrams8 dedupes per doc with array_distinct,
         // so no corpus-wide gram distinct and no materialized gram table
         // (the checkpoint-the-gram-table shape measured 116 s at 500k
-        // docs where this one runs warm in ~13 s; see docGrams8)
+        // docs where this one runs warm in ~13 s; see docGrams8).
+        // Broadcast boundedness: an eval set is O(benchmark-suite) by
+        // nature — fixed, not a corpus fraction (the 5% filter is only
+        // this demo's stand-in). If eval grams ever outgrow broadcast,
+        // j43 is the designed fallback: same probe as a fixed-memory
+        // bloom filter with one-sided error.
         val evalG = truncateLineage(
           docGrams8(Tables.documents(s, d).filter(col("doc_id") % 20 === 0))
             .select("g8").distinct())
