@@ -2770,6 +2770,84 @@ object LlmOps {
                        '<IP>', 'g'),
                        '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
                        '<PHONE>', 'g')) AS redacted_md5
-              FROM aug ORDER BY doc_id"""))
+              FROM aug ORDER BY doc_id""")),
+
+    // Semantic dedup (public technique: Abbas et al., "SemDeDup", 2023):
+    // embedding-space duplicate PRUNING, the stage after lexical dedup in a
+    // training-data pipeline — j13/j30 canonicalize verbatim near-dups,
+    // this canonicalizes MEANING-level duplicates the lexical passes can't
+    // see. Shape per the paper: (1) coarse-quantize the corpus into cells
+    // around the j16 centroids (fixed data-derived centroids keep the
+    // oracle exact; production trains them — operators.IvfKMeans); (2)
+    // pairwise cosine ONLY within a cell — the cells bound the quadratic
+    // term to Σ(cell size)², and at 100 TB the cell count k grows ~√n so
+    // per-cell work stays flat; assignment itself is a broadcast map-side
+    // pass; (3) connected components over the τ-pairs via the O(log n)
+    // star-contraction operator, canonical survivor = min vec_id per
+    // component. τ=0.35 sits above this corpus's isotropic background (no
+    // planted semantic pairs — FIXTURES.md) yet yields real multi-member
+    // components at both oracle SFs (66 / 775 pairs), so the clustering is
+    // non-trivially exercised. Rounded dot (§5.3) keeps the threshold
+    // compare engine-exact.
+    Q("j53_semantic_dedup",
+      (s, d) => {
+        DotProduct.register(s)
+        val e = Tables.embeddings(s, d)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(col("cscore").desc, col("cent_id"))
+        val assigned = e.crossJoin(broadcast(cents))
+          .withColumn("cscore", round(expr(dot("embedding", "cvec")), 6))
+          .withColumn("ark", row_number().over(wAssign))
+          .filter(col("ark") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        // the self-join references the assignment twice; materialize it
+        // once (small output: one row per vector) so the broadcast
+        // cross-join + window doesn't execute per reference
+        val a = truncateLineage(assigned)
+        val pairs = a.select(col("vec_id").as("doc_a"),
+            col("embedding").as("ea"), col("cell"))
+          .join(a.select(col("vec_id").as("doc_b"),
+            col("embedding").as("eb"), col("cell")), "cell")
+          .filter(col("doc_a") < col("doc_b"))
+          .withColumn("sim", round(expr(dot("ea", "eb")), 6))
+          .filter(col("sim") >= 0.35)
+          .select("doc_a", "doc_b")
+        val cc = graft.operators.ConnectedComponents.byStarContraction(
+          e.select(col("vec_id").as("doc_id")), truncateLineage(pairs))
+        cc.join(a.select(col("vec_id").as("doc_id"), col("cell")), "doc_id")
+          .select(col("doc_id").as("vec_id"), col("cell").cast("long"),
+            col("cluster_id"), col("is_canonical"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE c AS (
+                 SELECT vec_id AS cent_id, embedding AS cvec
+                 FROM embeddings WHERE vec_id < 16),
+               a AS (
+                 SELECT vec_id, embedding, cell FROM (
+                   SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+                          row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round(${duckDot("e.embedding", "c.cvec")},
+                              6) DESC, c.cent_id) AS ark
+                   FROM embeddings e CROSS JOIN c)
+                 WHERE ark = 1),
+               pairs AS (
+                 SELECT a1.vec_id AS doc_a, a2.vec_id AS doc_b
+                 FROM a a1 JOIN a a2
+                   ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+                 WHERE round(${duckDot("a1.embedding", "a2.embedding")}, 6)
+                       >= 0.35),
+               edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                         UNION ALL SELECT doc_b, doc_a FROM pairs),
+               reach(x, y) AS (
+                 SELECT vec_id, vec_id FROM embeddings
+                 UNION
+                 SELECT r.x, e.dst FROM reach r JOIN edges e ON r.y = e.src)
+               SELECT x AS vec_id, CAST(a.cell AS BIGINT) AS cell,
+                      CAST(min(y) AS BIGINT) AS cluster_id,
+                      (x = min(y)) AS is_canonical
+               FROM reach JOIN a ON a.vec_id = reach.x
+               GROUP BY x, a.cell ORDER BY vec_id"""))
   )
 }

@@ -219,6 +219,89 @@ object MoreAggregates {
                        row_number() OVER (PARTITION BY user_id
                          ORDER BY count(*) DESC, event_type) AS rn
                 FROM events GROUP BY user_id, event_type)
-              WHERE rn = 1 ORDER BY user_id"""))
+              WHERE rn = 1 ORDER BY user_id""")),
+
+    // HDR-histogram quantile sketch — the ORACLE-CHECKABLE mergeable
+    // quantile path (d13's approx_percentile is a no-oracle row because its
+    // sketch cut points are arrival-order-dependent; the HDR cell function
+    // is pure integer math on each observation, so DuckDB derives every
+    // cell exactly and the hash match proves the distributed fold
+    // cell-for-cell). Per-priority sketch of exact order cents via the
+    // mergeable functions.HdrHistogramByKey Aggregator: partitions fold
+    // locally, the shuffle carries one 1,024-cell row per (partition, key)
+    // — at 100 TB the exact d8 path must sort every group, this pays a
+    // constant. Estimates = the crossing cell's lower bound at ranks
+    // ceil(p·n), guaranteed within 1/16 relative error (bounds-tested in
+    // QueriesSpec); the cells_md5 fingerprint pins the full cell table
+    // without widening the output.
+    Q("d16_hdr_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val ds = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("key"),
+            graft.Q.cents(col("o_totalprice")).as("v"))
+          .as[graft.functions.KeyVal]
+        val sk = ds.groupByKey(_.key)
+          .agg(graft.functions.HdrHistogramByKey.toColumn.name("sk"))
+          .toDF("prio", "sk")
+        val cells = sk
+          .select(col("prio"), posexplode(col("sk.cells")).as(Seq("i", "cnt")))
+          .filter(col("cnt") > 0)
+        val wCum = Window.partitionBy("prio").orderBy("i")
+        val cum = cells
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("lb", expr(
+            """CASE WHEN i < 16 THEN CAST(i AS BIGINT)
+               ELSE shiftleft(CAST(16 + i % 16 AS BIGINT),
+                              CAST(i DIV 16 AS INT) - 4) END"""))
+          .withColumn("n",
+            sum(col("cnt")).over(Window.partitionBy("prio")))
+        cum.groupBy("prio")
+          .agg(max(col("n")).as("n"),
+            min(when(expr("cum >= (n + 1) DIV 2"), col("lb")))
+              .as("est_p50"),
+            min(when(expr("cum >= (9 * n + 9) DIV 10"), col("lb")))
+              .as("est_p90"),
+            min(when(expr("cum >= (99 * n + 99) DIV 100"), col("lb")))
+              .as("est_p99"),
+            md5(concat_ws(",", expr(
+              """transform(array_sort(collect_list(struct(i, cnt))),
+                 s -> concat(CAST(s.i AS STRING), ':',
+                             CAST(s.cnt AS STRING)))""")))
+              .as("cells_md5"))
+          .orderBy("prio")
+      },
+      Some("""WITH v AS (
+                SELECT o_orderpriority AS prio,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS v
+                FROM orders),
+              cellv AS (
+                SELECT prio,
+                       CASE WHEN v < 16 THEN v
+                       ELSE (length(printf('%b', v)) - 1) * 16
+                            + ((v >> (length(printf('%b', v)) - 5)) & 15)
+                       END AS i
+                FROM v),
+              cells AS (SELECT prio, CAST(i AS INT) AS i,
+                               CAST(count(*) AS BIGINT) AS cnt
+                        FROM cellv GROUP BY 1, 2),
+              cum AS (
+                SELECT prio, i, cnt,
+                       sum(cnt) OVER (PARTITION BY prio ORDER BY i) AS cum,
+                       CASE WHEN i < 16 THEN CAST(i AS BIGINT)
+                       ELSE CAST(16 + i % 16 AS BIGINT) << (i // 16 - 4)
+                       END AS lb,
+                       sum(cnt) OVER (PARTITION BY prio) AS n
+                FROM cells)
+              SELECT prio, CAST(max(n) AS BIGINT) AS n,
+                     CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN lb END)
+                       AS BIGINT) AS est_p50,
+                     CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN lb END)
+                       AS BIGINT) AS est_p90,
+                     CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN lb
+                       END) AS BIGINT) AS est_p99,
+                     md5(string_agg(i || ':' || cnt, ',' ORDER BY i))
+                       AS cells_md5
+              FROM cum GROUP BY prio ORDER BY prio"""))
   )
 }

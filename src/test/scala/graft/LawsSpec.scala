@@ -191,6 +191,52 @@ object LawsSpec extends Properties("graft") {
       }
     }
 
+  // ---- HDR-histogram quantile sketch (d16): merge is cell-wise sum (the
+  // CMS shape), and the cell function is an exact integer bucketing whose
+  // lower bound must bracket every observation within 1/16 relative error
+  // — the guarantee the d16 quantile estimates inherit.
+  import graft.functions.{HdrHistogram, HdrSketch}
+
+  private val longStream = Gen.listOf(Gen.choose(0L, 1L << 40))
+
+  private def hdrOf(vs: Seq[Long]): HdrSketch =
+    vs.foldLeft(HdrHistogram.zero)(HdrHistogram.reduce)
+
+  property("hdr: merge of split == reduce of whole (cell-for-cell)") =
+    Prop.forAll(longStream, longStream) { (xs, ys) =>
+      val whole = hdrOf(xs ++ ys)
+      val split = HdrHistogram.merge(hdrOf(xs), hdrOf(ys))
+      whole.cells.sameElements(split.cells)
+    }
+
+  property("hdr: zero is identity for merge") =
+    Prop.forAll(longStream) { xs =>
+      val m = hdrOf(xs)
+      HdrHistogram.merge(m, HdrHistogram.zero).cells.sameElements(m.cells) &&
+        HdrHistogram.merge(HdrHistogram.zero, m).cells.sameElements(m.cells)
+    }
+
+  property("hdr: cells count every observation exactly once") =
+    Prop.forAll(longStream) { xs =>
+      hdrOf(xs).cells.sum == xs.length.toLong
+    }
+
+  property("hdr: lower bound brackets v within 1/16 relative error") =
+    Prop.forAll(Gen.choose(0L, Long.MaxValue)) { v =>
+      val c = HdrHistogram.cellOf(v)
+      val lb = HdrHistogram.lowerBound(c)
+      // lb ≤ v and v < lb·17/16 (+1 covers the width-1 small cells);
+      // compare in BigInt — lb·17 overflows a long near Long.MaxValue
+      lb <= v && BigInt(v) < (BigInt(lb) * 17) / 16 + 1
+    }
+
+  property("hdr: cell index is monotone in v (order-preserving buckets)") =
+    Prop.forAll(Gen.choose(0L, 1L << 50), Gen.choose(0L, 1L << 50)) {
+      (a, b) =>
+        val (lo, hi) = (math.min(a, b), math.max(a, b))
+        HdrHistogram.cellOf(lo) <= HdrHistogram.cellOf(hi)
+    }
+
   // ---- HyperLogLog Aggregator (j47/j48): merge is element-wise max, so
   // it is not just mergeable but IDEMPOTENT — re-merging the same partial
   // (a retried/speculated task) cannot change the sketch, the property

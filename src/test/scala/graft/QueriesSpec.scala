@@ -1011,4 +1011,59 @@ class QueriesSpec extends AnyFunSuite {
         s"$dir: slice-merged cells diverge from the direct fold")
     }
   }
+
+  test("d16 HDR estimates bracket the exact rank statistics within 1/16") {
+    // the sketch guarantee end-to-end at Dataset level: for each priority
+    // and each p, est ≤ exact value at rank ceil(p·n) < est·17/16 + 1
+    // (the +1 covers the width-1 exact cells below 16 cents)
+    for (dir <- Seq(d, TestSpark.Sf001)) {
+      val exactByPrio = Tables.orders(spark, dir)
+        .select(col("o_orderpriority"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+      val rows = SparkEntry.queries("d16_hdr_quantiles")(spark, dir)
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val (prio, n) = (r.getString(0), r.getLong(1))
+        val sorted = exactByPrio(prio)
+        assert(n == sorted.length, s"$prio: sketch count != group size")
+        val targets = Seq(
+          (r.getLong(2), (n + 1) / 2),
+          (r.getLong(3), (9 * n + 9) / 10),
+          (r.getLong(4), (99 * n + 99) / 100))
+        targets.foreach { case (est, t) =>
+          val exact = sorted((t - 1).toInt)
+          assert(est <= exact && BigInt(exact) < BigInt(est) * 17 / 16 + 1,
+            s"$prio rank $t: est $est does not bracket exact $exact")
+        }
+      }
+    }
+  }
+
+  test("j53 semantic-dedup invariants: cells bound clusters, min canonical") {
+    // SemDeDup's structural contract: pairing is restricted to cells, so a
+    // cluster can never span two cells; the survivor is the min member and
+    // is unique per cluster; the output is a partition of the id universe
+    val rows = SparkEntry.queries("j53_semantic_dedup")(spark, TestSpark.Sf001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val n = Tables.embeddings(spark, TestSpark.Sf001).count()
+    assert(rows.length == n, "output must cover every vector exactly once")
+    val byCluster = rows.groupBy(_._3)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._2).distinct.length == 1,
+        s"cluster $cid spans cells — pairing leaked across cells")
+      assert(members.map(_._1).min == cid,
+        s"cluster id $cid is not the min member")
+      assert(members.count(_._4) == 1 &&
+        members.find(_._4).get._1 == cid,
+        s"cluster $cid: canonical must be unique and the min member")
+    }
+    // non-triviality: the τ-graph must produce at least one multi-member
+    // cluster at sf0.01, else the CC stage idles (threshold drift guard)
+    assert(byCluster.values.exists(_.length > 1),
+      "no multi-member semantic cluster — τ no longer bites this corpus")
+  }
 }
