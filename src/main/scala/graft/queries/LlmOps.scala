@@ -2848,6 +2848,81 @@ object LlmOps {
                       CAST(min(y) AS BIGINT) AS cluster_id,
                       (x = min(y)) AS is_canonical
                FROM reach JOIN a ON a.vec_id = reach.x
-               GROUP BY x, a.cell ORDER BY vec_id"""))
+               GROUP BY x, a.cell ORDER BY vec_id""")),
+
+    // Snapshot + delta upsert merge — the CDC/crawl-refresh shape every
+    // production corpus needs: yesterday's snapshot merged with a delta of
+    // updates / inserts / deletes, latest-wins per key. The shipped corpus
+    // is static, so the delta derives deterministically from doc_id slices
+    // (U: %10=3 gets a ' [rev2]' revision; D: %100=55 retracted; I: %100=7
+    // re-lands under a new id) — built identically in SQL, and the slices
+    // are disjoint so each key appears in the delta at most once.
+    //
+    // Plan shape is the 100 TB story: the snapshot side is NEVER shuffled —
+    // survivors come from a broadcast LEFT ANTI against the delta keys (a
+    // daily delta is small-side by construction; were it not, the same
+    // merge degrades gracefully to a shuffled anti join on the key), and
+    // the applied delta unions in map-side. Exactly 2 documents scans
+    // (snapshot + delta derivation) and no join exchange, PlanSpec-pinned.
+    // Production refinement documented here: with the snapshot bucketed by
+    // key (graft.layout), only buckets containing delta keys need rewriting.
+    Q("j54_snapshot_upsert",
+      (s, d) => {
+        val snap = Tables.documents(s, d)
+        // materialized once: a real refresh's delta ARRIVES materialized;
+        // deriving it here and truncating its lineage keeps the registered
+        // plan honest (the anti-join keys and the applied rows both read
+        // the same small table, not two re-derivations of the snapshot)
+        val delta = truncateLineage(snap
+          .withColumn("op", expr(
+            """CASE WHEN doc_id % 10 = 3 THEN 'U'
+                    WHEN doc_id % 100 = 55 THEN 'D'
+                    WHEN doc_id % 100 = 7 THEN 'I' END"""))
+          .filter(col("op").isNotNull)
+          .select(
+            when(col("op") === "I", col("doc_id") + 10000000L)
+              .otherwise(col("doc_id")).as("doc_id"),
+            when(col("op") === "U", concat(col("text"), lit(" [rev2]")))
+              .otherwise(col("text")).as("text"),
+            col("op")))
+        val kept = snap
+          .join(broadcast(delta.select("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text"),
+            lit(0L).as("version"), lit("K").as("op"))
+        val applied = delta.filter(col("op") =!= "D")
+          .select(col("doc_id"), col("text"),
+            lit(1L).as("version"), col("op"))
+        kept.unionByName(applied)
+          .select(col("doc_id"), col("version"), col("op"),
+            length(col("text")).cast("long").as("n_chars"),
+            md5(col("text")).as("text_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH delta AS (
+                SELECT CASE WHEN op = 'I' THEN doc_id + 10000000
+                            ELSE doc_id END AS doc_id,
+                       CASE WHEN op = 'U' THEN text || ' [rev2]'
+                            ELSE text END AS text,
+                       op
+                FROM (SELECT doc_id, text,
+                        CASE WHEN doc_id % 10 = 3 THEN 'U'
+                             WHEN doc_id % 100 = 55 THEN 'D'
+                             WHEN doc_id % 100 = 7 THEN 'I' END AS op
+                      FROM documents)
+                WHERE op IS NOT NULL),
+              kept AS (
+                SELECT d.doc_id, d.text, CAST(0 AS BIGINT) AS version,
+                       'K' AS op
+                FROM documents d
+                WHERE NOT EXISTS
+                  (SELECT 1 FROM delta x WHERE x.doc_id = d.doc_id)),
+              applied AS (
+                SELECT doc_id, text, CAST(1 AS BIGINT) AS version, op
+                FROM delta WHERE op <> 'D')
+              SELECT doc_id, version, op,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     md5(text) AS text_md5
+              FROM (SELECT * FROM kept UNION ALL SELECT * FROM applied)
+              ORDER BY doc_id"""))
   )
 }

@@ -532,4 +532,23 @@ class PlanSpec extends AnyFunSuite {
       s"weighted sample should not shuffle at all, got $exchanges exchanges")
     assertScanCount("j49_weighted_sample", "documents", 1)
   }
+
+  test("j54 upsert never shuffles the snapshot: broadcast anti + map union") {
+    // the CDC merge's 100 TB contract: survivors come from a broadcast
+    // LEFT ANTI against the (small) delta keys — a SortMergeJoin here
+    // would shuffle the whole snapshot per refresh; the only exchange is
+    // the output sort's range partitioning
+    val df = SparkEntry.queries("j54_snapshot_upsert")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast left-anti join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"snapshot-side shuffle join in the upsert path:\n$plan")
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges <= 1,
+      s"expected only the output-sort exchange, got $exchanges")
+    // 1 scan: the snapshot side; the delta is derived once and
+    // lineage-truncated (a real refresh's delta arrives materialized)
+    assertScanCount("j54_snapshot_upsert", "documents", 1)
+  }
 }
