@@ -238,21 +238,64 @@ object MediaPipeline {
     })
   }
 
-  /** Frame sampling — the 1:N generate stage of a video pipeline: chop the
-    * payload into fixed-size "frames" and keep every `stride`-th one
-    * (real impl: ffmpeg keyframe extraction behind the same signature).
-    * flatMap keeps it inside one stage; output cardinality is bounded by
-    * payload size / (frameBytes × stride), so a skew-heavy video corpus
-    * fans out proportionally to bytes, not rows.
+  /** REAL multi-frame decode for animated GIF — the one multi-frame
+    * container format with a JDK-shipped reader (`javax.imageio`'s GIF
+    * plugin reads every image in the stream). Returns the stored frames in
+    * order; None ⇔ not a decodable multi-image payload. Caveat, stated:
+    * GIF delta frames are returned as STORED (the sub-rectangle a frame
+    * updates) without disposal-method compositing — keyframe-style
+    * sampling is exactly the case where stored frames are full frames;
+    * full video semantics need an external codec and stay out of scope.
+    */
+  def decodeFrames(
+      payload: Array[Byte]): Option[Vector[java.awt.image.BufferedImage]] =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        r.setInput(iis)
+        val n = r.getNumImages(true)
+        val frames = Vector.tabulate(n)(i => r.read(i))
+        r.dispose()
+        iis.close()
+        Some(frames)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Frame sampling — the 1:N generate stage of a video pipeline: keep
+    * every `stride`-th frame. Multi-frame image payloads (animated GIF)
+    * get a REAL decode via [[decodeFrames]], each sampled frame re-encoded
+    * as PNG (lossless, deterministic); other mimes chop the payload into
+    * fixed-size pseudo-frames (the declared stub — ffmpeg keyframe
+    * extraction would slot behind the same signature). flatMap keeps it
+    * inside one stage; output cardinality is bounded by frames / stride
+    * (or payload size / (frameBytes × stride) on the stub path), so a
+    * skew-heavy video corpus fans out proportionally to bytes, not rows.
     */
   def sampleFrames(
       items: Dataset[MediaItem], frameBytes: Int = 64,
       stride: Int = 4): Dataset[MediaFrame] = {
     import items.sparkSession.implicits._
-    items.flatMap(m =>
-      m.payload.grouped(frameBytes).zipWithIndex
-        .collect { case (f, i) if i % stride == 0 =>
-          MediaFrame(m.media_id, i, f) })
+    items.flatMap { m =>
+      val real =
+        if (m.mime.startsWith("image/")) decodeFrames(m.payload) else None
+      real match {
+        case Some(frames) if frames.nonEmpty =>
+          frames.zipWithIndex.collect {
+            case (img, i) if i % stride == 0 =>
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(img, "png", bos)
+              MediaFrame(m.media_id, i, bos.toByteArray)
+          }
+        case _ =>
+          m.payload.grouped(frameBytes).zipWithIndex
+            .collect { case (f, i) if i % stride == 0 =>
+              MediaFrame(m.media_id, i, f) }.toSeq
+      }
+    }
   }
 
   /** Demo source: documents' text bytes as media payloads (the container has

@@ -154,4 +154,62 @@ class MediaPipelineSpec extends AnyFunSuite {
         .forall(_.frame.length == 64), "interior frames are fixed-size")
     }
   }
+
+  /** Animated GIF with one solid-color full frame per rgb value — the
+    * multi-frame fixture for the real frame-sampling path (the GIF writer
+    * ships in the JDK; writeToSequence appends each frame to the stream).
+    */
+  private def animatedGif(w: Int, h: Int, rgbs: Seq[Int]): Array[Byte] = {
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    rgbs.foreach { rgb =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("frame sampling really decodes animated-GIF frames (stride keyframes)") {
+    import spark.implicits._
+    // 9 frames of distinct primary-ish colors (GIF's 256-color palette
+    // represents solid primaries exactly); stride 4 keeps frames 0, 4, 8
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00, 0xff00ff,
+      0x00ffff, 0xffffff, 0x000000, 0x800000)
+    val gif = animatedGif(16, 8, colors)
+    val items = Seq(
+      MediaItem(1L, "image/gif", gif),
+      MediaItem(2L, "image/gif", "not a gif at all".getBytes("UTF-8")))
+      .toDS()
+    val frames = MediaPipeline.sampleFrames(items, stride = 4)
+      .collect().groupBy(_.media_id)
+    val real = frames(1L).sortBy(_.frame_no)
+    assert(real.map(_.frame_no).toSeq == Seq(0, 4, 8),
+      s"stride-4 over 9 real frames must keep 0/4/8: ${real.toSeq}")
+    // each sampled frame re-decodes (as PNG) to its source frame's color
+    real.foreach { f =>
+      val img = MediaPipeline.decodeImage(f.frame)
+        .getOrElse(fail(s"frame ${f.frame_no} is not a decodable image"))
+      assert(img.getWidth == 16 && img.getHeight == 8)
+      val expected = colors(f.frame_no)
+      assert(img.getRGB(8, 4) == (0xff000000 | expected),
+        f"frame ${f.frame_no}: got ${img.getRGB(8, 4)}%08x, " +
+          f"want $expected%06x")
+    }
+    // an undecodable "gif" degrades to the byte-chop stub, not a crash
+    assert(frames(2L).nonEmpty &&
+      frames(2L).forall(_.frame_no % 4 == 0))
+  }
 }
