@@ -85,6 +85,28 @@ object HdrHistogram extends HdrAggregator[Long](identity) {
   def lowerBound(c: Int): Long =
     if (c < 16) c.toLong
     else (16L + (c & 0xf)) << ((c >> 4) - 4)
+
+  /** Quantile estimate at rank ceil(num·n/den): the lower bound of the
+    * crossing cell in the cumulative walk — the same integer rank formula
+    * the d16 query and its oracle use ((n+1) DIV 2 = ceil(n/2) etc.), so
+    * sketch answers agree across the batch, SQL, and streaming paths.
+    * 0 for an empty sketch.
+    */
+  def quantile(sk: HdrSketch, num: Long, den: Long): Long = {
+    var n = 0L
+    var i = 0
+    while (i < Cells) { n += sk.cells(i); i += 1 }
+    if (n == 0L) return 0L
+    val t = (num * n + den - 1) / den
+    var cum = 0L
+    var c = 0
+    while (c < Cells) {
+      cum += sk.cells(c)
+      if (cum >= t) return lowerBound(c)
+      c += 1
+    }
+    lowerBound(Cells - 1)
+  }
 }
 
 /** Grouped variant: per-key quantile sketch — "p99 per key over 100 TB"

@@ -29,6 +29,9 @@ final case class TypeHll(
 
 final case class TypeCms(event_type: String, cells: Seq[Long])
 
+final case class TypeHdr(
+    event_type: String, cells: Seq[Long], est_p50: Long, est_p99: Long)
+
 // t1/t2/t3: -1 = unset; maxTs: latest event time seen in any prior batch
 // (-1 = none); nOoo: events that arrived in a later batch than one with a
 // greater timestamp — the in-order-delivery contract violations
@@ -145,6 +148,37 @@ object StreamOps {
           rows.foreach(e => CountMinSketch.reduce(sk, e.user_id.toString))
           state.update(sk)
           TypeCms(key, sk.cells.toSeq)
+      }
+  }
+
+  /** Streaming per-key quantiles — the third member of the bounded-state
+    * sketch family next to [[distinctUsersHll]] (distinct) and
+    * [[userFreqCms]] (frequency): keyed state is d16's 1,024-cell HDR
+    * histogram (8 KB per key, constant no matter how many observations
+    * stream through), so "p50/p99 value per event type" is answerable from
+    * bounded state on an unbounded stream — the production "p99 latency
+    * per service" shape, where the exact alternative must retain every
+    * observation. Cells are additive (only ever grow), so the update
+    * stream is per-slot monotone and the differential test reduces it with
+    * max; estimates carry the d16 1/16-relative-error guarantee. Batch
+    * twin: the same Aggregator folded over the union of batches.
+    */
+  def valueQuantilesHdr(events: Dataset[Event]): Dataset[TypeHdr] = {
+    import events.sparkSession.implicits._
+    import graft.functions.{HdrHistogram, HdrSketch}
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Event], state: GroupState[HdrSketch]) =>
+          val sk = state.getOption.getOrElse(HdrHistogram.zero)
+          // exact cents; negative values clamp to cell 0 per the sketch's
+          // non-negative contract (events.value is non-negative in this
+          // generator — the clamp is the loud-degrade, not a silent path)
+          rows.foreach(e => HdrHistogram.reduce(sk,
+            math.max(0L, math.round(e.value * 100))))
+          state.update(sk)
+          TypeHdr(key, sk.cells.toSeq,
+            HdrHistogram.quantile(sk, 1, 2),
+            HdrHistogram.quantile(sk, 99, 100))
       }
   }
 

@@ -133,6 +133,44 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming per-type HDR quantile cells converge to the batch fold") {
+    import spark.implicits._
+    import graft.functions.{HdrHistogram, HdrSketch}
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.valueQuantilesHdr(in.toDS()).writeStream
+      .format("memory").queryName("hdrstream").outputMode("update").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    // cells only grow → per-slot max over the update stream = final state
+    val streamed = spark.table("hdrstream").as[TypeHdr].collect()
+      .groupBy(_.event_type).map { case (t, rows) =>
+        t -> rows.map(_.cells).reduce((a, b) =>
+          a.zip(b).map(p => math.max(p._1, p._2)))
+      }
+    val expected = chunks.flatten.groupBy(_.event_type).map { case (t, es) =>
+      t -> es.foldLeft(HdrHistogram.zero)((sk, e) =>
+        HdrHistogram.reduce(sk, math.max(0L, math.round(e.value * 100))))
+    }
+    assert(streamed.keySet == expected.keySet, "event_type keys diverge")
+    streamed.foreach { case (t, cells) =>
+      assert(cells == expected(t).cells.toSeq,
+        s"$t: streamed cells diverge from the batch fold")
+      // and the emitted estimates answer the quantile question within the
+      // sketch's 1/16 guarantee against the exact rank statistics
+      val sorted = chunks.flatten.filter(_.event_type == t)
+        .map(e => math.max(0L, math.round(e.value * 100))).sorted
+      val n = sorted.length.toLong
+      val sk = HdrSketch(cells.toArray)
+      Seq((1L, 2L), (99L, 100L)).foreach { case (num, den) =>
+        val est = HdrHistogram.quantile(sk, num, den)
+        val exact = sorted(((num * n + den - 1) / den - 1).toInt)
+        assert(est <= exact && BigInt(exact) < BigInt(est) * 17 / 16 + 1,
+          s"$t p$num/$den: est $est does not bracket exact $exact")
+      }
+    }
+  }
+
   test("running top-3 values per user converge to batch (bounded keyed state)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
