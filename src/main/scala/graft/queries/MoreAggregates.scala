@@ -302,6 +302,65 @@ object MoreAggregates {
                        END) AS BIGINT) AS est_p99,
                      md5(string_agg(i || ':' || cnt, ',' ORDER BY i))
                        AS cells_md5
-              FROM cum GROUP BY prio ORDER BY prio"""))
+              FROM cum GROUP BY prio ORDER BY prio""")),
+
+    // ANALYZE-style column profiler — the statistics pass every warehouse
+    // and training pipeline runs over new data (CBO inputs, data-quality
+    // monitors, dataset cards): per column null count, exact NDV, min/max.
+    // ONE table scan computes every column's statistics in a single
+    // aggregate (the multi-count-distinct plans as one Expand + one
+    // partial/final pair — the standard ANALYZE shape; PlanSpec pins the
+    // single scan), then the 1-row result unpivots map-side via stack().
+    // Doubles profile as exact integer cents (§5.3); at 100 TB the exact
+    // NDV swaps for the j47 HLL Aggregator behind the same output schema —
+    // exact here because the oracle must hash-match.
+    Q("d17_column_profile",
+      (s, d) => {
+        val keyCols =
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        val centsCols =
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val li = Tables.lineitem(s, d)
+        val aggs =
+          keyCols.flatMap(c => Seq(
+            (count(lit(1)) - count(col(c))).as(s"nn_$c"),
+            countDistinct(col(c)).as(s"ndv_$c"),
+            min(col(c)).cast("long").as(s"min_$c"),
+            max(col(c)).cast("long").as(s"max_$c"))) ++
+          centsCols.flatMap(c => Seq(
+            (count(lit(1)) - count(col(c))).as(s"nn_$c"),
+            countDistinct(graft.Q.cents(col(c))).as(s"ndv_$c"),
+            min(graft.Q.cents(col(c))).as(s"min_$c"),
+            max(graft.Q.cents(col(c))).as(s"max_$c")))
+        val stackArgs = (keyCols ++ centsCols).map(c =>
+          s"'$c', nn_$c, ndv_$c, min_$c, max_$c").mkString(", ")
+        li.agg(aggs.head, aggs.tail: _*)
+          .select(expr(s"stack(8, $stackArgs) AS " +
+            "(col_name, n_nulls, n_distinct, min_v, max_v)"))
+          .select(col("col_name"), col("n_nulls").cast("long"),
+            col("n_distinct").cast("long"), col("min_v"), col("max_v"))
+          .orderBy("col_name")
+      },
+      Some {
+        val branch: String => String = c =>
+          s"""SELECT '$c' AS col_name,
+                     CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+                     CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+                     CAST(min($c) AS BIGINT) AS min_v,
+                     CAST(max($c) AS BIGINT) AS max_v
+              FROM lineitem"""
+        val centsBranch: String => String = c =>
+          s"""SELECT '$c', CAST(count(*) - count($c) AS BIGINT),
+                     CAST(count(DISTINCT CAST(round($c * 100) AS BIGINT))
+                       AS BIGINT),
+                     CAST(round(min($c) * 100) AS BIGINT),
+                     CAST(round(max($c) * 100) AS BIGINT)
+              FROM lineitem"""
+        (Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+          .map(branch) ++
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+            .map(centsBranch))
+          .mkString("", " UNION ALL ", " ORDER BY col_name")
+      })
   )
 }

@@ -533,6 +533,13 @@ class PlanSpec extends AnyFunSuite {
     assertScanCount("j49_weighted_sample", "documents", 1)
   }
 
+  test("d17 column profile reads the table once for all eight columns") {
+    // the ANALYZE contract: one scan feeds every column's statistics (the
+    // multi-count-distinct goes through a single Expand); a per-column
+    // scan would multiply the 100 TB read cost by the column count
+    assertScanCount("d17_column_profile", "lineitem", 1)
+  }
+
   test("j54 upsert never shuffles the snapshot: broadcast anti + map union") {
     // the CDC merge's 100 TB contract: survivors come from a broadcast
     // LEFT ANTI against the (small) delta keys — a SortMergeJoin here
