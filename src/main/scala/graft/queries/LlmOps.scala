@@ -2923,6 +2923,63 @@ object LlmOps {
                      CAST(length(text) AS BIGINT) AS n_chars,
                      md5(text) AS text_md5
               FROM (SELECT * FROM kept UNION ALL SELECT * FROM applied)
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // Boilerplate REMOVAL with document reconstruction — the C4-style
+    // cleaning rule (public technique: Raffel et al., C4: drop lines
+    // occurring repeatedly across the corpus), where j17 only DETECTS
+    // repeated chunks this strips them and rebuilds the document: docs
+    // chunk into 10-token spans (trailing remainder kept — reconstruction
+    // must cover every token, unlike j17's exact-window stats), spans
+    // repeated >= 2 times corpus-wide are dropped, survivors reassemble in
+    // position order. Shape at 100 TB: the chunk table materializes once
+    // (~1/10th of the corpus rows; the three consumers would otherwise
+    // re-derive it), ONE corpus-keyed count on the chunk, a co-partitioned
+    // left join marking frequent spans (count output is already
+    // chunk-partitioned — the join reuses it), one doc-keyed regroup to
+    // reassemble — three linear exchanges, nothing quadratic. Output keeps
+    // md5(clean) scalar so row width stays constant.
+    Q("j55_boilerplate_strip",
+      (s, d) => {
+        val chunks = truncateLineage(Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(0, cast((size(toks) + 9) div 10 as int) - 1),
+               c -> concat_ws(' ', slice(toks, c * 10 + 1, 10)))"""))
+            .as(Seq("pos", "chunk"))))
+        val freq = chunks.groupBy("chunk")
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 2)
+          .select(col("chunk"), lit(true).as("is_freq"))
+        chunks.join(freq, Seq("chunk"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_chunks"),
+            count(when(col("is_freq").isNull, 1)).cast("long").as("n_kept"),
+            md5(concat_ws(" ", expr(
+              """transform(array_sort(collect_list(
+                   CASE WHEN is_freq IS NULL THEN struct(pos, chunk) END)),
+                 x -> x.chunk)"""))).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              chunks AS (
+                SELECT doc_id, CAST(u.c AS INT) AS pos,
+                       array_to_string(t[u.c*10+1:u.c*10+10], ' ') AS chunk
+                FROM toks,
+                     UNNEST(generate_series(0,
+                       CAST((len(t) + 9) // 10 AS INT) - 1)) AS u(c)),
+              freq AS (
+                SELECT chunk FROM chunks GROUP BY chunk
+                HAVING count(*) >= 2)
+              SELECT c.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_chunks,
+                     CAST(count(CASE WHEN f.chunk IS NULL THEN 1 END)
+                       AS BIGINT) AS n_kept,
+                     md5(coalesce(string_agg(
+                       CASE WHEN f.chunk IS NULL THEN c.chunk END,
+                       ' ' ORDER BY c.pos), '')) AS clean_md5
+              FROM chunks c LEFT JOIN freq f ON c.chunk = f.chunk
+              GROUP BY c.doc_id ORDER BY doc_id"""))
   )
 }

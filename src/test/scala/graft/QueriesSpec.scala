@@ -1042,6 +1042,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("j55 boilerplate strip: untouched docs rebuild to their original text") {
+    // reconstruction law: chunking is a partition of the token stream, so
+    // a doc that loses no chunk must reassemble to EXACTLY its original
+    // text (md5-equal); and the corpus's planted duplicates guarantee the
+    // frequent-chunk rule actually fires somewhere
+    val rows = SparkEntry.queries("j55_boilerplate_strip")(spark, TestSpark.Sf001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val origMd5 = Tables.documents(spark, TestSpark.Sf001)
+      .select(col("doc_id"), md5(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == origMd5.size, "one output row per document")
+    rows.foreach { case (id, nChunks, nKept, cleanMd5) =>
+      assert(nKept <= nChunks, s"doc $id kept more chunks than it has")
+      if (nKept == nChunks)
+        assert(cleanMd5 == origMd5(id),
+          s"doc $id lost no chunk but reassembled differently")
+    }
+    assert(rows.exists(r => r._3 < r._2),
+      "no document lost a chunk — the frequent-span rule never fired")
+  }
+
   test("j53 semantic-dedup invariants: cells bound clusters, min canonical") {
     // SemDeDup's structural contract: pairing is restricted to cells, so a
     // cluster can never span two cells; the survivor is the min member and
