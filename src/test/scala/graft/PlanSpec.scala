@@ -540,6 +540,34 @@ class PlanSpec extends AnyFunSuite {
     assertScanCount("d17_column_profile", "lineitem", 1)
   }
 
+  test("d16 HDR sketch shuffles sketch rows, never observations") {
+    // the sketch-family contract (same pin as j44/j48): the typed fold's
+    // exchange carries one fixed-size sketch row per (partition, key) —
+    // a per-observation keyed exchange would defeat the sketch's purpose
+    val df = SparkEntry.queries("d16_hdr_quantiles")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("keys=[v#") && !plan.contains("keys=[cents"),
+      s"per-observation keyed exchange in the sketch path:\n$plan")
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges <= 4,
+      s"expected keyed fold + cell unpivot/windows + sort, got $exchanges")
+    assertScanCount("d16_hdr_quantiles", "orders", 1)
+  }
+
+  test("j55 strip is three linear keyed exchanges over one chunk table") {
+    val df = SparkEntry.queries("j55_boilerplate_strip")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi pairing in the strip path:\n$plan")
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    // chunk count + frequent-span join + doc regroup + output sort; the
+    // lineage-truncated chunk table contributes no scan to this plan
+    assert(exchanges <= 4,
+      s"expected <= 4 linear exchanges, got $exchanges")
+    assertScanCount("j55_boilerplate_strip", "documents", 0)
+  }
+
   test("j54 upsert never shuffles the snapshot: broadcast anti + map union") {
     // the CDC merge's 100 TB contract: survivors come from a broadcast
     // LEFT ANTI against the (small) delta keys — a SortMergeJoin here
