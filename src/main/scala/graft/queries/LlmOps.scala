@@ -2980,6 +2980,140 @@ object LlmOps {
                        CASE WHEN f.chunk IS NULL THEN c.chunk END,
                        ' ' ORDER BY c.pos), '')) AS clean_md5
               FROM chunks c LEFT JOIN freq f ON c.chunk = f.chunk
-              GROUP BY c.doc_id ORDER BY doc_id"""))
+              GROUP BY c.doc_id ORDER BY doc_id""")),
+
+    // BPE tokenizer training — the first K=3 byte-pair merges learned from
+    // the corpus (public technique: Sennrich et al., ACL'16; within-word
+    // merges, no end-of-word marker — symbols live on word rows so a merge
+    // can never cross a boundary). Everything after the ONE corpus pass
+    // (the word count) runs on the weighted VOCABULARY — exactly how
+    // production BPE trainers scale to 100 TB: pair statistics over
+    // (distinct word, count), never over raw tokens.
+    //
+    // Each round is fully relational, so Spark and DuckDB derive the same
+    // merge deterministically: adjacent-pair counts weighted by word count
+    // → top pair (cnt DESC, pair lexicographic — total order) → leftmost
+    // non-overlapping merge via gaps-and-islands (candidate runs grouped
+    // by i - row_number, merge at even offsets from the run start — the
+    // parity rule that resolves overlapping candidates like 'aaa' under
+    // pair (a,a)) → resequence. Three rounds unroll as three applications
+    // of the same builder; the oracle unrolls the identical CTE chain.
+    Q("j56_bpe_merges",
+      (s, d) => {
+        val wWin = Window.partitionBy("word").orderBy("i")
+        def bpeRound(sym: org.apache.spark.sql.DataFrame)
+            : (org.apache.spark.sql.DataFrame,
+               org.apache.spark.sql.DataFrame) = {
+          val pairs = sym
+            .withColumn("b", lead(col("s"), 1).over(wWin))
+            .filter(col("b").isNotNull)
+            .groupBy(col("s").as("a"), col("b"))
+            .agg(sum("wcount").as("cnt"))
+          val top = pairs
+            .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+            .select(col("a").as("ta"), col("b").as("tb"),
+              col("cnt").as("tcnt"))
+          val cand = sym.crossJoin(broadcast(top))
+            .withColumn("c", coalesce(
+              col("s") === col("ta") &&
+                lead(col("s"), 1).over(wWin) === col("tb"),
+              lit(false)))
+          val runs = cand.withColumn("grp", when(col("c"),
+            col("i") - row_number().over(
+              Window.partitionBy("word", "c").orderBy("i"))))
+          val marks = runs
+            .withColumn("rstart",
+              min(col("i")).over(Window.partitionBy("word", "grp")))
+            .withColumn("m",
+              col("c") && (col("i") - col("rstart")) % 2 === 0)
+          val next = marks
+            .withColumn("pm", lag(col("m"), 1, false).over(wWin))
+            .filter(col("m") || !col("pm"))
+            .select(col("word"), col("wcount"),
+              row_number().over(wWin).cast("long").as("i"),
+              when(col("m"), concat(col("ta"), col("tb")))
+                .otherwise(col("s")).as("s"))
+          (top, next)
+        }
+        val vocab = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("wcount"))
+        val sym1 = vocab.select(col("word"), col("wcount"),
+          posexplode(expr(
+            """transform(sequence(1, length(word)),
+               k -> substring(word, k, 1))""")).as(Seq("p0", "s")))
+          .select(col("word"), col("wcount"),
+            (col("p0") + 1).cast("long").as("i"), col("s"))
+        // each round's input is consumed twice (pair count + merge) and
+        // feeds the next round's windows — truncate per round like the CC
+        // supersteps so the vocabulary-sized table materializes instead of
+        // re-deriving the whole chain per reference
+        val (t1, sym2) = bpeRound(truncateLineage(sym1))
+        val (t2, sym3) = bpeRound(truncateLineage(sym2))
+        val (t3, _) = bpeRound(truncateLineage(sym3))
+        def rowOf(t: org.apache.spark.sql.DataFrame, k: Int) =
+          t.select(lit(k.toLong).as("mrank"), col("ta").as("left_sym"),
+            col("tb").as("right_sym"),
+            concat(col("ta"), col("tb")).as("merged"), col("tcnt").as("cnt"))
+        rowOf(t1, 1).unionByName(rowOf(t2, 2)).unionByName(rowOf(t3, 3))
+          .orderBy("mrank")
+      },
+      Some {
+        def roundSql(k: Int): String = {
+          val n = k + 1
+          s"""pairs$k AS (
+                SELECT a, b, CAST(sum(wcount) AS BIGINT) AS cnt FROM (
+                  SELECT word, wcount, s AS a,
+                         lead(s) OVER (PARTITION BY word ORDER BY i) AS b
+                  FROM sym$k)
+                WHERE b IS NOT NULL GROUP BY a, b),
+              top$k AS (
+                SELECT a AS ta, b AS tb, cnt AS tcnt FROM pairs$k
+                ORDER BY cnt DESC, a, b LIMIT 1),
+              cand$k AS (
+                SELECT s.word, s.wcount, s.i, s.s, t.ta, t.tb,
+                       COALESCE(s.s = t.ta AND
+                         lead(s.s) OVER (PARTITION BY s.word ORDER BY s.i)
+                           = t.tb, false) AS c
+                FROM sym$k s CROSS JOIN top$k t),
+              runs$k AS (
+                SELECT *, CASE WHEN c THEN i - row_number()
+                  OVER (PARTITION BY word, c ORDER BY i) END AS grp
+                FROM cand$k),
+              marks$k AS (
+                SELECT *, c AND ((i - min(i) OVER (PARTITION BY word, grp))
+                  % 2 = 0) AS m
+                FROM runs$k),
+              sym$n AS (
+                SELECT word, wcount,
+                       CAST(row_number() OVER (PARTITION BY word ORDER BY i)
+                         AS BIGINT) AS i,
+                       CASE WHEN m THEN ta || tb ELSE s END AS s
+                FROM (SELECT *, lag(m, 1, false)
+                        OVER (PARTITION BY word ORDER BY i) AS pm
+                      FROM marks$k)
+                WHERE m OR NOT pm)"""
+        }
+        s"""WITH vocab AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS wcount FROM
+                (SELECT unnest(string_split(text, ' ')) AS word
+                 FROM documents)
+              GROUP BY word),
+            sym1 AS (
+              SELECT word, wcount, CAST(u.k AS BIGINT) AS i,
+                     substring(word, CAST(u.k AS INT), 1) AS s
+              FROM vocab,
+                   UNNEST(generate_series(1, length(word))) AS u(k)),
+            ${roundSql(1)}, ${roundSql(2)}, ${roundSql(3)}
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS mrank, ta AS left_sym,
+                     tb AS right_sym, ta || tb AS merged, tcnt AS cnt
+              FROM top1
+              UNION ALL
+              SELECT CAST(2 AS BIGINT), ta, tb, ta || tb, tcnt FROM top2
+              UNION ALL
+              SELECT CAST(3 AS BIGINT), ta, tb, ta || tb, tcnt FROM top3)
+            ORDER BY mrank"""
+      })
   )
 }
