@@ -163,6 +163,46 @@ object EventAnalytics {
                          / k), 1e-30), 6)
                        AS z
               FROM daily JOIN stats USING (event_type)
-              ORDER BY event_type, day"""))
+              ORDER BY event_type, day""")),
+
+    // Event-type transition matrix — the first-order Markov view of user
+    // behavior (what follows what, and how often): per user the event
+    // stream in (ts, event_id) order yields (prev_type → type) pairs via
+    // one lag window; global pair counts normalize to per-prev shares in
+    // exact basis points (integer div — §5.3, no float division in
+    // output). One user_id exchange for the lag + one pair-keyed count of
+    // the 16-row matrix — nothing above event-type² cardinality leaves
+    // the first shuffle. The streaming twin of this shape is the funnel
+    // state machine (StreamOps) whose state holds the previous event.
+    Q("n4_markov_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy("prev_type", "event_type")
+          .agg(count(lit(1)).as("n"))
+        pairs
+          .withColumn("row_total",
+            sum(col("n")).over(Window.partitionBy("prev_type")))
+          .select(col("prev_type"), col("event_type"), col("n"),
+            expr("n * 10000 DIV row_total").as("share_bp"))
+          .orderBy("prev_type", "event_type")
+      },
+      Some("""WITH seq AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS prev_type
+                FROM events),
+              pairs AS (
+                SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+                FROM seq WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, event_type)
+              SELECT prev_type, event_type, n,
+                     n * 10000 // sum(n) OVER (PARTITION BY prev_type)
+                       AS share_bp
+              FROM pairs ORDER BY prev_type, event_type"""))
   )
 }
