@@ -583,6 +583,16 @@ object StreamOps {
   def purchaseClickFullJoin(events: Dataset[Event]): DataFrame =
     purchaseClickIntervalJoin(events, "full_outer")
 
+  /** Stream–stream LEFT SEMI interval join — the EXISTS form: a purchase
+    * with at least one preceding click emits exactly once, with no click
+    * columns and no row multiplication when several clicks match (the
+    * inner join's cardinality hazard on fan-out matches). Same shared
+    * core, same watermark-bounded state; a purchase emits as soon as its
+    * first match arrives and is then dropped from state.
+    */
+  def purchaseClickSemiJoin(events: Dataset[Event]): DataFrame =
+    purchaseClickIntervalJoin(events, "left_semi")
+
   /** Streaming incremental near-dup: a stream of new documents
     * `(doc_id BIGINT, text STRING)` probed per micro-batch against a
     * prebuilt STATIC near-dup index (`LlmOps.buildNeardupIndex`) — the

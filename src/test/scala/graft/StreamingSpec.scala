@@ -903,6 +903,33 @@ class StreamingSpec extends AnyFunSuite {
       s"got ${rows.toSeq}")
   }
 
+  test("stream-stream LEFT SEMI join emits a matched purchase exactly once") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = StreamOps.purchaseClickSemiJoin(in.toDS()).writeStream
+      .format("memory").queryName("sssemi").outputMode("append").start()
+    in.addData(Seq(
+      ev(1, "2024-01-01 10:00:00", 1, "click"),
+      ev(2, "2024-01-01 10:03:00", 1, "click"), // TWO matching clicks
+      ev(3, "2024-01-01 10:05:00", 1, "purchase"), // must emit ONCE
+      ev(4, "2024-01-01 10:06:00", 2, "purchase"))) // no click → never
+    q.processAllAvailable()
+    in.addData(Seq(ev(9, "2024-01-01 12:00:00", 9, "click"),
+      ev(10, "2024-01-01 12:30:00", 9, "purchase")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sssemi").select("p_id").collect()
+      .map(_.getLong(0)).sorted
+    // semi semantics: one row per matched purchase (the inner join would
+    // emit p_id=3 twice — once per matching click); no click columns; the
+    // unmatched purchases never appear (u9's click is 30 min before its
+    // purchase — outside the interval, it only advances the watermark)
+    assert(got.toSeq == Seq(3L), s"got ${got.toSeq}")
+    assert(!spark.table("sssemi").columns.contains("c_id"),
+      "semi join must not expose right-side columns")
+  }
+
   test("foreachBatch sink receives every micro-batch with its id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
