@@ -76,4 +76,31 @@ object Layout {
   /** Session with a scratch warehouse for bucketed-table demos/tests. */
   def warehouseDir(spark: SparkSession): String =
     spark.conf.get("spark.sql.warehouse.dir")
+
+  /** Small-file compaction — the table-maintenance pass every streaming or
+    * incremental-ingest table needs: micro-batches and per-task writers
+    * leave thousands of KB-sized files, and at 100 TB the resulting
+    * footer/open overhead dominates scan cost (every file is a listing
+    * entry, a footer fetch, and a scheduler task). Rewrites `srcDir` into
+    * `destDir` with ceil(bytes / targetBytes) output files via an explicit
+    * round-robin repartition (size-based, not key-based — compaction must
+    * not skew on any column), and returns (filesBefore, filesAfter,
+    * bytesBefore). The rewrite is a pure map-side pass plus the one
+    * repartition exchange; on a real lakehouse this runs per partition
+    * directory, bounded by the partition's own size.
+    */
+  def compact(
+      spark: SparkSession, srcDir: String, destDir: String,
+      targetBytes: Long = 128L << 20): (Long, Long, Long) = {
+    val files = new java.io.File(srcDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val bytes = files.map(_.length).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(srcDir)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(destDir)
+    val after = new java.io.File(destDir).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
+    (files.length.toLong, after, bytes)
+  }
 }

@@ -163,4 +163,29 @@ class LayoutSpec extends AnyFunSuite {
       .agg(count(lit(1)), sum("segment")).collect()(0)
     assert(plain == salted)
   }
+
+  test("compaction collapses a fragmented table without changing its rows") {
+    // simulate micro-batch fragmentation: 64 tiny files from one table
+    val src = java.nio.file.Files.createTempDirectory("graft-frag").toString
+    val dest = java.nio.file.Files.createTempDirectory("graft-comp").toString
+    val orders = Tables.orders(spark, d)
+    orders.repartition(64).write.mode("overwrite").parquet(src)
+    val (before, after, bytes) =
+      Layout.compact(spark, src, dest, targetBytes = bytesOf(src) / 4 + 1)
+    assert(before == 64L, s"fixture wrote $before files, expected 64")
+    assert(after <= 4L && after >= 1L,
+      s"compaction left $after files for a 4-target rewrite")
+    assert(bytes > 0L)
+    // row-level identity: compaction must be a pure physical rewrite
+    val a = spark.read.parquet(src).orderBy("o_orderkey", "o_custkey")
+      .collect().toSeq
+    val b = spark.read.parquet(dest).orderBy("o_orderkey", "o_custkey")
+      .collect().toSeq
+    assert(a == b, "compaction changed table contents")
+  }
+
+  private def bytesOf(dir: String): Long =
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length).sum
 }
