@@ -3114,6 +3114,67 @@ object LlmOps {
               UNION ALL
               SELECT CAST(3 AS BIGINT), ta, tb, ta || tb, tcnt FROM top3)
             ORDER BY mrank"""
-      })
+      }),
+
+    // Cross-source duplicate-overlap matrix — the dataset-card statistic
+    // behind mixture design: how much verbatim content two ingest sources
+    // share (a crawl re-packaged under two names shows up here before it
+    // double-counts in training). Granularity is the j55 10-token chunk
+    // (whole-doc hashes find nothing at the gate SF; shared SPANS are the
+    // signal that matters anyway — that's what boilerplate is). Per source
+    // the DISTINCT chunk hashes, then a hash-keyed self-join restricted to
+    // source_a < source_b with per-pair counts — the posting-list shape
+    // (linear in Σ per-hash df², like j9/j24: a hash shared by k sources
+    // costs k², never corpus²; hashes unique to one source never produce a
+    // joined row). Overlap share in exact basis points against the
+    // smaller side.
+    Q("j57_source_overlap",
+      (s, d) => {
+        val hs = truncateLineage(Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("source"), explode(expr(
+            """transform(sequence(0, cast((size(toks) + 9) div 10 as int) - 1),
+               c -> concat_ws(' ', slice(toks, c * 10 + 1, 10)))"""))
+            .as("chunk"))
+          .select(col("source"), md5(col("chunk")).as("h"))
+          .distinct())
+        val sizes = hs.groupBy("source").agg(count(lit(1)).as("n"))
+        val pairs = hs.select(col("source").as("source_a"), col("h"))
+          .join(hs.select(col("source").as("source_b"), col("h")), "h")
+          .filter(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_shared"))
+        pairs
+          .join(sizes.select(col("source").as("source_a"),
+            col("n").as("n_a")), "source_a")
+          .join(sizes.select(col("source").as("source_b"),
+            col("n").as("n_b")), "source_b")
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            expr("n_shared * 10000 DIV least(n_a, n_b)").as("overlap_bp"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH toks AS (
+                SELECT source, string_split(text, ' ') AS t FROM documents),
+              hs AS (
+                SELECT DISTINCT source,
+                       md5(array_to_string(t[u.c*10+1:u.c*10+10], ' ')) AS h
+                FROM toks,
+                     UNNEST(generate_series(0,
+                       CAST((len(t) + 9) // 10 AS INT) - 1)) AS u(c)),
+              sizes AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n FROM hs
+                GROUP BY source),
+              pairs AS (
+                SELECT a.source AS source_a, b.source AS source_b,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM hs a JOIN hs b
+                  ON a.h = b.h AND a.source < b.source
+                GROUP BY 1, 2)
+              SELECT source_a, source_b, n_shared,
+                     n_shared * 10000 // least(sa.n, sb.n) AS overlap_bp
+              FROM pairs
+              JOIN sizes sa ON sa.source = source_a
+              JOIN sizes sb ON sb.source = source_b
+              ORDER BY source_a, source_b"""))
   )
 }
