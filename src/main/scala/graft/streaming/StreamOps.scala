@@ -616,6 +616,21 @@ object StreamOps {
       }
       .start()
 
+  /** Offline state inspection via Spark's `statestore` batch data source:
+    * read a stopped (or running) streaming query's checkpointed keyed
+    * state as a plain DataFrame — the operational surface for debugging
+    * ("what does the store hold for key k?"), state audits, and backfill
+    * validation, with NO replay of the stream. Defaults to the latest
+    * committed batch of operator 0; the result carries (key, value,
+    * partition_id) structs matching the state encoder. At 100 TB this is
+    * how you answer "why is this key's state wrong" without re-running a
+    * week of stream — the reader scans only the state files.
+    */
+  def readKeyedState(
+      spark: org.apache.spark.sql.SparkSession,
+      checkpointDir: String): DataFrame =
+    spark.read.format("statestore").load(checkpointDir)
+
   /** `eventsDir` must be a DIRECTORY of events-schema parquet files (file
     * streaming sources watch directories; new files = new micro-batches).
     *

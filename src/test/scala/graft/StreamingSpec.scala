@@ -930,6 +930,38 @@ class StreamingSpec extends AnyFunSuite {
       "semi join must not expose right-side columns")
   }
 
+  test("checkpointed state is inspectable offline via the statestore reader") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-statesrc").toString
+    val in = MemoryStream[Event]
+    val q = StreamOps.runningCounts(in.toDS()).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[KeyCount],
+          _: Long) =>
+        // every partition must be processed or the state commit validator
+        // (rightly) fails the batch — count() drains them all
+        b.count(): Unit
+      }
+      .start()
+    chunks.take(2).foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    // no stream replay: the reader scans ONLY the checkpointed state files
+    val state = StreamOps.readKeyedState(spark, ckpt)
+      .selectExpr("key._1 AS user_id", "key._2 AS event_type",
+        "value.groupState.n AS n")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val expected = chunks.take(2).flatten
+      .groupBy(e => (e.user_id, e.event_type))
+      .map { case (k, es) => k -> es.size.toLong }
+    assert(state == expected,
+      s"offline state read diverges from the ingested counts " +
+        s"(${state.size} vs ${expected.size} keys)")
+  }
+
   test("foreachBatch sink receives every micro-batch with its id") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
