@@ -191,6 +191,45 @@ object LawsSpec extends Properties("graft") {
       }
     }
 
+  // ---- BPE merge-position rule (j56): the relational formulation picks
+  // merge positions with gaps-and-islands parity (candidate runs, merge at
+  // even offsets from the run start). The law: those positions are EXACTLY
+  // the greedy leftmost non-overlapping scan's — on any symbol sequence
+  // and any pair, including the overlapping-candidate chains ('aaa' under
+  // (a,a)) the parity rule exists to resolve.
+  private val symSeq = Gen.listOf(Gen.oneOf("a", "b", "c"))
+  private val symPair = for {
+    x <- Gen.oneOf("a", "b", "c"); y <- Gen.oneOf("a", "b", "c")
+  } yield (x, y)
+
+  private def greedyMerges(
+      s: List[String], a: String, b: String): Set[Int] = {
+    var i = 0
+    val out = scala.collection.mutable.Set.empty[Int]
+    while (i < s.length - 1) {
+      if (s(i) == a && s(i + 1) == b) { out += i; i += 2 } else i += 1
+    }
+    out.toSet
+  }
+
+  private def parityMerges(
+      s: List[String], a: String, b: String): Set[Int] = {
+    val cand = s.indices.dropRight(1)
+      .filter(i => s(i) == a && s(i + 1) == b)
+    // group consecutive candidates into runs (gaps-and-islands: i minus
+    // candidate ordinal is constant within a run), keep even offsets
+    cand.zipWithIndex.groupBy { case (i, rn) => i - rn }
+      .values.flatMap { run =>
+        val start = run.map(_._1).min
+        run.map(_._1).filter(i => (i - start) % 2 == 0)
+      }.toSet
+  }
+
+  property("bpe: parity-rule merge positions == greedy leftmost scan") =
+    Prop.forAll(symSeq, symPair) { case (s, (a, b)) =>
+      greedyMerges(s, a, b) == parityMerges(s, a, b)
+    }
+
   // ---- HDR-histogram quantile sketch (d16): merge is cell-wise sum (the
   // CMS shape), and the cell function is an exact integer bucketing whose
   // lower bound must bracket every observation within 1/16 relative error

@@ -568,6 +568,17 @@ class PlanSpec extends AnyFunSuite {
     assertScanCount("j55_boilerplate_strip", "documents", 0)
   }
 
+  test("j57 overlap matrix is a posting-list join, never a cartesian") {
+    val df = SparkEntry.queries("j57_source_overlap")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pairing must go through the chunk-hash equi-join:\n$plan")
+    // the lineage-truncated hash table feeds both join sides and the size
+    // aggregate — the documents scan happens once, at materialize time
+    assertScanCount("j57_source_overlap", "documents", 0)
+  }
+
   test("j54 upsert never shuffles the snapshot: broadcast anti + map union") {
     // the CDC merge's 100 TB contract: survivors come from a broadcast
     // LEFT ANTI against the (small) delta keys — a SortMergeJoin here
