@@ -3175,6 +3175,48 @@ object LlmOps {
               FROM pairs
               JOIN sizes sa ON sa.source = source_a
               JOIN sizes sb ON sb.source = source_b
-              ORDER BY source_a, source_b"""))
+              ORDER BY source_a, source_b""")),
+
+    // Leakage-safe train/val/test split — j36's deterministic LCG split
+    // applied to the NEAR-DUP CLUSTER id instead of the doc id: every
+    // member of a duplicate cluster lands in the SAME split by
+    // construction, so a test document can never have a ≥0.9-Jaccard twin
+    // in train (the eval-leakage failure mode doc-level splitting cannot
+    // prevent — a known training-data best practice). Pipeline: verified
+    // pair graph (the j2 machinery) → star-contraction components → LCG on
+    // cluster_id → per-doc (cluster, split) assignment. Singleton clusters
+    // have cluster_id = doc_id, so the split distribution matches j36's
+    // at corpus scale where near-dup clusters are a vanishing fraction.
+    Q("j58_leakage_safe_split",
+      (s, d) => {
+        val pairs = truncateLineage(neardupPairs(s, d))
+        graft.operators.ConnectedComponents
+          .byStarContraction(Tables.documents(s, d).select("doc_id"), pairs)
+          .withColumn("u", expr(
+            "((cluster_id % 1000003) * 2654435761 + 101) % 2147483648 % 100"))
+          .withColumn("split", expr(
+            """CASE WHEN u < 80 THEN 'train'
+                    WHEN u < 90 THEN 'val' ELSE 'test' END"""))
+          .select(col("doc_id"), col("cluster_id"), col("split"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $NeardupPairsSql,
+              edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                        UNION ALL SELECT doc_b, doc_a FROM pairs),
+              reach(a, b) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+              cl AS (
+                SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+                FROM reach GROUP BY a)
+              SELECT doc_id, cluster_id,
+                     CASE WHEN u < 80 THEN 'train'
+                          WHEN u < 90 THEN 'val' ELSE 'test' END AS split
+              FROM (SELECT doc_id, cluster_id,
+                      ((cluster_id % 1000003) * 2654435761 + 101)
+                        % 2147483648 % 100 AS u
+                    FROM cl)
+              ORDER BY doc_id"""))
   )
 }

@@ -1064,6 +1064,30 @@ class QueriesSpec extends AnyFunSuite {
       "no document lost a chunk — the frequent-span rule never fired")
   }
 
+  test("j58 split never separates a near-dup cluster (leakage law)") {
+    val rows = SparkEntry.queries("j58_leakage_safe_split")(
+      spark, TestSpark.Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // structural law: one split per cluster — a cluster spanning splits
+    // IS train/test leakage
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cid spans splits — near-dup leakage")
+    }
+    // and the distinction is non-vacuous on this corpus: some multi-doc
+    // cluster contains a member whose DOC-level split would differ — the
+    // exact leakage the cluster-level split prevents
+    def docSplit(id: Long): String = {
+      val u = ((id % 1000003L) * 2654435761L + 101L) % 2147483648L % 100L
+      if (u < 80) "train" else if (u < 90) "val" else "test"
+    }
+    val prevented = rows.groupBy(_._2).values.exists(ms =>
+      ms.length > 1 && ms.exists(m => docSplit(m._1) != m._3))
+    assert(prevented,
+      "no cluster member was rescued from a differing doc-level split — " +
+        "the leakage guard never engaged on this corpus")
+  }
+
   test("j53 semantic-dedup invariants: cells bound clusters, min canonical") {
     // SemDeDup's structural contract: pairing is restricted to cells, so a
     // cluster can never span two cells; the survivor is the min member and
