@@ -3217,6 +3217,84 @@ object LlmOps {
                       ((cluster_id % 1000003) * 2654435761 + 101)
                         % 2147483648 % 100 AS u
                     FROM cl)
-              ORDER BY doc_id"""))
+              ORDER BY doc_id""")),
+
+    // Duplication-graph centrality — iterative graph analytics BEYOND
+    // connected components: 5 rounds of exact integer mass diffusion
+    // (PageRank's power iteration in micro-units) over the verified
+    // near-dup graph. High-mass docs are duplication HUBS — the templates
+    // a cleanup pipeline inspects first, a signal cluster membership alone
+    // doesn't give (j13 says "same cluster", this says "which member is
+    // the center"). Mass seeds as n_chars·1000 (content-weighted — and
+    // non-degenerate: this corpus's dup graph is edges + triangles, i.e.
+    // REGULAR components, on which a uniform seed is already stationary
+    // and five rounds would provably change nothing; the size seed makes
+    // every unequal-length near-dup pair actually trade mass).
+    // Why integer: each round sends mass(u) DIV deg(u)
+    // along every edge and RETAINS the division remainder, so mass is
+    // conserved exactly and every round is engine-exact integer arithmetic
+    // — a float power iteration could never hash-match across engines
+    // (the d16-vs-d13 argument applied to graphs). Fixed K=5 rounds
+    // unroll in both engines; each round is one join + one keyed
+    // aggregate on the (tiny relative to corpus) edge list, the CC-round
+    // shape — at 100 TB this runs on the pair table, never the corpus.
+    Q("j59_dup_graph_rank",
+      (s, d) => {
+        val pairs = truncateLineage(neardupPairs(s, d))
+        val edges = truncateLineage(
+          pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .union(pairs.select(col("doc_b").as("src"),
+              col("doc_a").as("dst"))))
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        def diffuse(mass: org.apache.spark.sql.DataFrame)
+            : org.apache.spark.sql.DataFrame = {
+          val m = mass
+            .join(deg, mass("doc_id") === deg("src"), "left")
+            .select(col("doc_id"), col("mass"),
+              coalesce(col("deg"), lit(0L)).as("deg"))
+          val sent = m.filter(col("deg") > 0)
+            .join(edges, col("doc_id") === col("src"))
+            .groupBy(col("dst").as("doc_id"))
+            .agg(sum(expr("mass DIV deg")).as("recv"))
+          m.select(col("doc_id"),
+              when(col("deg") > 0, col("mass") % col("deg"))
+                .otherwise(col("mass")).as("kept"))
+            .join(sent, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              (col("kept") + coalesce(col("recv"), lit(0L))).as("mass"))
+        }
+        var mass = Tables.documents(s, d).select(col("doc_id"),
+          (col("n_chars") * 1000L).as("mass"))
+        (1 to 5).foreach(_ => mass = truncateLineage(diffuse(mass)))
+        mass.orderBy("doc_id")
+      },
+      Some {
+        def roundSql(k: Int): String = {
+          val n = k + 1
+          s"""m$k AS (
+                SELECT x.doc_id, x.mass, COALESCE(dg.deg, 0) AS deg
+                FROM mass$k x LEFT JOIN deg dg ON dg.src = x.doc_id),
+              sent$k AS (
+                SELECT e.dst AS doc_id,
+                       CAST(sum(m.mass // m.deg) AS BIGINT) AS recv
+                FROM m$k m JOIN edges e ON e.src = m.doc_id
+                WHERE m.deg > 0 GROUP BY e.dst),
+              mass$n AS (
+                SELECT m.doc_id,
+                       CAST(CASE WHEN m.deg > 0 THEN m.mass % m.deg
+                            ELSE m.mass END + COALESCE(s.recv, 0)
+                         AS BIGINT) AS mass
+                FROM m$k m LEFT JOIN sent$k s ON s.doc_id = m.doc_id)"""
+        }
+        s"""WITH $NeardupPairsSql,
+            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                      UNION ALL SELECT doc_b, doc_a FROM pairs),
+            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                    FROM edges GROUP BY src),
+            mass1 AS (SELECT doc_id, CAST(n_chars * 1000 AS BIGINT)
+                        AS mass FROM documents),
+            ${(1 to 5).map(roundSql).mkString(", ")}
+            SELECT doc_id, mass FROM mass6 ORDER BY doc_id"""
+      })
   )
 }

@@ -1088,6 +1088,24 @@ class QueriesSpec extends AnyFunSuite {
         "the leakage guard never engaged on this corpus")
   }
 
+  test("j59 diffusion conserves total mass exactly and concentrates on hubs") {
+    val rows = SparkEntry.queries("j59_dup_graph_rank")(spark, TestSpark.Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val seed = Tables.documents(spark, TestSpark.Sf001)
+      .select(col("doc_id"), col("n_chars") * 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // conservation: DIV remainders are retained, so 5 rounds cannot
+    // create or destroy a single micro-unit
+    assert(rows.map(_._2).sum == seed.values.sum,
+      "mass not conserved — a remainder leaked somewhere")
+    assert(rows.length == seed.size, "every doc carries a mass row")
+    // non-vacuity: unequal-length near-dups trade mass, so somebody must
+    // end away from their seed (a uniform seed would be stationary on
+    // this corpus's regular dup graph — which is why the seed is sized)
+    assert(rows.exists { case (id, m) => m != seed(id) },
+      "no doc moved from its seed — diffusion never engaged")
+  }
+
   test("j53 semantic-dedup invariants: cells bound clusters, min canonical") {
     // SemDeDup's structural contract: pairing is restricted to cells, so a
     // cluster can never span two cells; the survivor is the min member and
