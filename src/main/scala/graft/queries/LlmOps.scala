@@ -292,6 +292,49 @@ object LlmOps {
       |                JOIN sh y ON y.doc_id = c.doc_b)
       |  WHERE jac >= 0.9)""".stripMargin
 
+  /** j53's within-cell τ-pair stage over ANY (vec_id, embedding, cell)
+    * assignment — shared by the registered fixed-centroid query and the
+    * learned-codebook production variant below, so the two can never
+    * drift in pair semantics. The assignment is materialized once (one
+    * row per vector) before the self-join.
+    */
+  private[graft] def semanticPairs(
+      assigned: org.apache.spark.sql.DataFrame,
+      tau: Double = 0.35): org.apache.spark.sql.DataFrame = {
+    val a = truncateLineage(assigned)
+    a.select(col("vec_id").as("doc_a"),
+        col("embedding").as("ea"), col("cell"))
+      .join(a.select(col("vec_id").as("doc_b"),
+        col("embedding").as("eb"), col("cell")), "cell")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("sim", round(expr(dot("ea", "eb")), 6))
+      .filter(col("sim") >= tau)
+      .select("doc_a", "doc_b")
+  }
+
+  /** The SemDeDup production variant: j53's pipeline with cells from the
+    * deterministic spherical k-means codebook (operators.IvfKMeans) —
+    * the √n-cells scale knob the registered fixed-centroid query
+    * documents. Same pair stage, same CC canonicalization; QueriesSpec
+    * differential-tests its pair recall against the fixed-cell path on
+    * the exhaustive τ-pair truth. The oracle stays on the fixed
+    * centroids, which SQL can reproduce exactly.
+    */
+  def semanticDedupLearned(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = 16): org.apache.spark.sql.DataFrame = {
+    DotProduct.register(s)
+    val e = Tables.embeddings(s, d)
+    val cents = graft.operators.IvfKMeans.train(e, k)
+    val assigned = graft.operators.IvfKMeans.assignCells(e, cents, 1)
+    graft.operators.ConnectedComponents.byStarContraction(
+      e.select(col("vec_id").as("doc_id")),
+      truncateLineage(semanticPairs(assigned)))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("is_canonical"))
+      .orderBy("vec_id")
+  }
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup: content-hash the text, keep the lowest doc_id per hash.
@@ -2802,18 +2845,8 @@ object LlmOps {
           .withColumn("ark", row_number().over(wAssign))
           .filter(col("ark") === 1)
           .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-        // the self-join references the assignment twice; materialize it
-        // once (small output: one row per vector) so the broadcast
-        // cross-join + window doesn't execute per reference
         val a = truncateLineage(assigned)
-        val pairs = a.select(col("vec_id").as("doc_a"),
-            col("embedding").as("ea"), col("cell"))
-          .join(a.select(col("vec_id").as("doc_b"),
-            col("embedding").as("eb"), col("cell")), "cell")
-          .filter(col("doc_a") < col("doc_b"))
-          .withColumn("sim", round(expr(dot("ea", "eb")), 6))
-          .filter(col("sim") >= 0.35)
-          .select("doc_a", "doc_b")
+        val pairs = semanticPairs(a)
         val cc = graft.operators.ConnectedComponents.byStarContraction(
           e.select(col("vec_id").as("doc_id")), truncateLineage(pairs))
         cc.join(a.select(col("vec_id").as("doc_id"), col("cell")), "doc_id")

@@ -1106,6 +1106,50 @@ class QueriesSpec extends AnyFunSuite {
       "no doc moved from its seed — diffusion never engaged")
   }
 
+  test("learned-codebook semantic dedup: recall >= fixed cells vs exhaustive") {
+    // the √n-cells scale knob j53 documents, made measurable: pair recall
+    // of the k-means-cell path vs the registered fixed-centroid path,
+    // both judged against the exhaustive τ=0.35 pair truth computed
+    // directly on the collected vectors
+    val vecs = Tables.embeddings(spark, TestSpark.Sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(_.toDouble)).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val truth = (for {
+      i <- vecs.indices.iterator; j <- (i + 1) until vecs.length
+      if math.rint(cos(vecs(i)._2, vecs(j)._2) * 1e6) / 1e6 >= 0.35
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    assert(truth.nonEmpty, "τ-pair truth is empty — threshold drifted")
+
+    def pairsOf(assigned: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      graft.queries.LlmOps.semanticPairs(assigned)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = Tables.embeddings(spark, TestSpark.Sf001)
+    val fixedCents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cscore").desc, col("cent_id"))
+    graft.functions.DotProduct.register(spark)
+    val fixedAssigned = e.crossJoin(broadcast(fixedCents))
+      .withColumn("cscore", round(expr("graft_dot(embedding, cvec)"), 6))
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    val learnedAssigned = graft.operators.IvfKMeans.assignCells(
+      e, graft.operators.IvfKMeans.train(e, 16), 1)
+
+    val fixedRecall = (pairsOf(fixedAssigned) & truth).size
+    val learnedRecall = (pairsOf(learnedAssigned) & truth).size
+    assert(learnedRecall >= fixedRecall,
+      s"k-means cells found $learnedRecall/${truth.size} true pairs, " +
+        s"fixed cells $fixedRecall — Lloyd refinement lost recall")
+  }
+
   test("j53 semantic-dedup invariants: cells bound clusters, min canonical") {
     // SemDeDup's structural contract: pairing is restricted to cells, so a
     // cluster can never span two cells; the survivor is the min member and
