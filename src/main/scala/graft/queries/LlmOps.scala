@@ -3271,6 +3271,9 @@ object LlmOps {
     // unroll in both engines; each round is one join + one keyed
     // aggregate on the (tiny relative to corpus) edge list, the CC-round
     // shape — at 100 TB this runs on the pair table, never the corpus.
+    // The oracle's round CTEs are AS MATERIALIZED: each round references
+    // its predecessor twice, and DuckDB's default inlining would expand
+    // the chain 2^5-fold (measured: a 79 GB spill at sf0.1).
     Q("j59_dup_graph_rank",
       (s, d) => {
         val pairs = truncateLineage(neardupPairs(s, d))
@@ -3304,15 +3307,15 @@ object LlmOps {
       Some {
         def roundSql(k: Int): String = {
           val n = k + 1
-          s"""m$k AS (
+          s"""m$k AS MATERIALIZED (
                 SELECT x.doc_id, x.mass, COALESCE(dg.deg, 0) AS deg
                 FROM mass$k x LEFT JOIN deg dg ON dg.src = x.doc_id),
-              sent$k AS (
+              sent$k AS MATERIALIZED (
                 SELECT e.dst AS doc_id,
                        CAST(sum(m.mass // m.deg) AS BIGINT) AS recv
                 FROM m$k m JOIN edges e ON e.src = m.doc_id
                 WHERE m.deg > 0 GROUP BY e.dst),
-              mass$n AS (
+              mass$n AS MATERIALIZED (
                 SELECT m.doc_id,
                        CAST(CASE WHEN m.deg > 0 THEN m.mass % m.deg
                             ELSE m.mass END + COALESCE(s.recv, 0)
@@ -3320,9 +3323,11 @@ object LlmOps {
                 FROM m$k m LEFT JOIN sent$k s ON s.doc_id = m.doc_id)"""
         }
         s"""WITH $NeardupPairsSql,
-            edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+            edges AS MATERIALIZED (
+                      SELECT doc_a AS src, doc_b AS dst FROM pairs
                       UNION ALL SELECT doc_b, doc_a FROM pairs),
-            deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            deg AS MATERIALIZED (
+                    SELECT src, CAST(count(*) AS BIGINT) AS deg
                     FROM edges GROUP BY src),
             mass1 AS (SELECT doc_id, CAST(n_chars * 1000 AS BIGINT)
                         AS mass FROM documents),
