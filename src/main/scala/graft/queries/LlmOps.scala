@@ -3333,6 +3333,144 @@ object LlmOps {
                         AS mass FROM documents),
             ${(1 to 5).map(roundSql).mkString(", ")}
             SELECT doc_id, mass FROM mass6 ORDER BY doc_id"""
-      })
+      }),
+
+    // KMV (k-minimum-values) distinct-overlap sketch — the SKETCH-scale
+    // answer to the question j57's exact overlap matrix computes: how many
+    // distinct 10-token chunks do two sources share? j57 equi-joins the
+    // full per-source chunk-hash sets (linear but corpus-wide); this keeps
+    // only each source's K=128 smallest hashed values — a fixed-size
+    // per-source synopsis that at 100 TB is computed in one bounded-heap
+    // aggregate (the j45 BottomK machinery: ≤K entries per partition into
+    // the shuffle, one ≤K-row buffer per source out) and then estimates
+    // |A∪B| = (K-1)·M/τ (Bar-Yossef et al. RANDOM'02), Ĵ = |bottom-K(A∪B)
+    // ∩ A ∩ B| / |bottom-K(A∪B)|, |A∩B| = Ĵ·|A∪B| — all from ≤K·sources
+    // rows, no cross-source corpus join at all. Everything is exact
+    // integer arithmetic on a deterministic md5-derived 32-bit value space
+    // (fixed-width hex ⇒ lexicographic = numeric order, so the sketch
+    // itself never converts; only the per-pair τ does), which is why a
+    // SKETCH query can hash-match a DuckDB oracle — same trick as j47's
+    // HLL registers. Relative error ~1/√K ≈ 9% (QueriesSpec pins the
+    // union estimate within 30% of j57-exact ground truth at sf0.01).
+    Q("j60_kmv_overlap",
+      (s, d) => {
+        import s.implicits._
+        val K = 128
+        val M = 4294967296L // 16^8: the hashed value space
+        // element universe = j57's: distinct 10-token chunk hashes/source
+        val hs = Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("source"), explode(expr(
+            """transform(sequence(0, cast((size(toks) + 9) div 10 as int) - 1),
+               c -> concat_ws(' ', slice(toks, c * 10 + 1, 10)))"""))
+            .as("chunk"))
+          .select(col("source"),
+            substring(md5(concat(lit("kmv:"), md5(col("chunk")))), 1, 8)
+              .as("hex"))
+          .distinct()
+        // per-source sketch: the K lexicographically-smallest hex values,
+        // via the bounded-heap Aggregator (constant state; the window
+        // formulation would sort every distinct chunk of a source)
+        val sk = hs
+          .select(col("source"), lit(0L).as("doc_id"), col("hex").as("pri"))
+          .as[graft.functions.DocPri]
+          .groupByKey(_.source)
+          .agg(new graft.functions.BottomK(K).toColumn.name("bk"))
+          .toDF("source", "bk")
+          .select(col("source"),
+            explode(col("bk.entries").getField("pri")).as("hex"))
+        // pairwise estimates over the ≤K·sources surviving rows (tiny)
+        val srcs = sk.select(col("source")).distinct()
+        val pairs = srcs.select(col("source").as("sa"))
+          .crossJoin(srcs.select(col("source").as("sb")))
+          .filter(col("sa") < col("sb"))
+        val uni = pairs
+          .join(sk, col("source") === col("sa") || col("source") === col("sb"))
+          .groupBy("sa", "sb", "hex")
+          .agg(max((col("source") === col("sa")).cast("int")).as("in_a"),
+            max((col("source") === col("sb")).cast("int")).as("in_b"))
+        val w = Window.partitionBy("sa", "sb").orderBy("hex")
+        val bk = uni.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= K)
+        bk.groupBy("sa", "sb")
+          .agg(count(lit(1)).as("n_sk"),
+            sum(col("in_a") * col("in_b")).as("k_int"),
+            max(col("hex")).as("tau_hex"))
+          .withColumn("tau", expr("cast(conv(tau_hex, 16, 10) as bigint)"))
+          .withColumn("est_union", expr(
+            s"CASE WHEN n_sk < $K THEN n_sk " +
+              s"ELSE ${(K - 1).toLong * M} DIV greatest(tau, 1) END"))
+          .select(col("sa").as("source_a"), col("sb").as("source_b"),
+            col("n_sk"), col("k_int"), col("tau"), col("est_union"),
+            expr("k_int * 10000 DIV n_sk").as("est_jaccard_bp"),
+            expr("k_int * est_union DIV n_sk").as("est_intersect"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH toks AS (
+                SELECT source, string_split(text, ' ') AS t FROM documents),
+              hs AS (
+                SELECT DISTINCT source,
+                       substring(md5('kmv:' ||
+                         md5(array_to_string(t[u.c*10+1:u.c*10+10], ' '))),
+                         1, 8) AS hex
+                FROM toks,
+                     UNNEST(generate_series(0,
+                       CAST((len(t) + 9) // 10 AS INT) - 1)) AS u(c)),
+              sk AS (
+                SELECT source, hex FROM (
+                  SELECT source, hex,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY hex) AS rk
+                  FROM hs) WHERE rk <= 128),
+              pr AS (
+                SELECT a.source AS sa, b.source AS sb
+                FROM (SELECT DISTINCT source FROM sk) a,
+                     (SELECT DISTINCT source FROM sk) b
+                WHERE a.source < b.source),
+              uni AS (
+                SELECT pr.sa, pr.sb, s.hex,
+                       max(CASE WHEN s.source = pr.sa THEN 1 ELSE 0 END)
+                         AS in_a,
+                       max(CASE WHEN s.source = pr.sb THEN 1 ELSE 0 END)
+                         AS in_b
+                FROM pr JOIN sk s ON s.source = pr.sa OR s.source = pr.sb
+                GROUP BY 1, 2, 3),
+              bk AS (
+                SELECT * FROM (
+                  SELECT sa, sb, hex, in_a, in_b,
+                         row_number() OVER (PARTITION BY sa, sb
+                                            ORDER BY hex) AS rk
+                  FROM uni) WHERE rk <= 128),
+              res AS (
+                SELECT sa, sb,
+                       CAST(count(*) AS BIGINT) AS n_sk,
+                       CAST(sum(in_a * in_b) AS BIGINT) AS k_int,
+                       max(hex) AS tau_hex
+                FROM bk GROUP BY 1, 2),
+              res2 AS (
+                SELECT sa, sb, n_sk, k_int,
+                       CAST(
+                         (strpos('0123456789abcdef', substring(tau_hex,1,1)) - 1) * 268435456
+                       + (strpos('0123456789abcdef', substring(tau_hex,2,1)) - 1) * 16777216
+                       + (strpos('0123456789abcdef', substring(tau_hex,3,1)) - 1) * 1048576
+                       + (strpos('0123456789abcdef', substring(tau_hex,4,1)) - 1) * 65536
+                       + (strpos('0123456789abcdef', substring(tau_hex,5,1)) - 1) * 4096
+                       + (strpos('0123456789abcdef', substring(tau_hex,6,1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substring(tau_hex,7,1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(tau_hex,8,1)) - 1)
+                         AS BIGINT) AS tau
+                FROM res),
+              res3 AS (
+                SELECT sa, sb, n_sk, k_int, tau,
+                       CAST(CASE WHEN n_sk < 128 THEN n_sk
+                            ELSE 127 * 4294967296 // greatest(tau, 1) END
+                         AS BIGINT) AS est_union
+                FROM res2)
+              SELECT sa AS source_a, sb AS source_b, n_sk, k_int, tau,
+                     est_union,
+                     CAST(k_int * 10000 // n_sk AS BIGINT) AS est_jaccard_bp,
+                     CAST(k_int * est_union // n_sk AS BIGINT)
+                       AS est_intersect
+              FROM res3 ORDER BY source_a, source_b"""))
   )
 }

@@ -80,6 +80,47 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("j60 KMV estimates track the exact chunk overlap (3-sigma bounds)") {
+    // Ground truth at sf0.01 (sources are big enough there that the
+    // estimator actually engages: n_distinct > K=128, so est_union comes
+    // from (K-1)M/tau, not the small-set exact branch). Bounds are ~3
+    // standard errors of the K=128 KMV estimator: union rel. error
+    // 3/sqrt(K-1) ~ 27% -> 30%; Jaccard abs. error 3*sqrt(J(1-J)/K)
+    // <= 13.3 pp -> 1500 bp.
+    val dir = TestSpark.Sf001
+    val hs = Tables.documents(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, cast((size(toks) + 9) div 10 as int) - 1),
+           c -> concat_ws(' ', slice(toks, c * 10 + 1, 10)))""")).as("chunk"))
+      .select(col("source"), md5(col("chunk")).as("h")).distinct()
+    val a = hs.select(col("source").as("sa"), col("h"))
+    val b = hs.select(col("source").as("sb"), col("h"))
+    val inter = a.join(b, Seq("h")).filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb").agg(count(lit(1)).as("ni"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap.withDefaultValue(0L)
+    val sizes = hs.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = SparkEntry.queries("j60_kmv_overlap")(spark, dir).collect()
+    assert(est.nonEmpty)
+    var engaged = 0
+    est.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      val nSk = r.getLong(r.fieldIndex("n_sk"))
+      val estU = r.getLong(r.fieldIndex("est_union"))
+      val estJbp = r.getLong(r.fieldIndex("est_jaccard_bp"))
+      val exU = sizes(sa) + sizes(sb) - inter((sa, sb))
+      val exJbp = inter((sa, sb)) * 10000 / exU
+      if (nSk >= 128) engaged += 1
+      assert(math.abs(estU - exU) <= 0.30 * exU,
+        s"$sa-$sb: est_union $estU vs exact $exU (>30% off)")
+      assert(math.abs(estJbp - exJbp) <= 1500,
+        s"$sa-$sb: est_jaccard $estJbp bp vs exact $exJbp bp")
+    }
+    assert(engaged > 0, "estimator never engaged (all unions < K)")
+  }
+
   test("j2 MinHash banding finds exactly the exhaustive J>=0.9 pairs") {
     // Recall property: the LSH-banded candidate set, after exact verify,
     // must equal a from-scratch exhaustive pair join (no sketch).
