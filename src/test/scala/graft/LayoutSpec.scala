@@ -184,6 +184,54 @@ class LayoutSpec extends AnyFunSuite {
     assert(a == b, "compaction changed table contents")
   }
 
+  test("Z-order prunes time-selective scans a user-sorted layout cannot") {
+    import graft.layout.ZOrder
+    // sf0.01 events: user_id × ts is the classic two-dimension case — a
+    // layout sorted on user_id alone has useless per-file ts ranges.
+    val ev = Tables.events(spark, TestSpark.Sf001)
+      .select(col("user_id").cast("long").as("user_id"),
+        unix_micros(col("ts")).as("tsu"), col("event_type"))
+    val linDir = java.nio.file.Files.createTempDirectory("graft-lin").toString
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val nFiles = 16
+    ev.repartitionByRange(nFiles, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(linDir)
+    ZOrder.zorderWrite(ev, Seq("user_id", "tsu"), zDir, nFiles = nFiles)
+    // identical logical contents
+    val key = Seq("user_id", "tsu", "event_type").map(col)
+    assert(spark.read.parquet(zDir).orderBy(key: _*).collect().toSeq ==
+      spark.read.parquet(linDir).orderBy(key: _*).collect().toSeq,
+      "z-order write changed table contents")
+    // a narrow TIME slice (~1/8 of the ts range, all users): the
+    // user-sorted layout must open every file; the Z-order one skips most
+    val Row2 = ev.agg(min("tsu"), max("tsu")).head()
+    val (tsLo, tsHi) = (Row2.getLong(0), Row2.getLong(1))
+    val width = (tsHi - tsLo) / 8
+    val tbox = Seq(("tsu", tsLo + width, tsLo + 2 * width))
+    val (linT, linN) = ZOrder.filesTouched(spark, linDir, tbox)
+    val (zT, zN) = ZOrder.filesTouched(spark, zDir, tbox)
+    assert(linN == nFiles.toLong && zN == nFiles.toLong)
+    assert(linT == nFiles.toLong,
+      s"user-sorted layout unexpectedly skipped ts files ($linT/$linN)")
+    assert(zT <= nFiles / 2,
+      s"z-order touched $zT/$zN files for a 1/8 ts slice")
+    // a USER slice (~1/8 of users): linear wins outright (its sort key),
+    // z-order must still skip SOME files — the curve's guarantee is
+    // partial pruning on every dimension, not best-in-class on one
+    val Row3 = ev.agg(min("user_id"), max("user_id")).head()
+    val (uLo, uHi) = (Row3.getLong(0), Row3.getLong(1))
+    val uw = math.max(1L, (uHi - uLo) / 8)
+    val ubox = Seq(("user_id", uLo + uw, uLo + 2 * uw))
+    val (linU, _) = ZOrder.filesTouched(spark, linDir, ubox)
+    val (zU, _) = ZOrder.filesTouched(spark, zDir, ubox)
+    assert(linU <= 4, s"user-sorted layout touched $linU files on its key")
+    assert(zU < nFiles.toLong,
+      s"z-order pruned nothing on user_id ($zU/$nFiles)")
+    info(s"ts slice: linear $linT/$linN files, z-order $zT/$zN; " +
+      s"user slice: linear $linU, z-order $zU")
+  }
+
   private def bytesOf(dir: String): Long =
     new java.io.File(dir).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
