@@ -3370,15 +3370,19 @@ object LlmOps {
           .distinct()
         // per-source sketch: the K lexicographically-smallest hex values,
         // via the bounded-heap Aggregator (constant state; the window
-        // formulation would sort every distinct chunk of a source)
-        val sk = hs
+        // formulation would sort every distinct chunk of a source).
+        // Materialized ONCE: the pairwise stage references it three times
+        // (source list ×2 + the membership join), and without truncation
+        // each reference re-runs the corpus scan + distinct + heap agg
+        // (the diamond problem — PlanSpec pins the single scan).
+        val sk = truncateLineage(hs
           .select(col("source"), lit(0L).as("doc_id"), col("hex").as("pri"))
           .as[graft.functions.DocPri]
           .groupByKey(_.source)
           .agg(new graft.functions.BottomK(K).toColumn.name("bk"))
           .toDF("source", "bk")
           .select(col("source"),
-            explode(col("bk.entries").getField("pri")).as("hex"))
+            explode(col("bk.entries").getField("pri")).as("hex")))
         // pairwise estimates over the ≤K·sources surviving rows (tiny)
         val srcs = sk.select(col("source")).distinct()
         val pairs = srcs.select(col("source").as("sa"))

@@ -597,4 +597,20 @@ class PlanSpec extends AnyFunSuite {
     // lineage-truncated (a real refresh's delta arrives materialized)
     assertScanCount("j54_snapshot_upsert", "documents", 1)
   }
+
+  test("j60 KMV pairwise stage runs on the materialized sketch, not the corpus") {
+    // The per-source sketch (heap-built, ≤K entries — j45's pinned shape)
+    // is materialized ONCE and the three pairwise references (source
+    // list ×2 + membership join) read the checkpoint: the final plan
+    // must contain ZERO documents scans — without the truncation each
+    // reference re-ran the corpus scan + distinct + heap agg (measured:
+    // 3 scans). The Windows that remain rank ≤K·sources sketch rows.
+    val df = SparkEntry.queries("j60_kmv_overlap")(spark, d)
+    assertScanCount("j60_kmv_overlap", "documents", 0)
+    // and nothing in the pairwise stage re-aggregates corpus-scale data:
+    // every operator below the windows reads the tiny ExistingRDD
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
+      s"no materialized sketch table in the plan:\n$plan")
+  }
 }
