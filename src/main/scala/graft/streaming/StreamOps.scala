@@ -32,6 +32,10 @@ final case class TypeCms(event_type: String, cells: Seq[Long])
 final case class TypeHdr(
     event_type: String, cells: Seq[Long], est_p50: Long, est_p99: Long)
 
+final case class KmvState(hexes: Seq[String], nSeen: Long)
+final case class TypeKmv(
+    event_type: String, n_seen: Long, hexes: Seq[String], estimate: Long)
+
 // t1/t2/t3: -1 = unset; maxTs: latest event time seen in any prior batch
 // (-1 = none); nOoo: events that arrived in a later batch than one with a
 // greater timestamp — the in-order-delivery contract violations
@@ -181,6 +185,51 @@ object StreamOps {
             HdrHistogram.quantile(sk, 99, 100))
       }
   }
+
+  /** Streaming per-key KMV distinct sketch — the fourth member of the
+    * bounded-state family (HLL = distinct estimate, CMS = frequency,
+    * HDR = quantiles): keyed state is a K=64 minimum-values synopsis of
+    * md5-hashed user ids, the streaming form of j60's batch sketch. Below
+    * K distinct values the sketch IS the exact distinct set (estimate
+    * exact); past K it estimates (K-1)·M/τ — and unlike HLL the same
+    * state also answers cross-key overlap questions (j60's pairwise
+    * stage) offline. Insertion is set-union + sort + take-K: idempotent
+    * under replay (a re-delivered micro-batch cannot change the sketch),
+    * which is the recovery story a plain count lacks. The update stream
+    * re-emits the full sketch per touched key with a monotone n_seen, so
+    * the differential test reads the last emission per key and compares
+    * against the batch fold.
+    */
+  def distinctUsersKmv(events: Dataset[Event], k: Int = 64)
+      : Dataset[TypeKmv] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Event], state: GroupState[KmvState]) =>
+          val prev = state.getOption.getOrElse(KmvState(Vector.empty, 0L))
+          val fresh = rows.map(e => StreamOps.kmvHex(e.user_id)).toVector
+          val next = KmvState(
+            (prev.hexes ++ fresh).distinct.sorted.take(k),
+            prev.nSeen + fresh.size)
+          state.update(next)
+          TypeKmv(key, next.nSeen, next.hexes, kmvEstimate(next.hexes, k))
+      }
+  }
+
+  /** j60's hash: first 8 hex chars of md5("kmv:" + id) — fixed-width, so
+    * lexicographic order IS numeric order over the 16^8 value space.
+    */
+  def kmvHex(id: Long): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"kmv:$id".getBytes("UTF-8"))
+    d.take(4).map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** (K-1)·M/τ past saturation; the exact set size below it. */
+  def kmvEstimate(hexes: Seq[String], k: Int): Long =
+    if (hexes.size < k) hexes.size.toLong
+    else (k - 1).toLong * 4294967296L /
+      math.max(1L, java.lang.Long.parseLong(hexes.max, 16))
 
   /** Running top-k event values (cents) per user — the keyed-state shape
     * whose per-key footprint is BOUNDED at k longs no matter how long the

@@ -48,6 +48,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming per-type KMV sketch converges to the batch bottom-k fold") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val K = 64
+    val in = MemoryStream[Event]
+    val q = StreamOps.distinctUsersKmv(in.toDS(), K).writeStream
+      .format("memory").queryName("kmvstream").outputMode("update").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    // last emission per key (n_seen is monotone) == final sketch state
+    val streamed = spark.table("kmvstream").as[TypeKmv].collect()
+      .groupBy(_.event_type).map { case (t, rows) =>
+        t -> rows.maxBy(_.n_seen)
+      }
+    val expected = chunks.flatten.groupBy(_.event_type).map { case (t, es) =>
+      t -> es.map(e => StreamOps.kmvHex(e.user_id))
+        .distinct.sorted.take(K)
+    }
+    assert(streamed.keySet == expected.keySet, "event_type keys diverge")
+    streamed.foreach { case (t, row) =>
+      assert(row.hexes == expected(t),
+        s"$t: streamed sketch diverges from the batch fold")
+      val n = chunks.flatten.filter(_.event_type == t)
+        .map(_.user_id).distinct.size.toLong
+      if (row.hexes.size < K)
+        assert(row.estimate == n, s"$t: sub-K estimate must be exact")
+      else
+        assert(row.estimate > n * 6 / 10 && row.estimate < n * 14 / 10,
+          s"$t: estimate ${row.estimate} vs exact $n outside envelope")
+    }
+    // replay idempotence: re-feeding the whole stream cannot change state
+    val in2 = MemoryStream[Event]
+    val q2 = StreamOps.distinctUsersKmv(in2.toDS(), K).writeStream
+      .format("memory").queryName("kmvreplay").outputMode("update").start()
+    (chunks ++ chunks).foreach { c => in2.addData(c); q2.processAllAvailable() }
+    q2.stop()
+    val replayed = spark.table("kmvreplay").as[TypeKmv].collect()
+      .groupBy(_.event_type).map { case (t, rows) =>
+        t -> rows.maxBy(_.n_seen).hexes }
+    replayed.foreach { case (t, hexes) =>
+      assert(hexes == expected(t), s"$t: replay changed the sketch") }
+  }
+
   test("i4 streaming running counts converge to batch groupBy (differential)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
