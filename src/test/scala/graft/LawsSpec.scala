@@ -150,6 +150,38 @@ object LawsSpec extends Properties("graft") {
       bottomK(parts.flatMap(p => bottomK(p, k)), k) == bottomK(ids, k)
     }
 
+  // ---- KMV distinct sketch (j60 / streaming distinctUsersKmv): the
+  // bottom-k merge law above already covers mergeability; these pin the
+  // ESTIMATOR's contract — exactness below saturation and a distribution-
+  // level error bound past it (5 standard errors of the (K-1)M/tau
+  // estimator — a deterministic-seed property, not a flaky statistical
+  // test: the hash is fixed, so each generated set has one fixed outcome).
+  private def kmvSketch(ids: Seq[Long], k: Int): Seq[String] =
+    ids.distinct.map(graft.streaming.StreamOps.kmvHex)
+      .distinct.sorted.take(k)
+
+  property("kmv: estimate is EXACT below saturation (sketch = the set)") =
+    Prop.forAll(Gen.listOf(Gen.choose(0L, 1000000L))) { ids0 =>
+      val ids = ids0.distinct
+      val k = ids.size + 1
+      graft.streaming.StreamOps.kmvEstimate(kmvSketch(ids, k), k) ==
+        ids.size.toLong
+    }
+
+  property("kmv: saturated estimate within 5 std errors of the truth") =
+    Prop.forAll(Gen.choose(200, 3000), Gen.choose(0L, 1000000L)) { (n, base) =>
+      val k = 64
+      val ids = (0 until n).map(i => base + i * 7919L)
+      val est = graft.streaming.StreamOps.kmvEstimate(kmvSketch(ids, k), k)
+      val tol = 5.0 * n / math.sqrt(k - 2.0)
+      math.abs(est - n) <= tol
+    }
+
+  property("kmv: replay/duplicates never move the sketch (set semantics)") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 100000L))) { ids =>
+      kmvSketch(ids ++ ids, 64) == kmvSketch(ids, 64)
+    }
+
   // ---- CountMinSketch Aggregator (j44): the merge law that lets the
   // token stream fold map-side — reducing a whole stream into one sketch
   // equals reducing any split of it and cell-wise-summing the partials.
