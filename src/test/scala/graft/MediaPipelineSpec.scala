@@ -212,4 +212,80 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(frames(2L).nonEmpty &&
       frames(2L).forall(_.frame_no % 4 == 0))
   }
+
+  /** A structurally-correct MJPEG AVI: RIFF(AVI ) → LIST(movi) → one
+    * `00dc` chunk per JPEG-encoded frame, sizes little-endian, chunks
+    * padded to even offsets — the same layout any MJPEG writer emits.
+    */
+  private def mjpegAvi(w: Int, h: Int, grays: Seq[Int]): Array[Byte] = {
+    def le32(n: Int): Array[Byte] =
+      Array(n, n >> 8, n >> 16, n >> 24).map(_.toByte)
+    val frames = grays.map { g =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      gr.setColor(new java.awt.Color(g, g, g))
+      gr.fillRect(0, 0, w, h)
+      gr.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write("movi".getBytes("US-ASCII"))
+    frames.foreach { jpg =>
+      movi.write("00dc".getBytes("US-ASCII"))
+      movi.write(le32(jpg.length))
+      movi.write(jpg)
+      if (jpg.length % 2 == 1) movi.write(0) // even-offset padding
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    body.write("AVI ".getBytes("US-ASCII"))
+    body.write("LIST".getBytes("US-ASCII"))
+    body.write(le32(movi.size))
+    movi.writeTo(body)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le32(body.size))
+    body.writeTo(out)
+    out.toByteArray
+  }
+
+  test("video codec decodes MJPEG-AVI frames through the RIFF walk") {
+    import spark.implicits._
+    // grayscale levels far enough apart that JPEG's lossy round-trip
+    // still separates them unambiguously
+    val grays = Seq(0, 64, 128, 192, 255, 32)
+    val avi = mjpegAvi(16, 8, grays)
+    val direct = MediaPipeline.decodeAviMjpeg(avi)
+      .getOrElse(fail("decodeAviMjpeg rejected a valid MJPEG AVI"))
+    assert(direct.size == grays.size)
+    direct.zip(grays).foreach { case (img, g) =>
+      assert(img.getWidth == 16 && img.getHeight == 8)
+      val got = img.getRGB(8, 4) & 0xff
+      assert(math.abs(got - g) <= 8,
+        s"JPEG round-trip drifted: got $got, want ~$g")
+    }
+    // non-AVI payloads are rejected, not mis-parsed
+    assert(MediaPipeline.decodeAviMjpeg(
+      "RIFFxxxxWAVE1234".getBytes("US-ASCII")).isEmpty)
+    assert(MediaPipeline.decodeAviMjpeg(Array[Byte]()).isEmpty)
+    // and the sampling stage routes video/* through the real decode
+    val items = Seq(
+      MediaItem(7L, "video/avi", avi),
+      MediaItem(8L, "video/mp4", "no jvm codec for this".getBytes)).toDS()
+    val sampled = MediaPipeline.sampleFrames(items, stride = 2)
+      .collect().groupBy(_.media_id)
+    val real = sampled(7L).sortBy(_.frame_no)
+    assert(real.map(_.frame_no).toSeq == Seq(0, 2, 4),
+      s"stride-2 over 6 real frames must keep 0/2/4: ${real.toSeq}")
+    real.foreach { f =>
+      val img = MediaPipeline.decodeImage(f.frame)
+        .getOrElse(fail(s"frame ${f.frame_no} is not a decodable image"))
+      val got = img.getRGB(8, 4) & 0xff
+      assert(math.abs(got - grays(f.frame_no)) <= 8)
+    }
+    // undecodable video degrades to the byte-chop stub, not a crash
+    assert(sampled(8L).nonEmpty && sampled(8L).forall(_.frame_no % 2 == 0))
+  }
 }
