@@ -201,8 +201,8 @@ object EventAnalytics {
                 FROM seq WHERE prev_type IS NOT NULL
                 GROUP BY prev_type, event_type)
               SELECT prev_type, event_type, n,
-                     n * 10000 // sum(n) OVER (PARTITION BY prev_type)
-                       AS share_bp
+                     CAST(n * 10000 // sum(n) OVER (PARTITION BY prev_type)
+                       AS BIGINT) AS share_bp
               FROM pairs ORDER BY prev_type, event_type"""))
   )
 }

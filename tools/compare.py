@@ -85,6 +85,20 @@ def check_clusters(con, sf_dir, out_dir, name, oracle):
     return None
 
 
+def type_mismatches(con, sql, out_dir, name):
+    """Column-name→(duck_type, spark_type) for columns whose DuckDB oracle
+    type differs from the Spark parquet type. The driver's hash is
+    type-sensitive (round-10 n4: DuckDB SUM(BIGINT)→HUGEINT hashed
+    differently from Spark's BIGINT on equal values), so equal values with
+    unequal types is still a driver FAIL — catch it locally."""
+    duck_t = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    spark_t = {r[0]: r[1] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+    ).fetchall()}
+    return {c: (duck_t[c], spark_t[c])
+            for c in duck_t if c in spark_t and duck_t[c] != spark_t[c]}
+
+
 def norm(v):
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
@@ -142,6 +156,16 @@ def main(sf_dir, out_dir, skip=()):
         if sorted(duck_cols) != sorted(spark_cols):
             print(f"FAIL {name}: columns differ duck={sorted(duck_cols)} "
                   f"spark={sorted(spark_cols)}")
+            n_fail += 1
+            continue
+        try:
+            tmis = type_mismatches(con, sql, out_dir, name)
+        except Exception as e:
+            tmis = {}
+            print(f"WARN {name}: type-parity check error: {str(e)[:200]}")
+        if tmis:
+            print(f"FAIL {name}: column types differ (driver hash is "
+                  f"type-sensitive): {tmis}")
             n_fail += 1
             continue
         if len(duck) != len(spark):
