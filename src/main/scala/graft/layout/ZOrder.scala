@@ -28,19 +28,34 @@ object ZOrder {
     * bit b of column i lands at position b·n + i. 2 cols × 16 bits = 32
     * shift/and/or terms — a flat codegen'd expression, no UDF.
     */
-  def interleave(scaled: Seq[Column], bits: Int): Column =
+  def interleave(scaled: Seq[Column], bits: Int): Column = {
+    // JVM shifts mask the amount mod 64, so bits*n > 64 would not fail —
+    // it would silently fold distinct codes together and degrade all
+    // pruning to garbage. Refuse instead; callers use effectiveBits.
+    require(bits * scaled.size <= 64,
+      s"interleave: $bits bits x ${scaled.size} cols exceeds 64-bit Morton " +
+        s"code; use bits <= ${64 / scaled.size}")
     (0 until bits).flatMap { b =>
       scaled.zipWithIndex.map { case (c, i) =>
         shiftleft(shiftright(c, b).bitwiseAND(lit(1L)),
           b * scaled.size + i)
       }
     }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Largest per-column bit width that fits `n` columns in one 64-bit
+    * Morton code — 2 cols → 32, 4 → 16, 5 → 12.
+    */
+  def effectiveBits(n: Int, requested: Int = 16): Int =
+    math.min(requested, 64 / math.max(1, n))
 
   /** Morton code over `cols` (numeric; cast timestamps to long first),
     * each linearly scaled to [0, 2^bits) from the supplied (min, max).
     */
   def mortonCol(
       cols: Seq[Column], ranges: Seq[(Long, Long)], bits: Int = 16): Column = {
+    // auto-reduce so the default 16 bits keeps working past 4 dimensions
+    val useBits = effectiveBits(cols.size, bits)
     val scaled = cols.zip(ranges).map { case (c, (lo, hi)) =>
       // exact integer scaling to EXACTLY `bits` significant bits: rebase
       // to the column minimum, then shift the span's bit-length to
@@ -54,9 +69,10 @@ object ZOrder {
       val span = math.max(1L, hi - lo)
       val bl = 64 - java.lang.Long.numberOfLeadingZeros(span)
       val c0 = c.cast("long") - lit(lo)
-      if (bl >= bits) shiftright(c0, bl - bits) else shiftleft(c0, bits - bl)
+      if (bl >= useBits) shiftright(c0, bl - useBits)
+      else shiftleft(c0, useBits - bl)
     }
-    interleave(scaled, bits)
+    interleave(scaled, useBits)
   }
 
   /** Rewrite `df` into `destDir` clustered on the Morton code of `cols`:
@@ -74,8 +90,14 @@ object ZOrder {
         max(col(c).cast("long")).as(s"hi_$c"))).head,
       cols.flatMap(c => Seq(min(col(c).cast("long")).as(s"lo_$c"),
         max(col(c).cast("long")).as(s"hi_$c"))).tail: _*).head()
-    val ranges = cols.indices.map(i =>
-      (mm.getLong(2 * i), mm.getLong(2 * i + 1)))
+    val ranges = cols.indices.map { i =>
+      // empty input or an all-null column yields null min/max — fail with
+      // the actual problem, not an opaque NPE from getLong
+      require(!mm.isNullAt(2 * i) && !mm.isNullAt(2 * i + 1),
+        s"zorderWrite: no non-null values for Z-order column " +
+          s"'${cols(i)}' (empty input?)")
+      (mm.getLong(2 * i), mm.getLong(2 * i + 1))
+    }
     val z = mortonCol(cols.map(col), ranges, bits)
     df.withColumn("__z", z)
       .repartitionByRange(nFiles, col("__z"))

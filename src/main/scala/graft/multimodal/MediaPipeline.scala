@@ -286,21 +286,36 @@ object MediaPipeline {
     if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
       return None
     val frames = Vector.newBuilder[java.awt.image.BufferedImage]
-    def walk(from: Int, to: Int): Unit = {
-      var o = from
-      while (o + 8 <= to) {
-        val id = fourcc(o)
-        val sz = math.min(le32(o + 4), (to - o - 8).toLong).toInt
-        if ((id == "LIST" || id == "RIFF") && sz >= 4)
-          walk(o + 12, o + 8 + sz) // skip the 4-byte list subtype
-        else if (id.length == 4 && (id.endsWith("db") || id.endsWith("dc"))
-            && id.take(2).forall(_.isDigit) && sz > 0)
-          try {
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(payload, o + 8, sz))
-            if (img != null) frames += img
-          } catch { case scala.util.control.NonFatal(_) => () }
-        o += 8 + sz + (sz & 1) // chunks pad to even byte offsets
+    // Iterative walk with an explicit heap range stack: a crafted payload
+    // of ~len/12 nested 12-byte LIST headers would otherwise recurse that
+    // deep and throw StackOverflowError, which NonFatal does NOT catch —
+    // breaking the "None for bad payloads" contract on untrusted corpora.
+    def walk(from0: Int, to0: Int): Unit = {
+      var stack = List((from0, to0))
+      while (stack.nonEmpty) {
+        var (o, to) = stack.head
+        stack = stack.tail
+        var descended = false
+        while (!descended && o + 8 <= to) {
+          val id = fourcc(o)
+          val sz = math.min(le32(o + 4), (to - o - 8).toLong).toInt
+          val next = o + 8 + sz + (sz & 1) // chunks pad to even offsets
+          if ((id == "LIST" || id == "RIFF") && sz >= 4) {
+            // in-order: interior first, then the rest of this range —
+            // frame order must match the depth-first file order
+            stack = (o + 12, o + 8 + sz) :: (next, to) :: stack
+            descended = true // skip the 4-byte list subtype via interior
+          } else {
+            if (id.length == 4 && (id.endsWith("db") || id.endsWith("dc"))
+                && id.take(2).forall(_.isDigit) && sz > 0)
+              try {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(payload, o + 8, sz))
+                if (img != null) frames += img
+              } catch { case scala.util.control.NonFatal(_) => () }
+            o = next
+          }
+        }
       }
     }
     try walk(12, payload.length)

@@ -191,9 +191,13 @@ object StreamOps {
     * HDR = quantiles): keyed state is a K=64 minimum-values synopsis of
     * md5-hashed user ids, the streaming form of j60's batch sketch. Below
     * K distinct values the sketch IS the exact distinct set (estimate
-    * exact); past K it estimates (K-1)·M/τ — and unlike HLL the same
-    * state also answers cross-key overlap questions (j60's pairwise
-    * stage) offline. Insertion is set-union + sort + take-K: idempotent
+    * exact); past K it estimates (K-1)·M/τ — and unlike HLL, KMV states
+    * can also answer cross-key overlap questions (j60's pairwise stage)
+    * offline, for sketches built with the same hash over the same element
+    * domain (this one hashes user ids; j60 double-hashes content chunks,
+    * so the two are NOT directly joinable — the construction, not the
+    * sketch rows, is what transfers). Insertion is set-union + sort +
+    * take-K: idempotent
     * under replay (a re-delivered micro-batch cannot change the sketch),
     * which is the recovery story a plain count lacks. The update stream
     * re-emits the full sketch per touched key with a monotone n_seen, so
@@ -216,8 +220,10 @@ object StreamOps {
       }
   }
 
-  /** j60's hash: first 8 hex chars of md5("kmv:" + id) — fixed-width, so
-    * lexicographic order IS numeric order over the 16^8 value space.
+  /** Same construction as j60's hash (first 8 hex chars of an md5 with a
+    * "kmv:" domain prefix) — fixed-width, so lexicographic order IS
+    * numeric order over the 16^8 value space. Element domains differ:
+    * here the md5 input is the raw id, in j60 it is the chunk's md5.
     */
   def kmvHex(id: Long): String = {
     val d = java.security.MessageDigest.getInstance("MD5")

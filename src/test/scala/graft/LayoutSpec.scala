@@ -232,6 +232,33 @@ class LayoutSpec extends AnyFunSuite {
       s"user slice: linear $linU, z-order $zU")
   }
 
+  test("Z-order guards: >64-bit codes refused, empty input fails loudly") {
+    import graft.layout.ZOrder
+    import spark.implicits._
+    // 5 cols x 16 bits = 80 > 64: the JVM masks shifts mod 64, so without
+    // the guard this silently produced colliding Morton codes (data kept,
+    // clustering garbage). Must refuse, not degrade.
+    val five = (1 to 5).map(i => col(s"c$i"))
+    val ranges = Seq.fill(5)((0L, 1000L))
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.interleave(five.map(_.cast("long")), bits = 16)
+    }
+    assert(e.getMessage.contains("64-bit"))
+    // mortonCol auto-reduces instead (16 -> 12 for 5 cols) and stays usable
+    assert(ZOrder.effectiveBits(5) == 12)
+    val df5 = Seq((1L, 2L, 3L, 4L, 5L), (6L, 7L, 8L, 9L, 10L))
+      .toDF("c1", "c2", "c3", "c4", "c5")
+    assert(df5.select(ZOrder.mortonCol(five, ranges).as("z"))
+      .collect().length == 2)
+    // empty input: a clear error naming the column, not an opaque NPE
+    val dir = java.nio.file.Files.createTempDirectory("graft-zempty").toString
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrder.zorderWrite(empty, Seq("a", "b"), dir)
+    }
+    assert(e2.getMessage.contains("'a'"), e2.getMessage)
+  }
+
   private def bytesOf(dir: String): Long =
     new java.io.File(dir).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))

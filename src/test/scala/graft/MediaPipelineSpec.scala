@@ -288,4 +288,55 @@ class MediaPipelineSpec extends AnyFunSuite {
     // undecodable video degrades to the byte-chop stub, not a crash
     assert(sampled(8L).nonEmpty && sampled(8L).forall(_.frame_no % 2 == 0))
   }
+
+  test("RIFF walk survives pathologically deep LIST nesting (no stack)") {
+    // ~170k nested 12-byte LIST headers: the old recursive walk threw
+    // StackOverflowError here, which NonFatal does NOT catch — escaping
+    // the 'None for bad payloads' contract and killing the Spark task.
+    val depth = 170000
+    val total = 12 + depth * 12
+    val out = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+      .put("AVI ".getBytes("US-ASCII"))
+    (0 until depth).foreach { i =>
+      out.put("LIST".getBytes("US-ASCII"))
+        .putInt(total - (12 + i * 12) - 8) // span = everything that follows
+        .put("mvi ".getBytes("US-ASCII"))
+    }
+    assert(MediaPipeline.decodeAviMjpeg(out.array()).isEmpty)
+  }
+
+  test("RIFF walk keeps file order across sibling LIST nodes") {
+    // frame inside a LIST, then a sibling 00dc AFTER the list at the same
+    // level — the iterative walk must emit list-interior frames before
+    // post-list siblings (depth-first file order), or stride sampling
+    // would pick the wrong keyframes.
+    def le32(n: Int): Array[Byte] =
+      Array(n, n >> 8, n >> 16, n >> 24).map(_.toByte)
+    def jpeg(g: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      gr.setColor(new java.awt.Color(g, g, g)); gr.fillRect(0, 0, 8, 8)
+      gr.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    def chunk(jpg: Array[Byte]): Array[Byte] =
+      "00dc".getBytes("US-ASCII") ++ le32(jpg.length) ++ jpg ++
+        (if (jpg.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val inner = "movi".getBytes("US-ASCII") ++ chunk(jpeg(0))
+    val body = "AVI ".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(inner.length) ++ inner ++
+      chunk(jpeg(224)) // sibling AFTER the LIST
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+    val frames = MediaPipeline.decodeAviMjpeg(avi)
+      .getOrElse(fail("walk rejected a valid sibling-LIST AVI"))
+    assert(frames.size == 2)
+    val gs = frames.map(_.getRGB(4, 4) & 0xff)
+    assert(gs.head < 64 && gs(1) > 160,
+      s"frames out of file order: gray levels $gs (want ~0 then ~224)")
+  }
 }
