@@ -43,6 +43,12 @@ final case class FunnelState(
     t1: Long, t2: Long, t3: Long, maxTs: Long, nOoo: Long)
 final case class UserStage(user_id: Long, stage: Long, n_ooo: Long)
 
+// prevType: "" = no prior event; maxTs/nOoo: same in-order-delivery guard
+// as FunnelState
+final case class MarkovState(prevType: String, maxTs: Long, nOoo: Long)
+final case class Transition(
+    user_id: Long, prev_type: String, event_type: String, n_ooo: Long)
+
 /** SURVEY §2 category I — the stateful streaming operators themselves
   * (the reference's core surface), built on Structured Streaming.
   *
@@ -313,6 +319,44 @@ object StreamOps {
             else if (st.t1 != None_) 1L
             else 0L
           UserStage(uid, stage, st.nOoo)
+      }
+  }
+
+  /** Streaming twin of the registered `n4_markov_transitions` batch
+    * query — the funnel state machine generalized from a fixed 3-stage
+    * pattern to the full prev→next transition matrix: per user, state is
+    * just the PREVIOUS event type (one string + the two guard longs —
+    * bounded regardless of stream length), and each arriving event emits
+    * one (prev_type, event_type) transition row. Emissions are increments
+    * (each observed transition exactly once), so the differential test
+    * aggregates the emission stream with groupBy().count() and compares
+    * against n4's batch matrix. Same in-order contract and n_ooo guard as
+    * [[funnelStages]]: within a batch rows fold in (ts, event_id) order;
+    * a cross-batch out-of-order arrival increments the emitted n_ooo
+    * instead of silently diverging from the batch twin. At scale, wrap
+    * the key with a timeout/TTL (as [[runningCountsTws]] does) to evict
+    * dormant users.
+    */
+  def markovTransitions(events: Dataset[Event]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[MarkovState]) =>
+          var st = state.getOption.getOrElse(MarkovState("", -1L, 0L))
+          val prevMax = st.maxTs
+          val out = Vector.newBuilder[Transition]
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            if (prevMax != -1L && t < prevMax)
+              st = st.copy(nOoo = st.nOoo + 1)
+            if (t > st.maxTs) st = st.copy(maxTs = t)
+            if (st.prevType.nonEmpty)
+              out += Transition(uid, st.prevType, e.event_type, st.nOoo)
+            st = st.copy(prevType = e.event_type)
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 

@@ -298,6 +298,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("streaming Markov transitions converge to the registered n4 batch matrix") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = markovTransitions(in.toDS()).writeStream
+      .format("memory").queryName("markov").outputMode("update").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    // chronological chunks honor the in-order contract — guard must not fire
+    assert(spark.table("markov").agg(max("n_ooo")).head().getLong(0) == 0L)
+    // each observed transition is emitted exactly once → counting the
+    // emission stream rebuilds n4's matrix; share_bp re-derives from the
+    // counts with n4's own integer-division expression
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("prev_type")
+    val streamed = spark.table("markov")
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total", sum(col("n")).over(w))
+      .select(col("prev_type"), col("event_type"), col("n"),
+        expr("n * 10000 DIV row_total").as("share_bp"))
+    val batch = SparkEntry.queries("n4_markov_transitions")(spark, d)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("Markov stream flags cross-batch out-of-order arrivals via n_ooo") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = markovTransitions(in.toDS()).writeStream
+      .format("memory").queryName("markov_ooo").outputMode("update").start()
+    // the view arrives one batch AFTER a later-timestamped click: the
+    // streamed fold sees click→view where the batch matrix has view→click
+    // — the guard must make that observable instead of silent
+    in.addData(ev(1, "2024-01-01 00:10:00", 9001, "click"))
+    q.processAllAvailable()
+    in.addData(ev(2, "2024-01-01 00:05:00", 9001, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("markov_ooo").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(1) == "click" && r.getString(2) == "view")
+    assert(r.getLong(3) == 1L, "the out-of-order arrival must be counted")
+  }
+
   test("funnel flags cross-batch out-of-order arrivals via n_ooo") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
