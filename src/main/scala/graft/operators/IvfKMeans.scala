@@ -82,6 +82,86 @@ object IvfKMeans {
     cents
   }
 
+  /** 1e-6 fixed-point quantization of the float embedding column —
+    * CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT) per element, the
+    * exact expression DuckDB evaluates identically (float→double widening
+    * is exact, the multiply is one correctly-rounded IEEE op, and both
+    * engines round ties away from zero).
+    */
+  def quantize(emb: DataFrame): DataFrame = emb.select(col("vec_id"), expr(
+    "transform(embedding, x -> cast(round(cast(x as double) * 1000000) " +
+      "as bigint))").as("qv"))
+
+  /** Integer squared euclidean distance between two BIGINT-array columns —
+    * exact, order-independent, engine-identical.
+    */
+  def d2Expr(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
+        cast(0 as bigint), (acc, v) -> acc + v)"""
+
+  private def centsDfL(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[Array[Long]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cent_id", "cvec")
+  }
+
+  /** Nearest-cell assignment under an integer codebook: argmin squared
+    * distance, ties to the lower cent_id. Output (vec_id, qv, cell).
+    */
+  def assignExact(qe: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc,
+      col("cent_id"))
+    qe.crossJoin(broadcast(centsDfL(qe.sparkSession, cents)))
+      .withColumn("d2", expr(d2Expr("qv", "cvec")))
+      .withColumn("ark", row_number().over(w))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("qv"), col("cent_id").as("cell"))
+  }
+
+  /** Integer-EXACT Lloyd training — the oracle-checkable twin of [[train]]:
+    * quantize to 1e-6 fixed point, assign by integer squared-euclidean
+    * distance (ties to the lower cent_id), update each centroid dim to
+    * floor(sum/count) (floor of an exact-double division of exact
+    * integers — IEEE-identical in any engine). Every iteration is a pure
+    * function of integers, so DuckDB replays the whole loop bit-for-bit —
+    * which is what lets the registered j61 query oracle-check the TRAINING
+    * LOOP itself, not just the assignment machinery. Seeds follow [[train]]'s
+    * convention (the k lowest-vec_id sample vectors), but the SAMPLE uses an
+    * md5 priority (not Spark's murmur3 `hash`) so the oracle can rebuild it.
+    * Same scale shape as [[train]]: O(sample·k·d·iters) work, k×d-long
+    * driver-held model state, per-iteration shuffle of k·d partial rows.
+    * Returns (iteration-0 seed codebook, trained codebook).
+    */
+  def trainExact(emb: DataFrame, k: Int = 8, iters: Int = 3,
+      sampleN: Int = 256): (Array[Array[Long]], Array[Array[Long]]) = {
+    val sample = graft.Q.truncateLineage(
+      quantize(emb)
+        .orderBy(md5(concat(lit("ivf:"), col("vec_id").cast("string"))),
+          col("vec_id"))
+        .limit(sampleN))
+    val seeds: Array[Array[Long]] = sample.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val assigned = assignExact(sample, cents)
+        .select(col("cell"), col("qv"))
+      // (cell, dim) floor-means — k·d tiny rows to the driver = new model
+      val means = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(expr("cast(floor(cast(sum(v) as double) / count(1)) as bigint)")
+          .as("m"))
+        .collect()
+      val next = cents.map(_.clone()) // empty cells keep previous centroid
+      means.foreach { r =>
+        next(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2)
+      }
+      cents = next
+    }
+    (seeds, cents)
+  }
+
   private def normalize(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
     if (n == 0) v else v.map(_ / n)

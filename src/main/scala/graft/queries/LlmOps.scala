@@ -3475,6 +3475,173 @@ object LlmOps {
                      CAST(k_int * 10000 // n_sk AS BIGINT) AS est_jaccard_bp,
                      CAST(k_int * est_union // n_sk AS BIGINT)
                        AS est_intersect
-              FROM res3 ORDER BY source_a, source_b"""))
+              FROM res3 ORDER BY source_a, source_b""")),
+
+    // Learned-codebook training audit — the ORACLE-CHECKED form of the
+    // IvfKMeans training loop (operators/IvfKMeans.scala). trainExact
+    // replays Lloyd in 1e-6 fixed point: md5-priority sample (engine-
+    // neutral, unlike murmur3 `hash`), integer squared-euclidean
+    // assignment with cent_id tie-break, floor-mean centroid update —
+    // every iteration a pure function of integers, so the DuckDB oracle
+    // unrolls the SAME 3 iterations and must land on the identical
+    // codebook, cell assignment, and recall integers. Output is the
+    // per-cell differential audit: collection cell sizes under the seed
+    // (iteration-0 = fixed) codebook vs the trained one, plus probe
+    // counts and exact-top-10 retrieval hits under each — the j41-style
+    // measure-it-exactly pattern applied to training. Scale: training
+    // cost is O(sample·k·d·iters) independent of collection size with
+    // k×d-long driver model state (the sanctioned bounded collect);
+    // the audit itself is two broadcast-codebook assignment passes over
+    // the collection and one broadcast-probe exact-kNN pass, probe panel
+    // plan-capped at 64 below the broadcast like j4/j16.
+    Q("j61_ivf_train_audit",
+      (s, d) => {
+        import graft.operators.IvfKMeans
+        val K = 8; val ITERS = 3; val SAMPLE = 256; val TOPK = 10
+        val e = Tables.embeddings(s, d)
+        val (seedC, learnedC) = IvfKMeans.trainExact(e, K, ITERS, SAMPLE)
+        val qe = truncateLineage(IvfKMeans.quantize(e))
+        val aF = truncateLineage(
+          IvfKMeans.assignExact(qe, seedC).select("vec_id", "cell"))
+        val aL = truncateLineage(
+          IvfKMeans.assignExact(qe, learnedC).select("vec_id", "cell"))
+        val probes = truncateLineage(
+          qe.filter(col("vec_id") % 100 === 7).orderBy("vec_id").limit(64)
+            .select(col("vec_id").as("probe_id"), col("qv").as("pq")))
+        val wEx = Window.partitionBy("probe_id")
+          .orderBy(col("d2").asc, col("vec_id"))
+        val exact = truncateLineage(qe.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .withColumn("d2", expr(IvfKMeans.d2Expr("qv", "pq")))
+          .withColumn("rk", row_number().over(wEx))
+          .filter(col("rk") <= TOPK)
+          .select(col("probe_id"), col("vec_id").as("nb")))
+        def probeCells(aX: org.apache.spark.sql.DataFrame) =
+          aX.join(broadcast(probes.select(col("probe_id"))),
+              col("vec_id") === col("probe_id"))
+            .select(col("probe_id"), col("cell").as("pcell"))
+        def sizes(aX: org.apache.spark.sql.DataFrame, name: String) =
+          aX.groupBy("cell").agg(count(lit(1)).as(name))
+        def probeN(pX: org.apache.spark.sql.DataFrame, name: String) =
+          pX.withColumn("cell", col("pcell"))
+            .groupBy("cell").agg(count(lit(1)).as(name))
+        def hits(aX: org.apache.spark.sql.DataFrame,
+            pX: org.apache.spark.sql.DataFrame, name: String) =
+          exact.join(pX, Seq("probe_id"))
+            .join(aX.select(col("vec_id").as("nb"),
+              col("cell").as("ncell")), Seq("nb"))
+            .filter(col("ncell") === col("pcell"))
+            .withColumn("cell", col("pcell"))
+            .groupBy("cell").agg(count(lit(1)).as(name))
+        val pF = probeCells(aF); val pL = probeCells(aL)
+        s.range(K).toDF("cell")
+          .join(sizes(aF, "n_fixed"), Seq("cell"), "left")
+          .join(sizes(aL, "n_learned"), Seq("cell"), "left")
+          .join(probeN(pF, "probes_fixed"), Seq("cell"), "left")
+          .join(probeN(pL, "probes_learned"), Seq("cell"), "left")
+          .join(hits(aF, pF, "hits_fixed"), Seq("cell"), "left")
+          .join(hits(aL, pL, "hits_learned"), Seq("cell"), "left")
+          .na.fill(0L)
+          .select("cell", "n_fixed", "n_learned", "probes_fixed",
+            "probes_learned", "hits_fixed", "hits_learned")
+          .orderBy("cell")
+      },
+      Some {
+        val K = 8; val ITERS = 3; val SAMPLE = 256; val TOPK = 10
+        def d2(a: String, b: String): String =
+          s"""list_reduce(list_transform(generate_series(1, 64),
+              i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"""
+        // one Lloyd iteration: assign the sample to the previous codebook,
+        // rebuild each centroid as per-dim floor-means (empty cells keep
+        // the previous centroid)
+        def iterCtes(t: Int): String =
+          s"""a$t AS (
+                SELECT vec_id, qv, cent_id AS cell FROM (
+                  SELECT s.vec_id, s.qv, c.cent_id,
+                         row_number() OVER (PARTITION BY s.vec_id
+                           ORDER BY ${d2("s.qv", "c.cvec")} ASC, c.cent_id)
+                           AS ark
+                  FROM samp s CROSS JOIN c${t - 1} c) WHERE ark = 1),
+              c$t AS (
+                SELECT p.cent_id, COALESCE(n.cvec, p.cvec) AS cvec
+                FROM c${t - 1} p LEFT JOIN (
+                  SELECT cell AS cent_id, list(m ORDER BY pos) AS cvec
+                  FROM (
+                    SELECT a.cell, dims.i AS pos,
+                           CAST(floor(CAST(sum(a.qv[dims.i]) AS DOUBLE)
+                             / count(*)) AS BIGINT) AS m
+                    FROM a$t a CROSS JOIN
+                      (SELECT unnest(generate_series(1, 64)) AS i) dims
+                    GROUP BY a.cell, dims.i)
+                  GROUP BY cell) n ON p.cent_id = n.cent_id)"""
+        def assignCte(name: String, cb: String): String =
+          s"""$name AS (
+                SELECT vec_id, cent_id AS cell FROM (
+                  SELECT q.vec_id, c.cent_id,
+                         row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY ${d2("q.qv", "c.cvec")} ASC, c.cent_id)
+                           AS ark
+                  FROM qe q CROSS JOIN $cb c) WHERE ark = 1)"""
+        def perCodebook(x: String, a: String): String =
+          s"""p$x AS (
+                SELECT a.vec_id, a.cell AS pcell FROM $a a
+                JOIN probes p ON a.vec_id = p.probe_id),
+              h$x AS (
+                SELECT p.pcell AS cell, CAST(count(*) AS BIGINT) AS hits
+                FROM exact e
+                JOIN p$x p ON e.probe_id = p.vec_id
+                JOIN $a n ON e.nb = n.vec_id AND n.cell = p.pcell
+                GROUP BY p.pcell),
+              n$x AS (SELECT cell, CAST(count(*) AS BIGINT) AS n
+                      FROM $a GROUP BY cell),
+              q$x AS (SELECT pcell AS cell, CAST(count(*) AS BIGINT) AS n
+                      FROM p$x GROUP BY pcell)"""
+        s"""WITH qe AS (
+              SELECT vec_id, list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                AS qv
+              FROM embeddings),
+            samp AS (
+              SELECT vec_id, qv FROM qe
+              ORDER BY md5('ivf:' || CAST(vec_id AS VARCHAR)), vec_id
+              LIMIT $SAMPLE),
+            c0 AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                       AS cent_id, qv AS cvec
+              FROM (SELECT vec_id, qv FROM samp ORDER BY vec_id LIMIT $K)),
+            ${(1 to ITERS).map(iterCtes).mkString(",\n")},
+            ${assignCte("af", "c0")},
+            ${assignCte("al", s"c$ITERS")},
+            probes AS (
+              SELECT vec_id AS probe_id, qv AS pq FROM qe
+              WHERE vec_id % 100 = 7 ORDER BY vec_id LIMIT 64),
+            exact AS (
+              SELECT probe_id, vec_id AS nb FROM (
+                SELECT p.probe_id, q.vec_id,
+                       row_number() OVER (PARTITION BY p.probe_id
+                         ORDER BY ${d2("q.qv", "p.pq")} ASC, q.vec_id) AS rk
+                FROM qe q CROSS JOIN probes p
+                WHERE q.vec_id <> p.probe_id) WHERE rk <= $TOPK),
+            ${perCodebook("f", "af")},
+            ${perCodebook("l", "al")},
+            cells AS (
+              SELECT CAST(unnest(generate_series(0, ${K - 1})) AS BIGINT)
+                       AS cell)
+            SELECT c.cell,
+                   CAST(COALESCE(nf.n, 0) AS BIGINT) AS n_fixed,
+                   CAST(COALESCE(nl.n, 0) AS BIGINT) AS n_learned,
+                   CAST(COALESCE(qf.n, 0) AS BIGINT) AS probes_fixed,
+                   CAST(COALESCE(ql.n, 0) AS BIGINT) AS probes_learned,
+                   CAST(COALESCE(hf.hits, 0) AS BIGINT) AS hits_fixed,
+                   CAST(COALESCE(hl.hits, 0) AS BIGINT) AS hits_learned
+            FROM cells c
+            LEFT JOIN nf ON nf.cell = c.cell
+            LEFT JOIN nl ON nl.cell = c.cell
+            LEFT JOIN qf ON qf.cell = c.cell
+            LEFT JOIN ql ON ql.cell = c.cell
+            LEFT JOIN hf ON hf.cell = c.cell
+            LEFT JOIN hl ON hl.cell = c.cell
+            ORDER BY c.cell"""
+      })
   )
 }

@@ -947,6 +947,42 @@ class QueriesSpec extends AnyFunSuite {
       s"learned codebook recall $learnedTotal < fixed codebook $fixedTotal")
   }
 
+  test("SQL-text surface: m1_sql/m6_sql equal their DataFrame twins row-for-row") {
+    // Same string, three executions: DuckDB (the driver oracle), spark.sql
+    // (registered here), and the hand-built DataFrame plan — this pins the
+    // spark.sql ≡ DataFrame leg; the oracle leg is the driver hash row.
+    for ((sqlName, dfName) <- Seq("m1_sql" -> "m1_tpch_q3",
+        "m6_sql" -> "m6_tpch_q12")) {
+      val viaSql = SparkEntry.queries(sqlName)(spark, d).collect().toSeq
+      val viaDf = SparkEntry.queries(dfName)(spark, d).collect().toSeq
+      assert(viaSql == viaDf, s"$sqlName != $dfName:\n$viaSql\nvs\n$viaDf")
+    }
+  }
+
+  test("j61 training audit partitions the collection; hits bounded by panel") {
+    // Structural laws of the oracle-checked training audit: both codebooks'
+    // cell sizes partition the full collection; probe counts partition the
+    // probe panel; per-cell hits can never exceed probes-in-cell × top-10.
+    // (Bit-exactness vs DuckDB — including the 3 training iterations — is
+    // the j61 oracle row itself.)
+    val dir = TestSpark.Sf001
+    val out = SparkEntry.queries("j61_ivf_train_audit")(spark, dir).collect()
+    val nVec = Tables.embeddings(spark, dir).count()
+    val nProbes = math.min(64L,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 7).count())
+    assert(out.length == 8)
+    assert(out.map(_.getLong(1)).sum == nVec, "n_fixed must partition")
+    assert(out.map(_.getLong(2)).sum == nVec, "n_learned must partition")
+    assert(out.map(_.getLong(3)).sum == nProbes)
+    assert(out.map(_.getLong(4)).sum == nProbes)
+    out.foreach { r =>
+      assert(r.getLong(5) <= r.getLong(3) * 10,
+        s"cell ${r.getLong(0)}: fixed hits exceed the probe panel bound")
+      assert(r.getLong(6) <= r.getLong(4) * 10,
+        s"cell ${r.getLong(0)}: learned hits exceed the probe panel bound")
+    }
+  }
+
   test("IvfKMeans training is deterministic and emits unit-norm centroids") {
     // No RNG anywhere (hash-ordered sample, lowest-id seeds, Lloyd means):
     // two trainings must agree bit-for-bit — the property that makes the
