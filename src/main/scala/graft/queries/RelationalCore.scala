@@ -193,6 +193,41 @@ object RelationalCore {
               ORDER BY o_totalprice DESC, o_orderkey
               LIMIT 50 OFFSET 100""")),
 
+    // Keyset pagination — f4's documented scale fix made a registered
+    // query: resume AFTER a (o_totalprice, o_orderkey) anchor with a
+    // row-valued comparison predicate instead of OFFSET. The page fetch
+    // is then f1's TakeOrderedAndProject shape at limit k (top-50 heap
+    // per partition), NOT offset's top-(n+k) — the difference between a
+    // bounded heap and "haul the first n pages to the driver on every
+    // request", which is what makes deep pagination survivable at 100 TB
+    // (PlanSpec pins the limit-50 vs limit-150 plans). The anchor here is
+    // computed inline (last key of f4's page, a 1-row broadcast) so the
+    // query is self-contained at any SF; a paging API would pass the
+    // client's last-seen key as the literal.
+    Q("f5_keyset_page",
+      (s, d) => {
+        val anchor = Tables.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .offset(149).limit(1)
+          .select(col("o_totalprice").as("ap"), col("o_orderkey").as("ak"))
+        Tables.orders(s, d)
+          .crossJoin(broadcast(anchor))
+          .filter(col("o_totalprice") < col("ap") ||
+            (col("o_totalprice") === col("ap") &&
+              col("o_orderkey") > col("ak")))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(50)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+      },
+      Some("""WITH a AS (
+                SELECT o_totalprice AS ap, o_orderkey AS ak FROM orders
+                ORDER BY o_totalprice DESC, o_orderkey
+                LIMIT 1 OFFSET 149)
+              SELECT o_orderkey, o_custkey, o_totalprice FROM orders, a
+              WHERE o_totalprice < ap
+                 OR (o_totalprice = ap AND o_orderkey > ak)
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")),
+
     // Seeded Bernoulli sample — deterministic within Spark (fixed seed) but
     // RNG-incompatible with DuckDB, so no SQL oracle; the driver's
     // rows-only check still pins the row count.

@@ -69,6 +69,27 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"global sort:\n$plan")
   }
 
+  test("f5 keyset page prunes to a top-50 heap where f4 offset hauls top-150") {
+    // The deep-pagination differential: offset(n).limit(k) must plan a
+    // bounded top-(n+k) (150 here) because every page-n request re-ranks
+    // the first n rows, while the keyset predicate resumes AFTER the
+    // anchor and only ever heaps k (50) — the per-request cost that stays
+    // constant as the page number grows. Both must stay
+    // TakeOrderedAndProject (never a global sort).
+    val f4 = staticPlan("f4_limit_offset")
+    val f5 = staticPlan("f5_keyset_page")
+    assert(f4.contains("TakeOrderedAndProject(limit=150"), s"f4 plan:\n$f4")
+    assert(f5.contains("TakeOrderedAndProject(limit=50,"), s"f5 plan:\n$f5")
+    // the registered query computes its anchor inline (a 1-row top-150,
+    // output=[ap, ak]) to stay self-contained; a paging API passes the
+    // anchor as a literal. The PAGE side must never heap past 50: any
+    // limit=150 node may only be the anchor subtree.
+    f5.linesIterator
+      .filter(_.contains("TakeOrderedAndProject(limit=150"))
+      .foreach(l => assert(l.contains("output=[ap"),
+        s"non-anchor top-150 in the keyset page plan:\n$f5"))
+  }
+
   test("j22 vocab top-k plans as TakeOrderedAndProject over the token agg") {
     val plan = staticPlan("j22_vocab_topk")
     assert(plan.contains("TakeOrderedAndProject"), s"global sort:\n$plan")
