@@ -44,6 +44,19 @@ object Tables {
     * query-build time; the ns↔µs equivalence is pinned by a FormatsSpec
     * test on a synthesized ns-long file.
     */
+  /** Register every test table as a temp view under its own name — the
+    * SQL-text client surface: after this, any of the oracle-SQL strings
+    * runs verbatim through `spark.sql` (a3's path, widened to the whole
+    * catalog). Events goes through the schema-adaptive loader like every
+    * other consumer.
+    */
+  def registerAllViews(s: SparkSession, d: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => table(s, d, t).createOrReplaceTempView(t))
+    events(s, d).createOrReplaceTempView("events")
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {

@@ -18,6 +18,36 @@ import org.apache.spark.sql.functions._
   */
 object Workloads {
 
+  /** m1's query text, shared verbatim by the DataFrame form's oracle and
+    * the m1_sql registration — ONE string proves the SQL-text surface:
+    * what DuckDB runs as the oracle is exactly what `spark.sql` runs.
+    */
+  val M1Sql: String =
+    """SELECT l_orderkey,
+              CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                AS BIGINT)) AS BIGINT) AS rev_cents,
+              o_orderdate
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1998-01-01'
+         AND l_shipdate > TIMESTAMP '1998-01-01'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY rev_cents DESC, l_orderkey LIMIT 10"""
+
+  /** m6's shared query text — see [[M1Sql]]. */
+  val M6Sql: String =
+    """SELECT l_returnflag,
+              CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val queries: Seq[Q] = Seq(
     // TPC-H Q3 (shipping priority): unshipped high-value BUILDING orders.
     Q("m1_tpch_q3",
@@ -33,18 +63,7 @@ object Workloads {
         .select("l_orderkey", "rev_cents", "o_orderdate")
         .orderBy(col("rev_cents").desc, col("l_orderkey"))
         .limit(10),
-      Some("""SELECT l_orderkey,
-                     CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
-                       AS BIGINT)) AS BIGINT) AS rev_cents,
-                     o_orderdate
-              FROM customer
-              JOIN orders ON c_custkey = o_custkey
-              JOIN lineitem ON o_orderkey = l_orderkey
-              WHERE c_mktsegment = 'BUILDING'
-                AND o_orderdate < TIMESTAMP '1998-01-01'
-                AND l_shipdate > TIMESTAMP '1998-01-01'
-              GROUP BY l_orderkey, o_orderdate
-              ORDER BY rev_cents DESC, l_orderkey LIMIT 10""")),
+      Some(M1Sql)),
 
     // TPC-H Q5 (local supplier volume): revenue where the supplier serves a
     // customer of its own nation, per nation, one order-date year.
@@ -167,15 +186,7 @@ object Workloads {
           sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
             .otherwise(0L)).as("low_line_count"))
         .orderBy("l_returnflag"),
-      Some("""SELECT l_returnflag,
-                     CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-                     CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
-                               THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
-              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-                AND l_shipdate < TIMESTAMP '1997-01-01'
-              GROUP BY l_returnflag ORDER BY l_returnflag""")),
+      Some(M6Sql)),
 
     // TPC-H Q14 (promotion effect): part is the broadcast side of the join;
     // the promo share is a ratio of two exact integer-cents sums, so the
@@ -275,6 +286,21 @@ object Workloads {
                 FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
                 JOIN supplier ON l_suppkey = s_suppkey)
               JOIN part ON l_partkey = p_partkey
-              WHERE rn = 1 ORDER BY p_partkey"""))
+              WHERE rn = 1 ORDER BY p_partkey""")),
+
+    // ---- SQL-text surface for the TPC-H tranche ---------------------------
+    // The raw-SQL client path (a3, widened): the ONE query string that
+    // DuckDB executes as the oracle is handed verbatim to `spark.sql` over
+    // the registered views — proving a SQL-only consumer runs the TPC-H
+    // tranche with zero translation. Catalyst plans the text identically
+    // to the DataFrame form (same pushdown/broadcast/TakeOrdered shapes);
+    // QueriesSpec pins m1_sql ≡ m1 / m6_sql ≡ m6 row-for-row.
+    Q("m1_sql",
+      (s, d) => { Tables.registerAllViews(s, d); s.sql(M1Sql) },
+      Some(M1Sql)),
+
+    Q("m6_sql",
+      (s, d) => { Tables.registerAllViews(s, d); s.sql(M6Sql) },
+      Some(M6Sql))
   )
 }
