@@ -181,6 +181,35 @@ object Bench {
       k -> ss.mkString("[", ",", "]") })
     val es = obj(results.collect { case (k, _, _, _, Some(m), _) =>
       k -> jstr(m) })
+    // Full-inventory sweep, appended to every headline run: the six
+    // headline queries are all sub-second and scheduling-bound, so a perf
+    // regression in the j-family would never show there — the sweep total
+    // is where it shows. One cold pass per registered query (the sweep is
+    // a regression tripwire, not a steady-state estimate); the artifact
+    // records the total, per-query count, the 5 slowest, and any errors.
+    // SPARK_GRAFT_SKIP_SWEEP=1 opts out (fast local iteration).
+    val sweepBlock: Option[String] =
+      if (sweep || sys.env.get("SPARK_GRAFT_SKIP_SWEEP").contains("1")) None
+      else {
+        val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+        val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        SparkEntry.all.foreach { q =>
+          val t0 = System.nanoTime()
+          try { q.fn(spark, sfDir).count()
+            times(q.name) = (System.nanoTime() - t0) / 1e9 }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] sweep ${q.name} failed: " +
+              e.getMessage)
+            errs(q.name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+          }
+        }
+        val slowest = times.toSeq.sortBy(-_._2).take(5)
+        Some(obj(Seq(
+          "total" -> times.values.sum.toString,
+          "n" -> times.size.toString,
+          "slowest" -> obj(slowest.map { case (k, v) => k -> v.toString }),
+          "errors" -> obj(errs.toSeq.map { case (k, m) => k -> jstr(m) }))))
+      }
     val total = results.flatMap(_._2).sum
     val retriedQs = results.collect { case (k, _, _, _, _, true) => k }
     val contendedQs = results.collect {
@@ -197,7 +226,8 @@ object Bench {
       "contended" -> contendedQs.map(jstr).mkString("[", ",", "]"),
       "warmup_errors" -> obj(warmupErrors.toSeq.map {
         case (t, m) => t -> jstr(m) })))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50s,"p95":$p95s,"cold":$cs,"runs":$rs,"errors":$es,"protocol":$protocol,"sf":"$sfDir"}""")
+    val sweepJson = sweepBlock.map(b => s""","sweep":$b""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"p50":$p50s,"p95":$p95s,"cold":$cs,"runs":$rs,"errors":$es,"protocol":$protocol$sweepJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
