@@ -232,6 +232,43 @@ class LayoutSpec extends AnyFunSuite {
       s"user slice: linear $linU, z-order $zU")
   }
 
+  test("key-clustered documents snapshot: a delta key-slice rewrites few files") {
+    import graft.layout.ZOrder
+    // j54's production refinement measured: the snapshot upsert only needs
+    // to rewrite files that can contain delta keys, which file-level
+    // min/max stats decide WITHOUT reading — but only if the layout
+    // clusters by the upsert key. Same documents corpus, two layouts:
+    // doc_id-range-clustered vs length-clustered (a plausible
+    // "optimize for scan compression" layout whose per-file doc_id ranges
+    // are useless). Delta = one re-crawled contiguous id segment (1/8 of
+    // the key domain).
+    val docs = Tables.documents(spark, TestSpark.Sf001)
+      .select(col("doc_id"), col("source"),
+        length(col("text")).cast("long").as("len"))
+    val keyDir = java.nio.file.Files.createTempDirectory("graft-key").toString
+    val lenDir = java.nio.file.Files.createTempDirectory("graft-len").toString
+    val nFiles = 16
+    docs.repartitionByRange(nFiles, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(keyDir)
+    docs.repartitionByRange(nFiles, col("len"), col("doc_id"))
+      .sortWithinPartitions("len")
+      .write.mode("overwrite").parquet(lenDir)
+    val mm = docs.agg(min("doc_id"), max("doc_id")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val span = math.max(1L, (hi - lo) / 8)
+    val box = Seq(("doc_id", lo + span, lo + 2 * span))
+    val (keyT, keyN) = ZOrder.filesTouched(spark, keyDir, box)
+    val (lenT, lenN) = ZOrder.filesTouched(spark, lenDir, box)
+    assert(keyN == nFiles.toLong && lenN == nFiles.toLong)
+    assert(keyT <= nFiles / 4,
+      s"key-clustered snapshot: delta slice touches $keyT/$keyN files")
+    assert(lenT == nFiles.toLong,
+      s"length-clustered layout unexpectedly pruned id files ($lenT/$lenN)")
+    info(s"delta id-slice rewrite: key-clustered $keyT/$keyN files, " +
+      s"length-clustered $lenT/$lenN")
+  }
+
   test("Z-order guards: >64-bit codes refused, empty input fails loudly") {
     import graft.layout.ZOrder
     import spark.implicits._
