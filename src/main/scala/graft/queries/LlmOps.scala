@@ -3505,9 +3505,14 @@ object LlmOps {
           IvfKMeans.assignExact(qe, seedC).select("vec_id", "cell"))
         val aL = truncateLineage(
           IvfKMeans.assignExact(qe, learnedC).select("vec_id", "cell"))
-        val probes = truncateLineage(
+        // NOT lineage-truncated: each reference re-runs a TakeOrdered(64)
+        // over the checkpointed qe (cheap), and in exchange the limit=64
+        // cap below every broadcast stays STRUCTURAL in the plan
+        // (PlanSpec-pinned) instead of hidden behind a checkpoint RDD —
+        // j16's recompute-the-tiny-probe-side tradeoff.
+        val probes =
           qe.filter(col("vec_id") % 100 === 7).orderBy("vec_id").limit(64)
-            .select(col("vec_id").as("probe_id"), col("qv").as("pq")))
+            .select(col("vec_id").as("probe_id"), col("qv").as("pq"))
         val wEx = Window.partitionBy("probe_id")
           .orderBy(col("d2").asc, col("vec_id"))
         val exact = truncateLineage(qe.crossJoin(broadcast(probes))
@@ -3642,6 +3647,92 @@ object LlmOps {
             LEFT JOIN hf ON hf.cell = c.cell
             LEFT JOIN hl ON hl.cell = c.cell
             ORDER BY c.cell"""
-      })
+      }),
+
+    // Exact-substring cross-doc dedup — the remaining member of the dedup
+    // family (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better"): find the longest TOKEN SPAN each document shares
+    // verbatim with any other document, the signal behind
+    // "remove any substring repeated ≥ N tokens". Lee et al. build a
+    // corpus suffix array (inherently sequential); the distributed-exact
+    // form used here is the gram-diagonal method: positional 8-gram
+    // occurrences, an inverted-index self-join on the gram hash (cost
+    // Σ df(g)² like j9/j57 — never n² over docs), and run-length merging
+    // of consecutive matches on each (doc_a, doc_b, pa-pb) diagonal — a
+    // shared span of T tokens is exactly a run of T-7 consecutive gram
+    // hits on one diagonal, so spans reconstruct EXACTLY (not a lower
+    // bound) from gram-local evidence. Per doc: the longest such span,
+    // the partner achieving it (ties to the smaller doc_id), and the
+    // distinct-partner count. At 100 TB the one extra knob is a df cap on
+    // the gram table (stopword-like grams out of the join), the same
+    // guard j38 applies to query terms.
+    Q("j62_substring_dedup",
+      (s, d) => {
+        val grams = truncateLineage(Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 8)
+          .select(col("doc_id"), posexplode(expr(
+            """transform(sequence(1, size(t) - 7),
+               i -> md5(concat_ws(' ', slice(t, i, 8))))"""))
+            .as(Seq("p", "g"))))
+        val a = grams.select(col("doc_id").as("da"), col("p").as("pa"),
+          col("g"))
+        val b = grams.select(col("doc_id").as("db"), col("p").as("pb"),
+          col("g"))
+        val wRun = Window.partitionBy("da", "db", "diag").orderBy("pa")
+        val spans = a.join(b, Seq("g"))
+          .filter(col("da") =!= col("db"))
+          .select(col("da"), col("db"), col("pa"),
+            (col("pa") - col("pb")).as("diag"))
+          .withColumn("grp", col("pa") - row_number().over(wRun))
+          .groupBy("da", "db", "diag", "grp")
+          .agg((count(lit(1)) + 7).as("span"))
+        val best = truncateLineage(
+          spans.groupBy("da", "db").agg(max("span").as("span")))
+        val wBest = Window.partitionBy("da")
+          .orderBy(col("span").desc, col("db"))
+        best.groupBy("da")
+          .agg(max(col("span")).as("max_shared_tokens"),
+            count(lit(1)).as("n_partners"))
+          .join(best.withColumn("rk", row_number().over(wBest))
+            .filter(col("rk") === 1)
+            .select(col("da"), col("db").as("partner_id")), Seq("da"))
+          .select(col("da").as("doc_id"), col("max_shared_tokens"),
+            col("partner_id"), col("n_partners"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              g AS (
+                SELECT doc_id, u.i AS p,
+                       md5(array_to_string(t[u.i:u.i+7], ' ')) AS g
+                FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+                WHERE len(t) >= 8),
+              m AS (
+                SELECT a.doc_id AS da, b.doc_id AS db, a.p AS pa,
+                       a.p - b.p AS diag
+                FROM g a JOIN g b ON a.g = b.g AND a.doc_id <> b.doc_id),
+              runs AS (
+                SELECT da, db, diag,
+                       pa - row_number() OVER (PARTITION BY da, db, diag
+                                               ORDER BY pa) AS grp
+                FROM m),
+              spans AS (
+                SELECT da, db, CAST(count(*) + 7 AS BIGINT) AS span
+                FROM runs GROUP BY da, db, diag, grp),
+              best AS (
+                SELECT da, db, max(span) AS span FROM spans GROUP BY da, db),
+              agg1 AS (
+                SELECT da, CAST(max(span) AS BIGINT) AS max_shared_tokens,
+                       CAST(count(*) AS BIGINT) AS n_partners
+                FROM best GROUP BY da),
+              p1 AS (
+                SELECT da, db AS partner_id FROM (
+                  SELECT da, db, row_number() OVER (PARTITION BY da
+                    ORDER BY span DESC, db) AS rk
+                  FROM best) WHERE rk = 1)
+              SELECT agg1.da AS doc_id, max_shared_tokens, partner_id,
+                     n_partners
+              FROM agg1 JOIN p1 ON agg1.da = p1.da ORDER BY doc_id"""))
   )
 }

@@ -338,6 +338,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("j61 audit probe panel is plan-bounded like the ANN family") {
+    // j61's exact-kNN audit pass broadcasts the probe side; the panel must
+    // be structurally capped (limit=64) so the broadcast can never grow
+    // with the collection — same invariant as the j4/j16 probe pins.
+    val plan = staticPlan("j61_ivf_train_audit")
+    assert(plan.contains("limit=64"),
+      s"no bounded probe panel in the j61 plan:\n$plan")
+  }
+
   test("j13 final plan reads only the truncated label table, no fact re-scan") {
     assertScanCount("j13_dedup_clusters", "documents", 0)
   }

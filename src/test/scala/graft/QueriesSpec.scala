@@ -983,6 +983,53 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("j62 spans are pairwise-symmetric; exact dups share their full length") {
+    // Two laws of the gram-diagonal span reconstruction: (1) a shared span
+    // is a property of the PAIR, so my partner's own max span is >= the
+    // span it shares with me; (2) a doc with an exact textual clone shares
+    // its entire token sequence — max_shared_tokens must equal the doc's
+    // token count exactly (the Lee-et-al. limiting case).
+    val out = SparkEntry.queries("j62_substring_dedup")(spark, d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.nonEmpty, "no shared spans found at all")
+    out.foreach { case (id, (span, partner, _)) =>
+      val p = out.getOrElse(partner,
+        fail(s"doc $id's partner $partner missing from the output"))
+      assert(p._1 >= span,
+        s"asymmetric: $id shares $span with $partner, whose max is ${p._1}")
+    }
+    // Planted-span fixture (the corpus has no exact clones): doc 1 and 2
+    // are 20-token exact clones -> span 20; docs 3/4 share EXACTLY tokens
+    // w20..w31 (12 tokens, differing neighbors on both sides) -> span 12;
+    // doc 5 shares nothing. Spans must reconstruct EXACTLY, not as
+    // bounds — the gram-diagonal method's defining property.
+    import spark.implicits._
+    val w = (0 until 60).map(i => s"w$i")
+    def txt(toks: Seq[String]) = toks.mkString(" ")
+    val clone = txt(w.slice(0, 20))
+    val shared = w.slice(20, 32)
+    val fixDir = java.nio.file.Files.createTempDirectory("graft-j62").toString
+    Seq(
+      (1L, clone, "en", "src0"),
+      (2L, clone, "en", "src0"),
+      (3L, txt(Seq("a1", "a2") ++ shared ++ Seq("a3", "a4")), "en", "src0"),
+      (4L, txt(Seq("b1", "b2", "b3") ++ shared ++ Seq("b4")), "en", "src1"),
+      (5L, txt(w.slice(40, 55)), "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$fixDir/documents.parquet")
+    val planted = SparkEntry.queries("j62_substring_dedup")(spark, fixDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(planted.keySet == Set(1L, 2L, 3L, 4L), planted.toString)
+    assert(planted(1L) == ((20L, 2L, 1L)) && planted(2L) == ((20L, 1L, 1L)),
+      s"exact clones must span their full 20 tokens: $planted")
+    assert(planted(3L) == ((12L, 4L, 1L)) && planted(4L) == ((12L, 3L, 1L)),
+      s"planted 12-token span misreconstructed: $planted")
+  }
+
   test("IvfKMeans training is deterministic and emits unit-norm centroids") {
     // No RNG anywhere (hash-ordered sample, lowest-id seeds, Lloyd means):
     // two trainings must agree bit-for-bit — the property that makes the
