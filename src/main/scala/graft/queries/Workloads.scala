@@ -36,6 +36,24 @@ object Workloads {
        GROUP BY l_orderkey, o_orderdate
        ORDER BY rev_cents DESC, l_orderkey LIMIT 10"""
 
+  /** m2's shared query text — see [[M1Sql]]. The 5-way join: proves the
+    * SQL-text path re-derives the broadcast/shuffle split from statistics
+    * alone (no broadcast() hints exist in SQL text).
+    */
+  val M2Sql: String =
+    """SELECT n_name,
+              CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
+                AS BIGINT)) AS BIGINT) AS rev_cents
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON o_orderkey = l_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+                    AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+       GROUP BY n_name ORDER BY rev_cents DESC, n_name"""
+
   /** m6's shared query text — see [[M1Sql]]. */
   val M6Sql: String =
     """SELECT l_returnflag,
@@ -82,18 +100,7 @@ object Workloads {
         .agg(sum(Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("rev_cents"))
         .orderBy(col("rev_cents").desc, col("n_name")),
-      Some("""SELECT n_name,
-                     CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
-                       AS BIGINT)) AS BIGINT) AS rev_cents
-              FROM customer
-              JOIN orders ON c_custkey = o_custkey
-              JOIN lineitem ON o_orderkey = l_orderkey
-              JOIN supplier ON l_suppkey = s_suppkey
-                           AND c_nationkey = s_nationkey
-              JOIN nation ON s_nationkey = n_nationkey
-              WHERE o_orderdate >= TIMESTAMP '1996-01-01'
-                AND o_orderdate < TIMESTAMP '1997-01-01'
-              GROUP BY n_name ORDER BY rev_cents DESC, n_name""")),
+      Some(M2Sql)),
 
     // TPC-H Q10 (returned items): customers who returned the most value in
     // a quarter-year window, top 20.
@@ -298,6 +305,10 @@ object Workloads {
     Q("m1_sql",
       (s, d) => { Tables.registerAllViews(s, d); s.sql(M1Sql) },
       Some(M1Sql)),
+
+    Q("m2_sql",
+      (s, d) => { Tables.registerAllViews(s, d); s.sql(M2Sql) },
+      Some(M2Sql)),
 
     Q("m6_sql",
       (s, d) => { Tables.registerAllViews(s, d); s.sql(M6Sql) },

@@ -952,7 +952,7 @@ class QueriesSpec extends AnyFunSuite {
     // (registered here), and the hand-built DataFrame plan — this pins the
     // spark.sql ≡ DataFrame leg; the oracle leg is the driver hash row.
     for ((sqlName, dfName) <- Seq("m1_sql" -> "m1_tpch_q3",
-        "m6_sql" -> "m6_tpch_q12")) {
+        "m2_sql" -> "m2_tpch_q5", "m6_sql" -> "m6_tpch_q12")) {
       val viaSql = SparkEntry.queries(sqlName)(spark, d).collect().toSeq
       val viaDf = SparkEntry.queries(dfName)(spark, d).collect().toSeq
       assert(viaSql == viaDf, s"$sqlName != $dfName:\n$viaSql\nvs\n$viaDf")
