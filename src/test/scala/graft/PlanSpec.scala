@@ -609,6 +609,20 @@ class PlanSpec extends AnyFunSuite {
     assertScanCount("j57_source_overlap", "documents", 0)
   }
 
+  test("j62 span join is a gram-hash equi-join, never a cartesian") {
+    // The Lee-et-al. exact-substring pass pairs docs ONLY through the
+    // positional-gram inverted index (cost sum df^2) — a cartesian or BNLJ
+    // here is the n^2-over-docs failure mode the method exists to avoid.
+    val df = SparkEntry.queries("j62_substring_dedup")(spark, d)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span pairing must go through the gram equi-join:\n$plan")
+    // the truncated gram table feeds both join sides — documents scans
+    // happen at materialize time, not per side
+    assertScanCount("j62_substring_dedup", "documents", 0)
+  }
+
   test("j54 upsert never shuffles the snapshot: broadcast anti + map union") {
     // the CDC merge's 100 TB contract: survivors come from a broadcast
     // LEFT ANTI against the (small) delta keys — a SortMergeJoin here
