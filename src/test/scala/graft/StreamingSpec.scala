@@ -343,6 +343,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getLong(3) == 1L, "the out-of-order arrival must be counted")
   }
 
+  test("Markov stream recovers its prev-type state across kill/restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mkv-ck").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-mkv-out").toString
+    val in = MemoryStream[Event]
+    def start() = markovTransitions(in.toDS()).writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Transition],
+          _: Long) => df.write.mode("append").parquet(out) }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    val q1 = start()
+    in.addData(ev(1, "2024-01-01 10:00:00", 7, "view"))
+    q1.processAllAvailable()
+    q1.stop() // kill: the view is only in checkpointed state, never emitted
+    val q2 = start()
+    in.addData(ev(2, "2024-01-01 10:05:00", 7, "click"))
+    q2.processAllAvailable()
+    q2.stop()
+    // the cross-restart transition view→click must emit EXACTLY once:
+    // zero = prev-type state lost; two = replay double-emission
+    val rows = spark.read.parquet(out).collect()
+    assert(rows.length == 1, s"expected 1 recovered transition: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[String]("prev_type") == "view" &&
+      r.getAs[String]("event_type") == "click" &&
+      r.getAs[Long]("n_ooo") == 0L, r.toString)
+  }
+
   test("funnel flags cross-batch out-of-order arrivals via n_ooo") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
