@@ -1150,6 +1150,16 @@ object LlmOps {
         // joining the raw occurrence stream first MULTIPLIES rows (one per
         // matching language profile) before any de-dup — join-then-
         // countDistinct measured 1.45× SLOWER at sf0.1 (8.6 s vs 5.9 s).
+        // Fourth measured negative (round 11): in-row dedup via
+        // array_distinct-before-explode (j29's docGrams8 trick — valid
+        // here too, the dedup key includes doc_id) is 1.37× SLOWER than
+        // this shuffle distinct at sf0.1 (warm-min 4.48 s vs 3.27 s,
+        // uncontended): a ~330-element array_distinct per row costs more
+        // than shuffling the occurrences, because trigram rows are tiny
+        // and the distinct's map-side partial aggregation already halves
+        // the exchange. j29's grams win that trade only because 8-gram
+        // STRINGS are wide (shuffle bytes dominate); 3-char trigrams are
+        // not. Dedup placement stays the shuffle distinct.
         val scores = tris.select("doc_id", "lang", "tri").distinct()
           .join(broadcast(prof), "tri")
           .groupBy("doc_id", "lang", "p_lang")
