@@ -70,8 +70,7 @@ object Bench {
           System.err.println(s"[bench] warmup of $t failed: ${e.getMessage}")
           warmupErrors(t) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
         }
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "documents", "embeddings").foreach { t =>
+    Tables.names.foreach { t =>
       warmTable(t)(Tables.table(spark, sfDir, t).count())
     }
     warmTable("events")(Tables.events(spark, sfDir).count())
@@ -152,6 +151,10 @@ object Bench {
       (name, if (good.nonEmpty) Some(good.min) else None,
         cold.flatMap(_.toOption), good, err, retried)
     }
+    // Captured here — before the full-inventory sweep below runs ~100 s of
+    // load — so loadavg_start/loadavg_end bracket the headline timing
+    // window they are documented to describe, not the sweep's own load.
+    val loadEnd = loadAvg()
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
@@ -220,7 +223,7 @@ object Bench {
       "split_bytes" -> jstr(spark.conf.get("spark.sql.files.maxPartitionBytes")),
       "cpus" -> spark.sparkContext.defaultParallelism.toString,
       "loadavg_start" -> f"$loadStart%.2f",
-      "loadavg_end" -> f"${loadAvg()}%.2f",
+      "loadavg_end" -> f"$loadEnd%.2f",
       "spread_limit" -> SpreadLimit.toString,
       "resampled" -> retriedQs.map(jstr).mkString("[", ",", "]"),
       "contended" -> contendedQs.map(jstr).mkString("[", ",", "]"),

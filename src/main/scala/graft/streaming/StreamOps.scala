@@ -43,9 +43,12 @@ final case class FunnelState(
     t1: Long, t2: Long, t3: Long, maxTs: Long, nOoo: Long)
 final case class UserStage(user_id: Long, stage: Long, n_ooo: Long)
 
-// prevType: "" = no prior event; maxTs/nOoo: same in-order-delivery guard
-// as FunnelState
-final case class MarkovState(prevType: String, maxTs: Long, nOoo: Long)
+// hasPrev distinguishes "no prior event" from a prior event whose type is
+// the empty string (a "" sentinel in prevType would silently drop that
+// user's first real transition, diverging from the batch twin's lag());
+// maxTs/nOoo: same in-order-delivery guard as FunnelState
+final case class MarkovState(
+    prevType: String, hasPrev: Boolean, maxTs: Long, nOoo: Long)
 final case class Transition(
     user_id: Long, prev_type: String, event_type: String, n_ooo: Long)
 
@@ -343,7 +346,8 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Event], state: GroupState[MarkovState]) =>
-          var st = state.getOption.getOrElse(MarkovState("", -1L, 0L))
+          var st = state.getOption.getOrElse(
+            MarkovState("", hasPrev = false, -1L, 0L))
           val prevMax = st.maxTs
           val out = Vector.newBuilder[Transition]
           rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
@@ -351,9 +355,9 @@ object StreamOps {
             if (prevMax != -1L && t < prevMax)
               st = st.copy(nOoo = st.nOoo + 1)
             if (t > st.maxTs) st = st.copy(maxTs = t)
-            if (st.prevType.nonEmpty)
+            if (st.hasPrev)
               out += Transition(uid, st.prevType, e.event_type, st.nOoo)
-            st = st.copy(prevType = e.event_type)
+            st = st.copy(prevType = e.event_type, hasPrev = true)
           }
           state.update(st)
           out.result().iterator
