@@ -68,6 +68,69 @@ object LlmOps {
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     graft.Q.truncateLineage(df)
 
+  /** Product-quantization subspace table shared by j63/j64 (Jégou et al.
+    * TPAMI'11): the 1e-6 fixed-point vector (j61's quantization) split into
+    * 8 contiguous 8-dim integer subvectors. All downstream PQ math is exact
+    * BIGINT squared-euclidean, so DuckDB replays codebook assignment
+    * bit-for-bit — the j16/j61 oracle trick applied to PQ.
+    */
+  private def pqSubs(qe: org.apache.spark.sql.DataFrame) =
+    qe.select(col("vec_id"), explode(expr(
+      """transform(sequence(0, 7),
+         m -> named_struct('m', m, 'sub', slice(qv, m * 8 + 1, 8)))"""))
+      .as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+
+  /** PQ code assignment: per (vector, subspace), the nearest of the 16
+    * fixed data-derived subspace centroids (the 16 lowest vec_ids — the
+    * j16 fixed-codebook convention, which keeps the oracle exact; a learned
+    * per-subspace codebook would come from IvfKMeans.trainExact on the
+    * subvectors). Ties to the lower cent_id. Output (vec_id, m, code, d2).
+    */
+  private def pqCodes(subs: org.apache.spark.sql.DataFrame) = {
+    val cents = subs.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("cent_id"), col("sub").as("csub"))
+    val w = Window.partitionBy("vec_id", "m")
+      .orderBy(col("d2").asc, col("cent_id"))
+    subs.join(broadcast(cents), Seq("m"))
+      .withColumn("d2",
+        expr(graft.operators.IvfKMeans.d2Expr("sub", "csub")))
+      .withColumn("ark", row_number().over(w))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("m"), col("cent_id").as("code"), col("d2"))
+  }
+
+  /** The shared WITH-chain prefix of the j63/j64 oracles: fixed-point
+    * vectors → subspace split → subspace codebook → PQ codes, each step the
+    * SQL image of [[pqSubs]]/[[pqCodes]]. Every arithmetic output is cast
+    * to BIGINT (DuckDB list_sum/sum over BIGINT widens to HUGEINT — the n4
+    * round-10 lesson).
+    */
+  private val PqCodesSql =
+    """q AS (
+         SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         FROM embeddings),
+       subs AS (
+         SELECT vec_id, u.m AS m,
+                array_slice(qv, u.m * 8 + 1, u.m * 8 + 8) AS sub
+         FROM q, UNNEST(generate_series(0, 7)) AS u(m)),
+       pcents AS (
+         SELECT m, vec_id AS cent_id, sub AS csub FROM subs
+         WHERE vec_id < 16),
+       scored AS (
+         SELECT s.vec_id, s.m, c.cent_id,
+                CAST(list_sum(list_transform(generate_series(1, 8),
+                  i -> (s.sub[i] - c.csub[i]) * (s.sub[i] - c.csub[i])))
+                  AS BIGINT) AS d2
+         FROM subs s JOIN pcents c ON s.m = c.m),
+       codes AS (
+         SELECT vec_id, m, cent_id AS code, d2 FROM (
+           SELECT vec_id, m, cent_id, d2,
+                  row_number() OVER (PARTITION BY vec_id, m
+                    ORDER BY d2, cent_id) AS ark
+           FROM scored) WHERE ark = 1)"""
+
   /** Per-doc distinct 8-grams of `text` as a pipelined explode, used by
     * the decontamination probes (j29/j43). Dedup happens INSIDE the row
     * (array_distinct) — semantically identical to DISTINCT (doc_id, g8)
@@ -3743,6 +3806,135 @@ object LlmOps {
                   FROM best) WHERE rk = 1)
               SELECT agg1.da AS doc_id, max_shared_tokens, partner_id,
                      n_partners
-              FROM agg1 JOIN p1 ON agg1.da = p1.da ORDER BY doc_id"""))
+              FROM agg1 JOIN p1 ON agg1.da = p1.da ORDER BY doc_id""")),
+
+    // Product quantization (Jégou et al. TPAMI'11) — the compression half
+    // of the FAISS-style IVF-PQ index that makes billion-vector ANN fit in
+    // memory: each 64-dim vector becomes 8 four-bit codes (one per 8-dim
+    // subspace, 16-entry codebook) + we report the exact integer squared
+    // reconstruction error. Everything runs in j61's 1e-6 fixed point, so
+    // the codes AND the error hash-match the DuckDB replay. Scale: the
+    // codebook is 128 broadcast rows; encoding is one map-side broadcast
+    // join + a per-(vector,subspace) window over 16 rows — linear, and the
+    // output is ~50 bytes/vector instead of 256 (the point of PQ).
+    Q("j63_pq_encode",
+      (s, d) => {
+        val subs = pqSubs(
+          graft.operators.IvfKMeans.quantize(Tables.embeddings(s, d)))
+        pqCodes(subs)
+          .groupBy("vec_id")
+          .agg(expr("""concat_ws('-',
+                 transform(array_sort(collect_list(struct(m, code))),
+                   x -> cast(x.code as string)))""").as("pq_code"),
+            sum(col("d2")).as("err_q"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH $PqCodesSql
+               SELECT vec_id,
+                      string_agg(CAST(code AS VARCHAR), '-' ORDER BY m)
+                        AS pq_code,
+                      CAST(sum(d2) AS BIGINT) AS err_q
+               FROM codes GROUP BY vec_id ORDER BY vec_id""")),
+
+    // IVF-PQ search with asymmetric distance computation — the other half:
+    // probes search only their IVF cell (j16's coarse routing, here under
+    // j61's integer codebook) and rank candidates WITHOUT touching raw
+    // vectors — each probe precomputes an 8×16 table of subspace distances
+    // to the PQ codebook, and a candidate's distance is 8 table lookups
+    // summed (ADC, Jégou et al. §IV). At 100 TB that is the architecture
+    // that works: the raw vectors stay on disk, the scan reads only the
+    // byte codes, the distance tables are a broadcast (probes×128 rows),
+    // and the per-probe work is |cell| lookups, not |cell| dot products.
+    // All integer-exact, so ranking and distances hash-match the oracle.
+    Q("j64_ivfpq_adc",
+      (s, d) => {
+        val qe = truncateLineage(
+          graft.operators.IvfKMeans.quantize(Tables.embeddings(s, d)))
+        val subs = pqSubs(qe)
+        val codes = truncateLineage(
+          pqCodes(subs).select("vec_id", "m", "code"))
+        // IVF coarse cells under the integer codebook (16 lowest vec_ids)
+        val icents = qe.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("cent_id"), col("qv").as("cvec"))
+        val wCell = Window.partitionBy("vec_id")
+          .orderBy(col("cd2").asc, col("cent_id"))
+        val cells = truncateLineage(qe.crossJoin(broadcast(icents))
+          .withColumn("cd2",
+            expr(graft.operators.IvfKMeans.d2Expr("qv", "cvec")))
+          .withColumn("ark", row_number().over(wCell))
+          .filter(col("ark") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell")))
+        // probe panel plan-capped like j4/j12/j16: the broadcast side can
+        // never grow with the collection
+        val probes = cells.filter(col("vec_id") % 100 === 7)
+          .orderBy("vec_id").limit(64)
+          .select(col("vec_id").as("probe_id"), col("cell").as("pcell"))
+        // per-probe subspace distance tables: probes×8×16 rows → broadcast
+        val pcents = subs.filter(col("vec_id") < 16)
+          .select(col("m"), col("vec_id").as("cent_id"),
+            col("sub").as("csub"))
+        val dtab = subs.join(broadcast(probes),
+            col("vec_id") === col("probe_id"))
+          .select(col("probe_id"), col("m"), col("sub"))
+          .join(broadcast(pcents), Seq("m"))
+          .withColumn("pd2",
+            expr(graft.operators.IvfKMeans.d2Expr("sub", "csub")))
+          .select(col("probe_id"), col("m"),
+            col("cent_id").as("code"), col("pd2"))
+        val cand = cells.join(broadcast(probes),
+            col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id"), col("vec_id"))
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("adist").asc, col("vec_id"))
+        cand.join(codes, Seq("vec_id"))
+          .join(broadcast(dtab), Seq("probe_id", "m", "code"))
+          .groupBy("probe_id", "vec_id")
+          .agg(sum(col("pd2")).as("adist"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("probe_id", "vec_id", "adist", "rk")
+          .orderBy("probe_id", "rk")
+      },
+      Some(s"""WITH $PqCodesSql,
+               icents AS (
+                 SELECT vec_id AS cent_id, qv AS cvec FROM q
+                 WHERE vec_id < 16),
+               cellsc AS (
+                 SELECT vec_id, cent_id AS cell FROM (
+                   SELECT q.vec_id, i.cent_id,
+                          row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY CAST(list_sum(list_transform(
+                              generate_series(1, 64),
+                              k -> (q.qv[k] - i.cvec[k]) *
+                                   (q.qv[k] - i.cvec[k]))) AS BIGINT),
+                            i.cent_id) AS ark
+                   FROM q CROSS JOIN icents i) WHERE ark = 1),
+               probes AS (
+                 SELECT vec_id AS probe_id, cell AS pcell FROM cellsc
+                 WHERE vec_id % 100 = 7 ORDER BY vec_id LIMIT 64),
+               dtab AS (
+                 SELECT p.probe_id, s.m, c.cent_id AS code,
+                        CAST(list_sum(list_transform(generate_series(1, 8),
+                          i -> (s.sub[i] - c.csub[i]) *
+                               (s.sub[i] - c.csub[i]))) AS BIGINT) AS pd2
+                 FROM probes p JOIN subs s ON s.vec_id = p.probe_id
+                 JOIN pcents c ON c.m = s.m),
+               cand AS (
+                 SELECT p.probe_id, cc.vec_id FROM cellsc cc JOIN probes p
+                   ON cc.cell = p.pcell AND cc.vec_id <> p.probe_id),
+               ad AS (
+                 SELECT cand.probe_id, cand.vec_id,
+                        CAST(sum(d.pd2) AS BIGINT) AS adist
+                 FROM cand
+                 JOIN codes k ON k.vec_id = cand.vec_id
+                 JOIN dtab d ON d.probe_id = cand.probe_id AND d.m = k.m
+                            AND d.code = k.code
+                 GROUP BY cand.probe_id, cand.vec_id)
+               SELECT probe_id, vec_id, adist, rk FROM (
+                 SELECT probe_id, vec_id, adist,
+                        CAST(row_number() OVER (PARTITION BY probe_id
+                          ORDER BY adist, vec_id) AS BIGINT) AS rk
+                 FROM ad) t
+               WHERE rk <= 3 ORDER BY probe_id, rk"""))
   )
 }

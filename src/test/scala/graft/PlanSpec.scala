@@ -347,6 +347,29 @@ class PlanSpec extends AnyFunSuite {
       s"no bounded probe panel in the j61 plan:\n$plan")
   }
 
+  test("j63 PQ encoding is one data pass + one pushed codebook read") {
+    // 2 static embeddings scans: the full-collection subspace split and the
+    // 128-row subspace codebook whose vec_id < 16 filter reaches the
+    // parquet reader (row-group pruned at scale)
+    assertScanCount("j63_pq_encode", "embeddings", 2)
+    val pushed = staticPlan("j63_pq_encode")
+      .split("PushedFilters: \\[").drop(1).map(_.split("\\]")(0))
+    assert(pushed.count(_.contains("LessThan(vec_id,16)")) == 1,
+      s"codebook read must push vec_id < 16: ${pushed.mkString(" | ")}")
+  }
+
+  test("j64 ADC probe panel is plan-bounded and ranks without raw vectors") {
+    val plan = staticPlan("j64_ivfpq_adc")
+    // probe panel structurally capped like j4/j12/j16 — the broadcast side
+    // can never grow with the collection
+    assert(plan.contains("limit=64"),
+      s"no bounded probe panel in the j64 plan:\n$plan")
+    // the point of ADC: the ranking join touches only the truncated code
+    // and cell tables plus broadcast lookup tables — the final plan reads
+    // the raw embeddings ZERO times
+    assertScanCount("j64_ivfpq_adc", "embeddings", 0)
+  }
+
   test("j13 final plan reads only the truncated label table, no fact re-scan") {
     assertScanCount("j13_dedup_clusters", "documents", 0)
   }

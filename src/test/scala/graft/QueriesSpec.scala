@@ -947,6 +947,53 @@ class QueriesSpec extends AnyFunSuite {
       s"learned codebook recall $learnedTotal < fixed codebook $fixedTotal")
   }
 
+  test("j63 PQ codes: 8 four-bit fields, centroids self-encode at zero error") {
+    val out = SparkEntry.queries("j63_pq_encode")(spark, d).collect()
+    assert(out.length > 16, "collection smaller than the codebook")
+    out.foreach { r =>
+      val codes = r.getString(1).split("-")
+      assert(codes.length == 8, s"vec ${r.getLong(0)}: ${r.getString(1)}")
+      assert(codes.forall(c => c.toInt >= 0 && c.toInt < 16),
+        s"vec ${r.getLong(0)}: code outside the 16-entry codebook")
+      assert(r.getLong(2) >= 0, s"vec ${r.getLong(0)}: negative error")
+    }
+    // the 16 codebook vectors must quantize to themselves exactly — the
+    // assignment argmin finding a different centroid at distance 0 would
+    // mean the tie-break or the distance kernel is wrong
+    out.filter(_.getLong(0) < 16).foreach { r =>
+      val v = r.getLong(0)
+      assert(r.getString(1) == Seq.fill(8)(v).mkString("-"),
+        s"centroid $v does not self-encode: ${r.getString(1)}")
+      assert(r.getLong(2) == 0L, s"centroid $v: nonzero reconstruction error")
+    }
+  }
+
+  test("j64 ADC distances obey the PQ reconstruction triangle bound") {
+    // ADC(p, x) is the EXACT squared distance from p to x's reconstruction,
+    // so |√adist − √d_exact| ≤ √err_q(x) (Jégou et al. TPAMI'11 §IV) — a
+    // theorem over every output row; a violation means the lookup tables
+    // are not computing real asymmetric distances. (Top-3 RECALL on this
+    // corpus is structurally poor — no planted neighbor structure, same as
+    // the j16/j46 finding — so the bound, not recall, is the law.)
+    val qe = graft.operators.IvfKMeans.quantize(Tables.embeddings(spark, d))
+    val rows = SparkEntry.queries("j64_ivfpq_adc")(spark, d)
+      .join(SparkEntry.queries("j63_pq_encode")(spark, d)
+        .select(col("vec_id"), col("err_q")), Seq("vec_id"))
+      .join(qe, Seq("vec_id"))
+      .join(qe.select(col("vec_id").as("probe_id"), col("qv").as("pv")),
+        Seq("probe_id"))
+      .withColumn("dex",
+        expr(graft.operators.IvfKMeans.d2Expr("qv", "pv")))
+      .select("adist", "err_q", "dex").collect()
+    assert(rows.nonEmpty, "empty ADC output")
+    rows.foreach { r =>
+      val (a, e, x) = (r.getLong(0).toDouble, r.getLong(1).toDouble,
+        r.getLong(2).toDouble)
+      assert(math.abs(math.sqrt(a) - math.sqrt(x)) <= math.sqrt(e) + 1e-6,
+        s"triangle bound violated: adist=$a err=$e exact=$x")
+    }
+  }
+
   test("SQL-text surface: m1_sql/m6_sql equal their DataFrame twins row-for-row") {
     // Same string, three executions: DuckDB (the driver oracle), spark.sql
     // (registered here), and the hand-built DataFrame plan — this pins the
