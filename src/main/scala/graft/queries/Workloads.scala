@@ -224,7 +224,8 @@ object Workloads {
                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                   AND l_shipdate < TIMESTAMP '1996-02-01')
               SELECT promo_cents, total_cents,
-                     round(100.0 * promo_cents / total_cents, 4) AS promo_share
+                     round(CAST(100 AS DOUBLE) * promo_cents / total_cents, 4)
+                       AS promo_share
               FROM agg""")),
 
     // TPC-H Q18 (large-volume customers): the HAVING subquery is a grouped

@@ -331,8 +331,8 @@ object Workloads2 {
                        AS BIGINT) AS value_cents
               FROM lineitem GROUP BY l_partkey
               HAVING value_cents >
-                (SELECT SUM(CAST(round(l_extendedprice*100) AS BIGINT))
-                 FROM lineitem) // 2000
+                CAST(floor((SELECT SUM(CAST(round(l_extendedprice*100)
+                  AS BIGINT)) FROM lineitem) / 2000.0) AS BIGINT)
               ORDER BY value_cents DESC, l_partkey""")),
 
     // TPC-H Q21 (suppliers who kept orders waiting), adapted: no

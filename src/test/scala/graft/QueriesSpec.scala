@@ -994,10 +994,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("SQL-text surface: m1_sql/m6_sql equal their DataFrame twins row-for-row") {
+  test("SQL-text surface: ALL 21 TPC-H oracle strings run verbatim via spark.sql") {
     // Same string, three executions: DuckDB (the driver oracle), spark.sql
-    // (registered here), and the hand-built DataFrame plan — this pins the
-    // spark.sql ≡ DataFrame leg; the oracle leg is the driver hash row.
+    // (over the registered view catalog), and the hand-built DataFrame
+    // plan — this pins the spark.sql ≡ DataFrame leg for the WHOLE TPC-H
+    // tranche; the oracle leg is the driver hash row. The oracle SQL lives
+    // in the Spark∩DuckDB shared dialect by construction (the two former
+    // exceptions were fixed in round 11: m7's 100.0 literal parses as
+    // DECIMAL in Spark SQL but DOUBLE arithmetic was intended — now an
+    // explicit CAST — and m19's DuckDB-only `//` became
+    // CAST(floor(x / 2000.0) AS BIGINT), exact at any realistic cents
+    // magnitude since the quotient sits far from integer boundaries
+    // relative to double ulp). A user of the reference's SQL surface can
+    // paste any of these 21 strings into either engine unchanged.
+    Tables.registerAllViews(spark, d)
+    val ms = SparkEntry.all.filter(q => q.name.startsWith("m") &&
+      !q.name.endsWith("_sql") && q.oracle.isDefined)
+    assert(ms.size == 21, s"expected the 21-query tranche, got ${ms.size}")
+    ms.foreach { q =>
+      val viaSql = spark.sql(q.oracle.get).collect().toSeq
+      val viaDf = q.fn(spark, d).collect().toSeq
+      assert(viaSql == viaDf,
+        s"${q.name}: spark.sql(oracle) differs from the DataFrame twin")
+    }
+    // the registered *_sql driver rows stay pinned to their twins too
     for ((sqlName, dfName) <- Seq("m1_sql" -> "m1_tpch_q3",
         "m2_sql" -> "m2_tpch_q5", "m6_sql" -> "m6_tpch_q12")) {
       val viaSql = SparkEntry.queries(sqlName)(spark, d).collect().toSeq
