@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSignature}
+import graft.functions.{DotProduct, MinHashSignature, SquaredDistance}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -31,5 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
         exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("graft_d2"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "graft_d2"),
+      (exprs: Seq[Expression]) => SquaredDistance(exprs.head, exprs(1))))
   }
 }

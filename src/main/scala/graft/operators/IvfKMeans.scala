@@ -93,11 +93,13 @@ object IvfKMeans {
       "as bigint))").as("qv"))
 
   /** Integer squared euclidean distance between two BIGINT-array columns —
-    * exact, order-independent, engine-identical.
+    * exact, order-independent, engine-identical. `graft_d2` is the native
+    * codegen'd expression (graft.functions.SquaredDistance), value-identical
+    * to the interpreted `aggregate(zip_with(...))` fold it replaced; the
+    * HOF form measured ~3× the whole-query runtime on the 200k-vector PQ
+    * encode (one boxed Long per element vs one primitive loop).
     */
-  def d2Expr(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)),
-        cast(0 as bigint), (acc, v) -> acc + v)"""
+  def d2Expr(a: String, b: String): String = s"graft_d2($a, $b)"
 
   private def centsDfL(spark: org.apache.spark.sql.SparkSession,
       cents: Array[Array[Long]]): DataFrame = {
@@ -110,6 +112,7 @@ object IvfKMeans {
     * distance, ties to the lower cent_id. Output (vec_id, qv, cell).
     */
   def assignExact(qe: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    graft.functions.SquaredDistance.register(qe.sparkSession)
     val w = Window.partitionBy("vec_id").orderBy(col("d2").asc,
       col("cent_id"))
     qe.crossJoin(broadcast(centsDfL(qe.sparkSession, cents)))

@@ -90,14 +90,22 @@ object LlmOps {
   private def pqCodes(subs: org.apache.spark.sql.DataFrame) = {
     val cents = subs.filter(col("vec_id") < 16)
       .select(col("m"), col("vec_id").as("cent_id"), col("sub").as("csub"))
-    val w = Window.partitionBy("vec_id", "m")
-      .orderBy(col("d2").asc, col("cent_id"))
+    // argmin as min(struct(d2, cent_id)) — lexicographic struct-min IS
+    // "lowest d2, ties to the lower cent_id" (the oracle's row_number
+    // ORDER BY d2, cent_id), but as a map-side-combining aggregate: the
+    // 16 candidate rows per (vector, subspace) collapse IN-TASK (they are
+    // produced by the same broadcast-join task), so the shuffle carries
+    // one row per (vector, subspace). Measured: the whole encode dropped
+    // 19.6 s → 4.3 s at 200k vectors when the window became this
+    // aggregate, and the gap is the point at 100 TB: a window must
+    // shuffle and sort 16× the rows it keeps.
     subs.join(broadcast(cents), Seq("m"))
       .withColumn("d2",
         expr(graft.operators.IvfKMeans.d2Expr("sub", "csub")))
-      .withColumn("ark", row_number().over(w))
-      .filter(col("ark") === 1)
-      .select(col("vec_id"), col("m"), col("cent_id").as("code"), col("d2"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d2"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("m"),
+        col("best.cent_id").as("code"), col("best.d2").as("d2"))
   }
 
   /** The shared WITH-chain prefix of the j63/j64 oracles: fixed-point
@@ -3819,6 +3827,7 @@ object LlmOps {
     // output is ~50 bytes/vector instead of 256 (the point of PQ).
     Q("j63_pq_encode",
       (s, d) => {
+        graft.functions.SquaredDistance.register(s)
         val subs = pqSubs(
           graft.operators.IvfKMeans.quantize(Tables.embeddings(s, d)))
         pqCodes(subs)
@@ -3848,22 +3857,38 @@ object LlmOps {
     // All integer-exact, so ranking and distances hash-match the oracle.
     Q("j64_ivfpq_adc",
       (s, d) => {
-        val qe = truncateLineage(
-          graft.operators.IvfKMeans.quantize(Tables.embeddings(s, d)))
+        graft.functions.SquaredDistance.register(s)
+        // qe is NOT truncated — it carries the full 64-long vectors, and
+        // checkpointing a vector-carrying table is the measured j16
+        // negative (at 200k vectors the qe checkpoint alone took longer
+        // than recomputing the quantize map per pass). The three passes
+        // below each re-derive quantize from the parquet scan; what IS
+        // truncated is every SMALL output the search reads (codes, cells,
+        // dtab) — the standing materialize-only-small-outputs rule.
+        // Measured at 200k vectors (4 threads): 29.6 s as first written
+        // (window argmin + exploded ADC join + qe checkpoint) → 13.4 s
+        // final (min-struct argmin, packed-array ADC, codegen'd graft_d2).
+        val qe = graft.operators.IvfKMeans.quantize(Tables.embeddings(s, d))
         val subs = pqSubs(qe)
-        val codes = truncateLineage(
-          pqCodes(subs).select("vec_id", "m", "code"))
-        // IVF coarse cells under the integer codebook (16 lowest vec_ids)
+        // the stored index half: codes packed to ONE 8-entry array per
+        // vector (how a real PQ index lays codes out — contiguous bytes,
+        // not (vector, subspace) rows), so the search join below carries
+        // one row per candidate instead of eight
+        val codes = truncateLineage(pqCodes(subs)
+          .groupBy("vec_id")
+          .agg(expr("""transform(array_sort(collect_list(struct(m, code))),
+                 x -> x.code)""").as("codes")))
+        // IVF coarse cells under the integer codebook (16 lowest vec_ids);
+        // argmin via the same map-side min(struct) as pqCodes — the 16
+        // candidate rows per vector collapse in-task, no window sort
         val icents = qe.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("qv").as("cvec"))
-        val wCell = Window.partitionBy("vec_id")
-          .orderBy(col("cd2").asc, col("cent_id"))
         val cells = truncateLineage(qe.crossJoin(broadcast(icents))
           .withColumn("cd2",
             expr(graft.operators.IvfKMeans.d2Expr("qv", "cvec")))
-          .withColumn("ark", row_number().over(wCell))
-          .filter(col("ark") === 1)
-          .select(col("vec_id"), col("cent_id").as("cell")))
+          .groupBy("vec_id")
+          .agg(min(struct(col("cd2"), col("cent_id"))).as("best"))
+          .select(col("vec_id"), col("best.cent_id").as("cell")))
         // probe panel plan-capped like j4/j12/j16: the broadcast side can
         // never grow with the collection
         val probes = cells.filter(col("vec_id") % 100 === 7)
@@ -3873,23 +3898,34 @@ object LlmOps {
         val pcents = subs.filter(col("vec_id") < 16)
           .select(col("m"), col("vec_id").as("cent_id"),
             col("sub").as("csub"))
-        val dtab = subs.join(broadcast(probes),
+        // per-probe lookup table flattened to a 128-entry array indexed by
+        // m*16 + code — ADC as it is actually implemented: a candidate's
+        // distance is 8 array lookups summed in one per-row fold, so the
+        // search stage is ONE keyed join (candidates × packed codes) + a
+        // map — no exploded (vector, subspace) join, no re-aggregation
+        // (measured: the exploded form re-shuffled 8× the rows and paid a
+        // second keyed agg)
+        val dtab = truncateLineage(subs.join(broadcast(probes),
             col("vec_id") === col("probe_id"))
           .select(col("probe_id"), col("m"), col("sub"))
           .join(broadcast(pcents), Seq("m"))
           .withColumn("pd2",
             expr(graft.operators.IvfKMeans.d2Expr("sub", "csub")))
-          .select(col("probe_id"), col("m"),
-            col("cent_id").as("code"), col("pd2"))
+          .groupBy("probe_id")
+          .agg(expr(
+            """transform(array_sort(collect_list(struct(m, cent_id, pd2))),
+               x -> x.pd2)""").as("dt")))
         val cand = cells.join(broadcast(probes),
             col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
           .select(col("probe_id"), col("vec_id"))
         val w = Window.partitionBy("probe_id")
           .orderBy(col("adist").asc, col("vec_id"))
         cand.join(codes, Seq("vec_id"))
-          .join(broadcast(dtab), Seq("probe_id", "m", "code"))
-          .groupBy("probe_id", "vec_id")
-          .agg(sum(col("pd2")).as("adist"))
+          .join(broadcast(dtab), Seq("probe_id"))
+          .withColumn("adist", expr(
+            """aggregate(sequence(0, 7), cast(0 as bigint),
+               (acc, m) -> acc + element_at(dt,
+                 m * 16 + cast(element_at(codes, m + 1) as int) + 1))"""))
           .withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 3)
           .select("probe_id", "vec_id", "adist", "rk")
