@@ -221,6 +221,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(r.isNullAt(1), "null element must propagate to NULL")
   }
 
+  test("graft_d2 native expression is value-identical to the integer HOF fold") {
+    graft.functions.SquaredDistance.register(spark)
+    val qe = graft.operators.IvfKMeans.quantize(Tables.embeddings(spark, d))
+    val probe = qe.filter(col("vec_id") === 1).select(col("qv").as("p"))
+    val both = qe.crossJoin(probe).select(
+      expr("graft_d2(qv, p)").as("native"),
+      expr("""aggregate(zip_with(qv, p, (x, y) -> (x - y) * (x - y)),
+               cast(0 as bigint), (acc, v) -> acc + v)""").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0L,
+      "codegen'd squared distance diverges from interpreted fold")
+  }
+
+  test("graft_d2 matches zip_with semantics on null elements and mismatched lengths") {
+    graft.functions.SquaredDistance.register(spark)
+    val r = spark.sql(
+      """SELECT graft_d2(array(cast(1 as bigint)),
+                         array(cast(1 as bigint), cast(2 as bigint))) AS mismatch,
+                graft_d2(array(cast(1 as bigint), cast(null as bigint)),
+                         array(cast(1 as bigint), cast(2 as bigint))) AS withnull,
+                graft_d2(array(cast(3 as bigint), cast(-2 as bigint)),
+                         array(cast(1 as bigint), cast(2 as bigint))) AS plain
+      """).collect()(0)
+    assert(r.isNullAt(0), "length mismatch must yield NULL (zip_with pads)")
+    assert(r.isNullAt(1), "null element must propagate to NULL")
+    assert(r.getLong(2) == 20L, "(3-1)^2 + (-2-2)^2 = 20")
+  }
+
   test("j20 quantization reconstruction error within half a step per component") {
     import org.apache.spark.sql.functions._
     // same expressions as the registered query, then the dequantization
