@@ -87,9 +87,18 @@ object LlmOps {
     * per-subspace codebook would come from IvfKMeans.trainExact on the
     * subvectors). Ties to the lower cent_id. Output (vec_id, m, code, d2).
     */
-  private def pqCodes(subs: org.apache.spark.sql.DataFrame) = {
-    val cents = subs.filter(col("vec_id") < 16)
+  /** The 8 × 16 subspace codebooks derived from a subspace table (the 16
+    * lowest vec_ids — the j16 fixed-codebook convention).
+    */
+  private[graft] def pqCents(subs: org.apache.spark.sql.DataFrame) =
+    subs.filter(col("vec_id") < 16)
       .select(col("m"), col("vec_id").as("cent_id"), col("sub").as("csub"))
+
+  private def pqCodes(subs: org.apache.spark.sql.DataFrame) =
+    pqCodesAgainst(subs, pqCents(subs))
+
+  private[graft] def pqCodesAgainst(subs: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame) = {
     // argmin as min(struct(d2, cent_id)) — lexicographic struct-min IS
     // "lowest d2, ties to the lower cent_id" (the oracle's row_number
     // ORDER BY d2, cent_id), but as a map-side-combining aggregate: the
@@ -106,6 +115,41 @@ object LlmOps {
       .agg(min(struct(col("d2"), col("cent_id"))).as("best"))
       .select(col("vec_id"), col("m"),
         col("best.cent_id").as("code"), col("best.d2").as("d2"))
+  }
+
+  /** PQ-encode + IVF-cell-assign arbitrary incoming vectors against the
+    * STATIC collection's codebooks — the index-maintenance operation: new
+    * vectors arriving later get the same codes/cell they would have gotten
+    * in the original build (codebooks are fixed once trained; re-deriving
+    * them from the delta would silently fork the index). Output per
+    * vector: (vec_id, pq_code, err_q, cell). Reused verbatim by
+    * [[graft.streaming.StreamOps.pqEncodeStream]] per micro-batch, so
+    * batch/stream parity holds by construction (and is differential-tested
+    * in StreamingSpec). At scale the two codebook subtrees below are
+    * yesterday's persisted 128-row / 16-row tables, touching no raw data.
+    */
+  private[graft] def pqEncodeBatch(vecs: org.apache.spark.sql.DataFrame,
+      staticEmb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.SquaredDistance.register(vecs.sparkSession)
+    val qeStatic = graft.operators.IvfKMeans.quantize(staticEmb)
+    val cents = pqCents(pqSubs(qeStatic))
+    val icents = qeStatic.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cvec"))
+    val qv = graft.operators.IvfKMeans.quantize(vecs)
+    val codes = pqCodesAgainst(pqSubs(qv), cents)
+      .groupBy("vec_id")
+      .agg(expr("""concat_ws('-',
+             transform(array_sort(collect_list(struct(m, code))),
+               x -> cast(x.code as string)))""").as("pq_code"),
+        sum(col("d2")).as("err_q"))
+    val cells = qv.crossJoin(broadcast(icents))
+      .withColumn("cd2",
+        expr(graft.operators.IvfKMeans.d2Expr("qv", "cvec")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("cd2"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cell"))
+    codes.join(cells, Seq("vec_id")).orderBy("vec_id")
   }
 
   /** The shared WITH-chain prefix of the j63/j64 oracles: fixed-point
@@ -3895,9 +3939,7 @@ object LlmOps {
           .orderBy("vec_id").limit(64)
           .select(col("vec_id").as("probe_id"), col("cell").as("pcell"))
         // per-probe subspace distance tables: probes×8×16 rows → broadcast
-        val pcents = subs.filter(col("vec_id") < 16)
-          .select(col("m"), col("vec_id").as("cent_id"),
-            col("sub").as("csub"))
+        val pcents = pqCents(subs)
         // per-probe lookup table flattened to a 128-entry array indexed by
         // m*16 + code — ADC as it is actually implemented: a candidate's
         // distance is 8 array lookups summed in one per-row fold, so the

@@ -719,6 +719,30 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming PQ index maintenance — j63/j64's ingest path: vectors
+    * arriving on a stream encode map-only against the STATIC collection's
+    * codebooks (subspace codebooks + IVF coarse centroids are fixed once
+    * built; re-deriving them per batch would fork the index), emitting
+    * (vec_id, pq_code, err_q, cell) per vector — exactly what an index
+    * writer appends to the codes table a j64-style search later scans.
+    * Runs [[graft.queries.LlmOps.pqEncodeBatch]] per micro-batch, so
+    * batch/stream parity is by construction; per-vector output is one row
+    * regardless of batching, so batching granularity cannot change the
+    * result (the [[neardupProbeStream]] contract). At 100 TB the codebook
+    * side is a persisted 128-row + 16-row table, so each micro-batch costs
+    * O(batch) — no pass over the existing collection.
+    */
+  def pqEncodeStream(
+      vecs: DataFrame,
+      staticEmb: DataFrame,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.queries.LlmOps.pqEncodeBatch(batch, staticEmb), id)
+      }
+      .start()
+
   /** Offline state inspection via Spark's `statestore` batch data source:
     * read a stopped (or running) streaming query's checkpointed keyed
     * state as a plain DataFrame — the operational surface for debugging

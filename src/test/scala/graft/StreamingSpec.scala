@@ -1200,4 +1200,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(buf.sortBy(_._1).toSeq == batch.sortBy(_._1),
       s"stream/batch diverge:\n  stream=${buf.sortBy(_._1)}\n  batch =$batch")
   }
+
+  test("streaming PQ encode matches the batch j63 codes and j64 cells exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the whole collection arrives as a stream in two micro-batches; the
+    // static codebook side is the same collection (self-indexing), so the
+    // streamed output must reproduce the registered j63 encode row-for-row
+    // and the cell assignment j64's search routes by
+    val emb = Tables.embeddings(spark, d)
+    val rows = emb.select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val buf = scala.collection.mutable.Buffer.empty[(Long, String, Long, Long)]
+    val q = StreamOps.pqEncodeStream(
+      in.toDS().toDF("vec_id", "embedding", "label"), emb,
+      (out, _) => buf ++= out.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))))
+    rows.grouped((rows.size + 1) / 2).foreach { half =>
+      in.addData(half); q.processAllAvailable()
+    }
+    q.stop()
+    val batchEncode = SparkEntry.queries("j63_pq_encode")(spark, d)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2))))
+      .toMap
+    assert(buf.size == rows.size, "stream lost or duplicated vectors")
+    buf.foreach { case (vid, code, err, cell) =>
+      assert(batchEncode(vid) == ((code, err)),
+        s"vec $vid: streamed ($code, $err) != batch ${batchEncode(vid)}")
+      assert(cell >= 0 && cell < 16, s"vec $vid: cell $cell out of range")
+    }
+    // centroid vectors route to their own cell — the j63 self-encoding law
+    // carried over to the streamed cell assignment
+    buf.filter(_._1 < 16).foreach { case (vid, _, _, cell) =>
+      assert(cell == vid, s"centroid $vid streamed into cell $cell")
+    }
+  }
 }
