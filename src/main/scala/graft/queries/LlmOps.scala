@@ -117,12 +117,48 @@ object LlmOps {
         col("best.cent_id").as("code"), col("best.d2").as("d2"))
   }
 
+  /** j63's output shape from a (vec_id, m, code, d2) code table: the
+    * dash-joined code string in subspace order + total integer
+    * reconstruction error. THE single definition — the registered j63 and
+    * the streaming [[pqEncodeBatch]] both call it, so an edit here cannot
+    * silently fork the batch and streaming encoders.
+    */
+  private[graft] def pqCodeAgg(codes: org.apache.spark.sql.DataFrame) =
+    codes.groupBy("vec_id")
+      .agg(expr("""concat_ws('-',
+             transform(array_sort(collect_list(struct(m, code))),
+               x -> cast(x.code as string)))""").as("pq_code"),
+        sum(col("d2")).as("err_q"))
+
+  /** The 16-row integer IVF coarse codebook of a quantized collection. */
+  private[graft] def ivfCents(qe: org.apache.spark.sql.DataFrame) =
+    qe.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("qv").as("cvec"))
+
+  /** Nearest-coarse-cell assignment (vec_id, cell) — min(struct) argmin,
+    * ties to the lower cent_id; shared by j64 and [[pqEncodeBatch]].
+    */
+  private[graft] def ivfCellAssign(qe: org.apache.spark.sql.DataFrame,
+      icents: org.apache.spark.sql.DataFrame) =
+    qe.crossJoin(broadcast(icents))
+      .withColumn("cd2",
+        expr(graft.operators.IvfKMeans.d2Expr("qv", "cvec")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("cd2"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.cent_id").as("cell"))
+
   /** PQ-encode + IVF-cell-assign arbitrary incoming vectors against the
     * STATIC collection's codebooks — the index-maintenance operation: new
     * vectors arriving later get the same codes/cell they would have gotten
     * in the original build (codebooks are fixed once trained; re-deriving
     * them from the delta would silently fork the index). Output per
-    * vector: (vec_id, pq_code, err_q, cell). Reused verbatim by
+    * vector: (vec_id, pq_code, err_q, cell), unordered (the index-append
+    * sink is order-insensitive; a sort here would cost every micro-batch
+    * a range shuffle). PRECONDITION: vec_id unique within `vecs` — an
+    * index ingest stream is keyed, and two versions of one id in the same
+    * batch would min-merge per subspace into a code matching neither
+    * version (an upsert stream must dedup to latest-wins first, j54's
+    * job). Reused verbatim by
     * [[graft.streaming.StreamOps.pqEncodeStream]] per micro-batch, so
     * batch/stream parity holds by construction (and is differential-tested
     * in StreamingSpec). At scale the two codebook subtrees below are
@@ -134,22 +170,9 @@ object LlmOps {
     graft.functions.SquaredDistance.register(vecs.sparkSession)
     val qeStatic = graft.operators.IvfKMeans.quantize(staticEmb)
     val cents = pqCents(pqSubs(qeStatic))
-    val icents = qeStatic.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("qv").as("cvec"))
     val qv = graft.operators.IvfKMeans.quantize(vecs)
-    val codes = pqCodesAgainst(pqSubs(qv), cents)
-      .groupBy("vec_id")
-      .agg(expr("""concat_ws('-',
-             transform(array_sort(collect_list(struct(m, code))),
-               x -> cast(x.code as string)))""").as("pq_code"),
-        sum(col("d2")).as("err_q"))
-    val cells = qv.crossJoin(broadcast(icents))
-      .withColumn("cd2",
-        expr(graft.operators.IvfKMeans.d2Expr("qv", "cvec")))
-      .groupBy("vec_id")
-      .agg(min(struct(col("cd2"), col("cent_id"))).as("best"))
-      .select(col("vec_id"), col("best.cent_id").as("cell"))
-    codes.join(cells, Seq("vec_id")).orderBy("vec_id")
+    pqCodeAgg(pqCodesAgainst(pqSubs(qv), cents))
+      .join(ivfCellAssign(qv, ivfCents(qeStatic)), Seq("vec_id"))
   }
 
   /** The shared WITH-chain prefix of the j63/j64 oracles: fixed-point
@@ -3867,20 +3890,15 @@ object LlmOps {
     // reconstruction error. Everything runs in j61's 1e-6 fixed point, so
     // the codes AND the error hash-match the DuckDB replay. Scale: the
     // codebook is 128 broadcast rows; encoding is one map-side broadcast
-    // join + a per-(vector,subspace) window over 16 rows — linear, and the
-    // output is ~50 bytes/vector instead of 256 (the point of PQ).
+    // join + the map-side min(struct) argmin (see pqCodesAgainst) —
+    // linear, and the output is ~50 bytes/vector instead of 256 (the
+    // point of PQ).
     Q("j63_pq_encode",
       (s, d) => {
         graft.functions.SquaredDistance.register(s)
         val subs = pqSubs(
           graft.operators.IvfKMeans.quantize(Tables.embeddings(s, d)))
-        pqCodes(subs)
-          .groupBy("vec_id")
-          .agg(expr("""concat_ws('-',
-                 transform(array_sort(collect_list(struct(m, code))),
-                   x -> cast(x.code as string)))""").as("pq_code"),
-            sum(col("d2")).as("err_q"))
-          .orderBy("vec_id")
+        pqCodeAgg(pqCodes(subs)).orderBy("vec_id")
       },
       Some(s"""WITH $PqCodesSql
                SELECT vec_id,
@@ -3923,16 +3941,9 @@ object LlmOps {
           .agg(expr("""transform(array_sort(collect_list(struct(m, code))),
                  x -> x.code)""").as("codes")))
         // IVF coarse cells under the integer codebook (16 lowest vec_ids);
-        // argmin via the same map-side min(struct) as pqCodes — the 16
-        // candidate rows per vector collapse in-task, no window sort
-        val icents = qe.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("qv").as("cvec"))
-        val cells = truncateLineage(qe.crossJoin(broadcast(icents))
-          .withColumn("cd2",
-            expr(graft.operators.IvfKMeans.d2Expr("qv", "cvec")))
-          .groupBy("vec_id")
-          .agg(min(struct(col("cd2"), col("cent_id"))).as("best"))
-          .select(col("vec_id"), col("best.cent_id").as("cell")))
+        // the shared ivfCellAssign — min(struct) argmin, the 16 candidate
+        // rows per vector collapse in-task, no window sort
+        val cells = truncateLineage(ivfCellAssign(qe, ivfCents(qe)))
         // probe panel plan-capped like j4/j12/j16: the broadcast side can
         // never grow with the collection
         val probes = cells.filter(col("vec_id") % 100 === 7)

@@ -313,7 +313,13 @@ object Workloads2 {
     // plans differ) and the fact scan would otherwise run twice. The
     // materialized aggregate is one row per part; the total rejoins as a
     // 1-row broadcast. All-integer compare: exact on both engines even
-    // though ~half the uniform parts sit near the threshold.
+    // though ~half the uniform parts sit near the threshold. The share
+    // predicate is multiplied through (value·2000 > Σvalue ⟺
+    // value > Σvalue div 2000 for nonnegative integers) so BOTH engines
+    // compare pure integers with no division of any kind — a floor of a
+    // double quotient would knife-edge once Σcents passes ~2^52 (double
+    // ulp > 1/2000), and DuckDB's // is not Spark-parsable; the product
+    // stays far from BIGINT overflow (per-part cents × 2000 « 2^63).
     Q("m19_tpch_q11",
       (s, d) => {
         val perPart = Q.truncateLineage(Tables.lineitem(s, d)
@@ -322,7 +328,7 @@ object Workloads2 {
         perPart
           .crossJoin(broadcast(
             perPart.agg(sum(col("value_cents")).as("total_cents"))))
-          .filter(col("value_cents") > expr("total_cents div 2000"))
+          .filter(col("value_cents") * 2000 > col("total_cents"))
           .select("l_partkey", "value_cents")
           .orderBy(col("value_cents").desc, col("l_partkey"))
       },
@@ -330,9 +336,9 @@ object Workloads2 {
                      CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
                        AS BIGINT) AS value_cents
               FROM lineitem GROUP BY l_partkey
-              HAVING value_cents >
-                CAST(floor((SELECT SUM(CAST(round(l_extendedprice*100)
-                  AS BIGINT)) FROM lineitem) / 2000.0) AS BIGINT)
+              HAVING value_cents * 2000 >
+                (SELECT SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+                 FROM lineitem)
               ORDER BY value_cents DESC, l_partkey""")),
 
     // TPC-H Q21 (suppliers who kept orders waiting), adapted: no

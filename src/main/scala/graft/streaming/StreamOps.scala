@@ -726,11 +726,15 @@ object StreamOps {
     * (vec_id, pq_code, err_q, cell) per vector — exactly what an index
     * writer appends to the codes table a j64-style search later scans.
     * Runs [[graft.queries.LlmOps.pqEncodeBatch]] per micro-batch, so
-    * batch/stream parity is by construction; per-vector output is one row
+    * batch/stream parity is by construction; for a KEY-UNIQUE stream
+    * (vec_id appears once — the index-ingest contract; an upsert stream
+    * must latest-wins dedup first, j54's job) per-vector output is one row
     * regardless of batching, so batching granularity cannot change the
-    * result (the [[neardupProbeStream]] contract). At 100 TB the codebook
-    * side is a persisted 128-row + 16-row table, so each micro-batch costs
-    * O(batch) — no pass over the existing collection.
+    * result (the [[neardupProbeStream]] contract — see pqEncodeBatch's
+    * precondition for why duplicate ids in one batch would chimera-merge).
+    * At 100 TB the codebook side is a persisted 128-row + 16-row table, so
+    * each micro-batch costs O(batch) — no pass over the existing
+    * collection.
     */
   def pqEncodeStream(
       vecs: DataFrame,
