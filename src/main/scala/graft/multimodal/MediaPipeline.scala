@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A media item: opaque binary payload + typed metadata, the multimodal
@@ -201,6 +201,77 @@ object MediaPipeline {
     * per-partition, no shuffle — a resize stage slots into the same
     * scan→transform pipeline stage as decode.
     */
+  /** 64-bit perceptual difference hash (dHash): decode → 9×8 bilinear
+    * downscale → integer Rec.601 luma → bit (y·8+x) set iff
+    * luma(x+1, y) > luma(x, y). Near-identical images (recompression,
+    * small edits, localized noise) land within a few Hamming bits;
+    * unrelated images differ in ~32 of 64 — the image-modality analog of
+    * j10's SimHash, and the key a crawl-scale image dedup buckets on.
+    * Fully deterministic (bilinear over the same pixels, integer luma).
+    * None ⇔ payload not decodable as an image.
+    */
+  def dHash(payload: Array[Byte]): Option[Long] =
+    decodeImage(payload).map { img =>
+      val out = new java.awt.image.BufferedImage(
+        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+      g.dispose()
+      def luma(px: Int): Int = {
+        val r = (px >> 16) & 0xff; val gg = (px >> 8) & 0xff; val b = px & 0xff
+        r * 299 + gg * 587 + b * 114
+      }
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (luma(out.getRGB(x + 1, y)) > luma(out.getRGB(x, y)))
+            bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
+
+  /** Image near-dup pairs within Hamming ≤ `maxHamming` over dHash,
+    * banded 4 × 16 bits — j10's SimHash discipline applied to the image
+    * modality: by pigeonhole, ≤ 3 differing bits cannot touch all 4 bands,
+    * so every qualifying pair collides in at least one band-key equi-join
+    * bucket (exact recall at maxHamming ≤ 3 BY CONSTRUCTION, not
+    * probabilistically); the exact `bit_count(xor)` verify runs on banded
+    * candidates only — no O(n²) pair scan at any collection size.
+    * Undecodable payloads and non-images drop out before the join.
+    */
+  def imageNeardupPairs(items: Dataset[MediaItem],
+      maxHamming: Int = 3): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val hashes = items.mapPartitions(_.flatMap(m =>
+        if (m.mime.startsWith("image/"))
+          dHash(m.payload).map(h => (m.media_id, h))
+        else None))
+      .toDF("media_id", "h")
+    val keys = hashes.select(col("media_id"), col("h"), expr(
+      """explode(transform(sequence(0, 3),
+         b -> named_struct('b', b,
+           'k', (h >> (b * 16)) & 65535)))""").as("s"))
+      .select(col("media_id"), col("h"),
+        col("s.b").as("b"), col("s.k").as("k"))
+    keys.alias("x").join(keys.alias("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
+        col("x.h").as("ha"), col("y.h").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   def fakeResize(payload: Array[Byte], factor: Int): Array[Byte] =
     // O(n/factor) copy, no per-byte boxing — this models the hot path
     Array.tabulate((payload.length + factor - 1) / factor)(k =>

@@ -339,4 +339,64 @@ class MediaPipelineSpec extends AnyFunSuite {
     assert(gs.head < 64 && gs(1) > 160,
       s"frames out of file order: gray levels $gs (want ~0 then ~224)")
   }
+
+  /** Deterministic structured PNG: per-pixel RGB from an integer recipe —
+    * dHash fixtures need luminance STRUCTURE (a solid color hashes to 0L
+    * and everything would collide vacuously).
+    */
+  private def gradientPng(w: Int, h: Int, seed: Int,
+      perturb: Option[(Int, Int, Int)] = None): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = (x * 7 + y * 13 + seed * 31) % 256
+      img.setRGB(x, y, (v << 16) | (((v * 3) % 256) << 8) | ((x * seed) % 256))
+    }
+    perturb.foreach { case (px, py, rgb) => img.setRGB(px, py, rgb) }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash: stable under small perturbation, far for unrelated images") {
+    val base = MediaPipeline.dHash(gradientPng(64, 48, 1)).get
+    // same image bytes -> same hash (decode + bilinear are deterministic)
+    assert(MediaPipeline.dHash(gradientPng(64, 48, 1)).get == base)
+    // one perturbed pixel moves at most a couple of 9x8 cells
+    val near = MediaPipeline.dHash(
+      gradientPng(64, 48, 1, Some((10, 10, 0xffffff)))).get
+    assert(java.lang.Long.bitCount(base ^ near) <= 3,
+      s"1-px edit moved ${java.lang.Long.bitCount(base ^ near)} bits")
+    // a different recipe is far away in Hamming space
+    val other = MediaPipeline.dHash(gradientPng(64, 48, 7)).get
+    assert(java.lang.Long.bitCount(base ^ other) >= 10,
+      s"unrelated images only ${java.lang.Long.bitCount(base ^ other)} bits apart")
+    // undecodable payload -> None, never a throw
+    assert(MediaPipeline.dHash("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("banded image near-dup join finds exactly the close pairs (pigeonhole recall)") {
+    import spark.implicits._
+    val items = Seq(
+      MediaItem(1L, "image/png", gradientPng(64, 48, 1)),
+      MediaItem(2L, "image/png", gradientPng(64, 48, 1, Some((10, 10, 0xffffff)))),
+      MediaItem(3L, "image/png", gradientPng(64, 48, 7)),
+      MediaItem(4L, "image/png", gradientPng(64, 48, 11)),
+      MediaItem(5L, "text/plain", "not an image".getBytes("UTF-8")),
+      MediaItem(6L, "image/png", "corrupt".getBytes("UTF-8"))).toDS()
+    val pairs = MediaPipeline.imageNeardupPairs(items).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // ground truth by brute force over the decodable images
+    val hs = Seq(1L, 2L, 3L, 4L).map(id => id ->
+      MediaPipeline.dHash(items.collect().find(_.media_id == id).get.payload).get)
+    val truth = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(truth.nonEmpty, "fixture produced no close pair - test is vacuous")
+    assert(pairs.toSet == truth,
+      s"banded join ${pairs.toSet} != exhaustive truth $truth")
+    // the planted perturbation pair must be among them
+    assert(truth.exists(p => p._1 == 1L && p._2 == 2L))
+  }
 }
