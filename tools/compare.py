@@ -15,8 +15,8 @@ import math
 
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+# Table views derive from <sfDir>/*.parquet at runtime (see main) — no
+# hand-maintained name list to drift from Tables.names on the Spark side.
 
 # The clustering queries get a SECOND, cheap oracle: union-find over the
 # exact near-dup pair set, computed IN DUCKDB by j2's prefix-filtered
@@ -110,9 +110,10 @@ def norm(v):
 def main(sf_dir, out_dir, skip=()):
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
-    for t in TABLES:
+    for p in sorted(glob.glob(f"{sf_dir}/*.parquet")):
+        t = p.rsplit("/", 1)[-1][: -len(".parquet")]
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
