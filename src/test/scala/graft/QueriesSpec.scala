@@ -201,12 +201,16 @@ class QueriesSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext) // must register without throwing
     graft.functions.DotProduct.register(spark)
     graft.functions.MinHashSignature.register(spark)
+    graft.functions.SquaredDistance.register(spark)
     val r = spark.sql(
       """SELECT graft_dot(array(cast(1.0 as float), cast(2.0 as float)),
                           array(cast(3.0 as float), cast(4.0 as float))) AS d,
-                graft_minhash(array('ab', 'cd'), 4) AS m""").collect()(0)
+                graft_minhash(array('ab', 'cd'), 4) AS m,
+                graft_d2(array(cast(5 as bigint)),
+                         array(cast(2 as bigint))) AS d2""").collect()(0)
     assert(r.getDouble(0) == 11.0)
     assert(r.getSeq[Long](1).length == 4)
+    assert(r.getLong(2) == 9L)
   }
 
   test("graft_dot matches zip_with semantics on null elements and mismatched lengths") {
