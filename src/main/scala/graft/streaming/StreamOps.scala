@@ -610,6 +610,23 @@ object StreamOps {
   /** Streaming file source for the events table (the engine's bulk ingest
     * analogue of the reference's socket/Kafka source; AvailableNow gives
     * bounded-lag backfill over historical data).
+    *
+    * Kafka swap-in (documented, not runnable here: no `spark-sql-kafka`
+    * connector jar ships in `/opt/spark/jars` and the build is offline —
+    * SURVEY [E8]): with the connector on the classpath the ONLY change is
+    * the source expression —
+    * {{{
+    *   spark.readStream.format("kafka")
+    *     .option("kafka.bootstrap.servers", brokers)
+    *     .option("subscribe", "events")
+    *     .option("startingOffsets", "earliest")   // or per-partition JSON
+    *     .load()                                   // key/value binary + metadata
+    *     .select(from_json(col("value").cast("string"), eventSchema).as("e"))
+    *     .select("e.*").as[Event]
+    * }}}
+    * — every operator in this file consumes `Dataset[Event]` and is
+    * source-agnostic; checkpointing, watermarks, and exactly-once sinks
+    * work identically (Kafka offsets replace file names in the offset log).
     */
   /** `foreachBatch` sink — arbitrary per-micro-batch output logic (upserts,
     * multi-sink fan-out, JDBC, …); the escape hatch when no built-in sink
