@@ -248,13 +248,23 @@ object MediaPipeline {
     */
   def imageNeardupPairs(items: Dataset[MediaItem],
       maxHamming: Int = 3): DataFrame = {
+    // the pigeonhole guarantee is a property of the FIXED 4-band split —
+    // enforced, not doc-only (a wider threshold would silently lose pairs
+    // whose differing bits touch all four bands)
+    require(maxHamming <= 3,
+      s"4x16-bit banding guarantees recall only for maxHamming <= 3, " +
+        s"got $maxHamming")
     val spark = items.sparkSession
     import spark.implicits._
-    val hashes = items.mapPartitions(_.flatMap(m =>
-        if (m.mime.startsWith("image/"))
-          dHash(m.payload).map(h => (m.media_id, h))
-        else None))
-      .toDF("media_id", "h")
+    // tiny shared subtree (media_id + one long per image) feeding BOTH
+    // join sides — truncated, or every image ImageIO-decodes twice (the
+    // j10 signature-table rule)
+    val hashes = graft.Q.truncateLineage(
+      items.mapPartitions(_.flatMap(m =>
+          if (m.mime.startsWith("image/"))
+            dHash(m.payload).map(h => (m.media_id, h))
+          else None))
+        .toDF("media_id", "h"))
     val keys = hashes.select(col("media_id"), col("h"), expr(
       """explode(transform(sequence(0, 3),
          b -> named_struct('b', b,
@@ -265,11 +275,12 @@ object MediaPipeline {
         col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
           col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"),
-        col("x.h").as("ha"), col("y.h").as("hb"))
-      .distinct()
-      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+        expr("bit_count(x.h ^ y.h)").cast("long").as("hamming"))
+      // verify BEFORE the dedup exchange: the Hamming filter is the
+      // selective one, so the distinct shuffles only qualifying pairs
+      // (a pair colliding in several bands dedups here)
       .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
+      .distinct()
   }
 
   def fakeResize(payload: Array[Byte], factor: Int): Array[Byte] =

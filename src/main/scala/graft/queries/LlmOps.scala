@@ -167,12 +167,35 @@ object LlmOps {
   private[graft] def pqEncodeBatch(vecs: org.apache.spark.sql.DataFrame,
       staticEmb: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    graft.functions.SquaredDistance.register(vecs.sparkSession)
+    val (cents, icents) = pqCodebooks(staticEmb)
+    pqEncodeAgainst(vecs, cents, icents)
+  }
+
+  /** Derive the two fixed codebook tables from the static collection: the
+    * 128-row PQ subspace codebook and the 16-row IVF coarse codebook. A
+    * long-lived consumer (the streaming encoder) calls this ONCE and
+    * truncates/persists the outputs — re-deriving per micro-batch would
+    * scan the static collection twice per batch for tables that never
+    * change.
+    */
+  private[graft] def pqCodebooks(staticEmb: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    graft.functions.SquaredDistance.register(staticEmb.sparkSession)
     val qeStatic = graft.operators.IvfKMeans.quantize(staticEmb)
-    val cents = pqCents(pqSubs(qeStatic))
+    (pqCents(pqSubs(qeStatic)), ivfCents(qeStatic))
+  }
+
+  /** The per-batch half of [[pqEncodeBatch]]: encode `vecs` against
+    * already-derived codebook tables.
+    */
+  private[graft] def pqEncodeAgainst(vecs: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame,
+      icents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.SquaredDistance.register(vecs.sparkSession)
     val qv = graft.operators.IvfKMeans.quantize(vecs)
     pqCodeAgg(pqCodesAgainst(pqSubs(qv), cents))
-      .join(ivfCellAssign(qv, ivfCents(qeStatic)), Seq("vec_id"))
+      .join(ivfCellAssign(qv, icents), Seq("vec_id"))
   }
 
   /** The shared WITH-chain prefix of the j63/j64 oracles: fixed-point

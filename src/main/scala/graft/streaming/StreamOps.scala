@@ -607,27 +607,6 @@ object StreamOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Streaming file source for the events table (the engine's bulk ingest
-    * analogue of the reference's socket/Kafka source; AvailableNow gives
-    * bounded-lag backfill over historical data).
-    *
-    * Kafka swap-in (documented, not runnable here: no `spark-sql-kafka`
-    * connector jar ships in `/opt/spark/jars` and the build is offline —
-    * SURVEY [E8]): with the connector on the classpath the ONLY change is
-    * the source expression —
-    * {{{
-    *   spark.readStream.format("kafka")
-    *     .option("kafka.bootstrap.servers", brokers)
-    *     .option("subscribe", "events")
-    *     .option("startingOffsets", "earliest")   // or per-partition JSON
-    *     .load()                                   // key/value binary + metadata
-    *     .select(from_json(col("value").cast("string"), eventSchema).as("e"))
-    *     .select("e.*").as[Event]
-    * }}}
-    * — every operator in this file consumes `Dataset[Event]` and is
-    * source-agnostic; checkpointing, watermarks, and exactly-once sinks
-    * work identically (Kafka offsets replace file names in the offset log).
-    */
   /** `foreachBatch` sink — arbitrary per-micro-batch output logic (upserts,
     * multi-sink fan-out, JDBC, …); the escape hatch when no built-in sink
     * fits. The handle receives the batch DataFrame and its monotonically
@@ -757,12 +736,21 @@ object StreamOps {
       vecs: DataFrame,
       staticEmb: DataFrame,
       sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // the codebooks never change across the stream's lifetime: derive them
+    // ONCE and truncate (tiny 128-row / 16-row tables), so a micro-batch
+    // costs O(batch) — without this every batch re-scanned the static
+    // collection twice just to rebuild constants
+    val (cents, icents) = graft.queries.LlmOps.pqCodebooks(staticEmb)
+    val (centsT, icentsT) =
+      (graft.Q.truncateLineage(cents), graft.Q.truncateLineage(icents))
     vecs.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        sink(graft.queries.LlmOps.pqEncodeBatch(batch, staticEmb), id)
+        sink(graft.queries.LlmOps.pqEncodeAgainst(batch, centsT, icentsT),
+          id)
       }
       .start()
+  }
 
   /** Offline state inspection via Spark's `statestore` batch data source:
     * read a stopped (or running) streaming query's checkpointed keyed
@@ -781,6 +769,8 @@ object StreamOps {
 
   /** `eventsDir` must be a DIRECTORY of events-schema parquet files (file
     * streaming sources watch directories; new files = new micro-batches).
+    * This is the engine's bulk-ingest analogue of the reference's
+    * socket/Kafka source (AvailableNow gives bounded-lag backfill).
     *
     * File streams require an explicit schema, so the reader probes the
     * directory with a one-off batch read and mirrors [[graft.Tables.events]]'
@@ -788,6 +778,23 @@ object StreamOps {
     * `nanosAsLong`) truncate to µs; `timestamp[us]`/NTZ (current layout)
     * casts to the UTC-session timestamp. Either way the stream's element
     * type stays [[Event]] with a `TimestampType` event time.
+    *
+    * Kafka swap-in (documented, not runnable here: no `spark-sql-kafka`
+    * connector jar ships in `/opt/spark/jars` and the build is offline —
+    * SURVEY [E8]): with the connector on the classpath the ONLY change is
+    * the source expression —
+    * {{{
+    *   spark.readStream.format("kafka")
+    *     .option("kafka.bootstrap.servers", brokers)
+    *     .option("subscribe", "events")
+    *     .option("startingOffsets", "earliest")   // or per-partition JSON
+    *     .load()                                   // key/value binary + metadata
+    *     .select(from_json(col("value").cast("string"), eventSchema).as("e"))
+    *     .select("e.*").as[Event]
+    * }}}
+    * — every operator in this file consumes `Dataset[Event]` and is
+    * source-agnostic; checkpointing, watermarks, and exactly-once sinks
+    * work identically (Kafka offsets replace file names in the offset log).
     */
   def eventsFileStream(
       spark: org.apache.spark.sql.SparkSession,

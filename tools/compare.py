@@ -9,6 +9,7 @@ over <sfDir>/*.parquet, loads the Spark result parquet from
 values row by row (exact equality — same bar as a hash match).
 """
 import json
+import re
 import sys
 import glob
 import math
@@ -112,8 +113,12 @@ def main(sf_dir, out_dir, skip=()):
     con.execute("SET TimeZone='UTC'")
     for p in sorted(glob.glob(f"{sf_dir}/*.parquet")):
         t = p.rsplit("/", 1)[-1][: -len(".parquet")]
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        # only bare-identifier names become views; a stray dump like
+        # part-00000-abc.snappy.parquet is ignored (as the old allowlist
+        # would have), not interpolated into CREATE VIEW to crash setup
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", t):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_pass = n_fail = 0
