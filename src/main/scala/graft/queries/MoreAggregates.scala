@@ -315,32 +315,7 @@ object MoreAggregates {
     // NDV swaps for the j47 HLL Aggregator behind the same output schema —
     // exact here because the oracle must hash-match.
     Q("d17_column_profile",
-      (s, d) => {
-        val keyCols =
-          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
-        val centsCols =
-          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val li = Tables.lineitem(s, d)
-        val aggs =
-          keyCols.flatMap(c => Seq(
-            (count(lit(1)) - count(col(c))).as(s"nn_$c"),
-            countDistinct(col(c)).as(s"ndv_$c"),
-            min(col(c)).cast("long").as(s"min_$c"),
-            max(col(c)).cast("long").as(s"max_$c"))) ++
-          centsCols.flatMap(c => Seq(
-            (count(lit(1)) - count(col(c))).as(s"nn_$c"),
-            countDistinct(graft.Q.cents(col(c))).as(s"ndv_$c"),
-            min(graft.Q.cents(col(c))).as(s"min_$c"),
-            max(graft.Q.cents(col(c))).as(s"max_$c")))
-        val stackArgs = (keyCols ++ centsCols).map(c =>
-          s"'$c', nn_$c, ndv_$c, min_$c, max_$c").mkString(", ")
-        li.agg(aggs.head, aggs.tail: _*)
-          .select(expr(s"stack(8, $stackArgs) AS " +
-            "(col_name, n_nulls, n_distinct, min_v, max_v)"))
-          .select(col("col_name"), col("n_nulls").cast("long"),
-            col("n_distinct").cast("long"), col("min_v"), col("max_v"))
-          .orderBy("col_name")
-      },
+      (s, d) => columnProfile(s, d, exactNdv = true),
       Some {
         val branch: String => String = c =>
           s"""SELECT '$c' AS col_name,
@@ -363,4 +338,45 @@ object MoreAggregates {
           .mkString("", " UNION ALL ", " ORDER BY col_name")
       })
   )
+
+  /** d17's single-scan profiler, shared by the registered exact query and
+    * its 100 TB sketch twin: per column null count, NDV, min/max computed
+    * in ONE aggregate over one table scan. `exactNdv = true` is the
+    * oracle-checkable form (multi-count-distinct plans as one Expand +
+    * partial/final pair); `false` swaps every NDV for Spark's
+    * `approx_count_distinct` (HLL++) behind the SAME output schema — the
+    * swap the d17 comment promises at 100 TB, where 8 exact distincts
+    * would shuffle 9× the scan. The sketch twin is bounds-tested against
+    * the exact profile in QueriesSpec (everything but NDV must be equal;
+    * NDV within HLL++ error).
+    */
+  private[graft] def columnProfile(s: org.apache.spark.sql.SparkSession,
+      d: String, exactNdv: Boolean): org.apache.spark.sql.DataFrame = {
+    val keyCols =
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val centsCols =
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, d)
+    def ndv(c: org.apache.spark.sql.Column) =
+      if (exactNdv) countDistinct(c) else approx_count_distinct(c)
+    val aggs =
+      keyCols.flatMap(c => Seq(
+        (count(lit(1)) - count(col(c))).as(s"nn_$c"),
+        ndv(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("long").as(s"min_$c"),
+        max(col(c)).cast("long").as(s"max_$c"))) ++
+      centsCols.flatMap(c => Seq(
+        (count(lit(1)) - count(col(c))).as(s"nn_$c"),
+        ndv(graft.Q.cents(col(c))).as(s"ndv_$c"),
+        min(graft.Q.cents(col(c))).as(s"min_$c"),
+        max(graft.Q.cents(col(c))).as(s"max_$c")))
+    val stackArgs = (keyCols ++ centsCols).map(c =>
+      s"'$c', nn_$c, ndv_$c, min_$c, max_$c").mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(8, $stackArgs) AS " +
+        "(col_name, n_nulls, n_distinct, min_v, max_v)"))
+      .select(col("col_name"), col("n_nulls").cast("long"),
+        col("n_distinct").cast("long"), col("min_v"), col("max_v"))
+      .orderBy("col_name")
+  }
 }

@@ -978,6 +978,27 @@ class QueriesSpec extends AnyFunSuite {
       s"learned codebook recall $learnedTotal < fixed codebook $fixedTotal")
   }
 
+  test("d17 sketch twin: same profile, HLL NDVs within error of exact") {
+    // the swap d17's comment promises at 100 TB, made executable: the
+    // approx_count_distinct form returns the SAME schema and identical
+    // nulls/min/max (they don't depend on the NDV path), with each NDV
+    // within HLL++ default-rsd error of the exact count
+    def byCol(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val exact = byCol(SparkEntry.queries("d17_column_profile")(spark, d))
+    val sketch = byCol(
+      graft.queries.MoreAggregates.columnProfile(spark, d, exactNdv = false))
+    assert(sketch.keySet == exact.keySet)
+    exact.foreach { case (c, (nn, ndv, mn, mx)) =>
+      val (snn, sndv, smn, smx) = sketch(c)
+      assert((snn, smn, smx) == ((nn, mn, mx)),
+        s"$c: non-NDV stats diverge under the sketch")
+      assert(math.abs(sndv - ndv) <= math.max(3, 0.15 * ndv),
+        s"$c: sketch ndv $sndv vs exact $ndv")
+    }
+  }
+
   test("j63 PQ codes: 8 four-bit fields, centroids self-encode at zero error") {
     val out = SparkEntry.queries("j63_pq_encode")(spark, d).collect()
     assert(out.length > 16, "collection smaller than the codebook")
