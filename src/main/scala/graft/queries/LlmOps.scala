@@ -1136,8 +1136,6 @@ object LlmOps {
         val e = Tables.embeddings(s, d)
         val cents = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-        val wAssign = Window.partitionBy("vec_id")
-          .orderBy(col("cscore").desc, col("cent_id"))
         // same deterministic assignment formula applied to the full
         // collection once and to the tiny probe subset once. Measured
         // negative (round 6): truncateLineage(assignCells(e)) + filtering
@@ -1148,13 +1146,21 @@ object LlmOps {
         // the 1% probe subset. The materialize-once rule applies to
         // SMALL-output subtrees (signatures, keyed aggs), not here; the
         // gap only widens at 100 TB where materializing ≈ the input size.
+        // Round 11: the rank-1 assignment window became the map-side
+        // argmax agg (the pqCodes pattern) — max(struct) with a NEGATED
+        // tie column reproduces "highest score, ties to the LOWER
+        // cent_id" exactly, and the 16 candidate rows per vector collapse
+        // in the broadcast-join task instead of shuffling 16× into a
+        // window sort; cent_id is unique per group, so comparison never
+        // reaches the trailing carried fields.
         def assignCells(df: org.apache.spark.sql.DataFrame) =
           df.crossJoin(broadcast(cents))
             .withColumn("cscore", round(expr(dot("embedding", "cvec")), 6))
-            .withColumn("ark", row_number().over(wAssign))
-            .filter(col("ark") === 1)
-            .select(col("vec_id"), col("embedding"),
-              col("cent_id").as("cell"))
+            .groupBy("vec_id")
+            .agg(max(struct(col("cscore"), negate(col("cent_id")),
+              col("cent_id"), col("embedding"))).as("best"))
+            .select(col("vec_id"), col("best.embedding").as("embedding"),
+              col("best.cent_id").as("cell"))
         val assigned = assignCells(e)
         // probe panel structurally capped like j4 (limit below the
         // broadcast): the broadcast side can never grow with the
