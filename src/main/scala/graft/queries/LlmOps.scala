@@ -2660,21 +2660,27 @@ object LlmOps {
           .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
         val wAssign = Window.partitionBy("vec_id")
           .orderBy(col("cscore").desc, col("cent_id"))
-        def assignCells(df: org.apache.spark.sql.DataFrame, nprobe: Int) =
+        def scored(df: org.apache.spark.sql.DataFrame) =
           df.crossJoin(broadcast(cents))
             .withColumn("cscore", round(expr(dot("embedding", "cvec")), 6))
-            .withColumn("ark", row_number().over(wAssign))
-            .filter(col("ark") <= nprobe)
-            .select(col("vec_id"), col("embedding"),
-              col("cent_id").as("cell"))
-        val assigned = assignCells(e, 1)
+        // COLLECTION side is nprobe=1 — the j16 map-side argmax agg (16
+        // candidates collapse in the broadcast-join task); only the
+        // plan-capped 512-row PROBE side needs a real top-2, where the
+        // window sorts 16 rows for 512 keys — nothing at any scale
+        val assigned = scored(e)
+          .groupBy("vec_id")
+          .agg(max(struct(col("cscore"), negate(col("cent_id")),
+            col("cent_id"), col("embedding"))).as("best"))
+          .select(col("vec_id"), col("best.embedding").as("embedding"),
+            col("best.cent_id").as("cell"))
         // probe panel structurally capped like j4/j16 (limit below the
         // broadcast) — all probes survive the cap at tested SFs
-        val probes = assignCells(
-            e.filter(col("vec_id") % 100 === 7).orderBy("vec_id").limit(512),
-            2)
+        val probes = scored(
+            e.filter(col("vec_id") % 100 === 7).orderBy("vec_id").limit(512))
+          .withColumn("ark", row_number().over(wAssign))
+          .filter(col("ark") <= 2)
           .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
-            col("cell").as("pcell"))
+            col("cent_id").as("pcell"))
         val w = Window.partitionBy("probe_id")
           .orderBy(col("score").desc, col("vec_id"))
         assigned.join(broadcast(probes),
