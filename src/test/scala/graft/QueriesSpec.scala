@@ -978,6 +978,32 @@ class QueriesSpec extends AnyFunSuite {
       s"learned codebook recall $learnedTotal < fixed codebook $fixedTotal")
   }
 
+  test("registerAllViews on a partial dir: SQL queries on present tables run") {
+    // the round-8 events-regen lesson as a pinned contract: one missing or
+    // broken table must only cost the queries that reference it, never the
+    // whole SQL-text tranche. Build a dir holding ONLY the TPC-H tables —
+    // no documents/embeddings/events — and run a TPC-H SQL string.
+    val dir = java.nio.file.Files.createTempDirectory("graft-partial")
+    try {
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem"))
+        java.nio.file.Files.createSymbolicLink(
+          dir.resolve(s"$t.parquet"),
+          java.nio.file.Paths.get(s"$d/$t.parquet"))
+      Tables.registerAllViews(spark, dir.toString) // must not throw
+      val m1 = SparkEntry.all.find(_.name == "m1_tpch_q3").get
+      assert(spark.sql(m1.oracle.get).count() >= 0,
+        "TPC-H SQL failed on a partial dir with all ITS tables present")
+    } finally {
+      // restore the full catalog for any later suite using these views
+      Tables.registerAllViews(spark, d)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
   test("d17 sketch twin: same profile, HLL NDVs within error of exact") {
     // the swap d17's comment promises at 100 TB, made executable: the
     // approx_count_distinct form returns the SAME schema and identical
