@@ -4059,6 +4059,67 @@ object LlmOps {
                         CAST(row_number() OVER (PARTITION BY probe_id
                           ORDER BY adist, vec_id) AS BIGINT) AS rk
                  FROM ad) t
-               WHERE rk <= 3 ORDER BY probe_id, rk"""))
+               WHERE rk <= 3 ORDER BY probe_id, rk""")),
+
+    // HTML text extraction — the FIRST stage of every web-crawl training
+    // pipeline (before any cleaning/dedup runs, markup must go). The
+    // corpus ships plain text, so the markup is synthesized
+    // deterministically per doc (the j52 augmentation discipline: both
+    // engines build the identical wrapper from (doc_id, text), so the
+    // extraction kernel is exercised on every row and stays oracle-exact;
+    // every 5th doc additionally gets entity-escaped ampersands injected
+    // between tokens to drive the entity-decode path). Kernel: strip tags
+    // → decode entities → collapse whitespace → trim; patterns live in
+    // the Java-regex ∩ RE2 shared dialect (j52's rule), DuckDB's
+    // regexp_replace needs 'g' (j21's rule). MAP-ONLY — one scan, the
+    // only exchange is the output sort; at 100 TB this runs at ingest
+    // wire speed. QueriesSpec pins the round-trip law: stripping the
+    // wrapper recovers exactly "Doc <id> <text>" (resp. its entity-decoded
+    // form), recomputed JVM-side per row.
+    Q("j65_html_strip",
+      (s, d) => {
+        val entified = when(col("doc_id") % 5 === 0,
+          regexp_replace(col("text"), " ", " &amp; "))
+          .otherwise(col("text"))
+        Tables.documents(s, d)
+          .withColumn("html", concat(
+            lit("<html><body><div class=\"c"),
+            (col("doc_id") % 7).cast("string"),
+            lit("\"><h1>Doc "), col("doc_id").cast("string"),
+            lit("</h1><p>"), entified,
+            lit("</p><br/></div></body></html>")))
+          .withColumn("n_tags",
+            regexp_count(col("html"), lit("<[^>]*>")).cast("long"))
+          .withColumn("stripped", trim(regexp_replace(regexp_replace(
+            regexp_replace(col("html"), "<[^>]*>", " "),
+            "&amp;", "&"), " +", " ")))
+          .select(col("doc_id"), col("n_tags"),
+            length(col("stripped")).cast("long").as("n_chars"),
+            md5(col("stripped")).as("stripped_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH aug AS (
+                SELECT doc_id,
+                       '<html><body><div class="c'
+                         || CAST(doc_id % 7 AS VARCHAR)
+                         || '"><h1>Doc ' || CAST(doc_id AS VARCHAR)
+                         || '</h1><p>'
+                         || CASE WHEN doc_id % 5 = 0
+                              THEN regexp_replace(text, ' ', ' &amp; ', 'g')
+                              ELSE text END
+                         || '</p><br/></div></body></html>' AS html
+                FROM documents),
+              stripped AS (
+                SELECT doc_id, html,
+                       trim(regexp_replace(regexp_replace(regexp_replace(
+                         html, '<[^>]*>', ' ', 'g'),
+                         '&amp;', '&', 'g'), ' +', ' ', 'g')) AS s
+                FROM aug)
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(html, '<[^>]*>'))
+                       AS BIGINT) AS n_tags,
+                     CAST(length(s) AS BIGINT) AS n_chars,
+                     md5(s) AS stripped_md5
+              FROM stripped ORDER BY doc_id"""))
   )
 }

@@ -114,6 +114,16 @@ class PlanSpec extends AnyFunSuite {
     assertScanCount("j31_dup_ngram_ratio", "documents", 1)
   }
 
+  test("j65 HTML strip is map-only: no exchange except the output sort") {
+    val df = SparkEntry.queries("j65_html_strip")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    // wrap → strip → hash is per-row string work; the single exchange is
+    // the rangepartitioning for the deterministic ORDER BY — the shape
+    // that runs at ingest wire speed at 100 TB
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+    assertScanCount("j65_html_strip", "documents", 1)
+  }
+
   test("j32 mixture sampling filters map-side: one keyed agg + output sort") {
     val df = SparkEntry.queries("j32_mixture_sample")(spark, d)
     val exchanges = graft.layout.Layout.countExchanges(df)

@@ -1025,6 +1025,27 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("j65 HTML strip round-trips: markup off recovers the exact wrapped text") {
+    // the extraction law, recomputed JVM-side per row: stripping the
+    // synthesized wrapper must yield exactly "Doc <id> <text>" (or its
+    // entity-decoded form for the every-5th entified docs) — an md5
+    // equality over every document, so a single mangled character fails
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = SparkEntry.queries("j65_html_strip")(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val body = if (id % 5 == 0) text.split(" ").mkString(" & ") else text
+      val expect = md5hex(s"Doc $id $body")
+      assert(got(id) == expect, s"doc $id: strip did not round-trip")
+    }
+  }
+
   test("j63 PQ codes: 8 four-bit fields, centroids self-encode at zero error") {
     val out = SparkEntry.queries("j63_pq_encode")(spark, d).collect()
     assert(out.length > 16, "collection smaller than the codebook")
