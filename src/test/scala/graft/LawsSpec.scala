@@ -131,11 +131,7 @@ object LawsSpec extends Properties("graft") {
   // bottom-k, for ANY partitioning. Plain sequential reservoir sampling
   // has no such merge. Replicates the query's priority (md5 of
   // 'bk:'||doc_id, hex-string order) in pure JVM code.
-  private def bkPriority(id: Long): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"bk:$id".getBytes("UTF-8"))
-    d.map("%02x".format(_)).mkString
-  }
+  private def bkPriority(id: Long): String = TestSpark.md5Hex(s"bk:$id")
 
   private def bottomK(ids: Seq[Long], k: Int): Seq[Long] =
     ids.distinct.map(id => (bkPriority(id), id)).sorted.take(k).map(_._2)

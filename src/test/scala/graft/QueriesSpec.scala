@@ -992,14 +992,18 @@ class QueriesSpec extends AnyFunSuite {
           java.nio.file.Paths.get(s"$d/$t.parquet"))
       Tables.registerAllViews(spark, dir.toString) // must not throw
       val m1 = SparkEntry.all.find(_.name == "m1_tpch_q3").get
-      assert(spark.sql(m1.oracle.get).count() >= 0,
-        "TPC-H SQL failed on a partial dir with all ITS tables present")
+      // Q3 returns its top-10 at every test SF — a real row-count floor,
+      // not a vacuous >= 0 (which could never fail)
+      assert(spark.sql(m1.oracle.get).count() > 0,
+        "TPC-H SQL returned nothing on a partial dir with all ITS tables")
     } finally {
       // restore the full catalog for any later suite using these views
       Tables.registerAllViews(spark, d)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(dir).iterator().asScala
-        .foreach(java.nio.file.Files.delete)
+      val listing = java.nio.file.Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala.foreach(java.nio.file.Files.delete)
+      } finally listing.close()
       java.nio.file.Files.delete(dir)
     }
   }
@@ -1030,9 +1034,6 @@ class QueriesSpec extends AnyFunSuite {
     // synthesized wrapper must yield exactly "Doc <id> <text>" (or its
     // entity-decoded form for the every-5th entified docs) — an md5
     // equality over every document, so a single mangled character fails
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def md5hex(s: String): String =
-      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val got = SparkEntry.queries("j65_html_strip")(spark, d).collect()
       .map(r => r.getLong(0) -> r.getString(3)).toMap
     val docs = Tables.documents(spark, d)
@@ -1041,7 +1042,7 @@ class QueriesSpec extends AnyFunSuite {
     assert(docs.nonEmpty)
     docs.foreach { case (id, text) =>
       val body = if (id % 5 == 0) text.split(" ").mkString(" & ") else text
-      val expect = md5hex(s"Doc $id $body")
+      val expect = TestSpark.md5Hex(s"Doc $id $body")
       assert(got(id) == expect, s"doc $id: strip did not round-trip")
     }
   }

@@ -17,4 +17,11 @@ object TestSpark {
 
   val Sf0001 = "/root/testdata/sf0.001"
   val Sf001 = "/root/testdata/sf0.01"
+
+  /** Hex md5 of a UTF-8 string — the one JVM-side replica of the engines'
+    * `md5(...)`, shared by every spec that recomputes a hash law.
+    */
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
