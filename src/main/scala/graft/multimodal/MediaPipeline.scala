@@ -201,34 +201,84 @@ object MediaPipeline {
     * per-partition, no shuffle — a resize stage slots into the same
     * scan→transform pipeline stage as decode.
     */
+  /** Fixed-point bilinear downscale to `ow`×`oh`, returning packed RGB
+    * ints row-major. PURE integer arithmetic (16.16 fixed-point sample
+    * coordinates and weights, round-half-up on the final blend) — unlike
+    * Java2D's `drawImage`, whose bilinear output is not specified
+    * bit-exactly across JVM versions/platforms, this is deterministic by
+    * construction on heterogeneous executors, which is what lets banded
+    * Hamming joins over [[dHash]] keys computed on different machines
+    * still collide exactly. Center-aligned sampling: target pixel t maps
+    * to source coordinate (2t+1)·src/(2·dst) − 1/2, clamped to the image.
+    */
+  private[graft] def bilinearDownscale(
+      img: java.awt.image.BufferedImage, ow: Int, oh: Int): Array[Int] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Int](ow * oh)
+    var ty = 0
+    while (ty < oh) {
+      // sy in 16.16 fixed point: ((2·ty+1)·h − oh) / (2·oh), clamped ≥ 0
+      val syN = (2L * ty + 1) * h - oh
+      val sy16 = if (syN <= 0) 0L else (syN << 16) / (2L * oh)
+      val y0 = (sy16 >> 16).toInt
+      val fy = (sy16 & 0xffff).toInt
+      val y1 = math.min(y0 + 1, h - 1)
+      var tx = 0
+      while (tx < ow) {
+        val sxN = (2L * tx + 1) * w - ow
+        val sx16 = if (sxN <= 0) 0L else (sxN << 16) / (2L * ow)
+        val x0 = (sx16 >> 16).toInt
+        val fx = (sx16 & 0xffff).toInt
+        val x1 = math.min(x0 + 1, w - 1)
+        val p00 = img.getRGB(x0, y0); val p10 = img.getRGB(x1, y0)
+        val p01 = img.getRGB(x0, y1); val p11 = img.getRGB(x1, y1)
+        var rgb = 0
+        var s = 16
+        while (s >= 0) {
+          val c00 = (p00 >> s) & 0xff; val c10 = (p10 >> s) & 0xff
+          val c01 = (p01 >> s) & 0xff; val c11 = (p11 >> s) & 0xff
+          val top = c00.toLong * (65536 - fx) + c10.toLong * fx
+          val bot = c01.toLong * (65536 - fx) + c11.toLong * fx
+          // blend is ≤ 255·2^32 so the +2^31 rounding bias cannot overflow
+          val v = ((top * (65536 - fy) + bot * fy + (1L << 31)) >> 32).toInt
+          rgb = (rgb << 8) | math.min(255, v)
+          s -= 8
+        }
+        out(ty * ow + tx) = rgb
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
   /** 64-bit perceptual difference hash (dHash): decode → 9×8 bilinear
     * downscale → integer Rec.601 luma → bit (y·8+x) set iff
     * luma(x+1, y) > luma(x, y). Near-identical images (recompression,
     * small edits, localized noise) land within a few Hamming bits;
     * unrelated images differ in ~32 of 64 — the image-modality analog of
     * j10's SimHash, and the key a crawl-scale image dedup buckets on.
-    * Fully deterministic (bilinear over the same pixels, integer luma).
-    * None ⇔ payload not decodable as an image.
+    * Fully deterministic ACROSS JVMs/platforms: the downscale is the
+    * in-house fixed-point [[bilinearDownscale]] (not Java2D, whose
+    * interpolated output is unspecified at the bit level), and the luma
+    * is integer — so the same payload hashes identically on every
+    * executor of a heterogeneous cluster. None ⇔ payload not decodable
+    * as an image.
     */
   def dHash(payload: Array[Byte]): Option[Long] =
     decodeImage(payload).map { img =>
-      val out = new java.awt.image.BufferedImage(
-        9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g = out.createGraphics()
-      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
-        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-      g.drawImage(img, 0, 0, 9, 8, null)
-      g.dispose()
-      def luma(px: Int): Int = {
-        val r = (px >> 16) & 0xff; val gg = (px >> 8) & 0xff; val b = px & 0xff
-        r * 299 + gg * 587 + b * 114
+      val px = bilinearDownscale(img, 9, 8)
+      def luma(p: Int): Int = {
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        r * 299 + g * 587 + b * 114
       }
       var bits = 0L
       var y = 0
       while (y < 8) {
         var x = 0
         while (x < 8) {
-          if (luma(out.getRGB(x + 1, y)) > luma(out.getRGB(x, y)))
+          if (luma(px(y * 9 + x + 1)) > luma(px(y * 9 + x)))
             bits |= 1L << (y * 8 + x)
           x += 1
         }

@@ -108,6 +108,13 @@ object LlmOps {
     // 19.6 s → 4.3 s at 200k vectors when the window became this
     // aggregate, and the gap is the point at 100 TB: a window must
     // shuffle and sort 16× the rows it keeps.
+    // PRECONDITION (here and at ivfCellAssign): inputs are fixed-width
+    // NON-NULL integer arrays (j61's quantize of the synthesized 64-dim
+    // embeddings guarantees it). graft_d2 returns NULL on a null/ragged
+    // input, and Spark's struct ordering sorts a null first field FIRST —
+    // a null-d2 row would WIN this min while the DuckDB oracle's
+    // ORDER BY d2 ASC sorts NULLS LAST; a malformed-vector corpus must be
+    // length/null-validated (j25's schema-contract pattern) before PQ.
     subs.join(broadcast(cents), Seq("m"))
       .withColumn("d2",
         expr(graft.operators.IvfKMeans.d2Expr("sub", "csub")))

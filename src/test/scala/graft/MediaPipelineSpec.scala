@@ -358,6 +358,29 @@ class MediaPipelineSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("fixed-point bilinear downscale: identity at same size, exact midpoint blend") {
+    // identity: center-aligned mapping at 1:1 scale lands every target
+    // pixel EXACTLY on its source pixel (fractional weight 0), so a
+    // same-size "downscale" must reproduce the image bit-for-bit — the
+    // property Java2D drawImage does not guarantee, and the reason dHash
+    // switched to this integer resampler (cross-JVM determinism).
+    val img = new java.awt.image.BufferedImage(
+      9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9)
+      img.setRGB(x, y, (x * 29 + y * 47) * 97 & 0xffffff)
+    val same = MediaPipeline.bilinearDownscale(img, 9, 8)
+    for (y <- 0 until 8; x <- 0 until 9)
+      assert(same(y * 9 + x) == (img.getRGB(x, y) & 0xffffff),
+        s"identity resample changed pixel ($x,$y)")
+    // exact arithmetic pin: [0, 255] → 1 pixel samples the exact midpoint
+    // (fx = 0.5 in 16.16), and the round-half-up blend of 127.5 is 128
+    val two = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    two.setRGB(0, 0, 0x000000); two.setRGB(1, 0, 0xffffff)
+    assert(MediaPipeline.bilinearDownscale(two, 1, 1)(0) == 0x808080,
+      "midpoint blend of 0 and 255 must round-half-up to 128 per channel")
+  }
+
   test("dHash: stable under small perturbation, far for unrelated images") {
     val base = MediaPipeline.dHash(gradientPng(64, 48, 1)).get
     // same image bytes -> same hash (decode + bilinear are deterministic)

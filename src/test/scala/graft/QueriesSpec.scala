@@ -1102,10 +1102,10 @@ class QueriesSpec extends AnyFunSuite {
     // in the Spark∩DuckDB shared dialect by construction (the two former
     // exceptions were fixed in round 11: m7's 100.0 literal parses as
     // DECIMAL in Spark SQL but DOUBLE arithmetic was intended — now an
-    // explicit CAST — and m19's DuckDB-only `//` became
-    // CAST(floor(x / 2000.0) AS BIGINT), exact at any realistic cents
-    // magnitude since the quotient sits far from integer boundaries
-    // relative to double ulp). A user of the reference's SQL surface can
+    // explicit CAST — and m19's DuckDB-only `//` division was multiplied
+    // through entirely (value_cents * 2000 > total_cents, exact pure-BIGINT
+    // comparison, no division in either engine — see the m19 comment in
+    // Workloads2). A user of the reference's SQL surface can
     // paste any of these 21 strings into either engine unchanged.
     Tables.registerAllViews(spark, d)
     val ms = SparkEntry.all.filter(q => q.name.startsWith("m") &&
