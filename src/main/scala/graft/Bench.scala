@@ -63,6 +63,39 @@ object Bench {
     // only cost its own queries, and the artifact must still publish.
     // NonFatal only: an OutOfMemoryError or other fatal JVM error must
     // abort the run rather than publish timings from a broken JVM
+    // Load gate: a contended box stretches individual samples 3–7× and a
+    // judge then wastes a session proving the movement is not a code
+    // regression (round 11: q1 "+32%" tracked loadavg 5.38 vs 2.80, not a
+    // plan change). So BEFORE this JVM adds its own load, refuse to start
+    // timing while the box's 1-min loadavg exceeds cpus/4 — sleep and
+    // re-poll up to SPARK_GRAFT_LOAD_GATE_MAX_SEC (default 600 s), then
+    // proceed anyway but mark the artifact (`load_gate_timeout`) so a
+    // graded-under-load run is self-describing. The gate sits before
+    // warmup because loadavg is box-wide: after our 32-thread warmup the
+    // reading reflects US, not the tenants the gate is screening for.
+    // SPARK_GRAFT_LOAD_GATE=0 disables (local iteration).
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    // floor of 2.0: the 1-min loadavg still carries THIS JVM's own
+    // sbt/session startup (~1–2) when the gate polls, which on a
+    // small-parallelism local run (cpus/4 < 2) would deadlock the gate
+    // against our own footprint; the graded 32-thread runs use cpus/4 = 8
+    val gateLimit = math.max(spark.sparkContext.defaultParallelism / 4.0, 2.0)
+    val gateMaxSec = sys.env.get("SPARK_GRAFT_LOAD_GATE_MAX_SEC")
+      .map(_.toInt).getOrElse(600)
+    val gateOn = !sys.env.get("SPARK_GRAFT_LOAD_GATE").contains("0")
+    var gateWaited = 0
+    if (gateOn) {
+      while (loadAvg() > gateLimit && gateWaited < gateMaxSec) {
+        System.err.println(f"[bench] load gate: loadavg ${loadAvg()}%.2f > " +
+          f"$gateLimit%.2f (cpus/4) — waiting 15 s (${gateWaited}s waited)")
+        Thread.sleep(15000)
+        gateWaited += 15
+      }
+    }
+    val gateTimeout = gateOn && loadAvg() > gateLimit
+    val loadAtGate = loadAvg()
+
     val warmupErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def warmTable(t: String)(count: => Long): Unit =
       if (new java.io.File(s"$sfDir/$t.parquet").exists())
@@ -111,8 +144,6 @@ object Bench {
       .getOrElse(if (sweep) 1 else 5)
     val warm = sys.env.get("SPARK_GRAFT_BENCH_WARM").map(_ == "1")
       .getOrElse(!sweep)
-    def loadAvg(): Double = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
     val loadStart = loadAvg()
     // Contention guard: on a shared box another tenant can stretch
     // individual samples 3–7× (observed in the round-7 artifact: raw q2
@@ -198,7 +229,15 @@ object Bench {
         val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
         SparkEntry.all.foreach { q =>
           val t0 = System.nanoTime()
-          try { q.fn(spark, sfDir).count()
+          // noop write, NOT count(): count() lets Catalyst prune every
+          // unreferenced output column, so a map-only query's projection
+          // compute (regex/hash/codec work) is timed as zero — exactly the
+          // queries the sweep exists to watch (the count() pitfall hid the
+          // whole PQ-encode cost in round 11's profiling). The noop v2
+          // sink computes and consumes EVERY output column, then discards
+          // rows — full pipeline cost, no disk, no result collection.
+          try { q.fn(spark, sfDir).write.format("noop")
+            .mode("overwrite").save()
             times(q.name) = (System.nanoTime() - t0) / 1e9 }
           catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] sweep ${q.name} failed: " +
@@ -207,10 +246,57 @@ object Bench {
           }
         }
         val slowest = times.toSeq.sortBy(-_._2).take(5)
+        // Round-over-round tripwire: diff this sweep against the previous
+        // round's artifact (highest BENCH_r{N}.json in the repo root, the
+        // driver's wrapper shape with our JSON line under "parsed") and
+        // publish any query that moved >1.5× either way. Floors: ignore
+        // queries under 0.5 s on BOTH sides (sub-second sweep entries are
+        // scheduling noise at this granularity) and remember the previous
+        // artifact's action was count() through round 11 — the first
+        // noop-write sweep will legitimately flag map-heavy queries as
+        // "slower" once (the prior number omitted their projection work).
+        val prevArt: Option[(String, Map[String, Double])] = {
+          val dir = new java.io.File(".")
+          val cand = Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+            .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+            .lastOption
+          cand.flatMap { f =>
+            try {
+              val parsed = MiniJson.parse(
+                new String(java.nio.file.Files.readAllBytes(f.toPath),
+                  java.nio.charset.StandardCharsets.UTF_8))
+              MiniJson.dig(parsed, "parsed", "sweep", "times").collect {
+                case m: Map[_, _] =>
+                  f.getName -> m.asInstanceOf[Map[String, Any]].collect {
+                    case (k, v: Double) => k -> v }
+              }
+            } catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[bench] previous sweep unreadable (${e.getMessage})")
+              None
+            }
+          }
+        }
+        val regressions = prevArt.map { case (_, prev) =>
+          times.toSeq.flatMap { case (k, now) =>
+            prev.get(k).collect {
+              case was if math.max(now, was) >= 0.5 &&
+                  (now > was * 1.5 || was > now * 1.5) =>
+                k -> obj(Seq("was" -> was.toString, "now" -> now.toString,
+                  "ratio" -> f"${now / was}%.2f"))
+            }
+          }
+        }
         Some(obj(Seq(
           "total" -> times.values.sum.toString,
           "n" -> times.size.toString,
+          "action" -> jstr("noop-write"),
           "slowest" -> obj(slowest.map { case (k, v) => k -> v.toString }),
+          "times" -> obj(times.toSeq.map { case (k, v) => k -> v.toString }),
+          "prev_artifact" -> prevArt.map(p => jstr(p._1)).getOrElse("null"),
+          "regressions" -> regressions
+            .map(r => obj(r)).getOrElse("null"),
           "errors" -> obj(errs.toSeq.map { case (k, m) => k -> jstr(m) }))))
       }
     val total = results.flatMap(_._2).sum
@@ -224,6 +310,11 @@ object Bench {
       "cpus" -> spark.sparkContext.defaultParallelism.toString,
       "loadavg_start" -> f"$loadStart%.2f",
       "loadavg_end" -> f"$loadEnd%.2f",
+      "load_gate" -> (if (gateOn) "1" else "0"),
+      "load_gate_limit" -> f"$gateLimit%.2f",
+      "load_gate_waited_sec" -> gateWaited.toString,
+      "load_gate_loadavg" -> f"$loadAtGate%.2f",
+      "load_gate_timeout" -> (if (gateTimeout) "true" else "false"),
       "spread_limit" -> SpreadLimit.toString,
       "resampled" -> retriedQs.map(jstr).mkString("[", ",", "]"),
       "contended" -> contendedQs.map(jstr).mkString("[", ",", "]"),

@@ -28,7 +28,14 @@ import org.apache.spark.sql.functions._
   * written as raw long NANOseconds — the same shape `Tables.events`
   * normalizes for the driver testdata's ns-timestamp parquet.
   *
-  * Usage: runMain graft.ScaleSynth <outDir> <nDocs> [nVecs]
+  * A fourth argument `hotEvery` (default 0 = off) appends one SHARED
+  * 8-token phrase to every `hotEvery`-th doc — a planted boilerplate gram
+  * with df = nDocs/hotEvery, the shape that blows up an uncapped
+  * substring-dedup self-join (one gram alone contributes df² candidate
+  * pairs) and that j66's df cap exists to drop. Used by the j62-vs-j66
+  * cost ladder.
+  *
+  * Usage: runMain graft.ScaleSynth <outDir> <nDocs> [nVecs] [hotEvery]
   *        runMain graft.ScaleSynth <outDir> relational <mult>
   * then e.g. SPARK_GRAFT_BENCH_ONLY=j10_simhash_neardup
   *           SPARK_GRAFT_SF_DIR=<outDir> runMain graft.Bench
@@ -142,6 +149,7 @@ object ScaleSynth {
     }
     val (outDir, nDocs) = (args(0), args(1).toLong)
     val nVecs = if (args.length >= 3) args(2).toLong else 0L
+    val hotEvery = if (args.length >= 4) args(3).toLong else 0L
 
     val docs = spark.range(nDocs)
       // clone-cluster members read the group base id's token stream; all
@@ -158,6 +166,13 @@ object ScaleSynth {
       .withColumn("text",
         when(col("id") =!= col("base_id"),
           concat(col("text"), lit(" u"), col("id")))
+          .otherwise(col("text")))
+      // planted boilerplate: the identical 8-token tail on every
+      // hotEvery-th doc — ONE gram whose df grows with the corpus
+      .withColumn("text",
+        if (hotEvery <= 0) col("text")
+        else when(pmod(col("id"), lit(hotEvery)) === 0,
+          concat(col("text"), lit(" k0 k1 k2 k3 k4 k5 k6 k7")))
           .otherwise(col("text")))
       .select(
         col("id").as("doc_id"),

@@ -1197,6 +1197,47 @@ class QueriesSpec extends AnyFunSuite {
       s"planted 12-token span misreconstructed: $planted")
   }
 
+  test("j66 df cap: boilerplate gram leaves the join, planted pair survives exactly") {
+    // The 100 TB knob, proven on a planted-hot-gram corpus: 40 docs all
+    // end with the SAME 8-token phrase (a df-40 "boilerplate" gram — the
+    // shape whose df² pair cost dominates an uncapped corpus self-join),
+    // and exactly two docs additionally share a 20-token rare span ahead
+    // of it. Uncapped, the hot gram makes EVERY pair a partner (40·39
+    // pair rows from one gram). Capped at df <= 2 the hot gram leaves the
+    // index, the all-pairs web vanishes, and the planted pair's span
+    // reconstructs exactly from its df-2 grams — recall lost ONLY where
+    // the evidence was boilerplate. Span arithmetic: the pair shares
+    // rare(20)+hot(8) = 28 consecutive tokens = 21 diagonal grams, of
+    // which precisely one (the pure-hot 8-gram) is over-cap, so the
+    // capped run is the 20 rare-anchored grams -> span 20+7 = 27 vs the
+    // uncapped 28 — the documented "span crossing a dropped gram shrinks"
+    // trade, pinned to the token.
+    import spark.implicits._
+    val hot = (0 until 8).map(i => s"h$i").mkString(" ")
+    val rare = (0 until 20).map(i => s"r$i").mkString(" ")
+    val docs = (0L until 40L).map { id =>
+      val filler = (0 until 10).map(i => s"f${id}x$i").mkString(" ")
+      val text =
+        if (id == 3 || id == 17) s"$filler $rare $hot" else s"$filler $hot"
+      (id, text)
+    }.toDF("doc_id", "text")
+    val un = graft.queries.LlmOps.substringSpans(docs, None).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(un.keySet == (0L until 40L).toSet,
+      s"uncapped: hot gram must partner every doc, got ${un.keySet.size}")
+    assert(un.values.forall(_._3 == 39L),
+      "uncapped: every doc shares the hot gram with all 39 others")
+    assert(un(3L) == ((28L, 17L, 39L)) && un(17L) == ((28L, 3L, 39L)),
+      s"uncapped planted span must be the full 28: ${un(3L)} ${un(17L)}")
+    val capped = graft.queries.LlmOps.substringSpans(docs, Some(2L))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(capped == Map(3L -> ((27L, 17L, 1L)), 17L -> ((27L, 3L, 1L))),
+      s"capped: only the planted pair with span 27 must survive: $capped")
+  }
+
   test("IvfKMeans training is deterministic and emits unit-norm centroids") {
     // No RNG anywhere (hash-ordered sample, lowest-id seeds, Lloyd means):
     // two trainings must agree bit-for-bit — the property that makes the
