@@ -165,6 +165,90 @@ object IvfKMeans {
     (seeds, cents)
   }
 
+  /** Scale-adaptive cell count: k ≈ √n. Per-probe search work is
+    * k centroid distances (pick the probe's cells) + nprobe·n/k candidate
+    * distances (scan them); the sum is minimized at k = √(nprobe·n), i.e.
+    * ~2√n total per probe — the standard IVF sizing rule. The registered
+    * j16/j46/j64 queries keep the FIXED 16-cell codebook because the
+    * DuckDB oracle replays it exactly (the sanctioned trade); this is the
+    * production sizing behind the same assign/search interface. Floor 16
+    * so tiny collections keep the fixed behavior.
+    *
+    * Measured (IvfLadder, 64-probe panel, synth vectors): per-probe
+    * candidates at constant nprobe=8 grew 3.1× for a 10× collection
+    * (1776 → 5533 at 20k → 200k; k 142 → 448) where the fixed 16-cell
+    * index grew exactly 10× (1630 → 16298) — the √n claim, measured not
+    * argued. Recall at equal probed fraction: trained √n cells hit
+    * 89/192 vs fixed's 48/192 (20k) and 101/192 vs 61/192 (200k).
+    * Honest cost caveat: the one-time INDEX BUILD here assigns by brute
+    * k distances per vector (n·k = n^1.5 at k = √n; 25 s at 200k on 4
+    * threads vs 1.5 s for fixed-16). At real scale the coarse assignment
+    * itself goes hierarchical — an HNSW/tree over the k centroids or a
+    * two-half product coarse quantizer (inverted multi-index) makes it
+    * n·O(log k) / n·2√k — which changes only this build step, not the
+    * cell layout or the search interface measured above.
+    */
+  def scaledK(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Full-collection nearest-cell assignment under an integer codebook as
+    * a map-side min(struct) argmin — the j63/j64 rewrite applied to the
+    * scaled path: the k candidate rows per vector are produced in-task by
+    * the broadcast join and collapse in-task (partial aggregation), so
+    * the shuffle carries ONE row per vector; [[assignExact]]'s window
+    * form would shuffle and sort all k·n rows (measured 19.6 s → 4.3 s on
+    * the PQ encode when that window became this aggregate). qv rides
+    * inside the min struct after the (d2, cent_id) keys — (vec_id) is
+    * unique per group so it is never itself compared. Output
+    * (vec_id, qv, cell).
+    */
+  def assignExactAgg(qe: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    graft.functions.SquaredDistance.register(qe.sparkSession)
+    qe.crossJoin(broadcast(centsDfL(qe.sparkSession, cents)))
+      .withColumn("d2", expr(d2Expr("qv", "cvec")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cent_id"), col("qv"))).as("best"))
+      .select(col("vec_id"), col("best.qv").as("qv"),
+        col("best.cent_id").as("cell"))
+  }
+
+  /** The probe panel's `nprobe` nearest cells (multi-probe recall lever).
+    * Probes are panel-sized (bounded), so the window over the k broadcast
+    * centroid rows per probe is cheap. Output (probe_id, pqv, pcell) —
+    * one row per (probe, probed cell).
+    */
+  def probeCellsExact(qe: DataFrame, cents: Array[Array[Long]],
+      nprobe: Int): DataFrame = {
+    graft.functions.SquaredDistance.register(qe.sparkSession)
+    val w = Window.partitionBy("vec_id").orderBy(col("d2").asc,
+      col("cent_id"))
+    qe.crossJoin(broadcast(centsDfL(qe.sparkSession, cents)))
+      .withColumn("d2", expr(d2Expr("qv", "cvec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pqv"),
+        col("cent_id").as("pcell"))
+  }
+
+  /** Integer top-`topK` per probe within the probed cells: one equi-join
+    * on the cell id (never a crossJoin on the collection), exact
+    * squared-euclidean rank, ties to the lower vec_id. The per-probe
+    * candidate count is nprobe·n/k — with k = √n that is O(√n), the
+    * sublinear growth the scaled ladder measures.
+    */
+  def searchTopKExact(cells: DataFrame, probes: DataFrame,
+      topK: Int): DataFrame = {
+    graft.functions.SquaredDistance.register(cells.sparkSession)
+    val w = Window.partitionBy("probe_id").orderBy(col("d2").asc,
+      col("vec_id"))
+    cells.join(broadcast(probes),
+        col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .withColumn("d2", expr(d2Expr("qv", "pqv")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select("probe_id", "vec_id", "d2", "rk")
+  }
+
   private def normalize(v: Array[Double]): Array[Double] = {
     val n = math.sqrt(v.map(x => x * x).sum)
     if (n == 0) v else v.map(_ / n)

@@ -978,6 +978,67 @@ class QueriesSpec extends AnyFunSuite {
       s"learned codebook recall $learnedTotal < fixed codebook $fixedTotal")
   }
 
+  test("scaled sqrt(n)-cell IVF: recall >= fixed 16-cell at equal-or-smaller probed fraction") {
+    // The last ANN scale knob, differential-tested: the production path
+    // sizes the coarse codebook at k ≈ √n (IvfKMeans.scaledK) and trains
+    // it with the integer-exact Lloyd loop, while the registered
+    // j16/j46/j64 keep the fixed 16-cell codebook for oracle exactness.
+    // This pins the trade's recall half: at an equal-or-smaller probed
+    // fraction (nprobe = k/16 rounded DOWN, so the scaled path can never
+    // win by probing more of the space), the trained √n-cell index must
+    // recall at least what the fixed index does against the brute-force
+    // integer-d2 top-3 truth (same metric, same tie-break — bit-fair).
+    // Everything is RNG-free, so the assertion is deterministic. The cost
+    // half lives in the IvfLadder measurement (SURVEY §6/§8): per-probe
+    // candidates at constant nprobe grew 3.1× for a 10× collection
+    // (5533 vs 1776 at 200k/20k synth vectors) where the fixed index
+    // grew exactly 10× (16298 vs 1630) — the √n sublinear claim; recall
+    // at equal fraction was 89-vs-48 (20k) and 101-vs-61 (200k).
+    import graft.operators.IvfKMeans
+    graft.functions.SquaredDistance.register(spark)
+    var scaledTotal = 0
+    var fixedTotal = 0
+    for (sfDir <- Seq(d, TestSpark.Sf001)) {
+      val e = Tables.embeddings(spark, sfDir)
+      val n = e.count()
+      val qe = graft.Q.truncateLineage(IvfKMeans.quantize(e))
+      val panel = graft.Q.truncateLineage(
+        qe.filter(col("vec_id") % 100 === 7).orderBy("vec_id").limit(64))
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("d2").asc, col("vec_id"))
+      val truth = qe.crossJoin(broadcast(panel
+          .select(col("vec_id").as("probe_id"), col("qv").as("pqv"))))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("d2", expr(IvfKMeans.d2Expr("qv", "pqv")))
+        .withColumn("rk", row_number().over(wT))
+        .filter(col("rk") <= 3)
+        .select("probe_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.nonEmpty, s"$sfDir: empty truth — probe panel broken")
+      def hits(cents: Array[Array[Long]], nprobe: Int): Int = {
+        val cells = IvfKMeans.assignExactAgg(qe, cents)
+        val probes = IvfKMeans.probeCellsExact(
+          qe.join(panel.select("vec_id"), Seq("vec_id")), cents, nprobe)
+        IvfKMeans.searchTopKExact(cells, probes, topK = 3)
+          .select("probe_id", "vec_id").collect()
+          .count(r => truth((r.getLong(0), r.getLong(1))))
+      }
+      val fixed16 = qe.orderBy("vec_id").limit(16).collect()
+        .map(_.getSeq[Long](1).toArray)
+      val k = IvfKMeans.scaledK(n)
+      val (_, trained) = IvfKMeans.trainExact(e, k = k, iters = 2,
+        sampleN = math.max(1024, 16 * k))
+      val np = math.max(1, k / 16)
+      assert(np.toDouble / k <= 1.0 / 16 + 1e-9,
+        s"scaled fraction ${np.toDouble / k} exceeds fixed's 1/16")
+      fixedTotal += hits(fixed16, 1)
+      scaledTotal += hits(trained, np)
+    }
+    assert(scaledTotal > 0, "zero scaled recall — wiring broken")
+    assert(scaledTotal >= fixedTotal,
+      s"scaled-cell recall $scaledTotal < fixed-cell recall $fixedTotal")
+  }
+
   test("registerAllViews on a partial dir: SQL queries on present tables run") {
     // the round-8 events-regen lesson as a pinned contract: one missing or
     // broken table must only cost the queries that reference it, never the
