@@ -621,6 +621,46 @@ object StreamOps {
       .foreachBatch(handle)
       .start()
 
+  /** Idempotent per-micro-batch parquet write — the EXACTLY-ONCE sink
+    * recipe for non-transactional targets. `foreachBatch` is at-least-once
+    * BY CONTRACT: after a crash between the sink write and the checkpoint
+    * commit, restart re-runs the batch with the SAME batchId, and a naive
+    * append sink double-writes it (StreamingSpec demonstrates the
+    * duplicate on a forced replay). Keying the write on batchId makes the
+    * retry a no-op: each batch owns the `batch_id=<id>` partition and a
+    * replay OVERWRITES that partition (dynamic partition overwrite — only
+    * the replayed batch's partition is touched, every other batch's
+    * output is untouched) with byte-identical content, so the table
+    * converges to exactly-once CONTENTS under any number of retries.
+    * This is the parquet shape of the standard recipe; a transactional
+    * target would key a MERGE/upsert on batchId the same way. At scale
+    * the partition column also gives readers batch-aligned pruning, and
+    * compaction can later fold small batch partitions without touching
+    * the streaming path.
+    */
+  def idempotentBatchWrite(batch: org.apache.spark.sql.Dataset[
+      org.apache.spark.sql.Row], batchId: Long, path: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** i4's running counts through the exactly-once sink: update-mode
+    * emissions land in per-batch parquet partitions, checkpointed, safe
+    * against sink-side replay. The seam `runningCountsForeachBatch`
+    * documents, closed with the idempotent write.
+    */
+  def runningCountsExactlyOnce(events: Dataset[Event], path: String,
+      checkpoint: String): StreamingQuery =
+    runningCounts(events).toDF().writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((df: org.apache.spark.sql.Dataset[
+        org.apache.spark.sql.Row], id: Long) =>
+        idempotentBatchWrite(df, id, path))
+      .start()
+
   /** Stream–static enrichment join: the streaming side joins a static
     * dimension DataFrame re-resolved per micro-batch — no state required,
     * the canonical "enrich the stream" pattern. At scale the static side is

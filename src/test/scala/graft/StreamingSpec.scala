@@ -714,6 +714,85 @@ class StreamingSpec extends AnyFunSuite {
       "pre-restart state lost or window double-emitted after recovery")
   }
 
+  test("exactly-once sink: a forced batch replay cannot double-write (naive append does)") {
+    // foreachBatch is at-least-once BY CONTRACT: if the process dies after
+    // the sink write but before the checkpoint commit, restart re-runs the
+    // batch with the same batchId. Forcing that window deterministically:
+    // run two batches, stop, DELETE the latest commit marker from the
+    // checkpoint (offsets survive → Spark replays exactly that batch on
+    // restart), run again. The batchId-keyed dynamic-partition-overwrite
+    // sink must converge to the same table contents as an unbroken run;
+    // the naive append sink, driven through the IDENTICAL replay, must
+    // show the duplicates — proving the test window actually re-delivered
+    // rows and the idempotent sink actually absorbed them.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-eo-ckpt")
+    val out = java.nio.file.Files.createTempDirectory("graft-eo-out")
+    val naiveDir = java.nio.file.Files.createTempDirectory("graft-eo-naive")
+    val in = MemoryStream[Event]
+    val naive = new java.util.concurrent.atomic.AtomicReference(
+      Seq.empty[(Long, String, Long)])
+
+    def start() = runningCounts(in.toDS()).toDF().writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: Long) =>
+          StreamOps.idempotentBatchWrite(df, id, out.toString)
+          // the naive twin: same batches, append-only, no batchId key
+          df.write.mode("append").parquet(naiveDir.toString)
+      }.start()
+
+    val q1 = start()
+    in.addData(Seq(ev(1, "2024-01-01 10:00:00", 1),
+      ev(2, "2024-01-01 10:05:00", 2)))
+    q1.processAllAvailable()
+    in.addData(Seq(ev(3, "2024-01-01 10:10:00", 1)))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // force the replay: drop the newest commit marker; offsets remain
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.length >= 2, "expected one commit marker per batch")
+    val crc = new java.io.File(commits.last.getParent,
+      s".${commits.last.getName}.crc") // Hadoop ChecksumFs sidecar
+    assert(commits.last.delete(), "could not remove the commit marker")
+    if (crc.exists()) assert(crc.delete(), "could not remove the crc sidecar")
+
+    val q2 = start() // replays the un-committed batch, then continues
+    q2.processAllAvailable()
+    in.addData(Seq(ev(4, "2024-01-01 10:15:00", 2)))
+    q2.processAllAvailable()
+    q2.stop()
+
+    // the idempotent table: per (batch_id, user, type) exactly one row,
+    // and contents equal an unbroken run's (batch 1's replay overwrote
+    // itself; update-mode running counts are deterministic per batch)
+    val eo = spark.read.parquet(out.toString)
+      // partition-dir values are type-inferred on read → pin to long
+      .select(col("batch_id").cast("long"), col("user_id"),
+        col("event_type"), col("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(eo.length == eo.distinct.length,
+      s"idempotent sink emitted duplicates: ${eo.toSeq.sorted}")
+    val expected = Set(
+      (0L, 1L, "click", 1L), (0L, 2L, "click", 1L), // batch 0
+      (1L, 1L, "click", 2L),                        // batch 1 (replayed once)
+      (2L, 2L, "click", 2L))                        // post-restart batch
+    assert(eo.toSet == expected,
+      s"sink diverged from the unbroken-run contents: ${eo.toSeq.sorted}")
+    // the naive twin MUST carry the duplicate — otherwise this test's
+    // replay window never re-delivered anything and the assertions above
+    // are vacuous
+    val nv = spark.read.parquet(naiveDir.toString).collect()
+    assert(nv.length == eo.length + 1,
+      s"naive append should hold exactly the one replayed batch's extra " +
+        s"row: ${nv.length} vs ${eo.length}")
+  }
+
   /** Run `body` with the RocksDB state store provider active — the provider
     * SURVEY §4 names as the 100 TB state story (state off-heap in native
     * RocksDB instead of bounded by executor heap, incremental snapshot
