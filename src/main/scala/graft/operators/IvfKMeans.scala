@@ -182,11 +182,13 @@ object IvfKMeans {
     * 89/192 vs fixed's 48/192 (20k) and 101/192 vs 61/192 (200k).
     * Honest cost caveat: the one-time INDEX BUILD here assigns by brute
     * k distances per vector (n·k = n^1.5 at k = √n; 25 s at 200k on 4
-    * threads vs 1.5 s for fixed-16). At real scale the coarse assignment
-    * itself goes hierarchical — an HNSW/tree over the k centroids or a
-    * two-half product coarse quantizer (inverted multi-index) makes it
-    * n·O(log k) / n·2√k — which changes only this build step, not the
-    * cell layout or the search interface measured above.
+    * threads vs 1.5 s for fixed-16). The scalable assignment EXISTS
+    * in-tree: [[imiAssign]] (inverted multi-index, registered as j67)
+    * reaches kHalf² product cells at 2·kHalf evals per vector —
+    * n·2·n^(1/4) at the √n sizing — exactly (product-structure law, not
+    * approximately); an HNSW/tree over centroids is the other standard
+    * route. Either changes only this build step, not the cell layout or
+    * the search interface measured above.
     */
   def scaledK(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)
@@ -247,6 +249,52 @@ object IvfKMeans {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= topK)
       .select("probe_id", "vec_id", "d2", "rk")
+  }
+
+  /** Inverted multi-index coarse quantizer (Babenko & Lempitsky,
+    * CVPR 2012): split each vector into two halves, keep an independent
+    * `kHalf`-entry codebook per half, and define the coarse cell as the
+    * PRODUCT (cell_lo, cell_hi) → cell_lo·kHalf + cell_hi — k = kHalf²
+    * cells from 2·kHalf distance evaluations per vector instead of k.
+    * This is the scalable coarse ASSIGNMENT that closes [[scaledK]]'s
+    * documented build-cost caveat: at k = √n cells the flat assignment
+    * costs n·√n distance evals while the multi-index costs n·2·n^(1/4).
+    *
+    * Product-structure LAW (pinned in QueriesSpec, and the reason this is
+    * exact rather than approximate): squared euclidean distance
+    * decomposes over the halves — d2(v, cᵢ⧺cⱼ) = d2(lo, cᵢ) + d2(hi, cⱼ)
+    * — so min over all kHalf² product centroids is achieved exactly at
+    * (argmin lo, argmin hi), and lexicographic (d2, id) tie-breaking per
+    * half reproduces the flat tie-break on cell id. The multi-index
+    * assignment is therefore IDENTICAL to a flat assignment against the
+    * materialized product codebook, never a heuristic.
+    *
+    * Half codebooks follow the fixed convention (halves of the kHalf
+    * lowest vec_ids), which keeps the registered j67 oracle-exact; a
+    * learned variant would train each half with [[trainExact]] on the
+    * half columns. Each half's argmin is the map-side min(struct)
+    * aggregate (one shuffled row per vector per half).
+    * Output (vec_id, cell_lo, cell_hi, cell, d2_lo, d2_hi).
+    */
+  def imiAssign(qe: DataFrame, kHalf: Int): DataFrame = {
+    graft.functions.SquaredDistance.register(qe.sparkSession)
+    val halves = qe.select(col("vec_id"),
+      expr("slice(qv, 1, 32)").as("lo"), expr("slice(qv, 33, 32)").as("hi"))
+    def argminSide(vcol: String): DataFrame = {
+      val cents = halves.filter(col("vec_id") < kHalf)
+        .select(col("vec_id").as("cid"), col(vcol).as("cv"))
+      halves.select(col("vec_id"), col(vcol).as("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", expr(d2Expr("v", "cv")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("cid"))).as("b"))
+        .select(col("vec_id"), col("b.cid").as(s"cell_$vcol"),
+          col("b.d2").as(s"d2_$vcol"))
+    }
+    argminSide("lo").join(argminSide("hi"), Seq("vec_id"))
+      .select(col("vec_id"), col("cell_lo"), col("cell_hi"),
+        (col("cell_lo") * kHalf + col("cell_hi")).as("cell"),
+        col("d2_lo"), col("d2_hi"))
   }
 
   private def normalize(v: Array[Double]): Array[Double] = {

@@ -4220,6 +4220,62 @@ object LlmOps {
                   FROM best) WHERE rk = 1)
               SELECT agg1.da AS doc_id, max_shared_tokens, partner_id,
                      n_partners
-              FROM agg1 JOIN p1 ON agg1.da = p1.da ORDER BY doc_id"""))
+              FROM agg1 JOIN p1 ON agg1.da = p1.da ORDER BY doc_id""")),
+
+    // Inverted multi-index coarse quantizer (Babenko & Lempitsky CVPR'12)
+    // — the scalable ANN coarse ASSIGNMENT: cells are the PRODUCT of two
+    // independent half-vector codebooks, so kHalf² cells cost 2·kHalf
+    // distance evals per vector instead of kHalf² (here 4×4 = 16 cells
+    // from 8 evals — and at the production k = √n sizing, n·2·n^(1/4)
+    // total evals instead of n^1.5, closing IvfKMeans.scaledK's build
+    // caveat). EXACT by the product-structure law: integer squared
+    // euclidean decomposes over the halves, so the product argmin IS the
+    // flat argmin over the 16 materialized concatenated centroids
+    // (QueriesSpec pins the equality); everything runs in j61's 1e-6
+    // fixed point so DuckDB replays both half argmins bit-for-bit.
+    Q("j67_imi_cells",
+      (s, d) => {
+        val qe = graft.operators.IvfKMeans.quantize(Tables.embeddings(s, d))
+        graft.operators.IvfKMeans.imiAssign(qe, kHalf = 4)
+          .orderBy("vec_id")
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                  AS qv
+                FROM embeddings),
+              h AS (
+                SELECT vec_id, qv[1:32] AS lo, qv[33:64] AS hi FROM q),
+              cl AS (
+                SELECT vec_id AS cid, lo AS cv FROM h WHERE vec_id < 4),
+              ch AS (
+                SELECT vec_id AS cid, hi AS cv FROM h WHERE vec_id < 4),
+              alo AS (
+                SELECT h.vec_id, c.cid,
+                       CAST(list_sum(list_transform(generate_series(1, 32),
+                         i -> (h.lo[i] - c.cv[i]) * (h.lo[i] - c.cv[i])))
+                         AS BIGINT) AS d2
+                FROM h CROSS JOIN cl c),
+              ahi AS (
+                SELECT h.vec_id, c.cid,
+                       CAST(list_sum(list_transform(generate_series(1, 32),
+                         i -> (h.hi[i] - c.cv[i]) * (h.hi[i] - c.cv[i])))
+                         AS BIGINT) AS d2
+                FROM h CROSS JOIN ch c),
+              blo AS (
+                SELECT vec_id, cid AS cell_lo, d2 AS d2_lo FROM (
+                  SELECT vec_id, cid, d2, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cid) AS rk
+                  FROM alo) WHERE rk = 1),
+              bhi AS (
+                SELECT vec_id, cid AS cell_hi, d2 AS d2_hi FROM (
+                  SELECT vec_id, cid, d2, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cid) AS rk
+                  FROM ahi) WHERE rk = 1)
+              SELECT blo.vec_id, cell_lo, cell_hi,
+                     CAST(cell_lo * 4 + cell_hi AS BIGINT) AS cell,
+                     d2_lo, d2_hi
+              FROM blo JOIN bhi ON blo.vec_id = bhi.vec_id
+              ORDER BY blo.vec_id"""))
   )
 }

@@ -1039,6 +1039,53 @@ class QueriesSpec extends AnyFunSuite {
       s"scaled-cell recall $scaledTotal < fixed-cell recall $fixedTotal")
   }
 
+  test("multi-index product law: IMI cells == flat argmin over materialized product centroids") {
+    // The law that makes the inverted multi-index EXACT rather than a
+    // heuristic: integer squared euclidean decomposes over the halves
+    // (d2(v, ci ⧺ cj) = d2(lo, ci) + d2(hi, cj)), so the product of the
+    // two per-half argmins IS the flat argmin over all kHalf²
+    // concatenated centroids — at 2·kHalf distance evals instead of
+    // kHalf². Tested at kHalf = 8 (64 product cells, beyond j67's
+    // registered 4×4) against assignExactAgg over the 64 MATERIALIZED
+    // concatenations: every vector must land in the identical cell, and
+    // the flat minimum distance must equal d2_lo + d2_hi exactly.
+    import graft.operators.IvfKMeans
+    graft.functions.SquaredDistance.register(spark)
+    val kHalf = 8
+    val qe = graft.Q.truncateLineage(
+      IvfKMeans.quantize(Tables.embeddings(spark, d)))
+    val imi = IvfKMeans.imiAssign(qe, kHalf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4) + r.getLong(5))))
+      .toMap
+    val seeds = qe.filter(col("vec_id") < kHalf).orderBy("vec_id").collect()
+      .map(_.getSeq[Long](1).toArray)
+    assert(seeds.length == kHalf, "seed halves missing")
+    val prod: Array[Array[Long]] = (for {
+      i <- 0 until kHalf; j <- 0 until kHalf
+    } yield seeds(i).take(32) ++ seeds(j).drop(32)).toArray
+    val flat = IvfKMeans.assignExactAgg(qe, prod)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flat.keySet == imi.keySet, "vector sets diverge")
+    flat.foreach { case (v, cell) =>
+      assert(imi(v)._1 == cell,
+        s"vec $v: imi cell ${imi(v)._1} != flat product cell $cell")
+    }
+    // and the decomposition itself: flat min distance == d2_lo + d2_hi
+    import spark.implicits._
+    val prodDf = prod.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+      .toDF("cent_id", "cvec")
+    val flatD2 = qe.crossJoin(broadcast(prodDf))
+      .withColumn("fd2", expr(IvfKMeans.d2Expr("qv", "cvec")))
+      .groupBy("vec_id").agg(min("fd2").as("fd2")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    flatD2.foreach { case (v, fd2) =>
+      assert(imi(v)._2 == fd2,
+        s"vec $v: d2_lo+d2_hi ${imi(v)._2} != flat min d2 $fd2")
+    }
+  }
+
   test("registerAllViews on a partial dir: SQL queries on present tables run") {
     // the round-8 events-regen lesson as a pinned contract: one missing or
     // broken table must only cost the queries that reference it, never the
