@@ -93,8 +93,20 @@ object IvfLadder {
       run("fixed16", fixed16, nprobe = 1),
       run("scaled_eqfrac", trained, nprobe = nprobeScaled),
       run("scaled_const_nprobe", trained, nprobe = 8)).mkString(",")
+    // the multi-index assignment-cost point: ~k product cells from
+    // 2·√k distance evals per vector, vs the flat path's k — this is
+    // the build-cost fix scaledK's caveat names (j67/j68 machinery)
+    val kHalf = math.max(4, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val tImi = System.nanoTime()
+    val imiCells = Q.truncateLineage(
+      IvfKMeans.imiAssign(qe, kHalf).select("vec_id", "cell"))
+    imiCells.count()
+    val imiSec = (System.nanoTime() - tImi) / 1e9
+    val imiJson = f""""imi":{"k_half":$kHalf,""" +
+      f""""cells":${kHalf * kHalf},"evals_per_vec":${2 * kHalf},""" +
+      f""""assign_sec":$imiSec%.2f}"""
     println(s"""{"n":$n,"n_probes":$nProbes,""" +
-      f""""train_sec":$trainSec%.2f,$out}""")
+      f""""train_sec":$trainSec%.2f,$out,$imiJson}""")
     spark.stop()
   }
 }

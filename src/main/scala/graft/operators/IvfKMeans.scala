@@ -183,12 +183,15 @@ object IvfKMeans {
     * Honest cost caveat: the one-time INDEX BUILD here assigns by brute
     * k distances per vector (n·k = n^1.5 at k = √n; 25 s at 200k on 4
     * threads vs 1.5 s for fixed-16). The scalable assignment EXISTS
-    * in-tree: [[imiAssign]] (inverted multi-index, registered as j67)
-    * reaches kHalf² product cells at 2·kHalf evals per vector —
+    * in-tree: [[imiAssign]] (inverted multi-index, registered as
+    * j67/j68) reaches kHalf² product cells at 2·kHalf evals per vector —
     * n·2·n^(1/4) at the √n sizing — exactly (product-structure law, not
-    * approximately); an HNSW/tree over centroids is the other standard
-    * route. Either changes only this build step, not the cell layout or
-    * the search interface measured above.
+    * approximately). Measured (IvfLadder, 200k vectors): 484 product
+    * cells assigned in 1.8 s vs 21.8 s for the flat 448-cell assignment
+    * — the 12× matching the 44-vs-448 eval ratio. An HNSW/tree over
+    * centroids is the other standard route. Either changes only this
+    * build step, not the cell layout or the search interface measured
+    * above.
     */
   def scaledK(n: Long): Int =
     math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt)

@@ -4276,6 +4276,146 @@ object LlmOps {
                      CAST(cell_lo * 4 + cell_hi AS BIGINT) AS cell,
                      d2_lo, d2_hi
               FROM blo JOIN bhi ON blo.vec_id = bhi.vec_id
-              ORDER BY blo.vec_id"""))
+              ORDER BY blo.vec_id""")),
+
+    // IMI search — the other half of j67 (Babenko & Lempitsky's
+    // multi-sequence idea in its rank form): a probe scores the kHalf
+    // centroids of EACH half (2·kHalf = 8 distance evals), orders all
+    // kHalf² product cells by the decomposed lower bound dl(i) + dh(j) —
+    // which for product cells is the probe's EXACT distance to the
+    // concatenated centroid, not a bound — probes the top-3 cells, and
+    // ranks only those cells' members by full integer distance. The
+    // probe-side work is 8 evals + a 16-row sort + |probed cells|
+    // candidates; the collection is touched only through the cell
+    // equi-join (one row per candidate fetches its vector — at 100 TB
+    // the vector fetch is candidates-sized, never collection-sized).
+    // All integer-exact → cell choice, candidate set, and ranking
+    // hash-match the DuckDB replay.
+    Q("j68_imi_search",
+      (s, d) => {
+        graft.functions.SquaredDistance.register(s)
+        val qe = graft.operators.IvfKMeans.quantize(Tables.embeddings(s, d))
+        val d2 = graft.operators.IvfKMeans.d2Expr _
+        val cells = truncateLineage(
+          graft.operators.IvfKMeans.imiAssign(qe, kHalf = 4)
+            .select("vec_id", "cell"))
+        val probes = truncateLineage(qe.filter(col("vec_id") % 100 === 7)
+          .orderBy("vec_id").limit(64)
+          .select(col("vec_id").as("probe_id"), col("qv").as("pqv")))
+        val hp = probes.select(col("probe_id"),
+          expr("slice(pqv, 1, 32)").as("plo"),
+          expr("slice(pqv, 33, 32)").as("phi"))
+        val seeds = qe.filter(col("vec_id") < 4)
+        val cl = seeds.select(col("vec_id").as("ci"),
+          expr("slice(qv, 1, 32)").as("cvl"))
+        val ch = seeds.select(col("vec_id").as("cj"),
+          expr("slice(qv, 33, 32)").as("cvh"))
+        val dl = hp.crossJoin(broadcast(cl))
+          .withColumn("dl", expr(d2("plo", "cvl")))
+          .select("probe_id", "ci", "dl")
+        val dh = hp.crossJoin(broadcast(ch))
+          .withColumn("dh", expr(d2("phi", "cvh")))
+          .select("probe_id", "cj", "dh")
+        val wCell = Window.partitionBy("probe_id")
+          .orderBy(col("dsum").asc, col("pcell").asc)
+        val probeCells = dl.join(dh, Seq("probe_id"))
+          .withColumn("pcell", col("ci") * 4 + col("cj"))
+          .withColumn("dsum", col("dl") + col("dh"))
+          .withColumn("crk", row_number().over(wCell))
+          .filter(col("crk") <= 3)
+          .join(probes, Seq("probe_id"))
+          .select("probe_id", "pcell", "pqv")
+        // candidates FIRST (cell equi-join on the 1-row-per-vector cell
+        // table), vectors fetched per candidate after — never a
+        // collection-sized vector shuffle
+        val cand = cells.join(broadcast(probeCells),
+            col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+          .select("probe_id", "vec_id", "pqv")
+        val w = Window.partitionBy("probe_id")
+          .orderBy(col("adist").asc, col("vec_id"))
+        cand.join(qe, Seq("vec_id"))
+          .withColumn("adist", expr(d2("qv", "pqv")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("probe_id", "vec_id", "adist", "rk")
+          .orderBy("probe_id", "rk")
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                  AS qv
+                FROM embeddings),
+              h AS (
+                SELECT vec_id, qv[1:32] AS lo, qv[33:64] AS hi FROM q),
+              cl AS (
+                SELECT vec_id AS cid, lo AS cv FROM h WHERE vec_id < 4),
+              ch AS (
+                SELECT vec_id AS cid, hi AS cv FROM h WHERE vec_id < 4),
+              alo AS (
+                SELECT h.vec_id, c.cid,
+                       CAST(list_sum(list_transform(generate_series(1, 32),
+                         i -> (h.lo[i] - c.cv[i]) * (h.lo[i] - c.cv[i])))
+                         AS BIGINT) AS d2
+                FROM h CROSS JOIN cl c),
+              ahi AS (
+                SELECT h.vec_id, c.cid,
+                       CAST(list_sum(list_transform(generate_series(1, 32),
+                         i -> (h.hi[i] - c.cv[i]) * (h.hi[i] - c.cv[i])))
+                         AS BIGINT) AS d2
+                FROM h CROSS JOIN ch c),
+              blo AS (
+                SELECT vec_id, cid AS cell_lo FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cid) AS rk
+                  FROM alo) WHERE rk = 1),
+              bhi AS (
+                SELECT vec_id, cid AS cell_hi FROM (
+                  SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cid) AS rk
+                  FROM ahi) WHERE rk = 1),
+              vcells AS (
+                SELECT blo.vec_id, cell_lo * 4 + cell_hi AS cell
+                FROM blo JOIN bhi ON blo.vec_id = bhi.vec_id),
+              probes AS (
+                SELECT vec_id AS probe_id, qv AS pqv FROM q
+                WHERE vec_id % 100 = 7 ORDER BY vec_id LIMIT 64),
+              pdl AS (
+                SELECT p.probe_id, c.cid AS ci,
+                       CAST(list_sum(list_transform(generate_series(1, 32),
+                         i -> (p.pqv[i] - c.cv[i]) * (p.pqv[i] - c.cv[i])))
+                         AS BIGINT) AS dl
+                FROM probes p CROSS JOIN cl c),
+              pdh AS (
+                SELECT p.probe_id, c.cid AS cj,
+                       CAST(list_sum(list_transform(generate_series(1, 32),
+                         i -> (p.pqv[i + 32] - c.cv[i])
+                              * (p.pqv[i + 32] - c.cv[i])))
+                         AS BIGINT) AS dh
+                FROM probes p CROSS JOIN ch c),
+              pcells AS (
+                SELECT probe_id, pcell FROM (
+                  SELECT pdl.probe_id, pdl.ci * 4 + pdh.cj AS pcell,
+                         row_number() OVER (PARTITION BY pdl.probe_id
+                           ORDER BY pdl.dl + pdh.dh,
+                                    pdl.ci * 4 + pdh.cj) AS crk
+                  FROM pdl JOIN pdh ON pdl.probe_id = pdh.probe_id)
+                WHERE crk <= 3),
+              cand AS (
+                SELECT p.probe_id, v.vec_id FROM vcells v
+                JOIN pcells p ON v.cell = p.pcell
+                WHERE v.vec_id <> p.probe_id),
+              ad AS (
+                SELECT cand.probe_id, cand.vec_id,
+                       CAST(list_sum(list_transform(generate_series(1, 64),
+                         i -> (q.qv[i] - pr.pqv[i]) * (q.qv[i] - pr.pqv[i])))
+                         AS BIGINT) AS adist
+                FROM cand JOIN q ON q.vec_id = cand.vec_id
+                JOIN probes pr ON pr.probe_id = cand.probe_id)
+              SELECT probe_id, vec_id, adist, rk FROM (
+                SELECT probe_id, vec_id, adist,
+                       CAST(row_number() OVER (PARTITION BY probe_id
+                         ORDER BY adist, vec_id) AS BIGINT) AS rk
+                FROM ad) t
+              WHERE rk <= 3 ORDER BY probe_id, rk"""))
   )
 }
