@@ -535,15 +535,21 @@ object LlmOps {
         """transform(sequence(1, size(t) - 7),
            i -> md5(concat_ws(' ', slice(t, i, 8))))"""))
         .as(Seq("p", "g")))
-    val grams = truncateLineage(dfCap match {
-      case None => rawGrams
+    val grams = dfCap match {
+      case None => truncateLineage(rawGrams)
       case Some(cap) =>
-        rawGrams.join(
-          rawGrams.groupBy("g").agg(count(lit(1)).as("df"))
+        // materialize the gram table BEFORE the df guard: it feeds both
+        // the df aggregate and the join side, and without truncation the
+        // token explode would execute twice (the j2 shingle-table rule);
+        // the capped result is truncated too so the self-join's two sides
+        // read one materialization instead of re-running the cap join
+        val g0 = truncateLineage(rawGrams)
+        truncateLineage(g0.join(
+          g0.groupBy("g").agg(count(lit(1)).as("df"))
             .filter(col("df") <= cap)
             .select("g"),
-          Seq("g"))
-    })
+          Seq("g")))
+    }
     val a = grams.select(col("doc_id").as("da"), col("p").as("pa"),
       col("g"))
     val b = grams.select(col("doc_id").as("db"), col("p").as("pb"),

@@ -389,4 +389,49 @@ object LawsSpec extends Properties("graft") {
       val agg = new BottomK(k)
       xs.scanLeft(agg.zero)(agg.reduce).forall(_.entries.size <= k)
     }
+
+  // ---- MiniJson (feeds Bench's round-over-round sweep diff) ----
+
+  private val jsonString: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.oneOf("\"quoted\"", "back\\slash", "new\nline", "tab\there",
+      "ctrlchar", "", "sf0.1", "a,b:{c}"))
+  private val jsonLeaf: Gen[Any] = Gen.oneOf(
+    jsonString.map(s => s: Any),
+    Gen.choose(-1e9, 1e9).map(d => d: Any),
+    Gen.oneOf(true, false).map(b => b: Any),
+    Gen.const(null: Any))
+  private def jsonValue(depth: Int): Gen[Any] =
+    if (depth <= 0) jsonLeaf
+    else Gen.frequency(
+      3 -> jsonLeaf,
+      1 -> Gen.mapOf(Gen.zip(Gen.alphaNumStr, jsonValue(depth - 1)))
+        .map(m => m: Any),
+      1 -> Gen.listOf(jsonValue(depth - 1)).map(l => l: Any))
+  // the same escaping Bench's jstr emits — MiniJson must read back what
+  // the artifact writer writes, including control chars and \u escapes
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+  private def ser(v: Any): String = v match {
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      .map { case (k, x) => jstr(k) + ":" + ser(x) }.mkString("{", ",", "}")
+    case l: List[_] => l.map(ser).mkString("[", ",", "]")
+    case s: String => jstr(s)
+    case d: Double => d.toString
+    case b: Boolean => b.toString
+    case null => "null"
+  }
+
+  property("minijson: parse is a left inverse of the artifact serializer") =
+    Prop.forAll(jsonValue(3)) { v => MiniJson.parse(ser(v)) == v }
+
+  property("minijson: dig walks nested maps and misses safely") =
+    Prop.forAll(Gen.alphaNumStr, jsonValue(2)) { (k, v) =>
+      val nested = Map("parsed" -> Map("sweep" -> Map(k -> v)))
+      MiniJson.dig(nested, "parsed", "sweep", k) == Some(v) &&
+        MiniJson.dig(nested, "parsed", "missing", k).isEmpty &&
+        MiniJson.dig("not a map", "parsed").isEmpty
+    }
 }

@@ -690,4 +690,33 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ExistingRDD") || plan.contains("LocalTableScan"),
       s"no materialized sketch table in the plan:\n$plan")
   }
+
+  test("j67 multi-index assignment: four pruned scans, pushed half-codebook reads") {
+    // per half: one collection scan + one vec_id<4 half-codebook scan
+    // whose filter reaches the parquet reader (row-group pruned at
+    // scale). The k = kHalf² product codebook is never materialized —
+    // cells exist only as (lo, hi) argmin pairs, which is the whole
+    // multi-index trick (2·kHalf evals, not kHalf²).
+    assertScanCount("j67_imi_cells", "embeddings", 4)
+    val pushed = staticPlan("j67_imi_cells")
+      .split("PushedFilters: \\[").drop(1).map(_.split("\\]")(0))
+    assert(pushed.count(_.contains("LessThan(vec_id,4)")) == 2,
+      s"both half-codebook reads must push vec_id < 4: " +
+        s"${pushed.mkString(" | ")}")
+  }
+
+  test("j68 IMI search: vectors never shuffle — codebook reads pushed, rest truncated") {
+    // embeddings appears exactly 3×: the two pushed half-codebook scans
+    // (probe-side distance tables) and ONE scan feeding the candidate
+    // re-rank join. The collection-sized cell table and the probe panel
+    // are truncated, so no stage re-derives them, and the re-rank join
+    // keys candidates to vectors without a vector-carrying shuffle (the
+    // candidate side is broadcast-sized: 64 probes × probed cells).
+    assertScanCount("j68_imi_search", "embeddings", 3)
+    val pushed = staticPlan("j68_imi_search")
+      .split("PushedFilters: \\[").drop(1).map(_.split("\\]")(0))
+    assert(pushed.count(_.contains("LessThan(vec_id,4)")) == 2,
+      s"both half-codebook reads must push vec_id < 4: " +
+        s"${pushed.mkString(" | ")}")
+  }
 }
