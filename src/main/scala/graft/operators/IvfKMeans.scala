@@ -280,12 +280,33 @@ object IvfKMeans {
     * Output (vec_id, cell_lo, cell_hi, cell, d2_lo, d2_hi).
     */
   def imiAssign(qe: DataFrame, kHalf: Int): DataFrame = {
+    val (cl, ch) = imiHalfCodebooks(qe, kHalf)
+    imiAssignAgainst(qe, cl, ch, kHalf)
+  }
+
+  /** The two fixed half codebooks of a quantized collection — halves of
+    * the `kHalf` lowest vec_ids (the j16 fixed-codebook convention).
+    * Each is a tiny (cid, cv) table; an index-maintenance stream derives
+    * them ONCE from the static collection and truncates (codebooks are
+    * fixed once built — re-deriving per batch would fork the index).
+    */
+  def imiHalfCodebooks(qe: DataFrame, kHalf: Int): (DataFrame, DataFrame) = {
+    val seeds = qe.filter(col("vec_id") < kHalf)
+    (seeds.select(col("vec_id").as("cid"), expr("slice(qv, 1, 32)").as("cv")),
+      seeds.select(col("vec_id").as("cid"),
+        expr("slice(qv, 33, 32)").as("cv")))
+  }
+
+  /** [[imiAssign]] against EXPLICIT half codebooks — the seam the
+    * streaming ingest path shares with the registered j67, so an edit to
+    * the assignment cannot fork batch and stream.
+    */
+  def imiAssignAgainst(qe: DataFrame, centsLo: DataFrame,
+      centsHi: DataFrame, kHalf: Int): DataFrame = {
     graft.functions.SquaredDistance.register(qe.sparkSession)
     val halves = qe.select(col("vec_id"),
       expr("slice(qv, 1, 32)").as("lo"), expr("slice(qv, 33, 32)").as("hi"))
-    def argminSide(vcol: String): DataFrame = {
-      val cents = halves.filter(col("vec_id") < kHalf)
-        .select(col("vec_id").as("cid"), col(vcol).as("cv"))
+    def argminSide(vcol: String, cents: DataFrame): DataFrame =
       halves.select(col("vec_id"), col(vcol).as("v"))
         .crossJoin(broadcast(cents))
         .withColumn("d2", expr(d2Expr("v", "cv")))
@@ -293,8 +314,7 @@ object IvfKMeans {
         .agg(min(struct(col("d2"), col("cid"))).as("b"))
         .select(col("vec_id"), col("b.cid").as(s"cell_$vcol"),
           col("b.d2").as(s"d2_$vcol"))
-    }
-    argminSide("lo").join(argminSide("hi"), Seq("vec_id"))
+    argminSide("lo", centsLo).join(argminSide("hi", centsHi), Seq("vec_id"))
       .select(col("vec_id"), col("cell_lo"), col("cell_hi"),
         (col("cell_lo") * kHalf + col("cell_hi")).as("cell"),
         col("d2_lo"), col("d2_hi"))

@@ -792,6 +792,36 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming multi-index cell maintenance — j67/j68's ingest path:
+    * vectors arriving on a stream get their IMI product cell map-only
+    * against the STATIC collection's half codebooks (fixed once built,
+    * like [[pqEncodeStream]]'s — re-deriving per batch would fork the
+    * index), emitting (vec_id, cell_lo, cell_hi, cell, d2_lo, d2_hi) =
+    * the rows an index writer appends to the cell table j68 routes by.
+    * Runs `IvfKMeans.imiAssignAgainst` per micro-batch — the SAME seam
+    * the registered j67 uses, so batch/stream parity is by construction
+    * and the differential test asserts it row-for-row. Per-vector output
+    * is one row for a key-unique stream regardless of batching; each
+    * micro-batch costs O(batch · 2·kHalf) — the codebook side is two
+    * truncated kHalf-row tables, no pass over the existing collection.
+    */
+  def imiAssignStream(
+      vecs: DataFrame,
+      staticEmb: DataFrame,
+      kHalf: Int,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (cl, ch) = graft.operators.IvfKMeans.imiHalfCodebooks(
+      graft.operators.IvfKMeans.quantize(staticEmb), kHalf)
+    val (clT, chT) = (graft.Q.truncateLineage(cl), graft.Q.truncateLineage(ch))
+    vecs.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        sink(graft.operators.IvfKMeans.imiAssignAgainst(
+          graft.operators.IvfKMeans.quantize(batch), clT, chT, kHalf), id)
+      }
+      .start()
+  }
+
   /** Offline state inspection via Spark's `statestore` batch data source:
     * read a stopped (or running) streaming query's checkpointed keyed
     * state as a plain DataFrame — the operational surface for debugging

@@ -1315,4 +1315,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(cell == vid, s"centroid $vid streamed into cell $cell")
     }
   }
+
+  test("streaming IMI cell maintenance matches the batch j67 assignment exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the whole collection arrives as a stream in two micro-batches
+    // against its own static half codebooks (self-indexing, the
+    // pqEncodeStream convention), so the streamed product cells must
+    // reproduce the registered j67 output row-for-row — same seam
+    // (imiAssignAgainst), so a drift here means the codebook derivation
+    // or the quantize step forked, not the assignment
+    val emb = Tables.embeddings(spark, d)
+    val rows = emb.select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect().toSeq
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val buf = scala.collection.mutable.Buffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    val q = StreamOps.imiAssignStream(
+      in.toDS().toDF("vec_id", "embedding", "label"), emb, kHalf = 4,
+      (out, _) => buf ++= out.collect().map(r => (r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5))))
+    rows.grouped((rows.size + 1) / 2).foreach { half =>
+      in.addData(half); q.processAllAvailable()
+    }
+    q.stop()
+    val batch = SparkEntry.queries("j67_imi_cells")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(buf.size == rows.size, "stream lost or duplicated vectors")
+    assert(buf.sortBy(_._1).toSeq == batch.sortBy(_._1),
+      s"stream/batch IMI cells diverge:\n  stream=${buf.sortBy(_._1).take(5)}" +
+        s"\n  batch =${batch.sortBy(_._1).take(5)}")
+  }
 }
