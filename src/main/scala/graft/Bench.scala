@@ -84,17 +84,24 @@ object Bench {
     val gateMaxSec = sys.env.get("SPARK_GRAFT_LOAD_GATE_MAX_SEC")
       .map(_.toInt).getOrElse(600)
     val gateOn = !sys.env.get("SPARK_GRAFT_LOAD_GATE").contains("0")
+    // one load sample per loop decision — deriving the timeout flag or the
+    // published loadavg from FRESH samples could contradict the loop's own
+    // exit decision (hover at the limit: loop exits at 1.99, a re-sample
+    // reads 2.01 → a "timed out under load" marker on a run that never
+    // waited), defeating the gate's self-describing purpose
     var gateWaited = 0
+    var loadAtGate = loadAvg()
     if (gateOn) {
-      while (loadAvg() > gateLimit && gateWaited < gateMaxSec) {
-        System.err.println(f"[bench] load gate: loadavg ${loadAvg()}%.2f > " +
+      while (loadAtGate > gateLimit && gateWaited < gateMaxSec) {
+        System.err.println(f"[bench] load gate: loadavg $loadAtGate%.2f > " +
           f"$gateLimit%.2f (cpus/4) — waiting 15 s (${gateWaited}s waited)")
         Thread.sleep(15000)
         gateWaited += 15
+        loadAtGate = loadAvg()
       }
     }
-    val gateTimeout = gateOn && loadAvg() > gateLimit
-    val loadAtGate = loadAvg()
+    val gateTimeout = gateOn && gateWaited >= gateMaxSec &&
+      loadAtGate > gateLimit
 
     val warmupErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def warmTable(t: String)(count: => Long): Unit =
@@ -186,12 +193,9 @@ object Bench {
     // load — so loadavg_start/loadavg_end bracket the headline timing
     // window they are documented to describe, not the sweep's own load.
     val loadEnd = loadAvg()
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
-    def obj(kvs: Seq[(String, String)]): String =
-      kvs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    // artifact serialization lives in MiniJson beside its parser, so the
+    // LawsSpec round-trip property guards the REAL escaping
+    import MiniJson.{jstr, obj}
     // linear-interpolated percentile over the warm samples — published per
     // query so the artifact self-describes its variance (p50 = the robust
     // round-over-round comparator, p95 = the tail a contended run shows)

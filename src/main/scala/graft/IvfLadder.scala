@@ -48,13 +48,20 @@ object IvfLadder {
       val cells = Q.truncateLineage(IvfKMeans.assignExactAgg(qe, cents))
       cells.count()
       val assignSec = (System.nanoTime() - t0) / 1e9
-      val probes = IvfKMeans.probeCellsExact(
-        Q.truncateLineage(IvfKMeans.quantize(e))
-          .join(probePanel.select("vec_id"), Seq("vec_id")), cents, nprobe)
-      val avgCand = cells.join(broadcast(probes), col("cell") === col("pcell"))
-        .filter(col("vec_id") =!= col("probe_id"))
-        .groupBy("probe_id").count()
-        .agg(avg("count")).collect()(0).getDouble(0)
+      // probe qvs come from the already-materialized panel — re-quantizing
+      // the whole collection here cost three redundant full passes
+      val probes = IvfKMeans.probeCellsExact(probePanel, cents, nprobe)
+      // average over ALL panel probes (left join + coalesce 0): a probe
+      // alone in its cells must count as 0 candidates, not vanish from
+      // the mean — and an all-empty panel must yield 0.0, not an NPE
+      val avgCand = probePanel.select(col("vec_id").as("probe_id"))
+        .join(
+          cells.join(broadcast(probes), col("cell") === col("pcell"))
+            .filter(col("vec_id") =!= col("probe_id"))
+            .groupBy("probe_id").count(),
+          Seq("probe_id"), "left")
+        .agg(coalesce(avg(coalesce(col("count"), lit(0L))), lit(0.0)))
+        .collect()(0).getDouble(0)
       t0 = System.nanoTime()
       val top = IvfKMeans.searchTopKExact(cells, probes, topK = 3)
         .select("probe_id", "vec_id").collect()

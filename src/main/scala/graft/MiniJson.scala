@@ -12,6 +12,21 @@ package graft
   */
 object MiniJson {
 
+  /** The WRITE half of the artifact format — the exact escaping Bench's
+    * JSON line is emitted with. Living beside [[parse]] (and tested
+    * against it by the LawsSpec round-trip property on these very
+    * functions, not a copy), an escaping change cannot silently make
+    * future artifacts unreadable to the round-over-round diff.
+    */
+  def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+
+  /** One JSON object from already-serialized value strings. */
+  def obj(kvs: Seq[(String, String)]): String =
+    kvs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+
   def parse(s: String): Any = {
     val p = new P(s)
     val v = p.value()

@@ -329,8 +329,17 @@ object MediaPipeline {
       else if ((sig('G', 'I', 'F', '8', '7', 'a') ||
           sig('G', 'I', 'F', '8', '9', 'a')) && payload.length >= 10)
         img("gif", le16(6), le16(8))
-      else if (sig('B', 'M') && payload.length >= 26)
-        img("bmp", le32(18), math.abs(le32(22)))
+      else if (sig('B', 'M') && payload.length >= 26) {
+        // dims at 18/22 are only valid for the BITMAPINFOHEADER family
+        // (DIB header size 40/52/56/64/108/124 at offset 14); an OS/2
+        // BITMAPCOREHEADER (size 12) packs 16-bit dims at 18/20 and would
+        // decode here as plausible-looking garbage — route it to None
+        // rather than feed wrong dimensions into size/aspect filters
+        val dib = le32(14)
+        if (Set(40, 52, 56, 64, 108, 124)(dib))
+          img("bmp", le32(18), math.abs(le32(22)))
+        else None
+      }
       else if (sig(0xff, 0xd8)) {
         // marker walk: FF D8, then FF-prefixed segments with 2-byte
         // big-endian lengths (length includes itself); dimensions live in
@@ -359,13 +368,19 @@ object MediaPipeline {
           u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' && u8(11) == 'E') {
         // RIFF chunk walk to "fmt ": chunkId(4) size(4,LE) data(size,
         // word-aligned). channels@+2, sampleRate@+4, bitsPerSample@+14.
+        // A corrupt NEGATIVE chunk size would make the advance zero or
+        // backwards (le32 is signed) and spin this walk forever — a hang
+        // is worse than the partition-kill this probe exists to prevent,
+        // so any non-positive advance aborts to None.
         var i = 12
         var out: Option[MediaHeader] = None
-        while (out.isEmpty && i + 8 <= payload.length) {
+        var corrupt = false
+        while (out.isEmpty && !corrupt && i + 8 <= payload.length) {
           val isFmt = u8(i) == 'f' && u8(i + 1) == 'm' &&
             u8(i + 2) == 't' && u8(i + 3) == ' '
           val sz = le32(i + 4)
-          if (isFmt && i + 8 + 16 <= payload.length)
+          if (sz < 0) corrupt = true
+          else if (isFmt && i + 8 + 16 <= payload.length)
             out = Some(MediaHeader("wav", -1, -1,
               le32(i + 12), le16(i + 10), le16(i + 22)))
           else i += 8 + sz + (sz & 1)

@@ -206,6 +206,15 @@ object IvfKMeans {
     * inside the min struct after the (d2, cent_id) keys — (vec_id) is
     * unique per group so it is never itself compared. Output
     * (vec_id, qv, cell).
+    *
+    * NOTE: this is deliberately one of THREE min-struct argmin shapes
+    * (LlmOps.ivfCellAssign carries NO qv — collapsing them here would
+    * widen j64's shuffle by a 64-long array it drops; imiAssignAgainst's
+    * argminSide carries a half and different column names). All three
+    * share the non-null fixed-width input PRECONDITION documented at
+    * LlmOps.pqCodesAgainst (a NULL distance would win Spark's struct-min
+    * but sort last in the oracle) — check there before touching any of
+    * them.
     */
   def assignExactAgg(qe: DataFrame, cents: Array[Array[Long]]): DataFrame = {
     graft.functions.SquaredDistance.register(qe.sparkSession)

@@ -408,17 +408,14 @@ object LawsSpec extends Properties("graft") {
       1 -> Gen.mapOf(Gen.zip(Gen.alphaNumStr, jsonValue(depth - 1)))
         .map(m => m: Any),
       1 -> Gen.listOf(jsonValue(depth - 1)).map(l => l: Any))
-  // the same escaping Bench's jstr emits — MiniJson must read back what
-  // the artifact writer writes, including control chars and \u escapes
-  private def jstr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-  } + "\""
+  // serialize through the PRODUCTION write half (MiniJson.jstr/obj — the
+  // functions Bench's artifact line is built with), so this property
+  // guards the real escaping rather than a copy that could drift
   private def ser(v: Any): String = v match {
-    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
-      .map { case (k, x) => jstr(k) + ":" + ser(x) }.mkString("{", ",", "}")
+    case m: Map[_, _] => MiniJson.obj(m.asInstanceOf[Map[String, Any]]
+      .toSeq.map { case (k, x) => k -> ser(x) })
     case l: List[_] => l.map(ser).mkString("[", ",", "]")
-    case s: String => jstr(s)
+    case s: String => MiniJson.jstr(s)
     case d: Double => d.toString
     case b: Boolean => b.toString
     case null => "null"

@@ -401,6 +401,24 @@ class MediaPipelineSpec extends AnyFunSuite {
       "PNG truncated before IHDR dims must probe as None")
     assert(MediaPipeline.headerProbe(enc("jpg", 64, 64).take(6)).isEmpty,
       "JPEG truncated before any SOF must probe as None")
+    // corrupt WAV with a NEGATIVE chunk size (le32 is signed): the RIFF
+    // walk's advance would be <= 0 — must abort to None, never spin
+    // forever (a hang is worse than the partition-kill the probe guards
+    // against)
+    val evilWav = "RIFF".getBytes("US-ASCII") ++ Array[Byte](0, 0, 0, 0) ++
+      "WAVE".getBytes("US-ASCII") ++ "junk".getBytes("US-ASCII") ++
+      Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0xff.toByte) ++
+      new Array[Byte](16)
+    assert(MediaPipeline.headerProbe(evilWav).isEmpty,
+      "negative RIFF chunk size must probe as None, not loop")
+    // OS/2 BITMAPCOREHEADER (DIB size 12, 16-bit dims at 18/20): the
+    // 32-bit reads at 18/22 would decode plausible-looking garbage — the
+    // DIB header-size check must route it to None
+    val coreBmp = "BM".getBytes("US-ASCII") ++ new Array[Byte](12) ++
+      Array[Byte](12, 0, 0, 0) ++ // BITMAPCOREHEADER size
+      Array[Byte](64, 0, 48, 0, 1, 0, 24, 0) ++ new Array[Byte](8)
+    assert(MediaPipeline.headerProbe(coreBmp).isEmpty,
+      "OS/2 core-header BMP must probe as None, not garbage dims")
     // the Dataset-level profile stage: one row per item, nulls (not drops)
     // for unrecognized payloads — profiling must SURFACE corrupt rows
     import spark.implicits._
