@@ -715,24 +715,38 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("exactly-once sink: a forced batch replay cannot double-write (naive append does)") {
-    // foreachBatch is at-least-once BY CONTRACT: if the process dies after
-    // the sink write but before the checkpoint commit, restart re-runs the
-    // batch with the same batchId. Forcing that window deterministically:
-    // run two batches, stop, DELETE the latest commit marker from the
-    // checkpoint (offsets survive → Spark replays exactly that batch on
-    // restart), run again. The batchId-keyed dynamic-partition-overwrite
-    // sink must converge to the same table contents as an unbroken run;
-    // the naive append sink, driven through the IDENTICAL replay, must
-    // show the duplicates — proving the test window actually re-delivered
-    // rows and the idempotent sink actually absorbed them.
+    exactlyOnceReplayScenario()
+  }
+
+  test("exactly-once sink: the forced replay also converges under RocksDB state") {
+    // the same forced-replay window with the 100 TB state provider: the
+    // replayed batch's running counts must regenerate IDENTICALLY from
+    // the RocksDB snapshot+replay recovery path, or the overwritten
+    // partition would converge to different contents than the unbroken
+    // run — exactly-once is a property of sink key AND deterministic
+    // state recovery together
+    withRocksDB { exactlyOnceReplayScenario() }
+  }
+
+  /** Shared body of the two exactly-once tests.
+    * foreachBatch is at-least-once BY CONTRACT: if the process dies after
+    * the sink write but before the checkpoint commit, restart re-runs the
+    * batch with the same batchId. Forcing that window deterministically:
+    * run two batches, stop, DELETE the latest commit marker from the
+    * checkpoint (offsets survive → Spark replays exactly that batch on
+    * restart), run again. The batchId-keyed dynamic-partition-overwrite
+    * sink must converge to the same table contents as an unbroken run;
+    * the naive append sink, driven through the IDENTICAL replay, must
+    * show the duplicates — proving the test window actually re-delivered
+    * rows and the idempotent sink actually absorbed them.
+    */
+  private def exactlyOnceReplayScenario(): Unit = {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft-eo-ckpt")
     val out = java.nio.file.Files.createTempDirectory("graft-eo-out")
     val naiveDir = java.nio.file.Files.createTempDirectory("graft-eo-naive")
     val in = MemoryStream[Event]
-    val naive = new java.util.concurrent.atomic.AtomicReference(
-      Seq.empty[(Long, String, Long)])
 
     def start() = runningCounts(in.toDS()).toDF().writeStream
       .outputMode("update")
