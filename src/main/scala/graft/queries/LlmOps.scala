@@ -577,6 +577,121 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** One BPE round over a `(word, wcount, i, s)` symbol table: count
+    * adjacent pairs weighted by word count, pick the top pair under the
+    * total order (cnt DESC, pair lexicographic), apply it leftmost-
+    * non-overlapping via gaps-and-islands, resequence. THE single
+    * definition — j56 (training: the learned pair per round) and j69
+    * (encoding: the evolved symbol table after all rounds) both call it,
+    * so the trainer and the encoder cannot fork; the oracle twin is
+    * [[bpeRoundSql]]. Returns (top-pair 1-row table, next symbol table).
+    */
+  private[graft] def bpeRound(sym: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val wWin = Window.partitionBy("word").orderBy("i")
+    val pairs = sym
+      .withColumn("b", lead(col("s"), 1).over(wWin))
+      .filter(col("b").isNotNull)
+      .groupBy(col("s").as("a"), col("b"))
+      .agg(sum("wcount").as("cnt"))
+    val top = pairs
+      .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+      .select(col("a").as("ta"), col("b").as("tb"),
+        col("cnt").as("tcnt"))
+    val cand = sym.crossJoin(broadcast(top))
+      .withColumn("c", coalesce(
+        col("s") === col("ta") &&
+          lead(col("s"), 1).over(wWin) === col("tb"),
+        lit(false)))
+    val runs = cand.withColumn("grp", when(col("c"),
+      col("i") - row_number().over(
+        Window.partitionBy("word", "c").orderBy("i"))))
+    val marks = runs
+      .withColumn("rstart",
+        min(col("i")).over(Window.partitionBy("word", "grp")))
+      .withColumn("m",
+        col("c") && (col("i") - col("rstart")) % 2 === 0)
+    val next = marks
+      .withColumn("pm", lag(col("m"), 1, false).over(wWin))
+      .filter(col("m") || !col("pm"))
+      .select(col("word"), col("wcount"),
+        row_number().over(wWin).cast("long").as("i"),
+        when(col("m"), concat(col("ta"), col("tb")))
+          .otherwise(col("s")).as("s"))
+    (top, next)
+  }
+
+  /** The weighted vocabulary of a corpus and its initial per-character
+    * symbol table — the inputs every BPE round evolves. Everything after
+    * this ONE corpus pass runs on (distinct word, count): the shape that
+    * scales BPE to 100 TB.
+    */
+  private[graft] def bpeSym1(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+    vocab.select(col("word"), col("wcount"),
+      posexplode(expr(
+        """transform(sequence(1, length(word)),
+           k -> substring(word, k, 1))""")).as(Seq("p0", "s")))
+      .select(col("word"), col("wcount"),
+        (col("p0") + 1).cast("long").as("i"), col("s"))
+  }
+
+  /** Oracle twin of [[bpeRound]]: the CTE block deriving top$k and
+    * sym${k+1} from sym$k. j56's and j69's oracles unroll the SAME text,
+    * so an edit to the relational merge step changes both or neither.
+    */
+  private def bpeRoundSql(k: Int): String = {
+    val n = k + 1
+    s"""pairs$k AS (
+          SELECT a, b, CAST(sum(wcount) AS BIGINT) AS cnt FROM (
+            SELECT word, wcount, s AS a,
+                   lead(s) OVER (PARTITION BY word ORDER BY i) AS b
+            FROM sym$k)
+          WHERE b IS NOT NULL GROUP BY a, b),
+        top$k AS (
+          SELECT a AS ta, b AS tb, cnt AS tcnt FROM pairs$k
+          ORDER BY cnt DESC, a, b LIMIT 1),
+        cand$k AS (
+          SELECT s.word, s.wcount, s.i, s.s, t.ta, t.tb,
+                 COALESCE(s.s = t.ta AND
+                   lead(s.s) OVER (PARTITION BY s.word ORDER BY s.i)
+                     = t.tb, false) AS c
+          FROM sym$k s CROSS JOIN top$k t),
+        runs$k AS (
+          SELECT *, CASE WHEN c THEN i - row_number()
+            OVER (PARTITION BY word, c ORDER BY i) END AS grp
+          FROM cand$k),
+        marks$k AS (
+          SELECT *, c AND ((i - min(i) OVER (PARTITION BY word, grp))
+            % 2 = 0) AS m
+          FROM runs$k),
+        sym$n AS (
+          SELECT word, wcount,
+                 CAST(row_number() OVER (PARTITION BY word ORDER BY i)
+                   AS BIGINT) AS i,
+                 CASE WHEN m THEN ta || tb ELSE s END AS s
+          FROM (SELECT *, lag(m, 1, false)
+                  OVER (PARTITION BY word ORDER BY i) AS pm
+                FROM marks$k)
+          WHERE m OR NOT pm)"""
+  }
+
+  /** Oracle twin of [[bpeSym1]]. */
+  private val BpeSym1Sql =
+    """vocab AS (
+         SELECT word, CAST(count(*) AS BIGINT) AS wcount FROM
+           (SELECT unnest(string_split(text, ' ')) AS word
+            FROM documents)
+         GROUP BY word),
+       sym1 AS (
+         SELECT word, wcount, CAST(u.k AS BIGINT) AS i,
+                substring(word, CAST(u.k AS INT), 1) AS s
+         FROM vocab,
+              UNNEST(generate_series(1, length(word))) AS u(k))"""
+
   val queries: Seq[Q] = Seq(
 
     // Exact dedup: content-hash the text, keep the lowest doc_id per hash.
@@ -3297,55 +3412,11 @@ object LlmOps {
     // of the same builder; the oracle unrolls the identical CTE chain.
     Q("j56_bpe_merges",
       (s, d) => {
-        val wWin = Window.partitionBy("word").orderBy("i")
-        def bpeRound(sym: org.apache.spark.sql.DataFrame)
-            : (org.apache.spark.sql.DataFrame,
-               org.apache.spark.sql.DataFrame) = {
-          val pairs = sym
-            .withColumn("b", lead(col("s"), 1).over(wWin))
-            .filter(col("b").isNotNull)
-            .groupBy(col("s").as("a"), col("b"))
-            .agg(sum("wcount").as("cnt"))
-          val top = pairs
-            .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-            .select(col("a").as("ta"), col("b").as("tb"),
-              col("cnt").as("tcnt"))
-          val cand = sym.crossJoin(broadcast(top))
-            .withColumn("c", coalesce(
-              col("s") === col("ta") &&
-                lead(col("s"), 1).over(wWin) === col("tb"),
-              lit(false)))
-          val runs = cand.withColumn("grp", when(col("c"),
-            col("i") - row_number().over(
-              Window.partitionBy("word", "c").orderBy("i"))))
-          val marks = runs
-            .withColumn("rstart",
-              min(col("i")).over(Window.partitionBy("word", "grp")))
-            .withColumn("m",
-              col("c") && (col("i") - col("rstart")) % 2 === 0)
-          val next = marks
-            .withColumn("pm", lag(col("m"), 1, false).over(wWin))
-            .filter(col("m") || !col("pm"))
-            .select(col("word"), col("wcount"),
-              row_number().over(wWin).cast("long").as("i"),
-              when(col("m"), concat(col("ta"), col("tb")))
-                .otherwise(col("s")).as("s"))
-          (top, next)
-        }
-        val vocab = Tables.documents(s, d)
-          .select(explode(split(col("text"), " ")).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("wcount"))
-        val sym1 = vocab.select(col("word"), col("wcount"),
-          posexplode(expr(
-            """transform(sequence(1, length(word)),
-               k -> substring(word, k, 1))""")).as(Seq("p0", "s")))
-          .select(col("word"), col("wcount"),
-            (col("p0") + 1).cast("long").as("i"), col("s"))
         // each round's input is consumed twice (pair count + merge) and
         // feeds the next round's windows — truncate per round like the CC
         // supersteps so the vocabulary-sized table materializes instead of
         // re-deriving the whole chain per reference
-        val (t1, sym2) = bpeRound(truncateLineage(sym1))
+        val (t1, sym2) = bpeRound(truncateLineage(bpeSym1(s, d)))
         val (t2, sym3) = bpeRound(truncateLineage(sym2))
         val (t3, _) = bpeRound(truncateLineage(sym3))
         def rowOf(t: org.apache.spark.sql.DataFrame, k: Int) =
@@ -3355,53 +3426,9 @@ object LlmOps {
         rowOf(t1, 1).unionByName(rowOf(t2, 2)).unionByName(rowOf(t3, 3))
           .orderBy("mrank")
       },
-      Some {
-        def roundSql(k: Int): String = {
-          val n = k + 1
-          s"""pairs$k AS (
-                SELECT a, b, CAST(sum(wcount) AS BIGINT) AS cnt FROM (
-                  SELECT word, wcount, s AS a,
-                         lead(s) OVER (PARTITION BY word ORDER BY i) AS b
-                  FROM sym$k)
-                WHERE b IS NOT NULL GROUP BY a, b),
-              top$k AS (
-                SELECT a AS ta, b AS tb, cnt AS tcnt FROM pairs$k
-                ORDER BY cnt DESC, a, b LIMIT 1),
-              cand$k AS (
-                SELECT s.word, s.wcount, s.i, s.s, t.ta, t.tb,
-                       COALESCE(s.s = t.ta AND
-                         lead(s.s) OVER (PARTITION BY s.word ORDER BY s.i)
-                           = t.tb, false) AS c
-                FROM sym$k s CROSS JOIN top$k t),
-              runs$k AS (
-                SELECT *, CASE WHEN c THEN i - row_number()
-                  OVER (PARTITION BY word, c ORDER BY i) END AS grp
-                FROM cand$k),
-              marks$k AS (
-                SELECT *, c AND ((i - min(i) OVER (PARTITION BY word, grp))
-                  % 2 = 0) AS m
-                FROM runs$k),
-              sym$n AS (
-                SELECT word, wcount,
-                       CAST(row_number() OVER (PARTITION BY word ORDER BY i)
-                         AS BIGINT) AS i,
-                       CASE WHEN m THEN ta || tb ELSE s END AS s
-                FROM (SELECT *, lag(m, 1, false)
-                        OVER (PARTITION BY word ORDER BY i) AS pm
-                      FROM marks$k)
-                WHERE m OR NOT pm)"""
-        }
-        s"""WITH vocab AS (
-              SELECT word, CAST(count(*) AS BIGINT) AS wcount FROM
-                (SELECT unnest(string_split(text, ' ')) AS word
-                 FROM documents)
-              GROUP BY word),
-            sym1 AS (
-              SELECT word, wcount, CAST(u.k AS BIGINT) AS i,
-                     substring(word, CAST(u.k AS INT), 1) AS s
-              FROM vocab,
-                   UNNEST(generate_series(1, length(word))) AS u(k)),
-            ${roundSql(1)}, ${roundSql(2)}, ${roundSql(3)}
+      Some(
+        s"""WITH $BpeSym1Sql,
+            ${bpeRoundSql(1)}, ${bpeRoundSql(2)}, ${bpeRoundSql(3)}
             SELECT * FROM (
               SELECT CAST(1 AS BIGINT) AS mrank, ta AS left_sym,
                      tb AS right_sym, ta || tb AS merged, tcnt AS cnt
@@ -3410,8 +3437,7 @@ object LlmOps {
               SELECT CAST(2 AS BIGINT), ta, tb, ta || tb, tcnt FROM top2
               UNION ALL
               SELECT CAST(3 AS BIGINT), ta, tb, ta || tb, tcnt FROM top3)
-            ORDER BY mrank"""
-      }),
+            ORDER BY mrank""")),
 
     // Cross-source duplicate-overlap matrix — the dataset-card statistic
     // behind mixture design: how much verbatim content two ingest sources
@@ -4422,6 +4448,59 @@ object LlmOps {
                        CAST(row_number() OVER (PARTITION BY probe_id
                          ORDER BY adist, vec_id) AS BIGINT) AS rk
                 FROM ad) t
-              WHERE rk <= 3 ORDER BY probe_id, rk"""))
+              WHERE rk <= 3 ORDER BY probe_id, rk""")),
+
+    // BPE ENCODE — the apply half of the tokenizer loop (j56 is train-only:
+    // it learns the first K=3 merges but encodes nothing). Applies the
+    // learned merges to every document in priority order, one leftmost-
+    // non-overlapping pass per merge — complete for BPE because merge k's
+    // constituent symbols can only be produced by merges < k, so a single
+    // ordered pass per merge leaves no applicable site behind. The pass IS
+    // [[bpeRound]], the identical relational step training uses (trainer
+    // and encoder share one definition; the oracle unrolls the same CTEs),
+    // and the evolved symbol table after round K is exactly the corpus
+    // vocabulary encoded under the K learned merges.
+    //
+    // Shape at 100 TB: encoding runs on the weighted VOCABULARY (distinct
+    // word), never on raw tokens — per-word token counts then join back to
+    // the doc→word table on the word key (one hash join, vocabulary-sized
+    // build side vs corpus-sized probe side, exactly how production
+    // tokenizers amortize encode cost across duplicate words). Output:
+    // per-doc word count + symbol counts pre-merge (characters) and
+    // post-merge (BPE tokens).
+    Q("j69_bpe_encode",
+      (s, d) => {
+        val (_, sym2) = bpeRound(truncateLineage(bpeSym1(s, d)))
+        val (_, sym3) = bpeRound(truncateLineage(sym2))
+        val (_, sym4) = bpeRound(truncateLineage(sym3))
+        val enc = sym4.groupBy("word")
+          .agg(count(lit(1)).cast("long").as("n_tok"))
+        val docWords = Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 1)
+        docWords.join(enc, Seq("word"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_words"),
+            sum(length(col("word"))).cast("long").as("n_char_toks"),
+            sum(col("n_tok")).cast("long").as("n_bpe_toks"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $BpeSym1Sql,
+            ${bpeRoundSql(1)}, ${bpeRoundSql(2)}, ${bpeRoundSql(3)},
+            enc AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS n_tok
+              FROM sym4 GROUP BY word),
+            doc_words AS (
+              SELECT doc_id, w.word FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents) w
+              WHERE length(w.word) >= 1)
+            SELECT d.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(length(d.word)) AS BIGINT) AS n_char_toks,
+                   CAST(sum(e.n_tok) AS BIGINT) AS n_bpe_toks
+            FROM doc_words d JOIN enc e ON d.word = e.word
+            GROUP BY d.doc_id ORDER BY doc_id"""))
   )
 }

@@ -1614,4 +1614,34 @@ class QueriesSpec extends AnyFunSuite {
     assert(byCluster.values.exists(_.length > 1),
       "no multi-member semantic cluster — τ no longer bites this corpus")
   }
+
+  test("j69 BPE encode laws: 0 merges ≡ character split; merges non-increasing") {
+    // Law 1 — encoding under ZERO merges is the character split: the
+    // initial symbol table has exactly length(word) symbols per word.
+    val sym1 = queries.LlmOps.bpeSym1(spark, d)
+    val badSplit = sym1.groupBy("word")
+      .agg(count(lit(1)).as("n"), max(length(col("word"))).as("len"))
+      .filter(col("n") =!= col("len")).count()
+    assert(badSplit == 0, "some word's zero-merge encoding != its characters")
+    // Law 2 — each applied merge is per-word non-increasing in token count
+    // (a merge can only concatenate adjacent symbols, never split one).
+    def counts(sym: org.apache.spark.sql.DataFrame) =
+      sym.groupBy("word").agg(count(lit(1)).as("n"))
+    val (_, sym2) = queries.LlmOps.bpeRound(sym1)
+    val (_, sym3) = queries.LlmOps.bpeRound(sym2)
+    val (_, sym4) = queries.LlmOps.bpeRound(sym3)
+    Seq(("r1", sym1, sym2), ("r2", sym2, sym3), ("r3", sym3, sym4))
+      .foreach { case (r, a, b) =>
+        val grew = counts(a).join(
+          counts(b).withColumnRenamed("n", "nb"), "word")
+          .filter(col("nb") > col("n")).count()
+        assert(grew == 0, s"$r: a merge increased some word's token count")
+      }
+    // Law 3 — the registered per-doc output respects the same bounds:
+    // a word is at least one token, a token is at least one character.
+    val bad = SparkEntry.queries("j69_bpe_encode")(spark, d)
+      .filter(!(col("n_words") <= col("n_bpe_toks") &&
+        col("n_bpe_toks") <= col("n_char_toks"))).count()
+    assert(bad == 0, "per-doc token counts violate words <= bpe <= chars")
+  }
 }
