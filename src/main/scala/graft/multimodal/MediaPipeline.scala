@@ -292,7 +292,8 @@ object MediaPipeline {
     * leading bytes. -1 marks fields the format's header does not carry.
     */
   final case class MediaHeader(format: String, width: Int, height: Int,
-      sampleRate: Int, channels: Int, bitsPerSample: Int)
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      durationMs: Long = -1L)
 
   /** Parse format + dimensions from the payload's HEADER BYTES ONLY — no
     * ImageIO/AudioSystem, no pixel or sample decode. At 100 TB this is
@@ -304,10 +305,15 @@ object MediaPipeline {
     * (IHDR, big-endian), GIF (87a/89a logical screen, little-endian), BMP
     * (BITMAPINFOHEADER, little-endian, |height| — negative means
     * top-down), JPEG (marker walk to the first SOFn frame header), WAV
-    * (RIFF/fmt chunk walk). None ⇔ the payload matches no known
-    * signature or is truncated before the needed fields; parity with the
-    * real decoders on every generated fixture is pinned in
-    * MediaPipelineSpec.
+    * (RIFF/fmt chunk walk), MP3 (ID3v2 syncsafe skip + MPEG frame-sync
+    * field decode), MP4/ISO-BMFF (moov→mvhd duration, trak→tkhd video
+    * dimensions — the two container formats the decode path has no JVM
+    * codec for, probed by pure byte walks). None ⇔ the payload matches
+    * no known signature or is truncated/corrupt before the needed
+    * fields; parity with the real decoders on every generated
+    * image/WAV fixture is pinned in MediaPipelineSpec (MP3/MP4 have no
+    * in-container decoder — their fixtures are hand-assembled bytes with
+    * known ground truth).
     */
   def headerProbe(payload: Array[Byte]): Option[MediaHeader] = {
     def u8(i: Int): Int = payload(i) & 0xff
@@ -355,6 +361,12 @@ object MediaPipeline {
             if (m == 0xff) i += 1 // fill byte
             else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01)
               i += 2 // parameterless markers
+            else if (m == 0xda || m == 0xd9)
+              // SOS/EOI before any SOFn: what follows is entropy-coded
+              // data (not marker-structured) or the end of image — a
+              // stray FF C0–CF in there would be misread as a frame
+              // header and yield garbage dimensions. Stop: corrupt → None
+              i = payload.length
             else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
                 m != 0xcc) {
               if (i + 8 < payload.length)
@@ -380,12 +392,135 @@ object MediaPipeline {
             u8(i + 2) == 't' && u8(i + 3) == ' '
           val sz = le32(i + 4)
           if (sz < 0) corrupt = true
-          else if (isFmt && i + 8 + 16 <= payload.length)
-            out = Some(MediaHeader("wav", -1, -1,
-              le32(i + 12), le16(i + 10), le16(i + 22)))
+          else if (isFmt) {
+            // the fields read at +10..+23 only exist when the chunk
+            // DECLARES at least the 16 PCM-fmt bytes — a smaller sz with
+            // enough trailing payload would hand back the NEXT chunk's
+            // bytes as plausible-looking rate/channels. Corrupt → None
+            if (sz >= 16 && i + 8 + 16 <= payload.length)
+              out = Some(MediaHeader("wav", -1, -1,
+                le32(i + 12), le16(i + 10), le16(i + 22)))
+            else corrupt = true
+          }
           else i += 8 + sz + (sz & 1)
         }
         out
+      } else if (sig('I', 'D', '3') ||
+          (payload.length >= 4 && u8(0) == 0xff && (u8(1) & 0xe0) == 0xe0)) {
+        // MPEG audio (MP3): ID3v2 tag skip + first frame header. The tag
+        // size is syncsafe (4 × 7 bits, high bit MUST be clear — a set bit
+        // marks corruption, not a bigger tag); the frame sync must sit
+        // EXACTLY at the post-tag offset (or offset 0 with no tag) — a
+        // forward scan for FF Ex would false-positive on arbitrary binary
+        // payloads, and a probe that mislabels bytes is worse than None.
+        def mpegFrame(o: Int): Option[MediaHeader] =
+          if (o < 0 || o + 4 > payload.length || u8(o) != 0xff ||
+              (u8(o + 1) & 0xe0) != 0xe0) None
+          else {
+            val ver = (u8(o + 1) >> 3) & 3 // 0=MPEG2.5 1=reserved 2=v2 3=v1
+            val layer = (u8(o + 1) >> 1) & 3 // 0=reserved
+            val brIdx = (u8(o + 2) >> 4) & 0xf // 0xf=bad
+            val srIdx = (u8(o + 2) >> 2) & 3 // 3=reserved
+            val mode = (u8(o + 3) >> 6) & 3 // 3=mono
+            if (ver == 1 || layer == 0 || brIdx == 0xf || srIdx == 3) None
+            else {
+              // rate table factorizes: MPEG1 = 4× the MPEG2.5 base row,
+              // MPEG2 = 2× (11025/12000/8000 × {4,2,1})
+              val base = Array(11025, 12000, 8000)
+              val mult = ver match { case 3 => 4; case 2 => 2; case _ => 1 }
+              Some(MediaHeader("mp3", -1, -1, base(srIdx) * mult,
+                if (mode == 3) 1 else 2, -1))
+            }
+          }
+        if (!sig('I', 'D', '3')) mpegFrame(0)
+        else if (payload.length < 10 ||
+            ((u8(6) | u8(7) | u8(8) | u8(9)) & 0x80) != 0) None
+        else {
+          val tagSz = ((u8(6) & 0x7f) << 21) | ((u8(7) & 0x7f) << 14) |
+            ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f)
+          val footer = if ((u8(5) & 0x10) != 0) 10 else 0
+          mpegFrame(10 + tagSz + footer)
+        }
+      } else if (payload.length >= 12 && u8(4) == 'f' && u8(5) == 't' &&
+          u8(6) == 'y' && u8(7) == 'p') {
+        // MP4/ISO-BMFF: box walk [size(4,BE) type(4) payload...] — find
+        // moov, read duration from mvhd (duration/timescale, version 0 and
+        // 1 layouts) and dimensions from the first trak→tkhd carrying a
+        // nonzero 16.16 fixed-point width (the video track; audio tracks
+        // store 0×0). No codec, no mdat read — pure byte walks, same
+        // corrupt-degrades-to-None discipline: undersized / oversized /
+        // truncated boxes stop the walk.
+        def be64(i: Int): Long =
+          (be32(i).toLong << 32) | (be32(i + 4).toLong & 0xffffffffL)
+        // first box named `name` in [lo, hi): content bounds after the
+        // 8- or 16-byte header. size 0 = to-end-of-enclosure, size 1 =
+        // 64-bit largesize; a size smaller than its header or overrunning
+        // the enclosure is corrupt and stops the scan.
+        def findBox(lo: Int, hi: Int, name: String): Option[(Int, Int)] = {
+          var i = lo
+          var out: Option[(Int, Int)] = None
+          var corrupt = false
+          while (out.isEmpty && !corrupt && i + 8 <= hi) {
+            val sz32 = be32(i)
+            var hdr = 8
+            val sz: Long =
+              if (sz32 == 0) (hi - i).toLong
+              else if (sz32 == 1) {
+                hdr = 16
+                if (i + 16 <= hi) be64(i + 8) else -1L
+              } else sz32.toLong & 0xffffffffL
+            if (sz < hdr || i.toLong + sz > hi) corrupt = true
+            else if (u8(i + 4) == name(0) && u8(i + 5) == name(1) &&
+                u8(i + 6) == name(2) && u8(i + 7) == name(3))
+              out = Some((i + hdr, i + sz.toInt))
+            else i += sz.toInt
+          }
+          out
+        }
+        findBox(0, payload.length, "moov").map { case (mlo, mhi) =>
+          val dur: Long = findBox(mlo, mhi, "mvhd").flatMap {
+            case (blo, bhi) =>
+              if (blo >= bhi) None
+              else u8(blo) match {
+                // content: verflags(4), then v0 ctime(4) mtime(4)
+                // timescale(4) duration(4); v1 widens the times to 8
+                case 0 if blo + 20 <= bhi =>
+                  val ts = be32(blo + 12)
+                  val du = be32(blo + 16).toLong & 0xffffffffL
+                  if (ts > 0) Some(du * 1000L / ts) else None
+                case 1 if blo + 32 <= bhi =>
+                  val ts = be32(blo + 20)
+                  val du = be64(blo + 24)
+                  if (ts > 0 && du >= 0) Some(du * 1000L / ts) else None
+                case _ => None
+              }
+          }.getOrElse(-1L)
+          var tl = mlo
+          var dims: Option[(Int, Int)] = None
+          var more = true
+          var guard = 0 // sibling-scan bound: no real moov has 64 traks
+          while (dims.isEmpty && more && guard < 64) {
+            guard += 1
+            findBox(tl, mhi, "trak") match {
+              case None => more = false
+              case Some((tlo, thi)) =>
+                tl = thi
+                findBox(tlo, thi, "tkhd").foreach { case (klo, khi) =>
+                  // tkhd content: verflags, times/id/duration (v0: width
+                  // at 76; v1: at 88), then 16.16 fixed-point dims
+                  val (wOff, need) =
+                    if (u8(klo) == 0) (76, 84) else (88, 96)
+                  if (klo + need <= khi) {
+                    val w = be32(klo + wOff) >>> 16
+                    val h = be32(klo + wOff + 4) >>> 16
+                    if (w > 0 && h > 0) dims = Some((w, h))
+                  }
+                }
+            }
+          }
+          MediaHeader("mp4", dims.map(_._1).getOrElse(-1),
+            dims.map(_._2).getOrElse(-1), -1, -1, -1, dur)
+        }
       } else None
     } catch {
       // truncated payloads can index past the end mid-walk — a corrupt
@@ -409,9 +544,9 @@ object MediaPipeline {
       val h = headerProbe(m.payload)
       (m.media_id, m.mime, m.payload.length.toLong, h.map(_.format),
         h.map(_.width), h.map(_.height), h.map(_.sampleRate),
-        h.map(_.channels), h.map(_.bitsPerSample))
+        h.map(_.channels), h.map(_.bitsPerSample), h.map(_.durationMs))
     }).toDF("media_id", "mime", "n_bytes", "format", "width", "height",
-      "sample_rate", "channels", "bits_per_sample")
+      "sample_rate", "channels", "bits_per_sample", "duration_ms")
   }
 
   /** Image near-dup pairs within Hamming ≤ `maxHamming` over dHash,

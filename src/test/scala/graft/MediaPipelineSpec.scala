@@ -434,6 +434,99 @@ class MediaPipelineSpec extends AnyFunSuite {
       "unrecognized payload must profile as nulls, not vanish")
   }
 
+  test("header probe: MP3/MP4 byte walks with hand-built ground truth") {
+    // No JVM codec exists for either container in this environment, so the
+    // fixtures are assembled byte-by-byte from the public specs and the
+    // probe is checked against the values they were built with.
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    // --- MP3 ---
+    // bare MPEG1 Layer III frame: FF FB = sync + ver 3 + layer 1;
+    // 0x90 = bitrate idx 9, sample-rate idx 0 (44100); 0x40 = joint stereo
+    val bare = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x40)
+    val hBare = MediaPipeline.headerProbe(bare ++ new Array[Byte](32))
+      .getOrElse(fail("bare MPEG1 frame: probe returned None"))
+    assert(hBare.format == "mp3" && hBare.sampleRate == 44100 &&
+      hBare.channels == 2, s"bare frame fields: $hBare")
+    // ID3v2 tag (syncsafe size 257) then an MPEG2.5 Layer III mono frame:
+    // 0xE2 = ver 0 (2.5) layer 1; 0x58 = br 5, sr idx 2 (8000); 0xC0 = mono
+    val id3 = "ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0, 0, 2, 1) ++ new Array[Byte](257)
+    val frame25 = Array[Byte](0xff.toByte, 0xe2.toByte, 0x58, 0xc0.toByte)
+    val hTag = MediaPipeline.headerProbe(id3 ++ frame25)
+      .getOrElse(fail("ID3-prefixed frame: probe returned None"))
+    assert(hTag.format == "mp3" && hTag.sampleRate == 8000 &&
+      hTag.channels == 1, s"post-ID3 frame fields: $hTag")
+    // corrupt MP3s → None: reserved sample-rate index, reserved layer,
+    // non-syncsafe tag size, tag overrunning the payload
+    assert(MediaPipeline.headerProbe(
+      Array[Byte](0xff.toByte, 0xfb.toByte, 0x9c.toByte, 0x40)).isEmpty,
+      "reserved sample-rate index must probe as None")
+    assert(MediaPipeline.headerProbe(
+      Array[Byte](0xff.toByte, 0xf9.toByte, 0x90.toByte, 0x40)).isEmpty,
+      "reserved layer must probe as None")
+    assert(MediaPipeline.headerProbe("ID3".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0, 0, 0x80.toByte, 0) ++ new Array[Byte](64))
+      .isEmpty, "non-syncsafe ID3 size byte must probe as None")
+    assert(MediaPipeline.headerProbe(id3.take(40)).isEmpty,
+      "ID3 tag overrunning the payload must probe as None")
+    // --- MP4 ---
+    def mbox(tpe: String, content: Array[Byte]): Array[Byte] =
+      be32(content.length + 8) ++ tpe.getBytes("US-ASCII") ++ content
+    val mvhd = mbox("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(1000) ++ be32(7500) ++ new Array[Byte](80)) // ts 1000, dur 7500
+    // audio trak FIRST (0x0 tkhd dims) — the probe must skip it and take
+    // the video trak's 16.16 fixed-point 640x360
+    def tkhd(w: Int, h: Int) = mbox("tkhd", Array[Byte](0, 0, 0, 0) ++
+      new Array[Byte](72) ++ be32(w << 16) ++ be32(h << 16))
+    val moov = mbox("moov", mvhd ++ mbox("trak", tkhd(0, 0)) ++
+      mbox("trak", tkhd(640, 360)))
+    val ftyp = mbox("ftyp", "isom".getBytes("US-ASCII") ++ be32(0) ++
+      "isom".getBytes("US-ASCII"))
+    val mp4 = ftyp ++ moov ++ mbox("mdat", new Array[Byte](16))
+    val hMp4 = MediaPipeline.headerProbe(mp4)
+      .getOrElse(fail("assembled mp4: probe returned None"))
+    assert(hMp4.format == "mp4" && hMp4.width == 640 && hMp4.height == 360 &&
+      hMp4.durationMs == 7500L, s"mp4 fields: $hMp4")
+    // version-1 mvhd (64-bit times/duration): ts 600, dur 1234 → 2056 ms
+    val mvhd1 = mbox("mvhd", Array[Byte](1, 0, 0, 0) ++
+      new Array[Byte](16) ++ be32(600) ++ be32(0) ++ be32(1234))
+    val hV1 = MediaPipeline.headerProbe(
+      ftyp ++ mbox("moov", mvhd1 ++ mbox("trak", tkhd(64, 48))))
+      .getOrElse(fail("v1-mvhd mp4: probe returned None"))
+    assert(hV1.durationMs == 1234L * 1000 / 600 && hV1.width == 64,
+      s"v1 mvhd fields: $hV1")
+    // corrupt MP4s: no moov → None; moov whose declared size overruns the
+    // payload (truncation) → None; child box smaller than its header stops
+    // the inner walk (fields degrade to -1, format still identified)
+    assert(MediaPipeline.headerProbe(ftyp ++ mbox("mdat",
+      new Array[Byte](8))).isEmpty, "ftyp without moov must probe as None")
+    assert(MediaPipeline.headerProbe(
+      (ftyp ++ moov).dropRight(20)).isEmpty,
+      "truncated moov must probe as None")
+    val evilChild = mbox("moov", be32(3) ++ "mvhd".getBytes("US-ASCII"))
+    val hEvil = MediaPipeline.headerProbe(ftyp ++ evilChild)
+      .getOrElse(fail("undersized child box: format should still identify"))
+    assert(hEvil.durationMs == -1L && hEvil.width == -1,
+      "undersized child box must stop the inner walk, fields -1")
+    // --- r12 ADVICE regressions on existing formats ---
+    // WAV fmt chunk declaring sz < 16: the probed fields would be the NEXT
+    // chunk's bytes — must be corrupt → None, even with trailing payload
+    val smallFmt = "RIFF".getBytes("US-ASCII") ++ be32(0).reverse ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++
+      Array[Byte](8, 0, 0, 0) ++ new Array[Byte](32)
+    assert(MediaPipeline.headerProbe(smallFmt).isEmpty,
+      "fmt chunk with sz < 16 must probe as None, not next-chunk bytes")
+    // JPEG reaching SOS with no SOF seen: the walk must stop, not misread
+    // a stray FF Cx inside entropy-coded data as a frame header
+    val evilJpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++ // SOI
+      Array[Byte](0xff.toByte, 0xda.toByte, 0, 4, 0, 0) ++ // SOS, len 4
+      Array[Byte](0xff.toByte, 0xc0.toByte, 0, 17, 8, 1, 0, 1, 0, 3) ++
+      new Array[Byte](16) // fake SOF bytes inside entropy data
+    assert(MediaPipeline.headerProbe(evilJpeg).isEmpty,
+      "SOS before any SOF must probe as None, not entropy-data dims")
+  }
+
   test("header probe costs orders of magnitude less per row than a decode") {
     // the 100 TB point of the header path, measured not asserted-by-doc:
     // profiling a media column must not pay a codec per row

@@ -728,6 +728,89 @@ class StreamingSpec extends AnyFunSuite {
     withRocksDB { exactlyOnceReplayScenario() }
   }
 
+  test("RocksDB changelog checkpointing: per-batch changelogs serve recovery") {
+    // The knob that makes 100 TB-state recovery INCREMENTAL: with
+    // changelogCheckpointing enabled each commit uploads only the batch's
+    // write-set as a <version>.changelog, and a full snapshot only on the
+    // maintenance cadence — a restart reconstructs state as snapshot +
+    // changelog replay instead of re-downloading a full snapshot per
+    // batch. Evidence here is twofold: (1) recovery across a kill/restart
+    // still reconstructs the running count exactly, THROUGH the changelog
+    // replay path; (2) the checkpoint's state dir holds per-batch
+    // .changelog files (the default mode writes none) and fewer full
+    // snapshots than commits — the incrementality itself, observed on
+    // disk rather than asserted by doc.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDB { withChangelog {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-chlog-ckpt").toString
+      val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val in = MemoryStream[Event]
+      def start() = runningCountsTws(in.toDS()).writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[KeyCount],
+            _: Long) =>
+          df.collect().foreach(k => seen.merge(k.user_id, k.n, math.max _))
+        }.start()
+      val q1 = start()
+      (1 to 4).foreach { i =>
+        in.addData(Seq(ev(i.toLong, f"2024-01-01 10:0$i:00", 1)))
+        q1.processAllAvailable()
+      }
+      assertRocksDbServed(q1)
+      q1.stop()
+      val q2 = start() // recovery must replay changelogs over the snapshot
+      (5 to 6).foreach { i =>
+        in.addData(Seq(ev(i.toLong, f"2024-01-01 10:0$i:00", 1)))
+        q2.processAllAvailable()
+      }
+      q2.stop()
+      assert(seen.get(1L) == 6L,
+        s"state not recovered through changelog replay: expected 6, " +
+          s"saw ${seen.get(1L)}")
+      val stream = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(ckpt, "state"))
+      val names = try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.map(_.getFileName.toString).toVector
+      } finally stream.close()
+      val changelogs = names.count(_.endsWith(".changelog"))
+      val snapshots = names.count(_.endsWith(".zip"))
+      assert(changelogs >= 4,
+        s"expected per-batch .changelog files, found $changelogs " +
+          s"(changelog checkpointing did not take)")
+      assert(snapshots < changelogs,
+        s"full snapshots ($snapshots) not amortized below commit count " +
+          s"($changelogs) — commits are not incremental")
+    } }
+  }
+
+  test("exactly-once sink: forced replay converges under RocksDB + changelog") {
+    // the at-least-once replay window crossed with INCREMENTAL state
+    // recovery: the re-run batch's counts must regenerate identically
+    // from snapshot + changelog replay, or the idempotent partition
+    // overwrite would converge to different contents than the unbroken run
+    withRocksDB { withChangelog { exactlyOnceReplayScenario() } }
+  }
+
+  /** Run `body` with RocksDB changelog checkpointing enabled (incremental
+    * per-commit changelogs instead of a full snapshot upload per batch) —
+    * restored afterwards so the other RocksDB suites keep certifying the
+    * default snapshot mode too.
+    */
+  private def withChangelog[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Shared body of the two exactly-once tests.
     * foreachBatch is at-least-once BY CONTRACT: if the process dies after
     * the sink write but before the checkpoint commit, restart re-runs the
