@@ -42,7 +42,8 @@ object IvfLadder {
       .select("probe_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    def run(tag: String, cents: Array[Array[Long]], nprobe: Int): String = {
+    def run(tag: String, cents: Array[Array[Long]], nprobe: Int)
+        : (String, Double, Int) = {
       val k = cents.length
       var t0 = System.nanoTime()
       val cells = Q.truncateLineage(IvfKMeans.assignExactAgg(qe, cents))
@@ -67,11 +68,12 @@ object IvfLadder {
         .select("probe_id", "vec_id").collect()
       val searchSec = (System.nanoTime() - t0) / 1e9
       val hits = top.count(r => truth((r.getLong(0), r.getLong(1))))
-      f"""\"$tag\":{"k":$k,"nprobe":$nprobe,""" +
+      (f"""\"$tag\":{"k":$k,"nprobe":$nprobe,""" +
         f""""probed_fraction":${nprobe.toDouble / k}%.4f,""" +
         f""""avg_candidates_per_probe":$avgCand%.1f,""" +
         f""""assign_sec":$assignSec%.2f,"search_sec":$searchSec%.2f,""" +
-        f""""recall_hits":$hits,"recall_denom":${truth.size}}"""
+        f""""recall_hits":$hits,"recall_denom":${truth.size}}""",
+        avgCand, hits)
     }
 
     // fixed 16-cell codebook (the j16/j61 convention: 16 lowest vec_ids)
@@ -96,10 +98,11 @@ object IvfLadder {
     //    probe candidates are nprobe·n/k = 8·√n, so a 10× collection grows
     //    per-probe work ~√10 ≈ 3.2×, where both fixed16 and any
     //    equal-fraction config grow it 10× (candidates = fraction·n).
-    val out = Seq(
-      run("fixed16", fixed16, nprobe = 1),
-      run("scaled_eqfrac", trained, nprobe = nprobeScaled),
-      run("scaled_const_nprobe", trained, nprobe = 8)).mkString(",")
+    val (fixedJson, _, _) = run("fixed16", fixed16, nprobe = 1)
+    val (eqfracJson, avgCandScaled, _) =
+      run("scaled_eqfrac", trained, nprobe = nprobeScaled)
+    val (constJson, _, _) = run("scaled_const_nprobe", trained, nprobe = 8)
+    val out = Seq(fixedJson, eqfracJson, constJson).mkString(",")
     // the multi-index assignment-cost point: ~k product cells from
     // 2·√k distance evals per vector, vs the flat path's k — this is
     // the build-cost fix scaledK's caveat names (j67/j68 machinery)
@@ -112,8 +115,72 @@ object IvfLadder {
     val imiJson = f""""imi":{"k_half":$kHalf,""" +
       f""""cells":${kHalf * kHalf},"evals_per_vec":${2 * kHalf},""" +
       f""""assign_sec":$imiSec%.2f}"""
+    // IMI SEARCH at production sizing (round 13): kHalf ≈ n^(1/4) TRAINED
+    // half codebooks → ~√n product cells — the full j68 pipeline (2·kHalf
+    // probe evals, decomposed-sum cell ordering, candidates from the cell
+    // equi-join, vectors fetched per candidate) at the sizing a 100 TB
+    // deployment would run. nprobe is tied to the scaled-IVF eqfrac config
+    // (nprobe_imi = floor(cells · nprobe_scaled / k)) so the probed CELL
+    // fraction is equal-or-smaller and recall is comparable; candidates
+    // per probe report the fraction of the COLLECTION actually scanned.
+    val kQ = math.max(4, math.ceil(math.pow(n.toDouble, 0.25)).toInt)
+    val nCellsImi = kQ * kQ
+    var tI = System.nanoTime()
+    val (cl, ch) = IvfKMeans.imiHalfCodebooksTrained(qe, kQ,
+      iters = 2, sampleN = math.max(1024, 16 * kQ))
+    val clT = Q.truncateLineage(cl)
+    val chT = Q.truncateLineage(ch)
+    clT.count(); chT.count()
+    val imiTrainSec = (System.nanoTime() - tI) / 1e9
+    tI = System.nanoTime()
+    val imiCellTable = Q.truncateLineage(
+      IvfKMeans.imiAssignAgainst(qe, clT, chT, kQ).select("vec_id", "cell"))
+    imiCellTable.count()
+    val imiAssignSec = (System.nanoTime() - tI) / 1e9
+    def runImi(tag: String, nprobe: Int): (String, Double, Int) = {
+      val probesImi = Q.truncateLineage(IvfKMeans.imiProbeCells(
+        probePanel.select(col("vec_id").as("probe_id"), col("qv").as("pqv")),
+        clT, chT, kQ, nprobe))
+      val avgCand = probePanel.select(col("vec_id").as("probe_id"))
+        .join(
+          imiCellTable.join(broadcast(probesImi.select("probe_id", "pcell")),
+              col("cell") === col("pcell"))
+            .filter(col("vec_id") =!= col("probe_id"))
+            .groupBy("probe_id").count(),
+          Seq("probe_id"), "left")
+        .agg(coalesce(avg(coalesce(col("count"), lit(0L))), lit(0.0)))
+        .collect()(0).getDouble(0)
+      val tS = System.nanoTime()
+      val top = IvfKMeans.imiSearchTopK(imiCellTable, qe, probesImi,
+          topK = 3)
+        .select("probe_id", "vec_id").collect()
+      val searchSec = (System.nanoTime() - tS) / 1e9
+      val hits = top.count(r => truth((r.getLong(0), r.getLong(1))))
+      (f"""\"$tag\":{"k_half":$kQ,"cells":$nCellsImi,"nprobe":$nprobe,""" +
+        f""""probed_fraction":${nprobe.toDouble / nCellsImi}%.4f,""" +
+        f""""avg_candidates_per_probe":$avgCand%.1f,""" +
+        f""""train_sec":$imiTrainSec%.2f,""" +
+        f""""assign_sec":$imiAssignSec%.2f,""" +
+        f""""search_sec":$searchSec%.2f,""" +
+        f""""recall_hits":$hits,"recall_denom":${truth.size}}""",
+        avgCand, hits)
+    }
+    // equal-or-smaller probed CELL fraction than the scaled eqfrac config
+    val nprobeImi = math.max(1,
+      math.floor(nCellsImi * nprobeScaled / k.toDouble).toInt)
+    val (imiEqfracJson, avgCandImi, _) =
+      runImi("imi_search_eqfrac", nprobeImi)
+    // equal CANDIDATE budget: a data-point probe lands in the dense region
+    // of the trained flat cells, so at equal cell fraction the product
+    // cells (ordered by decomposed sum) scan FEWER vectors — measured,
+    // e.g. 1197 vs 1776 at 20k. Scaling nprobe to candidate parity makes
+    // the recall comparison budget-fair; capped at all cells.
+    val nprobeEq = math.min(nCellsImi, math.max(nprobeImi,
+      math.ceil(nprobeImi * avgCandScaled / math.max(avgCandImi, 1.0)).toInt))
+    val (imiEqcandJson, _, _) = runImi("imi_search_eqcand", nprobeEq)
     println(s"""{"n":$n,"n_probes":$nProbes,""" +
-      f""""train_sec":$trainSec%.2f,$out,$imiJson}""")
+      f""""train_sec":$trainSec%.2f,$out,$imiJson,""" +
+      s"""$imiEqfracJson,$imiEqcandJson}""")
     spark.stop()
   }
 }

@@ -137,9 +137,17 @@ object IvfKMeans {
     * Returns (iteration-0 seed codebook, trained codebook).
     */
   def trainExact(emb: DataFrame, k: Int = 8, iters: Int = 3,
-      sampleN: Int = 256): (Array[Array[Long]], Array[Array[Long]]) = {
+      sampleN: Int = 256): (Array[Array[Long]], Array[Array[Long]]) =
+    trainExactQ(quantize(emb), k, iters, sampleN)
+
+  /** [[trainExact]] on an ALREADY-quantized `(vec_id, qv)` table — the
+    * generalization half-codebook training needs (a vector HALF is an
+    * integer slice, not a float embedding column). Identical loop.
+    */
+  def trainExactQ(qdf: DataFrame, k: Int, iters: Int,
+      sampleN: Int): (Array[Array[Long]], Array[Array[Long]]) = {
     val sample = graft.Q.truncateLineage(
-      quantize(emb)
+      qdf
         .orderBy(md5(concat(lit("ivf:"), col("vec_id").cast("string"))),
           col("vec_id"))
         .limit(sampleN))
@@ -327,6 +335,84 @@ object IvfKMeans {
       .select(col("vec_id"), col("cell_lo"), col("cell_hi"),
         (col("cell_lo") * kHalf + col("cell_hi")).as("cell"),
         col("d2_lo"), col("d2_hi"))
+  }
+
+  /** LEARNED half codebooks for the multi-index at production sizing:
+    * each 32-dim half trained independently with the integer-exact Lloyd
+    * loop on its slice (Babenko & Lempitsky's construction — the halves'
+    * codebooks are independent k-means problems; the registered j67 keeps
+    * the fixed lowest-vec_id convention for oracle exactness). Returns
+    * `(cid, cv)` tables ready for [[imiAssignAgainst]] /
+    * [[imiProbeCells]].
+    */
+  def imiHalfCodebooksTrained(qe: DataFrame, kHalf: Int, iters: Int = 2,
+      sampleN: Int = 4096): (DataFrame, DataFrame) = {
+    val spark = qe.sparkSession
+    import spark.implicits._
+    def side(sliceFrom: Int): DataFrame = {
+      val (_, cents) = trainExactQ(
+        qe.select(col("vec_id"),
+          expr(s"slice(qv, $sliceFrom, 32)").as("qv")),
+        kHalf, iters, sampleN)
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+        .toDF("cid", "cv")
+    }
+    (side(1), side(33))
+  }
+
+  /** j68's probe stage at arbitrary `kHalf`: score the 2·kHalf half
+    * centroids per probe, order ALL kHalf² product cells by the
+    * decomposed sum dl+dh (for product cells the EXACT distance to the
+    * concatenated centroid, not a bound), keep the top `nprobe`. Probe
+    * cost is 2·kHalf distance evals + a kHalf²-row sort PER PROBE —
+    * panel-sized work, independent of the collection. Output
+    * (probe_id, pqv, pcell), [[imiSearchTopK]]'s probe side.
+    */
+  def imiProbeCells(probes: DataFrame, centsLo: DataFrame,
+      centsHi: DataFrame, kHalf: Int, nprobe: Int): DataFrame = {
+    graft.functions.SquaredDistance.register(probes.sparkSession)
+    val halves = probes.select(col("probe_id"), col("pqv"),
+      expr("slice(pqv, 1, 32)").as("lo"), expr("slice(pqv, 33, 32)").as("hi"))
+    val loSide = halves.select(col("probe_id"), col("pqv"),
+        col("lo").as("v"))
+      .crossJoin(broadcast(centsLo))
+      .withColumn("dl", expr(d2Expr("v", "cv")))
+      .select(col("probe_id"), col("pqv"), col("cid").as("ci"), col("dl"))
+    val hiSide = halves.select(col("probe_id"), col("hi").as("v"))
+      .crossJoin(broadcast(centsHi))
+      .withColumn("dh", expr(d2Expr("v", "cv")))
+      .select(col("probe_id"), col("cid").as("cj"), col("dh"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("dsum").asc, col("pcell"))
+    loSide.join(hiSide, Seq("probe_id"))
+      .withColumn("pcell", col("ci") * kHalf + col("cj"))
+      .withColumn("dsum", col("dl") + col("dh"))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= nprobe)
+      .select("probe_id", "pqv", "pcell")
+  }
+
+  /** j68's candidate/rank stage at arbitrary sizing: candidates come from
+    * the cell equi-join on the one-row-per-vector cell table FIRST, and
+    * vectors are fetched PER CANDIDATE after (the join against `qe` is
+    * candidates-sized, never collection-sized — the 100 TB-safe shape),
+    * then exact integer rank with ties to the lower vec_id.
+    * cellTable: (vec_id, cell); qe: (vec_id, qv).
+    */
+  def imiSearchTopK(cellTable: DataFrame, qe: DataFrame, probes: DataFrame,
+      topK: Int): DataFrame = {
+    graft.functions.SquaredDistance.register(qe.sparkSession)
+    val w = Window.partitionBy("probe_id").orderBy(col("d2").asc,
+      col("vec_id"))
+    cellTable.select("vec_id", "cell")
+      .join(broadcast(probes), col("cell") === col("pcell") &&
+        col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "pqv", "vec_id")
+      .join(qe, Seq("vec_id"))
+      .withColumn("d2", expr(d2Expr("qv", "pqv")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select("probe_id", "vec_id", "d2", "rk")
   }
 
   private def normalize(v: Array[Double]): Array[Double] = {

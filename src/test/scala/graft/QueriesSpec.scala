@@ -1039,6 +1039,93 @@ class QueriesSpec extends AnyFunSuite {
       s"scaled-cell recall $scaledTotal < fixed-cell recall $fixedTotal")
   }
 
+  test("production-sizing IMI search: recall >= fixed16 at a smaller candidate budget") {
+    // The round-13 ladder closed the j68 loop at production sizing
+    // (kHalf ≈ n^(1/4) TRAINED half codebooks → ~√n product cells) and
+    // measured the honest hierarchy on 20k→200k synth vectors: IMI beats
+    // the FIXED index decisively at a smaller scanned-candidate budget
+    // (recall 54-vs-48 at 20k scanning 27% fewer candidates, 81-vs-61 at
+    // 200k), and against the trained FLAT √n index it trades ~2% recall
+    // at equal candidate budget (99-vs-101 of 192 at 200k) for an 8.6×
+    // cheaper assignment (1.13 s vs 9.69 s; 44 vs 448 evals/vector) — so
+    // the flat-recall inequality is NOT pinned (recorded negative: at
+    // equal cell fraction the flat trained index recalls more because a
+    // data-point probe lands in its dense cells), the fixed-baseline one
+    // is. The claim is a SCALE property — at the 500-vector test tables
+    // n^(1/4) ≈ 5 half codebooks probing 1 of 25 product cells lose to
+    // the fixed index (measured 3-vs-11 of 15; second recorded negative)
+    // — so the pin runs at the ladder's 20k point, on the SAME
+    // deterministic vector formula ScaleSynth writes (murmur3 per
+    // (id, dim)); no RNG anywhere, the assertion is exact.
+    import graft.operators.IvfKMeans
+    graft.functions.SquaredDistance.register(spark)
+    val n = 20000L
+    val e = spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(1, 64),
+                i -> cast((pmod(hash(id, i), 2001) - 1000) / 1000.0
+                     as float))""").as("embedding"))
+    val qe = graft.Q.truncateLineage(IvfKMeans.quantize(e))
+    val panel = graft.Q.truncateLineage(
+      qe.filter(col("vec_id") % 100 === 7).orderBy("vec_id").limit(64))
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("d2").asc, col("vec_id"))
+    val truth = qe.crossJoin(broadcast(panel
+        .select(col("vec_id").as("probe_id"), col("qv").as("pqv"))))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("d2", expr(IvfKMeans.d2Expr("qv", "pqv")))
+      .withColumn("rk", row_number().over(wT))
+      .filter(col("rk") <= 3)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "empty truth — probe panel broken")
+    def candidates(cellTable: org.apache.spark.sql.DataFrame,
+        probes: org.apache.spark.sql.DataFrame): Long =
+      cellTable.join(broadcast(probes.select("probe_id", "pcell")),
+          col("cell") === col("pcell"))
+        .filter(col("vec_id") =!= col("probe_id")).count()
+    // fixed 16-cell baseline at nprobe=1 (probed fraction 1/16)
+    val fixed16 = qe.orderBy("vec_id").limit(16).collect()
+      .map(_.getSeq[Long](1).toArray)
+    val cellsF = graft.Q.truncateLineage(
+      IvfKMeans.assignExactAgg(qe, fixed16))
+    val probesF = IvfKMeans.probeCellsExact(
+      qe.join(panel.select("vec_id"), Seq("vec_id")), fixed16, 1)
+    val fixedCand = candidates(cellsF.select(col("vec_id"), col("cell")),
+      probesF)
+    val fixedTotal = IvfKMeans.searchTopKExact(cellsF, probesF, topK = 3)
+      .select("probe_id", "vec_id").collect()
+      .count(r => truth((r.getLong(0), r.getLong(1))))
+    // IMI at production sizing: kHalf ≈ n^(1/4) trained halves,
+    // probed CELL fraction <= the fixed baseline's 1/16 by construction
+    val kQ = math.max(4, math.ceil(math.pow(n.toDouble, 0.25)).toInt)
+    val (cl, ch) = IvfKMeans.imiHalfCodebooksTrained(qe, kQ,
+      iters = 2, sampleN = math.max(1024, 16 * kQ))
+    val clT = graft.Q.truncateLineage(cl)
+    val chT = graft.Q.truncateLineage(ch)
+    val cellTable = graft.Q.truncateLineage(
+      IvfKMeans.imiAssignAgainst(qe, clT, chT, kQ)
+        .select("vec_id", "cell"))
+    val np = math.max(1, (kQ * kQ) / 16)
+    assert(np.toDouble / (kQ * kQ) <= 1.0 / 16 + 1e-9,
+      s"IMI fraction ${np.toDouble / (kQ * kQ)} exceeds fixed's 1/16")
+    val probesI = graft.Q.truncateLineage(IvfKMeans.imiProbeCells(
+      panel.select(col("vec_id").as("probe_id"), col("qv").as("pqv")),
+      clT, chT, kQ, np))
+    val imiCand = candidates(cellTable, probesI)
+    val imiTotal = IvfKMeans.imiSearchTopK(cellTable, qe, probesI, topK = 3)
+      .select("probe_id", "vec_id").collect()
+      .count(r => truth((r.getLong(0), r.getLong(1))))
+    info(s"recall imi=$imiTotal fixed=$fixedTotal; " +
+      s"candidates imi=$imiCand fixed=$fixedCand")
+    assert(imiTotal > 0, "zero IMI recall — wiring broken")
+    assert(imiCand <= fixedCand,
+      s"IMI scanned MORE candidates ($imiCand) than fixed ($fixedCand) — " +
+        "the budget half of the claim broke")
+    assert(imiTotal >= fixedTotal,
+      s"IMI recall $imiTotal < fixed recall $fixedTotal at a smaller budget")
+  }
+
   test("multi-index product law: IMI cells == flat argmin over materialized product centroids") {
     // The law that makes the inverted multi-index EXACT rather than a
     // heuristic: integer squared euclidean decomposes over the halves

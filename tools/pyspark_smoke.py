@@ -13,13 +13,18 @@ result row-for-row against the Scala DataFrame twin invoked through py4j
 
 Usage:
   python3 tools/pyspark_smoke.py [sfDir] [query ...]
-defaults: /root/testdata/sf0.001  m1_tpch_q3 m2_tpch_q5 m4_tpch_q6
+defaults: /root/testdata/sf0.001 and the FULL m-tranche (every m*_tpch_*
+key in the catalog, discovered through py4j — 21 workloads), plus a
+non-SQL LLM operator check: j1_exact_dedup invoked through py4j AND
+re-composed natively in the PySpark DataFrame API, compared row-for-row
+(non-SQL operators reach the Python surface both ways).
 
 Run from the repo root after `sbt compile` (needs
 target/scala-2.13/classes on disk).
 """
 import glob
 import os
+import re
 import sys
 
 SPARK_HOME = os.environ.get("SPARK_HOME", "/opt/spark")
@@ -36,7 +41,7 @@ CLASSES = os.path.join(os.path.dirname(os.path.dirname(
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or ["m1_tpch_q3", "m2_tpch_q5", "m4_tpch_q6"]
+    names = sys.argv[2:]
     if not os.path.isdir(CLASSES):
         sys.exit(f"compiled classes not found at {CLASSES} — run sbt compile")
     spark = (SparkSession.builder
@@ -51,22 +56,54 @@ def main() -> int:
     jvm.graft.Tables.registerAllViews(spark._jsparkSession, sf_dir)
     oracle = jvm.graft.SparkEntry.oracleSql()
     queries = jvm.graft.SparkEntry.queries()
+    if not names:
+        # the full m-tranche, discovered from the catalog itself so a new
+        # workload cannot silently fall out of the smoke
+        allq = jvm.graft.SparkEntry.all()
+        catalog = [allq.apply(i).name() for i in range(allq.size())]
+        names = [n for n in catalog if re.match(r"m\d+_tpch", n)]
     failures = 0
     for name in names:
         sql = oracle.apply(name)
         py_rows = sorted(map(tuple, spark.sql(sql).collect()))
         jdf = queries.apply(name).apply(spark._jsparkSession, sf_dir)
         sc_rows = sorted(map(tuple, DataFrame(jdf, spark).collect()))
-        ok = py_rows == sc_rows and len(py_rows) > 0
+        # m14 (TPC-H q22) is legitimately EMPTY in this generator's data
+        # (the driver's oracle gate records 0 == 0 for it too), so equality
+        # decides the verdict; empty matches are labeled distinctly rather
+        # than counted as silent passes.
+        ok = py_rows == sc_rows
         failures += 0 if ok else 1
+        verdict = ("MATCH(empty)" if ok and not py_rows
+                   else "MATCH" if ok else "MISMATCH")
         print(f"[pyspark-smoke] {name}: python-sql rows={len(py_rows)} "
-              f"scala-df rows={len(sc_rows)} "
-              f"{'MATCH' if ok else 'MISMATCH'}")
+              f"scala-df rows={len(sc_rows)} {verdict}")
         if not ok:
             print(f"  first python row: {py_rows[:1]}")
             print(f"  first scala  row: {sc_rows[:1]}")
+    # Non-SQL LLM operator on the Python surface, both directions:
+    # the catalog entry invoked through py4j, and the SAME operator
+    # re-composed natively with pyspark.sql.functions — row-for-row equal.
+    from pyspark.sql import Window, functions as F
+    j_name = "j1_exact_dedup"
+    jdf = queries.apply(j_name).apply(spark._jsparkSession, sf_dir)
+    via_jvm = sorted(map(tuple, DataFrame(jdf, spark).collect()))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    native = (spark.table("documents")
+              .withColumn("h", F.sha2(F.col("text"), 256))
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("doc_id", "lang", "source", "n_chars")
+              .orderBy("doc_id"))
+    via_py = sorted(map(tuple, native.collect()))
+    j_ok = via_jvm == via_py and len(via_jvm) > 0
+    failures += 0 if j_ok else 1
+    print(f"[pyspark-smoke] {j_name}: py4j rows={len(via_jvm)} "
+          f"native-pyspark rows={len(via_py)} "
+          f"{'MATCH' if j_ok else 'MISMATCH'}")
+    n_total = len(names) + 1
     spark.stop()
-    print(f"[pyspark-smoke] {len(names) - failures}/{len(names)} matched")
+    print(f"[pyspark-smoke] {n_total - failures}/{n_total} matched")
     return 1 if failures else 0
 
 
