@@ -822,6 +822,48 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming ANN query serving — the request direction of the index
+    * [[imiAssignStream]] maintains: PROBE vectors arrive on a stream and
+    * each micro-batch is answered against the STATIC collection's
+    * multi-index (cell table + half codebooks derived ONCE from the
+    * collection and truncated — per-batch re-derivation would both fork
+    * the index and re-scan the collection per batch), emitting
+    * (probe_id, vec_id, d2, rk) top-k rows per probe. Runs
+    * `IvfKMeans.imiProbeCells` + `imiSearchTopK` per micro-batch — the
+    * SAME seams the registered j68 search composes, so batch/stream
+    * parity is by construction and the differential test asserts it
+    * row-for-row against the registered query. Each probe's answer
+    * depends only on its own vector and the static index, so batching
+    * granularity cannot change results. Per-batch cost: 2·kHalf distance
+    * evals + a kHalf²-row sort per probe, then a candidates-sized vector
+    * fetch — never a collection scan, the j68 100 TB shape.
+    */
+  def imiSearchStream(
+      probes: DataFrame,
+      staticEmb: DataFrame,
+      kHalf: Int,
+      nprobe: Int,
+      topK: Int,
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.IvfKMeans
+    val qe = graft.Q.truncateLineage(IvfKMeans.quantize(staticEmb))
+    val (cl, ch) = IvfKMeans.imiHalfCodebooks(qe, kHalf)
+    val (clT, chT) = (graft.Q.truncateLineage(cl), graft.Q.truncateLineage(ch))
+    val cellTable = graft.Q.truncateLineage(
+      IvfKMeans.imiAssignAgainst(qe, clT, chT, kHalf)
+        .select("vec_id", "cell"))
+    probes.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val pq = IvfKMeans.quantize(
+            batch.select(col("probe_id").as("vec_id"), col("embedding")))
+          .select(col("vec_id").as("probe_id"), col("qv").as("pqv"))
+        val pc = IvfKMeans.imiProbeCells(pq, clT, chT, kHalf, nprobe)
+        sink(IvfKMeans.imiSearchTopK(cellTable, qe, pc, topK), id)
+      }
+      .start()
+  }
+
   /** Offline state inspection via Spark's `statestore` batch data source:
     * read a stopped (or running) streaming query's checkpointed keyed
     * state as a plain DataFrame — the operational surface for debugging

@@ -1445,4 +1445,41 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch IMI cells diverge:\n  stream=${buf.sortBy(_._1).take(5)}" +
         s"\n  batch =${batch.sortBy(_._1).take(5)}")
   }
+
+  test("streaming IMI search serves queries identical to the batch j68") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // query serving, the request direction of the maintenance stream: the
+    // registered j68's probe panel arrives as a STREAM (two micro-batches)
+    // against the static collection's multi-index, at j68's exact sizing
+    // (kHalf=4, nprobe=3, topK=3). Parity is by construction (same
+    // imiProbeCells/imiSearchTopK seams), so a divergence here means the
+    // probe quantize step or the index derivation forked — and the split
+    // across batches proves batching granularity cannot change an answer
+    val emb = Tables.embeddings(spark, d)
+    val probeRows = emb.filter(col("vec_id") % 100 === 7)
+      .orderBy("vec_id").limit(64)
+      .select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    assert(probeRows.size >= 2, "panel too small to split across batches")
+    val in = MemoryStream[(Long, Seq[Float])]
+    val buf = scala.collection.mutable.Buffer.empty[(Long, Long, Long, Long)]
+    val q = StreamOps.imiSearchStream(
+      in.toDS().toDF("probe_id", "embedding"), emb,
+      kHalf = 4, nprobe = 3, topK = 3,
+      (out, _) => buf ++= out.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+    probeRows.grouped((probeRows.size + 1) / 2).foreach { half =>
+      in.addData(half); q.processAllAvailable()
+    }
+    q.stop()
+    val batch = SparkEntry.queries("j68_imi_search")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(buf.sortBy(t => (t._1, t._4)).toSeq ==
+      batch.sortBy(t => (t._1, t._4)),
+      s"stream/batch IMI search diverge:\n" +
+        s"  stream=${buf.sortBy(t => (t._1, t._4)).take(5)}\n" +
+        s"  batch =${batch.sortBy(t => (t._1, t._4)).take(5)}")
+  }
 }
