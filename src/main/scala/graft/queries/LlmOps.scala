@@ -4501,6 +4501,98 @@ object LlmOps {
                    CAST(sum(length(d.word)) AS BIGINT) AS n_char_toks,
                    CAST(sum(e.n_tok) AS BIGINT) AS n_bpe_toks
             FROM doc_words d JOIN enc e ON d.word = e.word
-            GROUP BY d.doc_id ORDER BY doc_id"""))
+            GROUP BY d.doc_id ORDER BY doc_id""")),
+
+    // Semantic dedup over the MULTI-INDEX cells — j53's SemDeDup pipeline
+    // with the coarse quantizer swapped for j67's inverted multi-index
+    // (round 13). Why it earns its own registration: the index the search
+    // path already builds and maintains (j67 cells, j68 search,
+    // imiAssignStream/imiSearchStream) now also bounds the dedup's
+    // quadratic term — ONE coarse quantizer, four consumers. The scale
+    // argument is j67's: SemDeDup needs cells ~√n for per-cell work to
+    // stay flat, and flat k=√n assignment is the n^1.5 wall the product
+    // structure drops to n·2·n^(1/4) (measured 35-49x at 1M vectors —
+    // README ladder). Same pair stage (rounded dot >= 0.35 within a
+    // cell), same star-contraction CC, same canonical-min convention as
+    // j53, so the two registrations differ ONLY in cell structure —
+    // product cells from per-half integer-d2 argmins (16 = 4x4 here,
+    // oracle-exact by the j67 product-structure law) vs j53's 16
+    // dot-nearest centroids. A component can never span cells (every
+    // pair is within-cell), which QueriesSpec pins.
+    Q("j70_semantic_dedup_imi",
+      (s, d) => {
+        DotProduct.register(s)
+        graft.functions.SquaredDistance.register(s)
+        val e = Tables.embeddings(s, d)
+        val cells = truncateLineage(graft.operators.IvfKMeans
+          .imiAssign(graft.operators.IvfKMeans.quantize(e), kHalf = 4)
+          .select("vec_id", "cell"))
+        val assigned = truncateLineage(
+          e.select("vec_id", "embedding").join(cells, "vec_id"))
+        val pairs = semanticPairs(assigned)
+        val cc = graft.operators.ConnectedComponents.byStarContraction(
+          e.select(col("vec_id").as("doc_id")), truncateLineage(pairs))
+        cc.join(assigned.select(col("vec_id").as("doc_id"), col("cell")),
+            "doc_id")
+          .select(col("doc_id").as("vec_id"), col("cell").cast("long"),
+            col("cluster_id"), col("is_canonical"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE q AS (
+                 SELECT vec_id, embedding, list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                   AS qv
+                 FROM embeddings),
+               h AS (
+                 SELECT vec_id, qv[1:32] AS lo, qv[33:64] AS hi FROM q),
+               cl AS (
+                 SELECT vec_id AS cid, lo AS cv FROM h WHERE vec_id < 4),
+               ch AS (
+                 SELECT vec_id AS cid, hi AS cv FROM h WHERE vec_id < 4),
+               alo AS (
+                 SELECT h.vec_id, c.cid,
+                        CAST(list_sum(list_transform(generate_series(1, 32),
+                          i -> (h.lo[i] - c.cv[i]) * (h.lo[i] - c.cv[i])))
+                          AS BIGINT) AS d2
+                 FROM h CROSS JOIN cl c),
+               ahi AS (
+                 SELECT h.vec_id, c.cid,
+                        CAST(list_sum(list_transform(generate_series(1, 32),
+                          i -> (h.hi[i] - c.cv[i]) * (h.hi[i] - c.cv[i])))
+                          AS BIGINT) AS d2
+                 FROM h CROSS JOIN ch c),
+               blo AS (
+                 SELECT vec_id, cid AS cell_lo FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d2, cid) AS rk
+                   FROM alo) WHERE rk = 1),
+               bhi AS (
+                 SELECT vec_id, cid AS cell_hi FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d2, cid) AS rk
+                   FROM ahi) WHERE rk = 1),
+               a AS (
+                 SELECT e.vec_id, e.embedding,
+                        CAST(blo.cell_lo * 4 + bhi.cell_hi AS BIGINT) AS cell
+                 FROM embeddings e
+                 JOIN blo ON e.vec_id = blo.vec_id
+                 JOIN bhi ON e.vec_id = bhi.vec_id),
+               pairs AS (
+                 SELECT a1.vec_id AS doc_a, a2.vec_id AS doc_b
+                 FROM a a1 JOIN a a2
+                   ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+                 WHERE round(${duckDot("a1.embedding", "a2.embedding")}, 6)
+                       >= 0.35),
+               edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                         UNION ALL SELECT doc_b, doc_a FROM pairs),
+               reach(x, y) AS (
+                 SELECT vec_id, vec_id FROM embeddings
+                 UNION
+                 SELECT r.x, e.dst FROM reach r JOIN edges e ON r.y = e.src)
+               SELECT x AS vec_id, a.cell,
+                      CAST(min(y) AS BIGINT) AS cluster_id,
+                      (x = min(y)) AS is_canonical
+               FROM reach JOIN a ON a.vec_id = reach.x
+               GROUP BY x, a.cell ORDER BY vec_id"""))
   )
 }

@@ -1702,6 +1702,37 @@ class QueriesSpec extends AnyFunSuite {
       "no multi-member semantic cluster — τ no longer bites this corpus")
   }
 
+  test("j70 IMI-cell semantic dedup: same invariants, same pair stage as j53") {
+    // j70 swaps only the coarse quantizer (product cells from per-half
+    // integer-d2 argmins vs j53's dot-nearest centroids), so SemDeDup's
+    // structural contract must hold identically: clusters never span
+    // cells, canonical = unique min member, output partitions the id
+    // universe — and because the pair stage is the SAME semanticPairs at
+    // the same τ, every within-cell pair must come from the exhaustive
+    // τ-pair truth (the cells select candidates; they cannot invent
+    // similarity).
+    val rows = SparkEntry.queries("j70_semantic_dedup_imi")(
+        spark, TestSpark.Sf001)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val n = Tables.embeddings(spark, TestSpark.Sf001).count()
+    assert(rows.length == n, "output must cover every vector exactly once")
+    val byCluster = rows.groupBy(_._3)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._2).distinct.length == 1,
+        s"cluster $cid spans product cells — pairing leaked across cells")
+      assert(members.map(_._1).min == cid,
+        s"cluster id $cid is not the min member")
+      assert(members.count(_._4) == 1 && members.find(_._4).get._1 == cid,
+        s"cluster $cid: canonical must be unique and the min member")
+    }
+    assert(byCluster.values.exists(_.length > 1),
+      "no multi-member IMI semantic cluster — τ no longer bites this corpus")
+    // cell structure sanity: 4x4 product cells — every cell id in [0, 16)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 16),
+      "product cell id outside the kHalf^2 = 16 range")
+  }
+
   test("j69 BPE encode laws: 0 merges ≡ character split; merges non-increasing") {
     // Law 1 — encoding under ZERO merges is the character split: the
     // initial symbol table has exactly length(word) symbols per word.
