@@ -308,7 +308,10 @@ object MediaPipeline {
     * (RIFF/fmt chunk walk), MP3 (ID3v2 syncsafe skip + MPEG frame-sync
     * field decode), MP4/ISO-BMFF (moov→mvhd duration, trak→tkhd video
     * dimensions — the two container formats the decode path has no JVM
-    * codec for, probed by pure byte walks). None ⇔ the payload matches
+    * codec for, probed by pure byte walks), FLAC (mandatory-first
+    * STREAMINFO bit-packed fields, incl. duration from the 36-bit total
+    * sample count), OGG first-page id packets (Vorbis / Opus rate +
+    * channels; unknown codecs abstain). None ⇔ the payload matches
     * no known signature or is truncated/corrupt before the needed
     * fields; parity with the real decoders on every generated
     * image/WAV fixture is pinned in MediaPipelineSpec (MP3/MP4 have no
@@ -520,6 +523,54 @@ object MediaPipeline {
           }
           MediaHeader("mp4", dims.map(_._1).getOrElse(-1),
             dims.map(_._2).getOrElse(-1), -1, -1, -1, dur)
+        }
+      } else if (sig('f', 'L', 'a', 'C')) {
+        // FLAC: the STREAMINFO metadata block is MANDATORY and FIRST
+        // (spec §metadata) — a payload whose first block is any other
+        // type is corrupt, not a different layout, so no block walk is
+        // needed. Block header: 1 byte (bit7 last-flag, bits0-6 type=0),
+        // 3-byte BE length which must be the fixed 34. The fields are
+        // bit-packed at content bytes 10..17: sampleRate 20 bits,
+        // channels-1 3 bits, bitsPerSample-1 5 bits, totalSamples 36
+        // bits (0 = unknown; sampleRate 0 is explicitly invalid → None).
+        if (payload.length < 8 + 18 || (u8(4) & 0x7f) != 0 ||
+            ((u8(5) << 16) | (u8(6) << 8) | u8(7)) != 34) None
+        else {
+          val sr = (u8(18) << 12) | (u8(19) << 4) | (u8(20) >>> 4)
+          val ch = ((u8(20) >>> 1) & 0x7) + 1
+          val bps = (((u8(20) & 1) << 4) | (u8(21) >>> 4)) + 1
+          val totalSamples = ((u8(21) & 0xf).toLong << 32) |
+            (be32(22).toLong & 0xffffffffL)
+          if (sr == 0) None
+          else Some(MediaHeader("flac", -1, -1, sr, ch, bps,
+            if (totalSamples > 0) totalSamples * 1000L / sr else -1L))
+        }
+      } else if (sig('O', 'g', 'g', 'S')) {
+        // OGG: the FIRST page of a logical stream (version 0, BOS flag
+        // 0x02 set — a mid-stream fragment has no identification header
+        // to read, so anything else degrades to None) carries exactly
+        // the codec's id packet: segment count at 26, segment table,
+        // then the packet. Vorbis: \x01"vorbis" → channels(1)@11,
+        // rate(4,LE)@12. Opus: "OpusHead" → channels(1)@9, original
+        // input rate(4,LE)@12. Unknown codecs → None (mislabeling is
+        // worse than abstaining — the MP3 sync rule).
+        if (payload.length < 27 || u8(4) != 0 || (u8(5) & 0x02) == 0) None
+        else {
+          val segs = u8(26)
+          val p = 27 + segs
+          def at(off: Int, s: String): Boolean =
+            p + off + s.length <= payload.length &&
+              s.indices.forall(k => u8(p + off + k) == s(k))
+          if (payload.length >= p + 7 && u8(p) == 0x01 && at(1, "vorbis") &&
+              payload.length >= p + 16) {
+            val sr = le32(p + 12)
+            if (sr <= 0) None
+            else Some(MediaHeader("ogg-vorbis", -1, -1, sr, u8(p + 11), -1))
+          } else if (at(0, "OpusHead") && payload.length >= p + 16) {
+            val sr = le32(p + 12)
+            if (sr <= 0) None
+            else Some(MediaHeader("ogg-opus", -1, -1, sr, u8(p + 9), -1))
+          } else None
         }
       } else None
     } catch {

@@ -527,6 +527,78 @@ class MediaPipelineSpec extends AnyFunSuite {
       "SOS before any SOF must probe as None, not entropy-data dims")
   }
 
+  test("header probe: FLAC/OGG byte walks with hand-built ground truth") {
+    // Same discipline as the MP3/MP4 fixtures: no JVM codec for either
+    // container, so the bytes are assembled from the public specs and
+    // checked against the values they encode.
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def le32(v: Int) = be32(v).reverse
+    // --- FLAC: 44100 Hz, 2ch, 16-bit, 441000 samples = 10000 ms ---
+    // STREAMINFO bit-pack at content bytes 10..17: sr 20 bits, ch-1 3,
+    // bps-1 5, totalSamples 36 (high nibble in byte 13)
+    val streaminfo = new Array[Byte](10) ++
+      Array[Byte](0x0a, 0xc4.toByte, 0x42, 0xf0.toByte) ++ be32(441000) ++
+      new Array[Byte](16) // md5 of the stream, unread by the probe
+    assert(streaminfo.length == 34)
+    val flac = "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ streaminfo
+    val hFlac = MediaPipeline.headerProbe(flac)
+      .getOrElse(fail("assembled flac: probe returned None"))
+    assert(hFlac.format == "flac" && hFlac.sampleRate == 44100 &&
+      hFlac.channels == 2 && hFlac.bitsPerSample == 16 &&
+      hFlac.durationMs == 10000L, s"flac fields: $hFlac")
+    // corrupt FLACs → None: first block not STREAMINFO (spec: mandatory
+    // first), wrong STREAMINFO length, sample rate 0 (explicitly
+    // invalid), truncation inside the packed fields
+    assert(MediaPipeline.headerProbe("fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x01, 0, 0, 34) ++ streaminfo).isEmpty,
+      "non-STREAMINFO first block must probe as None")
+    assert(MediaPipeline.headerProbe("fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 20) ++ streaminfo).isEmpty,
+      "wrong STREAMINFO length must probe as None")
+    val zeroSr = streaminfo.clone()
+    zeroSr(10) = 0; zeroSr(11) = 0; zeroSr(12) = (zeroSr(12) & 0x0f).toByte
+    assert(MediaPipeline.headerProbe("fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ zeroSr).isEmpty,
+      "sample rate 0 must probe as None")
+    assert(MediaPipeline.headerProbe(flac.take(20)).isEmpty,
+      "truncated STREAMINFO must probe as None")
+    // --- OGG: one first page (version 0, BOS) per codec ---
+    def oggPage(packet: Array[Byte]): Array[Byte] =
+      "OggS".getBytes("US-ASCII") ++ Array[Byte](0, 0x02) ++
+        new Array[Byte](8 + 4 + 4 + 4) ++ // granule, serial, seq, crc
+        Array[Byte](1, packet.length.toByte) ++ packet
+    val vorbisId = Array[Byte](0x01) ++ "vorbis".getBytes("US-ASCII") ++
+      le32(0) ++ Array[Byte](2) ++ le32(44100) ++ new Array[Byte](9)
+    val hVorbis = MediaPipeline.headerProbe(oggPage(vorbisId))
+      .getOrElse(fail("assembled ogg-vorbis: probe returned None"))
+    assert(hVorbis.format == "ogg-vorbis" && hVorbis.sampleRate == 44100 &&
+      hVorbis.channels == 2, s"vorbis fields: $hVorbis")
+    val opusId = "OpusHead".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0) ++ le32(48000) ++ new Array[Byte](3)
+    val hOpus = MediaPipeline.headerProbe(oggPage(opusId))
+      .getOrElse(fail("assembled ogg-opus: probe returned None"))
+    assert(hOpus.format == "ogg-opus" && hOpus.sampleRate == 48000 &&
+      hOpus.channels == 1, s"opus fields: $hOpus")
+    // corrupt OGGs → None: nonzero version, missing BOS flag (mid-stream
+    // fragment carries no id header), unknown codec packet, rate <= 0
+    val vPage = oggPage(vorbisId)
+    val badVer = vPage.clone(); badVer(4) = 1
+    assert(MediaPipeline.headerProbe(badVer).isEmpty,
+      "ogg version != 0 must probe as None")
+    val noBos = vPage.clone(); noBos(5) = 0
+    assert(MediaPipeline.headerProbe(noBos).isEmpty,
+      "page without BOS must probe as None")
+    assert(MediaPipeline.headerProbe(
+      oggPage("notACodecIdPacket".getBytes("US-ASCII"))).isEmpty,
+      "unknown codec id packet must probe as None")
+    assert(MediaPipeline.headerProbe(oggPage(Array[Byte](0x01) ++
+      "vorbis".getBytes("US-ASCII") ++ le32(0) ++ Array[Byte](2) ++
+      le32(0) ++ new Array[Byte](9))).isEmpty,
+      "vorbis rate 0 must probe as None")
+  }
+
   test("header probe costs orders of magnitude less per row than a decode") {
     // the 100 TB point of the header path, measured not asserted-by-doc:
     // profiling a media column must not pay a codec per row
