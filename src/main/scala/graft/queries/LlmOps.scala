@@ -4593,6 +4593,140 @@ object LlmOps {
                       CAST(min(y) AS BIGINT) AS cluster_id,
                       (x = min(y)) AS is_canonical
                FROM reach JOIN a ON a.vec_id = reach.x
-               GROUP BY x, a.cell ORDER BY vec_id"""))
+               GROUP BY x, a.cell ORDER BY vec_id""")),
+
+    // Token-budget corpus selection (round 13) — the data-mixing
+    // primitive: pick the best documents by quality-per-token until a
+    // token budget is exhausted (here: vocabulary richness
+    // n_distinct_tok/n_tok as the quality proxy, budget = half the
+    // corpus tokens, both derived in-query so the oracle replays them).
+    // The NAIVE form is a cumulative sum over a GLOBAL ordering — a
+    // single-partition window, the canonical scale-killer. The
+    // registered plan is the 100 TB shape: priority is a RATIO bounded
+    // in [0, 1e6], so a div-10000 histogram has ≤ 101 buckets at ANY
+    // corpus size — (1) one map-side-partial agg builds the
+    // constant-size bucket token histogram, (2) the cut bucket falls
+    // out of a ≤101-row window (broadcast-sized, the only global-order
+    // work), (3) whole buckets above/below the cut get their flag from
+    // the broadcast join alone, and only the ONE boundary bucket runs a
+    // per-doc cumulative window — partitioned by bucket, never global.
+    // (At 100 TB a still-too-big boundary bucket recurses on a finer
+    // histogram of its own priority sub-range — same operator, narrower
+    // interval.) Selection = running sum INCLUSIVE of the doc ≤ budget,
+    // ordered (priority DESC, doc_id); integer div both engines.
+    Q("j71_budget_select",
+      (s, d) => {
+        val base = truncateLineage(Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok"),
+            size(array_distinct(split(col("text"), " ")))
+              .cast("long").as("n_distinct"))
+          .withColumn("priority", expr("n_distinct * 1000000L div n_tok"))
+          .withColumn("bucket", expr("priority div 10000L"))
+          .select("doc_id", "n_tok", "priority", "bucket"))
+        // ≤101-row histogram: the global-order window here is bounded by
+        // the ratio range, not the corpus — constant work at any scale
+        val wB = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val btot = base.groupBy("bucket")
+          .agg(sum(col("n_tok")).as("btok"))
+          .withColumn("cum_before",
+            sum(col("btok")).over(wB) - col("btok"))
+        val budget = base.agg(expr("sum(n_tok) div 2").as("budget"))
+        val withB = base.join(broadcast(btot), "bucket")
+          .crossJoin(broadcast(budget))
+        val whole = withB
+          .filter(col("cum_before") + col("btok") <= col("budget"))
+          .withColumn("selected", lit(true))
+        val none = withB.filter(col("cum_before") >= col("budget"))
+          .withColumn("selected", lit(false))
+        val wD = Window.partitionBy("bucket")
+          .orderBy(col("priority").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val boundary = withB
+          .filter(col("cum_before") < col("budget") &&
+            col("cum_before") + col("btok") > col("budget"))
+          .withColumn("cum", col("cum_before") + sum(col("n_tok")).over(wD))
+          .withColumn("selected", col("cum") <= col("budget"))
+          .drop("cum")
+        whole.unionByName(none).unionByName(boundary)
+          .select(col("doc_id"), col("priority"), col("bucket"),
+            col("n_tok"), col("selected"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split(text, ' ')) AS BIGINT)
+                         AS n_tok,
+                       CAST(len(list_distinct(string_split(text, ' ')))
+                         AS BIGINT) AS n_distinct
+                FROM documents),
+              p AS (
+                SELECT doc_id, n_tok,
+                       CAST(n_distinct * 1000000 // n_tok AS BIGINT)
+                         AS priority
+                FROM t),
+              b AS (
+                SELECT CAST(sum(n_tok) // 2 AS BIGINT) AS budget FROM p),
+              c AS (
+                SELECT doc_id, n_tok, priority,
+                       sum(n_tok) OVER (ORDER BY priority DESC, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+                FROM p)
+              SELECT doc_id, priority,
+                     CAST(priority // 10000 AS BIGINT) AS bucket, n_tok,
+                     (cum <= (SELECT budget FROM b)) AS selected
+              FROM c ORDER BY doc_id""")),
+
+    // Deterministic curriculum interleave (round 13) — the training-order
+    // primitive: within each source, rank documents easiest-first
+    // (n_chars, doc_id — curriculum by length), then interleave sources
+    // round-robin so no contiguous run of one source reaches the
+    // training loop. The scale point: the naive global shuffle-order is
+    // a corpus-wide row_number (single-partition window); here the
+    // interleave position is COMPUTED — pos = (rk-1)·n_sources +
+    // (src_idx-1) — from a per-source window (partitioned, parallel)
+    // plus two broadcast scalars (the ≤sources-row index table and the
+    // source count). Positions are unique and order-correct by
+    // construction; sources that run out leave gaps, which only a
+    // consumer that densifies (a streaming zipWithIndex at write time)
+    // would close — ordering, the training-relevant property, is
+    // already total.
+    Q("j72_curriculum_interleave",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val wSrc = Window.partitionBy("source")
+          .orderBy(col("n_chars").asc, col("doc_id").asc)
+        val ranked = docs.select("doc_id", "source", "n_chars")
+          .withColumn("rk", row_number().over(wSrc).cast("long"))
+        // ≤sources-row index table: the only global-order window is over
+        // the distinct-source list, broadcast-sized at any corpus scale
+        val wIdx = Window.orderBy("source")
+        val srcIdx = docs.select("source").distinct()
+          .withColumn("src_idx", row_number().over(wIdx).cast("long"))
+        val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+        ranked.join(broadcast(srcIdx), "source")
+          .crossJoin(broadcast(nSrc))
+          .select(col("doc_id"), col("source"), col("rk"),
+            ((col("rk") - 1) * col("n_src") + col("src_idx") - 1)
+              .as("pos"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ranked AS (
+                SELECT doc_id, source,
+                       CAST(row_number() OVER (PARTITION BY source
+                         ORDER BY n_chars, doc_id) AS BIGINT) AS rk
+                FROM documents),
+              srcs AS (
+                SELECT source,
+                       CAST(row_number() OVER (ORDER BY source) AS BIGINT)
+                         AS src_idx
+                FROM (SELECT DISTINCT source FROM documents)),
+              n AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM srcs)
+              SELECT r.doc_id, r.source, r.rk,
+                     CAST((r.rk - 1) * n.n_src + s.src_idx - 1 AS BIGINT)
+                       AS pos
+              FROM ranked r JOIN srcs s ON r.source = s.source
+              CROSS JOIN n ORDER BY r.doc_id"""))
   )
 }

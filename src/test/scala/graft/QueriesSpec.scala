@@ -1733,6 +1733,53 @@ class QueriesSpec extends AnyFunSuite {
       "product cell id outside the kHalf^2 = 16 range")
   }
 
+  test("j71 budget-select laws: greedy prefix, budget-maximal, non-trivial") {
+    // The histogram/threshold/boundary plan must reproduce EXACTLY the
+    // naive global-cumsum semantics: the selected set is a PREFIX of the
+    // (priority desc, doc_id) order, its token total fits the budget, and
+    // it is maximal (adding the first unselected doc would overflow).
+    val rows = SparkEntry.queries("j71_budget_select")(spark, TestSpark.Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getBoolean(4))) // (doc_id, priority, n_tok, selected)
+    val ordered = rows.sortBy(t => (-t._2, t._1))
+    val firstOut = ordered.indexWhere(!_._4)
+    assert(firstOut > 0, "selection must be non-empty")
+    assert(ordered.drop(firstOut).forall(!_._4),
+      "selected docs must form a PREFIX of the (priority desc, doc_id) " +
+        "order — the boundary-bucket refinement leaked")
+    val budget = rows.map(_._3).sum / 2
+    val spent = ordered.take(firstOut).map(_._3).sum
+    assert(spent <= budget, s"selected tokens $spent exceed budget $budget")
+    assert(spent + ordered(firstOut)._3 > budget,
+      "selection is not maximal — the next doc still fits the budget")
+  }
+
+  test("j72 interleave laws: unique modular positions, curriculum order") {
+    val rows = SparkEntry.queries("j72_curriculum_interleave")(
+        spark, TestSpark.Sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))) // (doc_id, source, rk, pos)
+    val nSrc = rows.map(_._2).distinct.length
+    assert(rows.map(_._4).distinct.length == rows.length,
+      "interleave positions must be unique")
+    // round-robin law: pos mod n_sources identifies the source, so a
+    // contiguous same-source run is impossible by construction
+    val srcIdx = rows.map(_._2).distinct.sorted.zipWithIndex.toMap
+    rows.foreach { case (id, src, _, pos) =>
+      assert(pos % nSrc == srcIdx(src),
+        s"doc $id: pos $pos mod $nSrc != source index of $src")
+    }
+    // curriculum: within a source, pos order == (n_chars, doc_id) order
+    val chars = Tables.documents(spark, TestSpark.Sf001)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).values.foreach { docs =>
+      val byPos = docs.sortBy(_._4).map(d => (chars(d._1), d._1))
+      assert(byPos.sameElements(byPos.sorted),
+        "within-source pos order must follow (n_chars, doc_id)")
+    }
+  }
+
   test("j69 BPE encode laws: 0 merges ≡ character split; merges non-increasing") {
     // Law 1 — encoding under ZERO merges is the character split: the
     // initial symbol table has exactly length(word) symbols per word.
