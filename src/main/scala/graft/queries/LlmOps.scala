@@ -4625,14 +4625,19 @@ object LlmOps {
           .withColumn("bucket", expr("priority div 10000L"))
           .select("doc_id", "n_tok", "priority", "bucket"))
         // ≤101-row histogram: the global-order window here is bounded by
-        // the ratio range, not the corpus — constant work at any scale
+        // the ratio range, not the corpus — constant work at any scale.
+        // Materialized ONCE (truncated): the three selection branches
+        // below would otherwise each re-aggregate the corpus to rebuild
+        // it, and the registered plan must carry ZERO unpartitioned
+        // windows (PlanSpec pins exactly that)
         val wB = Window.orderBy(col("bucket").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val btot = base.groupBy("bucket")
+        val btot = truncateLineage(base.groupBy("bucket")
           .agg(sum(col("n_tok")).as("btok"))
           .withColumn("cum_before",
-            sum(col("btok")).over(wB) - col("btok"))
-        val budget = base.agg(expr("sum(n_tok) div 2").as("budget"))
+            sum(col("btok")).over(wB) - col("btok")))
+        val budget = truncateLineage(
+          base.agg(expr("sum(n_tok) div 2").as("budget")))
         val withB = base.join(broadcast(btot), "bucket")
           .crossJoin(broadcast(budget))
         val whole = withB

@@ -719,4 +719,61 @@ class PlanSpec extends AnyFunSuite {
       s"both half-codebook reads must push vec_id < 4: " +
         s"${pushed.mkString(" | ")}")
   }
+
+  /** Window lines in a plan string, split global (no partition spec —
+    * `Window [fns], [order]`) vs keyed (`Window [fns], [part], [order]`):
+    * the partitioned form carries one more top-level bracket list, i.e.
+    * two `], [` separators instead of one. AQE wraps the tree in
+    * AdaptiveSparkPlanExec (which `collect` does not descend through),
+    * so the string is the robust observable here.
+    */
+  private def windowLines(plan: String): (Seq[String], Seq[String]) = {
+    val lines = plan.split("\n").filter(_.contains("Window ["))
+    def seps(l: String): Int = "\\], \\[".r.findAllIn(l).length
+    (lines.filter(seps(_) == 1).toSeq, lines.filter(seps(_) >= 2).toSeq)
+  }
+
+  test("j71 budget-select: no unpartitioned window anywhere near the corpus") {
+    // The operator's whole scale claim: the global-order cumsum runs ONLY
+    // over the ≤101-row bucket histogram, which is materialized before
+    // the registered plan — so the plan the driver executes must carry
+    // ZERO unpartitioned windows, and the only per-doc window is the
+    // boundary refinement PARTITIONED BY bucket. A corpus-sized
+    // single-partition window here is the classic scale-killer timing at
+    // sf would never catch.
+    val plan = staticPlan("j71_budget_select")
+    val (global, keyed) = windowLines(plan)
+    assert(global.isEmpty,
+      s"unpartitioned window leaked into the registered plan:\n" +
+        global.mkString("\n"))
+    assert(keyed.nonEmpty && keyed.forall(_.contains("bucket")),
+      s"per-doc windows must be partitioned by bucket:\n" +
+        keyed.mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the histogram must reach the docs via a broadcast join")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "the 1-row budget must attach via a broadcast cross join")
+  }
+
+  test("j72 interleave: corpus window keyed by source; global only on the source list") {
+    val plan = staticPlan("j72_curriculum_interleave")
+    val (global, keyed) = windowLines(plan)
+    assert(global.size == 1,
+      s"expected exactly 1 unpartitioned window (the ≤sources-row " +
+        s"index), got ${global.size}:\n${global.mkString("\n")}")
+    // that one global window must sit directly over the distinct-source
+    // aggregate, never corpus rows: in the plan text the lines after THE
+    // GLOBAL window line (not the keyed one, which prints first) are the
+    // HashAggregate pair that implements distinct()
+    val lines = plan.split("\n")
+    val gIdx = lines.indexWhere(l => l.contains("Window [") &&
+      "\\], \\[".r.findAllIn(l).length == 1)
+    assert(gIdx >= 0, "global window line not found")
+    assert(lines.slice(gIdx + 1, gIdx + 5).exists(_.contains("HashAggregate")),
+      s"global window must consume the DISTINCT source list:\n" +
+        lines.slice(gIdx, gIdx + 5).mkString("\n"))
+    assert(keyed.nonEmpty && keyed.forall(_.contains("source")),
+      s"the per-doc ranking must window PARTITIONED BY source:\n" +
+        keyed.mkString("\n"))
+  }
 }
