@@ -178,9 +178,42 @@ object IvfLadder {
     val nprobeEq = math.min(nCellsImi, math.max(nprobeImi,
       math.ceil(nprobeImi * avgCandScaled / math.max(avgCandImi, 1.0)).toInt))
     val (imiEqcandJson, _, _) = runImi("imi_search_eqcand", nprobeEq)
+    // SemDeDup pair stage at production sizing (round 13, the j70 shape):
+    // the dedup's quadratic term is candidate pairs = Σ c·(c−1)/2 over
+    // cell sizes — computed EXACTLY from the two cell histograms (fixed
+    // 16 cells vs the trained ~√n product cells; no join needed for the
+    // count), then the IMI-cell pair stage is EXECUTED for wall time:
+    // within-cell self-join + rounded-dot τ=0.35 filter. The synth
+    // vectors are uniform UNNORMALIZED (measured: τ=0.35 passes ~80% of
+    // within-cell candidates) — tau_pairs is a throughput detail here,
+    // not a dedup-quality signal (the real corpus is L2-normalized
+    // where τ bites); the evidence is the CANDIDATE counts and the wall
+    // of scanning them, the term that decides 100 TB viability: fixed
+    // cells hold candidates at n²/16 while √n cells drop them to ~n^1.5
+    // (and the product structure is what makes √n cells BUILDABLE — the
+    // assign_sec fields above).
+    graft.functions.DotProduct.register(spark)
+    def candPairs(cellTable: org.apache.spark.sql.DataFrame): Long =
+      cellTable.groupBy("cell").count()
+        .agg(sum(expr("count * (count - 1) div 2")).cast("long"))
+        .collect()(0).getLong(0)
+    val fixedCellTable = Q.truncateLineage(
+      IvfKMeans.assignExactAgg(qe, fixed16).select("vec_id", "cell"))
+    val candFixed = candPairs(fixedCellTable)
+    val candImi = candPairs(imiCellTable)
+    val tD = System.nanoTime()
+    val assignedD = Q.truncateLineage(e.select("vec_id", "embedding")
+      .join(imiCellTable, "vec_id"))
+    val tauPairs = graft.queries.LlmOps.semanticPairs(assignedD).count()
+    val dedupSec = (System.nanoTime() - tD) / 1e9
+    val dedupJson =
+      f""""semdedup":{"cand_pairs_fixed16":$candFixed,""" +
+        f""""cand_pairs_imi":$candImi,""" +
+        f""""cand_ratio":${candFixed.toDouble / math.max(candImi, 1L)}%.1f,""" +
+        f""""tau_pairs":$tauPairs,"pair_stage_sec":$dedupSec%.2f}"""
     println(s"""{"n":$n,"n_probes":$nProbes,""" +
       f""""train_sec":$trainSec%.2f,$out,$imiJson,""" +
-      s"""$imiEqfracJson,$imiEqcandJson}""")
+      s"""$imiEqfracJson,$imiEqcandJson,$dedupJson}""")
     spark.stop()
   }
 }

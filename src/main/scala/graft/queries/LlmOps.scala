@@ -4732,6 +4732,232 @@ object LlmOps {
                      CAST((r.rk - 1) * n.n_src + s.src_idx - 1 AS BIGINT)
                        AS pos
               FROM ranked r JOIN srcs s ON r.source = s.source
-              CROSS JOIN n ORDER BY r.doc_id"""))
+              CROSS JOIN n ORDER BY r.doc_id""")),
+
+    // Signed random projection (round 13) — Johnson–Lindenstrauss-style
+    // dimensionality reduction of the embedding column, the cheapening
+    // step before any distance-heavy stage: 64 dims → 16 signed sums, a
+    // 4× cut in every downstream distance eval, and the SIGNS of the 16
+    // projections are exactly the hyperplane-LSH bits j11/j12 bucket on
+    // (Charikar SRP: sign(r·x) with r a ±1 vector) — one map pass yields
+    // both the sketch and the bucketing key. Determinism across engines:
+    // the ±1 matrix is derived from md5("<j>_<i>") first-hex-char >= '8'
+    // (the simhash convention above), and the input is j61's 1e-6
+    // fixed-point quantization, so every product and sum is exact BIGINT
+    // arithmetic both engines replay bit-for-bit. Scale shape: the 16-row
+    // sign matrix is a broadcast; the projection is aggregate(zip_with())
+    // inside the map stage — ZERO shuffles before the output sort at any
+    // corpus size (PlanSpec pins exactly one exchange, the sort).
+    Q("j73_random_projection",
+      (s, d) => {
+        val qe = truncateLineage(graft.operators.IvfKMeans.quantize(
+          Tables.embeddings(s, d)))
+        val m = truncateLineage(s.range(0, 16).toDF("j")
+          .withColumn("srow", expr(
+            """transform(sequence(1, 64), i ->
+                 CASE WHEN substring(md5(concat(cast(j as string), '_',
+                   cast(i as string))), 1, 1) >= '8'
+                 THEN 1L ELSE -1L END)""")))
+        qe.crossJoin(broadcast(m))
+          .select(col("vec_id"), col("j"),
+            expr("""aggregate(zip_with(qv, srow, (x, sg) -> x * sg),
+                    0L, (a, x) -> a + x)""").as("proj"))
+          .withColumn("srp_bit", col("proj") >= 0L)
+          .orderBy("vec_id", "j")
+      },
+      Some("""WITH q AS (
+                SELECT vec_id, list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                  AS qv
+                FROM embeddings),
+              m AS (
+                SELECT CAST(j AS BIGINT) AS j,
+                       list_transform(generate_series(1, 64),
+                         i -> CASE WHEN substring(md5(CAST(j AS VARCHAR)
+                             || '_' || CAST(i AS VARCHAR)), 1, 1) >= '8'
+                           THEN CAST(1 AS BIGINT)
+                           ELSE CAST(-1 AS BIGINT) END) AS srow
+                FROM generate_series(0, 15) t(j))
+              SELECT vec_id, j,
+                     CAST(list_sum(list_transform(generate_series(1, 64),
+                       i -> q.qv[i] * m.srow[i])) AS BIGINT) AS proj,
+                     (CAST(list_sum(list_transform(generate_series(1, 64),
+                       i -> q.qv[i] * m.srow[i])) AS BIGINT) >= 0)
+                       AS srp_bit
+              FROM q CROSS JOIN m ORDER BY vec_id, j""")),
+
+    // Hard-negative mining (round 13) — the contrastive-training data
+    // op: for each anchor, the top-4 candidates that are SIMILAR but not
+    // duplicate (rounded cosine in [0.10, 0.35) — informative, yet below
+    // SemDeDup's τ = 0.35 dup threshold from j53/j70, so a mined
+    // negative is never a pair dedup would have collapsed), ranked by
+    // similarity. The
+    // fifth consumer of the j67 coarse quantizer: candidates come from
+    // the anchor's IMI cell (where similar-but-distinct vectors live by
+    // construction), so per-anchor work is cell-sized, never
+    // collection-sized. Plan shape mirrors j68's 100 TB discipline:
+    // anchors are a broadcast panel (8 rows); candidate (anchor, vec)
+    // id-pairs form on the one-row-per-vector cell table via the cell
+    // equi-join; candidate vectors are fetched PER CANDIDATE after; the
+    // only window is partitioned by anchor. Exact: cell choice is
+    // integer (product-structure law), sim is round(dot, 6) — the same
+    // rounding j53/j70 hash-match under.
+    Q("j74_hard_negatives",
+      (s, d) => {
+        DotProduct.register(s)
+        graft.functions.SquaredDistance.register(s)
+        val e = Tables.embeddings(s, d)
+        val cells = truncateLineage(graft.operators.IvfKMeans
+          .imiAssign(graft.operators.IvfKMeans.quantize(e), kHalf = 4)
+          .select("vec_id", "cell"))
+        val anchors = truncateLineage(cells.filter(col("vec_id") < 8)
+          .join(e.select("vec_id", "embedding"), "vec_id")
+          .select(col("vec_id").as("anchor_id"),
+            col("embedding").as("ea"), col("cell")))
+        val candIds = cells.join(broadcast(anchors), Seq("cell"))
+          .filter(col("vec_id") =!= col("anchor_id"))
+          .select("anchor_id", "vec_id", "ea")
+        val w = Window.partitionBy("anchor_id")
+          .orderBy(col("sim").desc, col("vec_id").asc)
+        candIds.join(e.select(col("vec_id"),
+            col("embedding").as("eb")), Seq("vec_id"))
+          .withColumn("sim", round(expr(dot("ea", "eb")), 6))
+          .filter(col("sim") >= 0.10 && col("sim") < 0.35)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 4)
+          .select(col("anchor_id"), col("vec_id").as("neg_id"),
+            col("sim"), col("rk"))
+          .orderBy("anchor_id", "rk")
+      },
+      Some(s"""WITH RECURSIVE q AS (
+                 SELECT vec_id, embedding, list_transform(embedding,
+                   x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                   AS qv
+                 FROM embeddings),
+               h AS (
+                 SELECT vec_id, qv[1:32] AS lo, qv[33:64] AS hi FROM q),
+               cl AS (
+                 SELECT vec_id AS cid, lo AS cv FROM h WHERE vec_id < 4),
+               ch AS (
+                 SELECT vec_id AS cid, hi AS cv FROM h WHERE vec_id < 4),
+               alo AS (
+                 SELECT h.vec_id, c.cid,
+                        CAST(list_sum(list_transform(generate_series(1, 32),
+                          i -> (h.lo[i] - c.cv[i]) * (h.lo[i] - c.cv[i])))
+                          AS BIGINT) AS d2
+                 FROM h CROSS JOIN cl c),
+               ahi AS (
+                 SELECT h.vec_id, c.cid,
+                        CAST(list_sum(list_transform(generate_series(1, 32),
+                          i -> (h.hi[i] - c.cv[i]) * (h.hi[i] - c.cv[i])))
+                          AS BIGINT) AS d2
+                 FROM h CROSS JOIN ch c),
+               blo AS (
+                 SELECT vec_id, cid AS cell_lo FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d2, cid) AS rk
+                   FROM alo) WHERE rk = 1),
+               bhi AS (
+                 SELECT vec_id, cid AS cell_hi FROM (
+                   SELECT vec_id, cid, row_number() OVER (
+                     PARTITION BY vec_id ORDER BY d2, cid) AS rk
+                   FROM ahi) WHERE rk = 1),
+               a AS (
+                 SELECT e.vec_id, e.embedding,
+                        CAST(blo.cell_lo * 4 + bhi.cell_hi AS BIGINT) AS cell
+                 FROM embeddings e
+                 JOIN blo ON e.vec_id = blo.vec_id
+                 JOIN bhi ON e.vec_id = bhi.vec_id),
+               anch AS (
+                 SELECT vec_id AS anchor_id, embedding AS ea, cell
+                 FROM a WHERE vec_id < 8),
+               band AS (
+                 SELECT an.anchor_id, a.vec_id AS neg_id,
+                        round(${duckDot("an.ea", "a.embedding")}, 6) AS sim
+                 FROM anch an JOIN a
+                   ON an.cell = a.cell AND a.vec_id <> an.anchor_id),
+               rk AS (
+                 SELECT anchor_id, neg_id, sim,
+                        CAST(row_number() OVER (PARTITION BY anchor_id
+                          ORDER BY sim DESC, neg_id) AS BIGINT) AS rk
+                 FROM band WHERE sim >= 0.10 AND sim < 0.35)
+               SELECT anchor_id, neg_id, sim, rk FROM rk
+               WHERE rk <= 4 ORDER BY anchor_id, rk""")),
+
+    // First-occurrence-wins chunk rewrite (round 13) — the REWRITE form
+    // of chunk-level dedup: j17 reports which 10-token chunks repeat;
+    // this op actually edits the corpus, keeping each distinct chunk
+    // only at its globally FIRST occurrence (min (doc_id, idx)) and
+    // dropping every later repetition, then emits per-doc audit rows
+    // (chunk counts before/after + md5 of the rewritten text). The
+    // "first occurrence" looks like a global-order problem but is not:
+    // min(struct(doc_id, idx)) is a map-side-combinable argmin on the
+    // chunk-hash key — ONE shuffled row per distinct chunk, the same key
+    // the rewrite join then reuses (no second wide exchange shape), and
+    // the reconstruction is a per-doc sorted collect, partitioned by
+    // doc_id. No windows anywhere; nothing is corpus-ordered. (min-struct
+    // precondition: doc_id is non-null by schema, so the struct never
+    // compares through a NULL leading field.)
+    Q("j75_chunk_rewrite",
+      (s, d) => {
+        val chunks = truncateLineage(Tables.documents(s, d)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 10)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, cast(floor(size(toks) / 10) as int) - 1),
+               c -> struct(cast(c as bigint) as idx,
+                           concat_ws(' ', slice(toks, c * 10 + 1, 10))
+                             as chunk))""")).as("ch"))
+          .select(col("doc_id"), col("ch.idx").as("idx"),
+            col("ch.chunk").as("chunk"))
+          .withColumn("ck", md5(col("chunk"))))
+        val firsts = chunks.groupBy("ck")
+          .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+          .select(col("ck"), col("f.doc_id").as("fdoc"),
+            col("f.idx").as("fidx"))
+        chunks.join(firsts, "ck")
+          .withColumn("kept",
+            col("doc_id") === col("fdoc") && col("idx") === col("fidx"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            md5(concat_ws(" ", expr(
+              """transform(sort_array(collect_list(
+                   CASE WHEN kept THEN struct(idx, chunk) END)),
+                 x -> x.chunk)"""))).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE len(string_split(text, ' ')) >= 10),
+              chunks AS (
+                SELECT doc_id,
+                       CAST(unnest(generate_series(0,
+                         CAST(floor(len(t) / 10) AS INT) - 1)) AS BIGINT)
+                         AS idx,
+                       unnest(list_transform(generate_series(0,
+                         CAST(floor(len(t) / 10) AS INT) - 1),
+                         c -> array_to_string(t[c*10+1:c*10+10], ' ')))
+                         AS chunk
+                FROM toks),
+              f1 AS (
+                SELECT md5(chunk) AS ck, min(doc_id) AS fdoc
+                FROM chunks GROUP BY 1),
+              f2 AS (
+                SELECT f1.ck, f1.fdoc, min(c.idx) AS fidx
+                FROM f1 JOIN chunks c
+                  ON md5(c.chunk) = f1.ck AND c.doc_id = f1.fdoc
+                GROUP BY 1, 2),
+              marked AS (
+                SELECT c.doc_id, c.idx, c.chunk,
+                       (c.doc_id = f.fdoc AND c.idx = f.fidx) AS kept
+                FROM chunks c JOIN f2 f ON md5(c.chunk) = f.ck)
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                     CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                     md5(coalesce(string_agg(
+                       CASE WHEN kept THEN chunk END, ' ' ORDER BY idx),
+                       '')) AS clean_md5
+              FROM marked GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

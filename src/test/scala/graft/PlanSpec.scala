@@ -776,4 +776,58 @@ class PlanSpec extends AnyFunSuite {
       s"the per-doc ranking must window PARTITIONED BY source:\n" +
         keyed.mkString("\n"))
   }
+
+  test("j73 projection is a pure map stage: broadcast matrix, no wide exchange") {
+    // The whole point of the sketch: 16 projections per vector computed
+    // in the scan's map stage against a broadcast 16-row sign matrix —
+    // the plan must carry NO hash exchange at all (nothing groups,
+    // nothing joins on a key) and exactly one range exchange, the output
+    // sort. Any hashpartitioning here means the projection stopped being
+    // map-only and would shuffle the corpus at 100 TB.
+    val plan = staticPlan("j73_random_projection")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "sign matrix must attach via a broadcast cross join")
+    assert(!plan.contains("hashpartitioning"),
+      s"projection grew a wide exchange:\n$plan")
+    assert("rangepartitioning".r.findAllIn(plan).length == 1,
+      "exactly one exchange expected — the output sort")
+    val (global, keyed) = windowLines(plan)
+    assert(global.isEmpty && keyed.isEmpty, "projection needs no window")
+  }
+
+  test("j74 hard negatives: one vector scan, per-anchor group-limit top-k") {
+    // j68's discipline applied to mining: cells and anchors come in
+    // truncated (no embeddings re-derivation), candidate ids form on the
+    // cell equi-join, and embeddings.parquet is scanned exactly ONCE —
+    // the per-candidate vector fetch. The top-4 must compile to
+    // WindowGroupLimit (rank pushed into a partial group-limit BEFORE
+    // the anchor exchange — per-partition heaps, not a full sort of the
+    // band), and every window is PARTITIONED BY anchor_id.
+    assertScanCount("j74_hard_negatives", "embeddings", 1)
+    val plan = staticPlan("j74_hard_negatives")
+    assert(plan.contains("WindowGroupLimit"),
+      "top-k must push down to a group-limit")
+    val (global, keyed) = windowLines(plan)
+    assert(global.isEmpty, s"unpartitioned window leaked:\n$plan")
+    assert(keyed.nonEmpty && keyed.forall(_.contains("anchor_id")),
+      s"ranking must window per anchor:\n${keyed.mkString("\n")}")
+  }
+
+  test("j75 rewrite: window-free; argmin and rewrite share the chunk-hash key") {
+    // "Globally first occurrence" without global order: min(struct) is a
+    // map-side-combinable argmin, so the plan has ZERO windows; its wide
+    // exchanges are exactly the chunk-hash key (argmin + rewrite join
+    // live on the same key) and doc_id (the per-doc rebuild) — nothing
+    // else, and in particular no corpus-ordered operator anywhere.
+    val plan = staticPlan("j75_chunk_rewrite")
+    val (global, keyed) = windowLines(plan)
+    assert(global.isEmpty && keyed.isEmpty,
+      s"rewrite must be window-free:\n$plan")
+    val hashKeys = "hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(hashKeys.subsetOf(Set("ck", "doc_id")) && hashKeys("doc_id"),
+      s"wide exchanges must key on ck/doc_id only, got $hashKeys")
+    assert("rangepartitioning".r.findAllIn(plan).length == 1,
+      "exactly one range exchange — the output sort")
+  }
 }

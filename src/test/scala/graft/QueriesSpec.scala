@@ -1809,4 +1809,131 @@ class QueriesSpec extends AnyFunSuite {
         col("n_bpe_toks") <= col("n_char_toks"))).count()
     assert(bad == 0, "per-doc token counts violate words <= bpe <= chars")
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // Spark's round() on DOUBLE: BigDecimal.valueOf(x).setScale(0, HALF_UP)
+  // — halves away from zero (math.round/rint differ on negatives/halves).
+  private def sparkRound0(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+
+  test("j73 signed-projection laws: exact recompute, bit = sign, usable matrix") {
+    val out = SparkEntry.queries("j73_random_projection")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2),
+        r.getBoolean(3))).toMap
+    // The ±1 matrix the query derives from md5("<j>_<i>") — recomputed
+    // here from first principles (JDK MessageDigest, not Spark).
+    val signs = Array.tabulate(16, 64)((j, i0) =>
+      if (md5hex(s"${j}_${i0 + 1}").charAt(0) >= '8') 1L else -1L)
+    // fixed draw, but assert it is not degenerate (a near-constant row
+    // would make its projection ~the component sum, useless as a
+    // hyperplane); also rows must be pairwise distinct
+    signs.zipWithIndex.foreach { case (row, j) =>
+      val pos = row.count(_ == 1L)
+      assert(pos >= 16 && pos <= 48, s"sign row $j degenerate: +$pos of 64")
+    }
+    assert(signs.map(_.toSeq).distinct.length == 16,
+      "two hyperplanes coincide")
+    val emb = Tables.embeddings(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    assert(out.size == emb.length * 16, "one row per (vector, projection)")
+    emb.foreach { case (id, v) =>
+      val qv = v.map(x => sparkRound0(x.toDouble * 1e6))
+      (0 until 16).foreach { j =>
+        val exp = (0 until 64).map(i => qv(i) * signs(j)(i)).sum
+        val (proj, bit) = out((id, j.toLong))
+        assert(proj == exp, s"vec $id proj $j: $proj != recomputed $exp")
+        assert(bit == (proj >= 0L), s"vec $id proj $j: srp_bit != sign")
+      }
+    }
+  }
+
+  test("j74 hard negatives: full differential vs in-cell brute force") {
+    // Reimplement the whole pipeline in plain Scala — quantize, per-half
+    // argmin vs the 4 seed vectors (ties to the lowest cid), product
+    // cell, in-cell band filter, top-4 — and require row-for-row
+    // equality with the registered query.
+    val vecs = Tables.embeddings(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val qv = vecs.map { case (id, v) =>
+      id -> v.map(x => sparkRound0(x.toDouble * 1e6)) }.toMap
+    def d2(a: Array[Long], b: Array[Long], from: Int, until: Int): Long = {
+      var s = 0L; var i = from
+      while (i < until) { val dd = a(i) - b(i); s += dd * dd; i += 1 }; s
+    }
+    val seeds = (0L until 4L).map(qv)
+    def cellOf(v: Array[Long]): Long = {
+      val lo = (0 until 4).minBy(c => (d2(v, seeds(c), 0, 32), c))
+      val hi = (0 until 4).minBy(c => (d2(v, seeds(c), 32, 64), c))
+      lo.toLong * 4 + hi
+    }
+    val cells = vecs.map { case (id, _) => id -> cellOf(qv(id)) }.toMap
+    def sim(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      java.math.BigDecimal.valueOf(s)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    val byId = vecs.toMap
+    val expected = vecs.filter(_._1 < 8).flatMap { case (aid, av) =>
+      vecs.filter { case (nid, _) =>
+        nid != aid && cells(nid) == cells(aid) }
+        .map { case (nid, nv) => (nid, sim(av, nv)) }
+        .filter { case (_, sm) => sm >= 0.10 && sm < 0.35 }
+        .sortBy { case (nid, sm) => (-sm, nid) }
+        .take(4).zipWithIndex
+        .map { case ((nid, sm), i) => (aid, nid, sm, i + 1L) }
+    }.sortBy(t => (t._1, t._4))
+    val got = SparkEntry.queries("j74_hard_negatives")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.length == expected.length,
+      s"row count ${got.length} != brute-force ${expected.length}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"mined negative $g != brute-force $e") }
+    assert(got.nonEmpty, "no hard negatives mined — band drifted")
+    // disjointness from SemDeDup: every mined sim is strictly below the
+    // τ = 0.35 dup threshold, so dedup (j53/j70) would never have
+    // collapsed a mined pair
+    assert(got.forall(_._3 < 0.35), "a mined negative is a dedup pair")
+  }
+
+  test("j75 chunk rewrite: full differential vs a sequential rewrite") {
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val chunked = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ", -1)
+      if (toks.length < 10) None
+      else Some(id -> Array.tabulate(toks.length / 10)(c =>
+        toks.slice(c * 10, c * 10 + 10).mkString(" ")))
+    }
+    // first occurrence = min (doc_id, idx) per chunk, in doc order
+    val seen = scala.collection.mutable.HashSet[String]()
+    val expected = chunked.map { case (id, chunks) =>
+      val kept = chunks.zipWithIndex.collect {
+        case (c, _) if seen.add(c) => c }
+      (id, chunks.length.toLong, kept.length.toLong,
+        md5hex(kept.mkString(" ")))
+    }
+    val got = SparkEntry.queries("j75_chunk_rewrite")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length == expected.length,
+      s"doc count ${got.length} != ${expected.length}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"rewrite row $g != sequential $e") }
+    // global conservation: kept chunks across the corpus == distinct
+    // chunks — first-occurrence-wins keeps each exactly once
+    val distinctChunks = chunked.flatMap(_._2).distinct.length.toLong
+    assert(got.map(_._3).sum == distinctChunks,
+      "sum(n_kept) != number of distinct chunks")
+    assert(got.map(_._2).sum > distinctChunks,
+      "corpus has no repeated chunk — the rewrite is untested here")
+  }
 }
