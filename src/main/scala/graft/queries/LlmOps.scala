@@ -480,6 +480,62 @@ object LlmOps {
       .select("doc_a", "doc_b")
   }
 
+  /** 10-token chunking shared by j75 and the STREAMING first-occurrence
+    * dedup (StreamOps.chunkDedupStream): (doc_id, idx, chunk, ck) rows
+    * for every doc with ≥ 10 tokens. One definition, so the batch rewrite
+    * and the streaming decision path cannot fork on chunk boundaries.
+    * Works unchanged on a streaming DataFrame (pure per-row expressions).
+    */
+  private[graft] def docChunks(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 10)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, cast(floor(size(toks) / 10) as int) - 1),
+           c -> struct(cast(c as bigint) as idx,
+                       concat_ws(' ', slice(toks, c * 10 + 1, 10))
+                         as chunk))""")).as("ch"))
+      .select(col("doc_id"), col("ch.idx").as("idx"),
+        col("ch.chunk").as("chunk"))
+      .withColumn("ck", md5(col("chunk")))
+
+  /** j71's per-doc priority derivation (quality-per-token ratio in 1e6
+    * fixed point + its div-10000 histogram bucket), shared with the
+    * STREAMING budget-histogram maintenance (StreamOps
+    * .budgetHistogramStream) so batch and stream cannot fork on the
+    * priority formula. Pure per-row expressions — works on a streaming
+    * DataFrame unchanged.
+    */
+  private[graft] def docPriorities(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        size(array_distinct(split(col("text"), " ")))
+          .cast("long").as("n_distinct"))
+      .withColumn("priority", expr("n_distinct * 1000000L div n_tok"))
+      .withColumn("bucket", expr("priority div 10000L"))
+      .select("doc_id", "n_tok", "priority", "bucket")
+
+  /** j75's decision stage: every chunk occurrence marked kept iff it is
+    * the globally FIRST (min (doc_id, idx)) occurrence of its hash —
+    * min(struct) map-side argmin, one shuffled row per distinct chunk.
+    * Exposed so the streaming twin's differential can compare decisions
+    * row-for-row, not just the per-doc aggregate.
+    */
+  private[graft] def chunkKept(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val chunks = truncateLineage(docChunks(docs))
+    val firsts = chunks.groupBy("ck")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      .select(col("ck"), col("f.doc_id").as("fdoc"),
+        col("f.idx").as("fidx"))
+    chunks.join(firsts, "ck")
+      .withColumn("kept",
+        col("doc_id") === col("fdoc") && col("idx") === col("fidx"))
+  }
+
   /** The SemDeDup production variant: j53's pipeline with cells from the
     * deterministic spherical k-means codebook (operators.IvfKMeans) —
     * the √n-cells scale knob the registered fixed-centroid query
@@ -1401,48 +1457,27 @@ object LlmOps {
                   AND a.vec_id != p.vec_id)
                WHERE rk <= 3 ORDER BY probe_id, rk""")),
 
-    // Winnowing fingerprints via a TRUE Karp-Rabin rolling hash: the Scala
-    // side slides the O(n) recurrence h' = (h - c_out·B^(k-1))·B + c_in
-    // (mod M) across each document, takes the min hash of every w-window,
-    // and keeps the distinct minima — the classic plagiarism/dedup
-    // fingerprint set. The oracle computes the identical residues with the
-    // positional O(n·k) polynomial formula (modular arithmetic is
-    // associative, so both derivations agree value-for-value). Pure per-row
-    // work; no shuffle before the output sort.
+    // Winnowing fingerprints via a TRUE Karp-Rabin rolling hash, computed
+    // by the native `graft_winnow` expression (functions.WinnowFingerprint
+    // — the O(n) recurrence h' = (h - c_out·B^(k-1))·B + c_in (mod M),
+    // w-window minima, distinct): the loop-carried recurrence is exactly
+    // what SQL HOFs can't express without O(n·k) re-derivation, the tier-b
+    // custom-expression criterion. The oracle computes the identical
+    // residues with the positional O(n·k) polynomial formula (modular
+    // arithmetic is associative, so both derivations agree
+    // value-for-value). Pure per-row work; no shuffle before the output
+    // sort.
     Q("j19_winnow_fingerprint",
       (s, d) => {
         val K = 8; val W = 4
-        val B = 257L; val M = 1000000007L
-        val topPow = { // B^(k-1) mod M
-          var p = 1L; (1 until K).foreach(_ => p = p * B % M); p }
-        val winnow = udf { (text: String) =>
-          val n = text.length
-          val p = n - K + 1
-          var h = 0L
-          (0 until K).foreach(j => h = (h * B + text.charAt(j)) % M)
-          val hs = new Array[Long](p)
-          hs(0) = h
-          var i = 1
-          while (i < p) {
-            h = ((h - text.charAt(i - 1) * topPow % M + M * 127) % M * B +
-              text.charAt(i + K - 1)) % M
-            hs(i) = h
-            i += 1
-          }
-          val mins = hs.sliding(W).map(_.min).toArray.distinct
-          (mins.length.toLong, mins.min, mins.max)
-        }
-        val pows = { // B^(k-1) .. B^0 mod M, for the oracle's positional sum
-          val a = new Array[Long](K)
-          a(K - 1) = 1L
-          ((K - 2) to 0 by -1).foreach(j => a(j) = a(j + 1) * B % M)
-          a
-        }
+        graft.functions.WinnowFingerprint.register(s)
         Tables.documents(s, d)
           .filter(length(col("text")) >= K + W - 1)
-          .select(col("doc_id"), winnow(col("text")).as("fp"))
-          .select(col("doc_id"), col("fp._1").as("n_fp"),
-            col("fp._2").as("min_fp"), col("fp._3").as("max_fp"))
+          .select(col("doc_id"),
+            expr(s"graft_winnow(text, $K, $W)").as("fps"))
+          .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"),
+            expr("array_min(fps)").as("min_fp"),
+            expr("array_max(fps)").as("max_fp"))
           .orderBy("doc_id")
       },
       Some {
@@ -4616,14 +4651,7 @@ object LlmOps {
     // ordered (priority DESC, doc_id); integer div both engines.
     Q("j71_budget_select",
       (s, d) => {
-        val base = truncateLineage(Tables.documents(s, d)
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tok"),
-            size(array_distinct(split(col("text"), " ")))
-              .cast("long").as("n_distinct"))
-          .withColumn("priority", expr("n_distinct * 1000000L div n_tok"))
-          .withColumn("bucket", expr("priority div 10000L"))
-          .select("doc_id", "n_tok", "priority", "bucket"))
+        val base = truncateLineage(docPriorities(Tables.documents(s, d)))
         // ≤101-row histogram: the global-order window here is bounded by
         // the ratio range, not the corpus — constant work at any scale.
         // Materialized ONCE (truncated): the three selection branches
@@ -4899,25 +4927,7 @@ object LlmOps {
     // precondition: doc_id is non-null by schema, so the struct never
     // compares through a NULL leading field.)
     Q("j75_chunk_rewrite",
-      (s, d) => {
-        val chunks = truncateLineage(Tables.documents(s, d)
-          .withColumn("toks", split(col("text"), " "))
-          .filter(size(col("toks")) >= 10)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(0, cast(floor(size(toks) / 10) as int) - 1),
-               c -> struct(cast(c as bigint) as idx,
-                           concat_ws(' ', slice(toks, c * 10 + 1, 10))
-                             as chunk))""")).as("ch"))
-          .select(col("doc_id"), col("ch.idx").as("idx"),
-            col("ch.chunk").as("chunk"))
-          .withColumn("ck", md5(col("chunk"))))
-        val firsts = chunks.groupBy("ck")
-          .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
-          .select(col("ck"), col("f.doc_id").as("fdoc"),
-            col("f.idx").as("fidx"))
-        chunks.join(firsts, "ck")
-          .withColumn("kept",
-            col("doc_id") === col("fdoc") && col("idx") === col("fidx"))
+      (s, d) => chunkKept(Tables.documents(s, d))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_chunks"),
             sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -4925,8 +4935,7 @@ object LlmOps {
               """transform(sort_array(collect_list(
                    CASE WHEN kept THEN struct(idx, chunk) END)),
                  x -> x.chunk)"""))).as("clean_md5"))
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       Some("""WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS t FROM documents
                 WHERE len(string_split(text, ' ')) >= 10),

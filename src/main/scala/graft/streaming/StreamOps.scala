@@ -52,6 +52,14 @@ final case class MarkovState(
 final case class Transition(
     user_id: Long, prev_type: String, event_type: String, n_ooo: Long)
 
+final case class ChunkIn(doc_id: Long, idx: Long, ck: String)
+final case class ChunkDecision(
+    doc_id: Long, idx: Long, ck: String, kept: Boolean)
+final case class BucketTok(bucket: Long, btok: Long)
+final case class BudgetCut(
+    batch_id: Long, total_toks: Long, budget: Long,
+    cut_bucket: Long, spent_above: Long)
+
 /** SURVEY §2 category I — the stateful streaming operators themselves
   * (the reference's core surface), built on Structured Streaming.
   *
@@ -860,6 +868,87 @@ object StreamOps {
           .select(col("vec_id").as("probe_id"), col("qv").as("pqv"))
         val pc = IvfKMeans.imiProbeCells(pq, clT, chT, kHalf, nprobe)
         sink(IvfKMeans.imiSearchTopK(cellTable, qe, pc, topK), id)
+      }
+      .start()
+  }
+
+  /** Streaming first-occurrence chunk dedup — j75's twin on an unbounded
+    * corpus: (doc_id, idx, chunk-hash) rows arrive with their documents
+    * (chunked by the SAME `LlmOps.docChunks` seam the batch rewrite uses,
+    * so boundaries cannot fork); keyed state per chunk hash records
+    * whether the hash was ever kept, the FIRST occurrence is kept and
+    * every later repetition dropped. Intra-batch occurrences are ordered
+    * by (doc_id, idx) before deciding, so when ingestion respects corpus
+    * order the decisions equal batch j75's min-struct argmin ROW FOR ROW
+    * (the differential asserts it); under out-of-order arrival they are
+    * the streaming-correct first-ARRIVAL semantics — the batch argmin is
+    * unknowable online. State is one boolean per distinct chunk hash
+    * (the batch plan's one-shuffled-row-per-distinct-chunk, as state),
+    * partitioned by the hash key across executors — at 100 TB the store
+    * shards with key cardinality and RocksDB spills it off-heap.
+    */
+  def chunkDedupStream(chunks: Dataset[ChunkIn]): Dataset[ChunkDecision] = {
+    import chunks.sparkSession.implicits._
+    chunks.groupByKey(_.ck)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (ck: String, rows: Iterator[ChunkIn], state: GroupState[Boolean]) =>
+          var seen = state.getOption.getOrElse(false)
+          val out = rows.toSeq.sortBy(r => (r.doc_id, r.idx)).map { r =>
+            val kept = !seen
+            seen = true
+            ChunkDecision(r.doc_id, r.idx, ck, kept)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
+  /** Streaming token-budget histogram maintenance — j71's twin: documents
+    * arrive with their (n_tok, priority, bucket) derived by the SAME
+    * `LlmOps.docPriorities` seam the batch selection uses, keyed state
+    * holds one running token total PER PRIORITY BUCKET, and each
+    * micro-batch re-derives the selection cut (budget = half the tokens
+    * seen so far; cut bucket = where the priority-descending cumulative
+    * crosses it). The scale property is j71's, carried online: the
+    * priority is a ratio bounded in [0, 1e6], so the bucket key space is
+    * ≤ 101 at ANY corpus size — the keyed state is constant-size, and
+    * the per-batch driver mirror that orders it is a ≤101-entry map (the
+    * same bounded-driver-state class as the CC convergence fingerprint:
+    * bounded by the VALUE RANGE, never the corpus). Each emitted
+    * [[BudgetCut]] answers "where does the quality bar sit right now" —
+    * the data-mixing control signal — without any corpus-ordered state.
+    */
+  def budgetHistogramStream(
+      docs: DataFrame,
+      sink: BudgetCut => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import docs.sparkSession.implicits._
+    val keyed = docs.select(col("bucket"), col("n_tok"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (b: Long, rows: Iterator[(Long, Long)], st: GroupState[Long]) =>
+          val tot = st.getOption.getOrElse(0L) + rows.map(_._2).sum
+          st.update(tot)
+          BucketTok(b, tot)
+      }
+    val mirror = scala.collection.mutable.Map.empty[Long, Long]
+    keyed.writeStream.outputMode("update")
+      .foreachBatch { (batch: Dataset[BucketTok], id: Long) =>
+        batch.collect().foreach(bt => mirror(bt.bucket) = bt.btok)
+        val total = mirror.values.sum
+        val budget = total / 2
+        var cumBefore = 0L
+        var cut = -1L
+        var spentAbove = 0L
+        mirror.toSeq.sortBy(-_._1).foreach { case (b, t) =>
+          if (cut == -1L && cumBefore < budget && cumBefore + t > budget) {
+            cut = b; spentAbove = cumBefore
+          }
+          cumBefore += t
+        }
+        sink(BudgetCut(id, total, budget, cut, spentAbove))
       }
       .start()
   }

@@ -431,4 +431,55 @@ object LawsSpec extends Properties("graft") {
         MiniJson.dig(nested, "parsed", "missing", k).isEmpty &&
         MiniJson.dig("not a map", "parsed").isEmpty
     }
+
+  // ---- WinnowFingerprint: the native rolling-hash expression vs an
+  // independent positional reference (the O(n·k) polynomial the oracle
+  // uses — NOT the expression's own recurrence), on random ASCII text.
+  private def winnowRef(text: String, k: Int, w: Int): Seq[Long] = {
+    val B = 257L; val M = 1000000007L
+    val p = text.length - k + 1
+    if (p < w) return Seq.empty
+    val hs = (0 until p).map { i =>
+      (0 until k).foldLeft(0L)((h, j) =>
+        // positional: Σ c_j · B^(k-1-j), folded as Horner for clarity —
+        // still independent of the rolling subtract-shift-add recurrence
+        (h * B + text.charAt(i + j)) % M)
+    }
+    val mins = (0 to p - w).map(i => hs.slice(i, i + w).min)
+    mins.distinct
+  }
+
+  private def winnowExpr(text: String, k: Int, w: Int): Seq[Long] =
+    graft.functions.WinnowFingerprint(
+      Literal(UTF8String.fromString(text), StringType), k, w)
+      .eval(null).asInstanceOf[GenericArrayData].toLongArray().toSeq
+
+  private val asciiText = Gen.chooseNum(0, 120).flatMap(n =>
+    Gen.listOfN(n, Gen.frequency(
+      9 -> Gen.alphaLowerChar, 1 -> Gen.const(' '))).map(_.mkString))
+
+  property("winnow: rolling recurrence == positional polynomial, all windows") =
+    Prop.forAll(asciiText, Gen.choose(2, 10), Gen.choose(1, 6)) { (t, k, w) =>
+      winnowExpr(t, k, w) == winnowRef(t, k, w)
+    }
+
+  property("winnow: short input yields the empty fingerprint set, never throws") =
+    Prop.forAll(Gen.choose(0, 12), Gen.choose(2, 10), Gen.choose(1, 6)) {
+      (n, k, w) =>
+        val t = "a" * n
+        val out = winnowExpr(t, k, w)
+        n - k + 1 >= w || out.isEmpty
+    }
+
+  property("winnow: fingerprints are k-gram hash values actually present") =
+    Prop.forAll(asciiText, Gen.choose(2, 8)) { (t, k) =>
+      val w = 3
+      val p = t.length - k + 1
+      p < w || {
+        val B = 257L; val M = 1000000007L
+        val all = (0 until p).map(i => (0 until k).foldLeft(0L)((h, j) =>
+          (h * B + t.charAt(i + j)) % M)).toSet
+        winnowExpr(t, k, w).forall(all.contains)
+      }
+    }
 }

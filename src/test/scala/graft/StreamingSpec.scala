@@ -1482,4 +1482,90 @@ class StreamingSpec extends AnyFunSuite {
         s"  stream=${buf.sortBy(t => (t._1, t._4)).take(5)}\n" +
         s"  batch =${batch.sortBy(t => (t._1, t._4)).take(5)}")
   }
+
+  test("streaming first-occurrence chunk dedup matches the batch j75 decisions") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the corpus chunked by the SAME LlmOps.docChunks seam j75 uses,
+    // streamed in corpus (doc_id, idx) order across three micro-batches —
+    // the order under which streaming first-ARRIVAL must equal the batch
+    // min-struct argmin row-for-row
+    val corpusChunks = graft.queries.LlmOps
+      .docChunks(Tables.documents(spark, d))
+      .select("doc_id", "idx", "ck").as[(Long, Long, String)]
+      .collect().sortBy(t => (t._1, t._2))
+      .map(t => ChunkIn(t._1, t._2, t._3)).toSeq
+    val in = MemoryStream[ChunkIn]
+    val q = StreamOps.chunkDedupStream(in.toDS()).writeStream
+      .format("memory").queryName("chunk_dedup_stream")
+      .outputMode("append").start()
+    corpusChunks.grouped((corpusChunks.size + 2) / 3).foreach { b =>
+      in.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("chunk_dedup_stream").as[ChunkDecision]
+      .collect().map(c => (c.doc_id, c.idx) -> c.kept).toMap
+    val batch = graft.queries.LlmOps
+      .chunkKept(Tables.documents(spark, d))
+      .select("doc_id", "idx", "kept").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    assert(got.size == batch.size,
+      s"stream decided ${got.size} chunks, batch ${batch.size}")
+    batch.foreach { case (k, kept) =>
+      assert(got(k) == kept, s"chunk at $k: stream ${got(k)}, batch $kept")
+    }
+    // non-vacuous: the corpus genuinely repeats chunks, so some decision
+    // is a DROP (and the kept set is strictly smaller than the corpus)
+    assert(batch.values.exists(!_),
+      "no repeated chunk at this sf — differential is vacuous")
+  }
+
+  test("streaming budget histogram converges to the batch j71 cut bucket") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // docs derived by the SAME LlmOps.docPriorities seam j71 uses,
+    // streamed in three micro-batches; the final emitted cut must equal
+    // the cut recomputed from the full corpus AND agree with the
+    // registered j71's own output rows
+    val docs = graft.queries.LlmOps
+      .docPriorities(Tables.documents(spark, d))
+      .select("doc_id", "n_tok", "priority", "bucket")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val cuts = scala.collection.mutable.Buffer.empty[BudgetCut]
+    val q = StreamOps.budgetHistogramStream(
+      in.toDS().toDF("doc_id", "n_tok", "priority", "bucket"),
+      cuts += _)
+    docs.grouped((docs.size + 2) / 3).foreach { b =>
+      in.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    assert(cuts.size == 3, s"expected one cut per micro-batch, got $cuts")
+    val fin = cuts.last
+    // full-corpus recompute of the same definition
+    val hist = docs.groupBy(_._4).view
+      .mapValues(_.map(_._2).sum).toSeq.sortBy(-_._1)
+    val total = docs.map(_._2).sum
+    val budget = total / 2
+    var cum = 0L; var cut = -1L; var above = 0L
+    hist.foreach { case (b, t) =>
+      if (cut == -1L && cum < budget && cum + t > budget) {
+        cut = b; above = cum
+      }
+      cum += t
+    }
+    assert(fin == BudgetCut(fin.batch_id, total, budget, cut, above),
+      s"final streamed cut $fin != corpus recompute " +
+        s"($total, $budget, $cut, $above)")
+    // and the registered j71 sees the same boundary: buckets strictly
+    // above the cut are fully selected, strictly below fully unselected
+    val j71 = SparkEntry.queries("j71_budget_select")(spark, d)
+      .select("bucket", "selected").as[(Long, Boolean)].collect()
+    assert(j71.filter(_._1 > cut).forall(_._2),
+      "a doc above the streamed cut bucket is unselected in batch j71")
+    assert(j71.filter(_._1 < cut).forall(!_._2),
+      "a doc below the streamed cut bucket is selected in batch j71")
+    assert(j71.exists(_._1 == cut),
+      "streamed cut bucket is empty in the batch output — vacuous")
+  }
 }
