@@ -1520,6 +1520,38 @@ class StreamingSpec extends AnyFunSuite {
       "no repeated chunk at this sf — differential is vacuous")
   }
 
+  test("RocksDB provider: chunk dedup decisions still match the batch j75") {
+    // the state here is one boolean per DISTINCT CHUNK — the op whose
+    // store actually grows with the corpus, so it is the one that must
+    // also be exercised against the spill-capable provider
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDB {
+      val corpusChunks = graft.queries.LlmOps
+        .docChunks(Tables.documents(spark, d))
+        .select("doc_id", "idx", "ck").as[(Long, Long, String)]
+        .collect().sortBy(t => (t._1, t._2))
+        .map(t => ChunkIn(t._1, t._2, t._3)).toSeq
+      val in = MemoryStream[ChunkIn]
+      val q = StreamOps.chunkDedupStream(in.toDS()).writeStream
+        .format("memory").queryName("chunk_dedup_rocks")
+        .outputMode("append").start()
+      corpusChunks.grouped((corpusChunks.size + 2) / 3).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      assertRocksDbServed(q)
+      q.stop()
+      val got = spark.table("chunk_dedup_rocks").as[ChunkDecision]
+        .collect().map(c => (c.doc_id, c.idx) -> c.kept).toMap
+      val batch = graft.queries.LlmOps
+        .chunkKept(Tables.documents(spark, d))
+        .select("doc_id", "idx", "kept").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+      assert(got.size == batch.size && batch.forall { case (k, v) =>
+        got(k) == v }, "RocksDB-served chunk dedup diverges from batch j75")
+    }
+  }
+
   test("streaming budget histogram converges to the batch j71 cut bucket") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
