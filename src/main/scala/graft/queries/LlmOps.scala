@@ -518,6 +518,61 @@ object LlmOps {
       .withColumn("bucket", expr("priority div 10000L"))
       .select("doc_id", "n_tok", "priority", "bucket")
 
+  /** j74's mining stage over ANY (vec_id, cell) assignment: broadcast
+    * anchor panel (vec_id < nAnchors), candidate ids from the cell
+    * equi-join on the one-row-per-vector cell table, vectors fetched PER
+    * CANDIDATE, rounded-dot band [0.10, 0.35), per-anchor group-limit
+    * top-k. Shared by the registered j74 (4×4 seed cells the oracle
+    * replays) and the learned-codebook production variant below, so the
+    * two can never fork in mining semantics.
+    */
+  private[graft] def minedNegatives(
+      cells: org.apache.spark.sql.DataFrame,
+      e: org.apache.spark.sql.DataFrame,
+      nAnchors: Int = 8,
+      topK: Int = 4): org.apache.spark.sql.DataFrame = {
+    val anchors = truncateLineage(cells.filter(col("vec_id") < nAnchors)
+      .join(e.select("vec_id", "embedding"), "vec_id")
+      .select(col("vec_id").as("anchor_id"),
+        col("embedding").as("ea"), col("cell")))
+    val candIds = cells.join(broadcast(anchors), Seq("cell"))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select("anchor_id", "vec_id", "ea")
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    candIds.join(e.select(col("vec_id"),
+        col("embedding").as("eb")), Seq("vec_id"))
+      .withColumn("sim", round(expr(dot("ea", "eb")), 6))
+      .filter(col("sim") >= 0.10 && col("sim") < 0.35)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("anchor_id"), col("vec_id").as("neg_id"),
+        col("sim"), col("rk"))
+      .orderBy("anchor_id", "rk")
+  }
+
+  /** The hard-negative production variant: j74's mining with cells from
+    * TRAINED half codebooks at an arbitrary kHalf (the √n-cells scale
+    * knob, kHalf ≈ n^(1/4)) through the SAME `imiAssignAgainst` seam
+    * j67 and the streaming index maintenance use. The registered j74
+    * stays on the 4×4 seed cells SQL can replay exactly; QueriesSpec
+    * pins this variant's structural contract on the same corpus.
+    */
+  def hardNegativesLearned(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      kHalf: Int = 4): org.apache.spark.sql.DataFrame = {
+    DotProduct.register(s)
+    graft.functions.SquaredDistance.register(s)
+    val e = Tables.embeddings(s, d)
+    val qe = truncateLineage(graft.operators.IvfKMeans.quantize(e))
+    val (cl, ch) =
+      graft.operators.IvfKMeans.imiHalfCodebooksTrained(qe, kHalf)
+    val cells = truncateLineage(graft.operators.IvfKMeans
+      .imiAssignAgainst(qe, truncateLineage(cl), truncateLineage(ch), kHalf)
+      .select("vec_id", "cell"))
+    minedNegatives(cells, e)
+  }
+
   /** j75's decision stage: every chunk occurrence marked kept iff it is
     * the globally FIRST (min (doc_id, idx)) occurrence of its hash —
     * min(struct) map-side argmin, one shuffled row per distinct chunk.
@@ -4838,24 +4893,7 @@ object LlmOps {
         val cells = truncateLineage(graft.operators.IvfKMeans
           .imiAssign(graft.operators.IvfKMeans.quantize(e), kHalf = 4)
           .select("vec_id", "cell"))
-        val anchors = truncateLineage(cells.filter(col("vec_id") < 8)
-          .join(e.select("vec_id", "embedding"), "vec_id")
-          .select(col("vec_id").as("anchor_id"),
-            col("embedding").as("ea"), col("cell")))
-        val candIds = cells.join(broadcast(anchors), Seq("cell"))
-          .filter(col("vec_id") =!= col("anchor_id"))
-          .select("anchor_id", "vec_id", "ea")
-        val w = Window.partitionBy("anchor_id")
-          .orderBy(col("sim").desc, col("vec_id").asc)
-        candIds.join(e.select(col("vec_id"),
-            col("embedding").as("eb")), Seq("vec_id"))
-          .withColumn("sim", round(expr(dot("ea", "eb")), 6))
-          .filter(col("sim") >= 0.10 && col("sim") < 0.35)
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 4)
-          .select(col("anchor_id"), col("vec_id").as("neg_id"),
-            col("sim"), col("rk"))
-          .orderBy("anchor_id", "rk")
+        minedNegatives(cells, e)
       },
       Some(s"""WITH RECURSIVE q AS (
                  SELECT vec_id, embedding, list_transform(embedding,

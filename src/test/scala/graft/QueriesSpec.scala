@@ -1903,6 +1903,39 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.forall(_._3 < 0.35), "a mined negative is a dedup pair")
   }
 
+  test("j74 learned-codebook mining keeps the registered contract") {
+    // the production variant (trained half codebooks through the same
+    // imiAssignAgainst seam) must honor the same structural contract:
+    // band bounds, per-anchor dense ranking by descending sim, negatives
+    // from the anchor's TRAINED cell, never the anchor itself
+    val out = graft.queries.LlmOps.hardNegativesLearned(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.nonEmpty, "learned mining found nothing — vacuous")
+    assert(out.forall(t => t._3 >= 0.10 && t._3 < 0.35),
+      "a learned-cell negative escapes the band")
+    assert(out.forall(t => t._1 != t._2), "anchor mined as its own negative")
+    out.groupBy(_._1).values.foreach { g =>
+      val byRk = g.sortBy(_._4)
+      assert(byRk.map(_._4).toSeq == (1L to byRk.length).toSeq,
+        "ranks not dense from 1")
+      assert(byRk.map(-_._3).toSeq == byRk.map(-_._3).sorted.toSeq,
+        "sims not descending with rank")
+    }
+    // cell membership: re-derive the trained cells through the same seam
+    // and require every (anchor, neg) pair to share one
+    import graft.operators.IvfKMeans
+    val qe = IvfKMeans.quantize(Tables.embeddings(spark, d))
+    val (cl, ch) = IvfKMeans.imiHalfCodebooksTrained(qe, 4)
+    val cells = IvfKMeans.imiAssignAgainst(qe, cl, ch, 4)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (a, n, _, _) =>
+      assert(cells(a) == cells(n),
+        s"negative $n not in anchor $a's trained cell")
+    }
+  }
+
   test("j75 chunk rewrite: full differential vs a sequential rewrite") {
     val docs = Tables.documents(spark, d)
       .select("doc_id", "text").collect()
