@@ -198,24 +198,19 @@ object Bench {
     import MiniJson.{jstr, obj}
     // linear-interpolated percentile over the warm samples — published per
     // query so the artifact self-describes its variance (p50 = the robust
-    // round-over-round comparator, p95 = the tail a contended run shows)
+    // round-over-round comparator, p95 = the tail a contended run shows);
+    // the one shared implementation lives on BenchSidecar
     def pctl(ts: Seq[Double], p: Double): Option[Double] =
-      if (ts.isEmpty) None else {
-        val s = ts.sorted
-        val idx = p * (s.size - 1)
-        val lo = idx.toInt
-        val hi = math.min(lo + 1, s.size - 1)
-        Some(s(lo) + (idx - lo) * (s(hi) - s(lo)))
-      }
+      BenchSidecar.pctl(ts, p)
     // Printed values round to ms: the compact line must stay well under the
     // driver's ~2000-char tail capture (the round-12 lesson); full-precision
     // raw samples + p95 live in the sidecar.
     val qs = obj(results.map { case (k, v, _, _, _, _) =>
-      k -> v.map(t => f"$t%.3f").getOrElse("null") })
+      k -> v.map(MiniJson.num(_, 3)).getOrElse("null") })
     val p50s = obj(results.map { case (k, _, _, ss, _, _) =>
-      k -> pctl(ss, 0.5).map(t => f"$t%.3f").getOrElse("null") })
+      k -> pctl(ss, 0.5).map(MiniJson.num(_, 3)).getOrElse("null") })
     val cs = obj(results.collect { case (k, _, Some(c), _, _, _) =>
-      k -> f"$c%.3f" })
+      k -> MiniJson.num(c, 3) })
     val es = obj(results.collect { case (k, _, _, _, Some(m), _) =>
       k -> jstr(m) })
     // Plan fingerprints for the headline queries (computed AFTER the timed
@@ -312,12 +307,12 @@ object Bench {
         // across-the-board contended run would otherwise blow the line past
         // the tail capture again; the full was/now detail is in the sidecar
         val regCap = regressionsFull.map(_.take(5).map { case (k, was, now) =>
-          k -> f"${now / was}%.2f" })
+          k -> MiniJson.num(now / was, 2) })
         Some(obj(Seq(
-          "total" -> f"${times.values.sum}%.2f",
+          "total" -> MiniJson.num(times.values.sum, 2),
           "n" -> times.size.toString,
           "action" -> jstr("noop-write"),
-          "slowest" -> obj(slowest.map { case (k, v) => k -> f"$v%.2f" }),
+          "slowest" -> obj(slowest.map { case (k, v) => k -> MiniJson.num(v, 2) }),
           "prev_artifact" -> prevArt.map(p => jstr(p._1)).getOrElse("null"),
           "regressions_n" -> regressionsFull.map(_.size.toString)
             .getOrElse("null"),
@@ -335,12 +330,12 @@ object Bench {
       "runs" -> runs.toString,
       "split_bytes" -> jstr(spark.conf.get("spark.sql.files.maxPartitionBytes")),
       "cpus" -> spark.sparkContext.defaultParallelism.toString,
-      "loadavg_start" -> f"$loadStart%.2f",
-      "loadavg_end" -> f"$loadEnd%.2f",
+      "loadavg_start" -> MiniJson.num(loadStart, 2),
+      "loadavg_end" -> MiniJson.num(loadEnd, 2),
       "load_gate" -> (if (gateOn) "1" else "0"),
-      "load_gate_limit" -> f"$gateLimit%.2f",
+      "load_gate_limit" -> MiniJson.num(gateLimit, 2),
       "load_gate_waited_sec" -> gateWaited.toString,
-      "load_gate_loadavg" -> f"$loadAtGate%.2f",
+      "load_gate_loadavg" -> MiniJson.num(loadAtGate, 2),
       "load_gate_timeout" -> (if (gateTimeout) "true" else "false"),
       "spread_limit" -> SpreadLimit.toString,
       "resampled" -> retriedQs.map(jstr).mkString("[", ",", "]"),
@@ -350,7 +345,7 @@ object Bench {
     val sweepJson = sweepBlock.map(b => s""","sweep":$b""").getOrElse("")
     val plansJson = if (planHashes.isEmpty) ""
       else s""","plans":${obj(planHashes.map { case (k, h) => k -> jstr(h) })}"""
-    val totalStr = f"$total%.3f"
+    val totalStr = MiniJson.num(total, 3)
     val line = s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"p50":$p50s,"cold":$cs,"errors":$es,"protocol":$protocol$plansJson$sweepJson,"sf":"$sfDir"}"""
     // hard guard: the driver's tail capture holds ~2000 chars — a line that
     // outgrows it silently nulls the graded artifact (round 12). Refuse to

@@ -114,7 +114,11 @@ object BenchSidecar {
       .getOrElse(Map.empty)
   }
 
-  private def pctl(ts: Seq[Double], p: Double): Option[Double] =
+  /** Linear-interpolated percentile — the ONE implementation both the
+    * printed line (Bench) and this sidecar publish from, so p50 and p95
+    * can never disagree about the same samples.
+    */
+  private[graft] def pctl(ts: Seq[Double], p: Double): Option[Double] =
     if (ts.isEmpty) None
     else {
       val s = ts.sorted
@@ -145,7 +149,7 @@ object BenchSidecar {
         k -> obj(Seq(
           "was" -> was.toString,
           "now" -> now.toString,
-          "ratio" -> f"${now / was}%.3f"))
+          "ratio" -> MiniJson.num(now / was, 3)))
       }),
       "headline" -> obj(headline.map { case (k, cold, ss) =>
         k -> obj(Seq(

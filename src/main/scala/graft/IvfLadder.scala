@@ -43,7 +43,7 @@ object IvfLadder {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     def run(tag: String, cents: Array[Array[Long]], nprobe: Int)
-        : (String, Double, Int) = {
+        : (String, Double, Int, org.apache.spark.sql.DataFrame) = {
       val k = cents.length
       var t0 = System.nanoTime()
       val cells = Q.truncateLineage(IvfKMeans.assignExactAgg(qe, cents))
@@ -73,7 +73,7 @@ object IvfLadder {
         f""""avg_candidates_per_probe":$avgCand%.1f,""" +
         f""""assign_sec":$assignSec%.2f,"search_sec":$searchSec%.2f,""" +
         f""""recall_hits":$hits,"recall_denom":${truth.size}}""",
-        avgCand, hits)
+        avgCand, hits, cells)
     }
 
     // fixed 16-cell codebook (the j16/j61 convention: 16 lowest vec_ids)
@@ -98,10 +98,10 @@ object IvfLadder {
     //    probe candidates are nprobe·n/k = 8·√n, so a 10× collection grows
     //    per-probe work ~√10 ≈ 3.2×, where both fixed16 and any
     //    equal-fraction config grow it 10× (candidates = fraction·n).
-    val (fixedJson, _, _) = run("fixed16", fixed16, nprobe = 1)
-    val (eqfracJson, avgCandScaled, _) =
+    val (fixedJson, _, _, fixedCells) = run("fixed16", fixed16, nprobe = 1)
+    val (eqfracJson, avgCandScaled, _, _) =
       run("scaled_eqfrac", trained, nprobe = nprobeScaled)
-    val (constJson, _, _) = run("scaled_const_nprobe", trained, nprobe = 8)
+    val (constJson, _, _, _) = run("scaled_const_nprobe", trained, nprobe = 8)
     val out = Seq(fixedJson, eqfracJson, constJson).mkString(",")
     // the multi-index assignment-cost point: ~k product cells from
     // 2·√k distance evals per vector, vs the flat path's k — this is
@@ -197,9 +197,10 @@ object IvfLadder {
       cellTable.groupBy("cell").count()
         .agg(sum(expr("count * (count - 1) div 2")).cast("long"))
         .collect()(0).getLong(0)
-    val fixedCellTable = Q.truncateLineage(
-      IvfKMeans.assignExactAgg(qe, fixed16).select("vec_id", "cell"))
-    val candFixed = candPairs(fixedCellTable)
+    // reuse the fixed-16 assignment run("fixed16") already materialized —
+    // recomputing it here was a full redundant O(n·16) pass inside the
+    // very harness that measures assignment cost
+    val candFixed = candPairs(fixedCells)
     val candImi = candPairs(imiCellTable)
     val tD = System.nanoTime()
     val assignedD = Q.truncateLineage(e.select("vec_id", "embedding")

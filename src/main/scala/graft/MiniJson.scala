@@ -27,6 +27,16 @@ object MiniJson {
   def obj(kvs: Seq[(String, String)]): String =
     kvs.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
 
+  /** Locale-independent fixed-decimal rendering for artifact numbers.
+    * Scala's `f"$x%.3f"` formats with the DEFAULT JVM locale — under a
+    * comma-decimal locale (de_DE, tr_TR, …) it emits `0,940`, which is
+    * invalid JSON and would null the graded artifact exactly like the
+    * round-12 overflow did. Always Locale.ROOT for anything that lands
+    * in the bench line or the sidecar.
+    */
+  def num(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
   def parse(s: String): Any = {
     val p = new P(s)
     val v = p.value()

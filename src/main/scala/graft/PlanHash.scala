@@ -26,10 +26,16 @@ object PlanHash {
       .replaceAll("#\\d+", "#")
       .replaceAll("plan_id=\\d+", "plan_id=")
       .replaceAll("InMemoryFileIndex\\(\\d+ paths\\)\\[[^\\]]*\\]", "<FILES>")
-      // trailing partition count of hash/rangepartitioning — allow one level
-      // of nested parens in the key exprs (casts etc.)
+      // trailing partition count of hash/rangepartitioning — allow TWO
+      // levels of nested parens in the key exprs: one for casts, two for
+      // Spark's floating-point key wrapping, which renders as
+      // knownfloatingpointnormalized(normalizenanandzero(col#)) — with
+      // only one level the ", 32" of a float-keyed exchange survived and
+      // the fingerprint tracked SPARK_GRAFT_CPUS, the exact noise this
+      // normalization exists to remove
       .replaceAll(
-        "(partitioning\\([^()]*(?:\\([^()]*\\)[^()]*)*), \\d+\\)",
+        "(partitioning\\([^()]*(?:\\([^()]*(?:\\([^()]*\\)[^()]*)*\\)" +
+          "[^()]*)*), \\d+\\)",
         "$1, <P>)")
 
   def fingerprint(df: DataFrame, sfDir: String): String =

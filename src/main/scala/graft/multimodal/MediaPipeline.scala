@@ -486,15 +486,21 @@ object MediaPipeline {
               if (blo >= bhi) None
               else u8(blo) match {
                 // content: verflags(4), then v0 ctime(4) mtime(4)
-                // timescale(4) duration(4); v1 widens the times to 8
+                // timescale(4) duration(4); v1 widens the times to 8.
+                // All-ones duration is ISO 14496-12's "duration cannot be
+                // determined" sentinel (live/streamed recordings) — both
+                // versions must report it as not-carried, never as a real
+                // ~49-day (v0) value
                 case 0 if blo + 20 <= bhi =>
                   val ts = be32(blo + 12)
                   val du = be32(blo + 16).toLong & 0xffffffffL
-                  if (ts > 0) Some(du * 1000L / ts) else None
+                  if (ts > 0 && du != 0xffffffffL) Some(du * 1000L / ts)
+                  else None
                 case 1 if blo + 32 <= bhi =>
                   val ts = be32(blo + 20)
                   val du = be64(blo + 24)
-                  if (ts > 0 && du >= 0) Some(du * 1000L / ts) else None
+                  if (ts > 0 && du >= 0 && du != -1L) Some(du * 1000L / ts)
+                  else None
                 case _ => None
               }
           }.getOrElse(-1L)

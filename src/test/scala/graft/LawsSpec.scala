@@ -432,6 +432,36 @@ object LawsSpec extends Properties("graft") {
         MiniJson.dig("not a map", "parsed").isEmpty
     }
 
+  property("planhash: partition count strips through nested float-key wrapping") =
+    Prop.forAll(Gen.choose(1, 4096)) { p =>
+      // Spark renders a float/double hash key with TWO paren levels —
+      // knownfloatingpointnormalized(normalizenanandzero(col#)) — and the
+      // partition count must still normalize away (it tracks CPUS, not
+      // plan shape); same for plain and one-level-cast keys
+      val plans = Seq(
+        s"Exchange hashpartitioning(knownfloatingpointnormalized(" +
+          s"normalizenanandzero(sim#12)), $p)",
+        s"Exchange hashpartitioning(cast(doc_id#3 as string), $p)",
+        s"Exchange rangepartitioning(doc_id#3 ASC NULLS FIRST, $p)")
+      plans.forall { pl =>
+        val n = PlanHash.normalize(pl, "/d")
+        n.endsWith(", <P>)") && !n.contains(s", $p)")
+      }
+    }
+
+  property("minijson: num stays dot-decimal under a comma-decimal locale") =
+    Prop.secure {
+      val old = java.util.Locale.getDefault
+      try {
+        java.util.Locale.setDefault(java.util.Locale.GERMANY)
+        // under de_DE the f-interpolator emits "0,940" (invalid JSON);
+        // num must stay locale-independent
+        MiniJson.num(0.94, 3) == "0.940" &&
+          MiniJson.num(-1.5, 2) == "-1.50" &&
+          f"${0.94}%.3f" == "0,940" // the failure mode num exists to avoid
+      } finally java.util.Locale.setDefault(old)
+    }
+
   // ---- WinnowFingerprint: the native rolling-hash expression vs an
   // independent positional reference (the O(n·k) polynomial the oracle
   // uses — NOT the expression's own recurrence), on random ASCII text.

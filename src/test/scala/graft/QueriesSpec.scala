@@ -1810,9 +1810,9 @@ class QueriesSpec extends AnyFunSuite {
     assert(bad == 0, "per-doc token counts violate words <= bpe <= chars")
   }
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  // the production hex-md5 (PlanHash.md5hex), not a test-local copy that
+  // could drift from the convention the differentials hash with
+  private def md5hex(s: String): String = PlanHash.md5hex(s)
 
   // Spark's round() on DOUBLE: BigDecimal.valueOf(x).setScale(0, HALF_UP)
   // — halves away from zero (math.round/rint differ on negatives/halves).
