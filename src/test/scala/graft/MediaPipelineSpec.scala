@@ -496,6 +496,24 @@ class MediaPipelineSpec extends AnyFunSuite {
       .getOrElse(fail("v1-mvhd mp4: probe returned None"))
     assert(hV1.durationMs == 1234L * 1000 / 600 && hV1.width == 64,
       s"v1 mvhd fields: $hV1")
+    // all-ones duration is ISO 14496-12's "duration unknown" sentinel
+    // (live/streamed recordings): BOTH mvhd versions must report it as
+    // not-carried (-1), never as a real ~49-day v0 value
+    val mvhdUnk0 = mbox("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++
+      be32(0) ++ be32(1000) ++ be32(0xffffffff) ++ new Array[Byte](80))
+    val hUnk0 = MediaPipeline.headerProbe(
+      ftyp ++ mbox("moov", mvhdUnk0 ++ mbox("trak", tkhd(64, 48))))
+      .getOrElse(fail("v0 unknown-duration mp4: probe returned None"))
+    assert(hUnk0.durationMs == -1L && hUnk0.width == 64,
+      s"v0 all-ones duration must be not-carried: $hUnk0")
+    val mvhdUnk1 = mbox("mvhd", Array[Byte](1, 0, 0, 0) ++
+      new Array[Byte](16) ++ be32(600) ++ be32(0xffffffff) ++
+      be32(0xffffffff))
+    val hUnk1 = MediaPipeline.headerProbe(
+      ftyp ++ mbox("moov", mvhdUnk1 ++ mbox("trak", tkhd(64, 48))))
+      .getOrElse(fail("v1 unknown-duration mp4: probe returned None"))
+    assert(hUnk1.durationMs == -1L,
+      s"v1 all-ones duration must be not-carried: $hUnk1")
     // corrupt MP4s: no moov → None; moov whose declared size overruns the
     // payload (truncation) → None; child box smaller than its header stops
     // the inner walk (fields degrade to -1, format still identified)
