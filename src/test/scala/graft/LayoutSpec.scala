@@ -35,6 +35,50 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IMI index reloads exactly and serves the registered j68 bit-identically") {
+    import graft.operators.{ImiIndexStore, IvfKMeans}
+    graft.functions.SquaredDistance.register(spark)
+    val qe = Q.truncateLineage(
+      IvfKMeans.quantize(Tables.embeddings(spark, d)))
+    val (cl, ch) = IvfKMeans.imiHalfCodebooks(qe, 4)
+    val cells = IvfKMeans.imiAssignAgainst(qe, cl, ch, 4)
+      .select("vec_id", "cell")
+    ImiIndexStore.save("imi_idx_t", cl, ch, cells)
+    try {
+      val (lcl, lch, lcells) = ImiIndexStore.load(spark, "imi_idx_t")
+      // exact round trip of the cell table (integer columns — no precision
+      // surface to hide behind)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(rows(lcells) == rows(cells), "cell table changed on reload")
+      // serve j68's own probe panel from the LOADED artifact — answers
+      // must equal the registered query row-for-row
+      val probes = qe.filter(col("vec_id") % 100 === 7)
+        .orderBy("vec_id").limit(64)
+        .select(col("vec_id").as("probe_id"), col("qv").as("pqv"))
+      val served = IvfKMeans.imiSearchTopK(lcells, qe,
+          IvfKMeans.imiProbeCells(probes, lcl, lch, 4, 3), 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      val registered = SparkEntry.queries("j68_imi_search")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._1, t._4)).toSeq
+      assert(served == registered,
+        s"loaded-index serving diverges from the registered j68:\n" +
+          s"  served=${served.take(5)}\n  batch =${registered.take(5)}")
+      // the layout claim: cell-keyed index work reads the bucketing —
+      // zero shuffle on the loaded cell table
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val occupancy = lcells.groupBy("cell").count()
+        assert(Layout.countExchanges(occupancy) == 0,
+          s"bucketed cell table still shuffles for a cell-keyed agg:\n" +
+            s"${occupancy.queryExecution.executedPlan}")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally ImiIndexStore.drop(spark, "imi_idx_t")
+  }
+
   test("AQE splits the skewed join partition; result equals the salted rewrite") {
     // c9 proves the MANUAL salt (the form for paths AQE can't see, e.g.
     // streaming-static). This pins the claimed production path for batch:
