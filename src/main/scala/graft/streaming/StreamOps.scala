@@ -904,6 +904,52 @@ object StreamOps {
       }
   }
 
+  /** [[chunkDedupStream]] on the MODERN state API: the same per-chunk-hash
+    * first-occurrence semantics as a `StatefulProcessor` with one
+    * `ValueState[Boolean]` per key (transformWithState is where new
+    * stateful operators land — timers, TTL, and the state trio all hang
+    * off the same handle, and RocksDB changelog checkpointing covers it).
+    * Kept decision-compatible with the MGWS form by construction: same
+    * intra-batch (doc_id, idx) ordering, same first-wins rule —
+    * StreamingSpec asserts both forms equal the batch j75 decisions.
+    */
+  final class ChunkDedupProcessor
+      extends StatefulProcessor[String, ChunkIn, ChunkDecision] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[ChunkIn],
+        timerValues: TimerValues): Iterator[ChunkDecision] = {
+      var s = seen.exists() && seen.get()
+      val out = rows.toSeq.sortBy(r => (r.doc_id, r.idx)).map { r =>
+        val kept = !s
+        s = true
+        ChunkDecision(r.doc_id, r.idx, key, kept)
+      }
+      seen.update(s)
+      out.iterator
+    }
+  }
+
+  /** [[chunkDedupStream]] via transformWithState (see
+    * [[ChunkDedupProcessor]]).
+    */
+  def chunkDedupStreamTws(chunks: Dataset[ChunkIn]): Dataset[ChunkDecision] = {
+    import chunks.sparkSession.implicits._
+    // transformWithState needs column families → RocksDB provider (same
+    // requirement and same conf line as the other TWS operators here)
+    chunks.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    chunks.groupByKey(_.ck)
+      .transformWithState(new ChunkDedupProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming token-budget histogram maintenance — j71's twin: documents
     * arrive with their (n_tok, priority, bucket) derived by the SAME
     * `LlmOps.docPriorities` seam the batch selection uses, keyed state

@@ -1552,6 +1552,38 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState chunk dedup equals the batch j75 decisions too") {
+    // the MODERN state API form (ChunkDedupProcessor, ValueState[Boolean]
+    // per chunk hash) must make the same decision on every chunk as both
+    // the MGWS form and the batch argmin
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val corpusChunks = graft.queries.LlmOps
+      .docChunks(Tables.documents(spark, d))
+      .select("doc_id", "idx", "ck").as[(Long, Long, String)]
+      .collect().sortBy(t => (t._1, t._2))
+      .map(t => ChunkIn(t._1, t._2, t._3)).toSeq
+    withRocksDB {
+      val in = MemoryStream[ChunkIn]
+      val q = StreamOps.chunkDedupStreamTws(in.toDS()).writeStream
+        .format("memory").queryName("chunk_dedup_tws")
+        .outputMode("append").start()
+      corpusChunks.grouped((corpusChunks.size + 2) / 3).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      assertRocksDbServed(q)
+      q.stop()
+      val got = spark.table("chunk_dedup_tws").as[ChunkDecision]
+        .collect().map(c => (c.doc_id, c.idx) -> c.kept).toMap
+      val batch = graft.queries.LlmOps
+        .chunkKept(Tables.documents(spark, d))
+        .select("doc_id", "idx", "kept").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+      assert(got.size == batch.size && batch.forall { case (k, v) =>
+        got(k) == v }, "TWS chunk dedup diverges from batch j75")
+    }
+  }
+
   test("streaming budget histogram converges to the batch j71 cut bucket") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

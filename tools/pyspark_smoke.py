@@ -14,10 +14,11 @@ result row-for-row against the Scala DataFrame twin invoked through py4j
 Usage:
   python3 tools/pyspark_smoke.py [sfDir] [query ...]
 defaults: /root/testdata/sf0.001 and the FULL m-tranche (every m*_tpch_*
-key in the catalog, discovered through py4j — 21 workloads), plus a
-non-SQL LLM operator check: j1_exact_dedup invoked through py4j AND
-re-composed natively in the PySpark DataFrame API, compared row-for-row
-(non-SQL operators reach the Python surface both ways).
+key in the catalog, discovered through py4j — 21 workloads), plus two
+non-SQL LLM operator checks: j1_exact_dedup and j73_random_projection,
+each invoked through py4j AND re-composed natively in the PySpark
+DataFrame API, compared row-for-row (non-SQL operators reach the Python
+surface both ways, including the vector/HOF family).
 
 Run from the repo root after `sbt compile` (needs
 target/scala-2.13/classes on disk).
@@ -101,7 +102,36 @@ def main() -> int:
     print(f"[pyspark-smoke] {j_name}: py4j rows={len(via_jvm)} "
           f"native-pyspark rows={len(via_py)} "
           f"{'MATCH' if j_ok else 'MISMATCH'}")
-    n_total = len(names) + 1
+    # A round-13 vector operator the same two ways: the signed random
+    # projection (j73) re-composed natively — the whole op is built-in
+    # HOFs + a broadcast cross join, so the Python surface can express it
+    # verbatim with zero JVM helpers.
+    j73 = "j73_random_projection"
+    jdf73 = queries.apply(j73).apply(spark._jsparkSession, sf_dir)
+    via_jvm73 = sorted(map(tuple, DataFrame(jdf73, spark).collect()))
+    qe = spark.table("embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(round(cast(x as double)"
+               " * 1000000) as bigint))").alias("qv"))
+    m = (spark.range(0, 16).toDF("j")
+         .withColumn("srow", F.expr(
+             "transform(sequence(1, 64), i -> CASE WHEN substring("
+             "md5(concat(cast(j as string), '_', cast(i as string))), 1, 1)"
+             " >= '8' THEN 1L ELSE -1L END)")))
+    native73 = (qe.crossJoin(F.broadcast(m))
+                .select("vec_id", "j",
+                        F.expr("aggregate(zip_with(qv, srow,"
+                               " (x, sg) -> x * sg), 0L,"
+                               " (a, x) -> a + x)").alias("proj"))
+                .withColumn("srp_bit", F.col("proj") >= 0)
+                .orderBy("vec_id", "j"))
+    via_py73 = sorted(map(tuple, native73.collect()))
+    j73_ok = via_jvm73 == via_py73 and len(via_jvm73) > 0
+    failures += 0 if j73_ok else 1
+    print(f"[pyspark-smoke] {j73}: py4j rows={len(via_jvm73)} "
+          f"native-pyspark rows={len(via_py73)} "
+          f"{'MATCH' if j73_ok else 'MISMATCH'}")
+    n_total = len(names) + 2
     spark.stop()
     print(f"[pyspark-smoke] {n_total - failures}/{n_total} matched")
     return 1 if failures else 0
