@@ -212,9 +212,35 @@ object IvfLadder {
         f""""cand_pairs_imi":$candImi,""" +
         f""""cand_ratio":${candFixed.toDouble / math.max(candImi, 1L)}%.1f,""" +
         f""""tau_pairs":$tauPairs,"pair_stage_sec":$dedupSec%.2f}"""
+    // hard-negative mining (the j74 family) at both cell structures:
+    // anchors are a broadcast 8-row panel, so per-anchor work is
+    // CELL-sized — candidates/anchor drop by ~cells/16 under the trained
+    // product cells (the same n²-term physics as SemDeDup's pair stage,
+    // but anchored: 8·n/cells instead of n²/cells)
+    def mineCand(cellTable: org.apache.spark.sql.DataFrame): Long =
+      cellTable.filter(col("vec_id") < 8)
+        .select(col("cell").as("acell"))
+        .join(cellTable.groupBy("cell").count(),
+          col("cell") === col("acell"))
+        .agg(coalesce(sum(expr("count - 1")), lit(0L)).cast("long"))
+        .collect()(0).getLong(0)
+    val mcFixed = mineCand(fixedCells.select("vec_id", "cell"))
+    val mcImi = mineCand(imiCellTable)
+    val tF = System.nanoTime()
+    val negFixed = graft.queries.LlmOps
+      .minedNegatives(fixedCells.select("vec_id", "cell"), e).count()
+    val mineFixedSec = (System.nanoTime() - tF) / 1e9
+    val tC = System.nanoTime()
+    val negImi = graft.queries.LlmOps.minedNegatives(imiCellTable, e).count()
+    val mineImiSec = (System.nanoTime() - tC) / 1e9
+    val miningJson =
+      f""""mining":{"cand_fixed16":$mcFixed,"cand_cells":$mcImi,""" +
+        f""""cand_ratio":${mcFixed.toDouble / math.max(mcImi, 1L)}%.1f,""" +
+        f""""neg_fixed":$negFixed,"neg_cells":$negImi,""" +
+        f""""fixed_sec":$mineFixedSec%.2f,"cells_sec":$mineImiSec%.2f}"""
     println(s"""{"n":$n,"n_probes":$nProbes,""" +
       f""""train_sec":$trainSec%.2f,$out,$imiJson,""" +
-      s"""$imiEqfracJson,$imiEqcandJson,$dedupJson}""")
+      s"""$imiEqfracJson,$imiEqcandJson,$dedupJson,$miningJson}""")
     spark.stop()
   }
 }
