@@ -268,7 +268,15 @@ object Bench {
         // round's per-query times and publish any query that moved >1.5×
         // either way with an absolute delta over 0.1 s (relative floor — the
         // old "ignore under 0.5 s on both sides" rule let a 10×-regressed
-        // 40 ms query stay invisible forever). Sources, in order:
+        // 40 ms query stay invisible forever). READING the flags: the sweep
+        // is single-shot cold by design, so sub-second queries wobble
+        // 1.5–2× run-to-run under residual load (measured round 13: m12
+        // flagged 2.4× once and reverted to 0.49× on an idle re-run; a
+        // borderline-loaded run flagged five early-catalog queries at
+        // 1.5–1.9× while the run TOTAL was itself 11% slower). A flag is a
+        // POINTER, not a verdict — `plan_diffs` (timing-free) is the
+        // decisive signal; confirm a timing flag by re-running idle before
+        // acting on it. Sources, in order:
         //   1. newest BENCH_r{N}.json → parsed.sweep.times (driver wrapper);
         //   2. the same wrapper's raw stdout `tail`, last parseable JSON
         //      line (covers a wrapper whose parse step failed but whose

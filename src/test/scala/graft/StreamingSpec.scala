@@ -1552,6 +1552,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("batch observe: metrics ride the SAME single job and match direct aggregates") {
+    import graft.operators.PipelineMetrics
+    val docs = Tables.documents(spark, d)
+    val (observed, obs) = PipelineMetrics.observeDocQuality(docs)
+    // count jobs during the one action: the whole point of observe is
+    // that the metrics cost ZERO extra jobs/scans
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      observed.write.format("noop").mode("overwrite").save()
+      // listener events are async: wait for the first, then a grace
+      // window in which any EXTRA job would also have arrived
+      val deadline = System.nanoTime + 10e9.toLong
+      while (jobs.get() < 1 && System.nanoTime < deadline) Thread.sleep(50)
+      Thread.sleep(500)
+      assert(jobs.get() == 1,
+        s"observe must not add jobs: ${jobs.get()} jobs for one action")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val m = obs.get
+    val direct = docs.agg(
+      count(lit(1)), sum(col("n_chars")), min(col("n_chars")),
+      max(col("n_chars"))).collect()(0)
+    assert(m("n_docs") == direct.getLong(0), "n_docs diverges")
+    assert(m("n_empty") == 0L, "generator has no empty docs")
+    assert(m("total_chars") == direct.getLong(1), "total_chars diverges")
+    assert(m("min_chars") == direct.getLong(2) &&
+      m("max_chars") == direct.getLong(3), "extrema diverge")
+  }
+
+  test("streaming observe: per-batch metrics surface in QueryProgress") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.operators.PipelineMetrics
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val in = MemoryStream[(Long, Long)]
+    val q = PipelineMetrics.observeDocQualityStream(
+        in.toDS().toDF("doc_id", "n_chars"))
+      .writeStream.format("noop").start()
+    docs.grouped((docs.size + 2) / 3).foreach { b =>
+      in.addData(b); q.processAllAvailable()
+    }
+    val perBatch = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("doc_quality")))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    // every micro-batch reported; totals across batches equal the corpus
+    assert(perBatch.size == 3, s"expected 3 observed batches: $perBatch")
+    assert(perBatch.map(_._1).sum == docs.size,
+      "observed n_docs across batches != corpus size")
+    assert(perBatch.map(_._2).sum == docs.map(_._2).sum,
+      "observed total_chars across batches != corpus total")
+  }
+
   test("transformWithState chunk dedup equals the batch j75 decisions too") {
     // the MODERN state API form (ChunkDedupProcessor, ValueState[Boolean]
     // per chunk hash) must make the same decision on every chunk as both
