@@ -5005,6 +5005,103 @@ object LlmOps {
                      md5(coalesce(string_agg(
                        CASE WHEN kept THEN chunk END, ' ' ORDER BY idx),
                        '')) AS clean_md5
-              FROM marked GROUP BY doc_id ORDER BY doc_id"""))
+              FROM marked GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Data-contract checking (round 13) — the Deequ-shaped assertion
+    // surface a pipeline runs BEFORE training consumes a snapshot: each
+    // constraint (uniqueness, not-empty, derived-column consistency, enum
+    // membership, referential integrity, freshness window, business
+    // rules) emits its violation count and a pass flag. Distinct from
+    // j25 (descriptive stats): this is the CHECK — the output is the
+    // gate a scheduler blocks on. Scale shape: ONE aggregate pass per
+    // table (conditional sums fused into a single scan each for
+    // documents and events) plus one broadcast anti-join for the FK
+    // (customer is dimension-sized); the result is 9 rows regardless of
+    // corpus size. Two constraints are genuinely violated on this
+    // generator (132 short docs, 136 value outliers at sf0.001), so the
+    // failed-contract path is exercised, not just the green one.
+    Q("j76_data_contract",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val ev = Tables.events(s, d)
+        val cust = Tables.customer(s, d)
+        val docAgg = docs.agg(
+          (count(lit(1)) - countDistinct(col("doc_id"))).as("doc_id_dup"),
+          sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+            .otherwise(0L)).as("text_empty"),
+          sum(when(col("n_chars") =!= length(col("text")), 1L)
+            .otherwise(0L)).as("n_chars_bad"),
+          sum(when(!col("lang").isin("en", "es", "zh", "de", "fr"), 1L)
+            .otherwise(0L)).as("lang_bad"),
+          sum(when(col("n_chars") < 200L, 1L).otherwise(0L))
+            .as("too_short"))
+        val evAgg = ev.agg(
+          (count(lit(1)) - countDistinct(col("event_id")))
+            .as("event_id_dup"),
+          sum(when(col("ts") < lit("2024-01-01").cast("timestamp") ||
+              col("ts") >= lit("2025-01-01").cast("timestamp"), 1L)
+            .otherwise(0L)).as("ts_bad"),
+          sum(when(col("value") > 100.0, 1L).otherwise(0L))
+            .as("value_big"))
+        val fk = ev.join(broadcast(cust),
+            col("user_id") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("fk_bad"))
+        docAgg.crossJoin(evAgg).crossJoin(fk)
+          .selectExpr("""stack(9,
+              'doc_id_unique', doc_id_dup,
+              'doc_text_not_empty', text_empty,
+              'doc_n_chars_consistent', n_chars_bad,
+              'doc_lang_in_enum', lang_bad,
+              'doc_min_200_chars', too_short,
+              'event_id_unique', event_id_dup,
+              'event_ts_in_2024', ts_bad,
+              'event_value_le_100', value_big,
+              'event_user_fk', fk_bad)
+            as (cname, n_violations)""")
+          .withColumn("pass", col("n_violations") === 0L)
+          .orderBy("cname")
+      },
+      Some("""WITH dc AS (
+                SELECT CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+                         AS doc_id_dup,
+                       CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS text_empty,
+                       CAST(sum(CASE WHEN n_chars <> length(text)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_bad,
+                       CAST(sum(CASE WHEN lang NOT IN
+                         ('en','es','zh','de','fr')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS lang_bad,
+                       CAST(sum(CASE WHEN n_chars < 200
+                         THEN 1 ELSE 0 END) AS BIGINT) AS too_short
+                FROM documents),
+              ec AS (
+                SELECT CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+                         AS event_id_dup,
+                       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01'
+                         OR ts >= TIMESTAMP '2025-01-01'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ts_bad,
+                       CAST(sum(CASE WHEN value > 100
+                         THEN 1 ELSE 0 END) AS BIGINT) AS value_big
+                FROM events),
+              fk AS (
+                SELECT CAST(count(*) AS BIGINT) AS fk_bad
+                FROM events e LEFT JOIN customer c
+                  ON e.user_id = c.c_custkey
+                WHERE c.c_custkey IS NULL),
+              u AS (
+                SELECT 'doc_id_unique' AS cname, doc_id_dup
+                         AS n_violations FROM dc
+                UNION ALL SELECT 'doc_text_not_empty', text_empty FROM dc
+                UNION ALL SELECT 'doc_n_chars_consistent', n_chars_bad
+                  FROM dc
+                UNION ALL SELECT 'doc_lang_in_enum', lang_bad FROM dc
+                UNION ALL SELECT 'doc_min_200_chars', too_short FROM dc
+                UNION ALL SELECT 'event_id_unique', event_id_dup FROM ec
+                UNION ALL SELECT 'event_ts_in_2024', ts_bad FROM ec
+                UNION ALL SELECT 'event_value_le_100', value_big FROM ec)
+              SELECT cname, n_violations, (n_violations = 0) AS pass
+              FROM (SELECT * FROM u
+                    UNION ALL SELECT 'event_user_fk', fk_bad FROM fk)
+              ORDER BY cname"""))
   )
 }

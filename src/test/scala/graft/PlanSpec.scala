@@ -813,6 +813,22 @@ class PlanSpec extends AnyFunSuite {
       s"ranking must window per anchor:\n${keyed.mkString("\n")}")
   }
 
+  test("j76 contract: one fused pass per table, FK via broadcast anti-join") {
+    // 9 constraints must not mean 9 scans: the conditional sums fuse into
+    // ONE aggregate pass over documents and ONE over events (the FK
+    // anti-join is the only second events scan), and customer attaches
+    // as a broadcast — at 100 TB the contract costs two fact scans flat
+    assertScanCount("j76_data_contract", "documents", 1)
+    assertScanCount("j76_data_contract", "events", 2)
+    val plan = staticPlan("j76_data_contract")
+    assert(plan.contains("BroadcastHashJoin LeftAnti") ||
+      plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("LeftAnti, BuildRight"),
+      s"FK check must be a broadcast anti-join:\n$plan")
+    val (global, keyed) = windowLines(plan)
+    assert(global.isEmpty && keyed.isEmpty, "contract needs no window")
+  }
+
   test("j75 rewrite: window-free; argmin and rewrite share the chunk-hash key") {
     // "Globally first occurrence" without global order: min(struct) is a
     // map-side-combinable argmin, so the plan has ZERO windows; its wide

@@ -1936,6 +1936,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("j76 data contract: both verdicts exercised, counts recomputed") {
+    val rows = SparkEntry.queries("j76_data_contract")(spark, d)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(rows.size == 9, "one row per constraint")
+    rows.foreach { case (c, (n, pass)) =>
+      assert(pass == (n == 0L), s"$c: pass flag inconsistent with count")
+      assert(n >= 0L, s"$c: negative violation count")
+    }
+    // this generator genuinely violates the two business rules and
+    // satisfies the structural ones — BOTH verdict paths are real
+    assert(rows("doc_min_200_chars")._1 > 0, "short-doc rule should fail")
+    assert(rows("event_value_le_100")._1 > 0, "value rule should fail")
+    assert(rows("doc_id_unique")._2 && rows("event_user_fk")._2,
+      "structural constraints should pass")
+    // recompute one violated count independently
+    val short = Tables.documents(spark, d)
+      .filter(col("n_chars") < 200L).count()
+    assert(rows("doc_min_200_chars")._1 == short,
+      "short-doc count diverges from direct recompute")
+  }
+
   test("j75 chunk rewrite: full differential vs a sequential rewrite") {
     val docs = Tables.documents(spark, d)
       .select("doc_id", "text").collect()
