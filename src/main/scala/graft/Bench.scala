@@ -289,15 +289,40 @@ object Bench {
         val prevArt: Option[(String, Map[String, Double])] =
           BenchSidecar.previousSweepTimes(sfDir)
         val prevPlans: Map[String, String] = BenchSidecar.previousPlans(sfDir)
-        val regressionsFull = prevArt.map { case (_, prev) =>
+        // Candidate flags from the single-shot sweep, then a CONFIRMATION
+        // retry: sub-second cold noop-writes wobble 1.5–2× run-to-run
+        // under residual load (three consecutive round-13 runs each
+        // flagged 2–5 DIFFERENT queries, all of which reverted), so a
+        // would-be flag re-runs once in the same session and the flag
+        // survives only if min(first, retry) still trips the floor. For
+        // retried queries the SIDECAR also stores min(first, retry) — an
+        // inflated one-off must never become the next run's baseline, or
+        // every noise spike ping-pongs back as a phantom "improvement"
+        // flag one run later. A real regression reproduces on the retry;
+        // one-off JIT/page-cache noise does not.
+        val candidates = prevArt.map { case (_, prev) =>
           times.toSeq.flatMap { case (k, now) =>
             prev.get(k).collect {
               case was if (now > was * 1.5 || was > now * 1.5) &&
                   math.abs(now - was) > 0.1 =>
                 (k, was, now)
             }
-          }.sortBy { case (_, was, now) => -math.max(now / was, was / now) }
+          }
         }
+        val regressionsFull = candidates.map(_.flatMap {
+          case (k, was, now) =>
+            val fn = SparkEntry.queries(k)
+            val t0 = System.nanoTime()
+            try fn(spark, sfDir).write.format("noop")
+              .mode("overwrite").save()
+            catch { case scala.util.control.NonFatal(_) => () }
+            val retry = (System.nanoTime() - t0) / 1e9
+            val best = math.min(now, retry)
+            times(k) = best // robust baseline for the NEXT run's diff
+            val confirmed = (best > was * 1.5 || was > best * 1.5) &&
+              math.abs(best - was) > 0.1
+            if (confirmed) Some((k, was, best)) else None
+        }.sortBy { case (_, was, now) => -math.max(now / was, was / now) })
         val planDiffs =
           if (prevPlans.isEmpty) None
           else Some(planHashes.collect {
