@@ -313,11 +313,23 @@ object Bench {
           case (k, was, now) =>
             val fn = SparkEntry.queries(k)
             val t0 = System.nanoTime()
-            try fn(spark, sfDir).write.format("noop")
-              .mode("overwrite").save()
-            catch { case scala.util.control.NonFatal(_) => () }
+            // the retry sample counts ONLY if the noop-write succeeded —
+            // a thrown write's elapsed-until-error is not a timing and
+            // must never become the verdict input or the next round's
+            // sidecar baseline (a near-zero artifact seeds phantom flags)
+            val retryOk =
+              try {
+                fn(spark, sfDir).write.format("noop")
+                  .mode("overwrite").save()
+                true
+              } catch {
+                case scala.util.control.NonFatal(e) =>
+                  errs(s"$k (confirm-retry)") =
+                    s"${e.getClass.getSimpleName}: ${e.getMessage}"
+                  false
+              }
             val retry = (System.nanoTime() - t0) / 1e9
-            val best = math.min(now, retry)
+            val best = if (retryOk) math.min(now, retry) else now
             times(k) = best // robust baseline for the NEXT run's diff
             val confirmed = (best > was * 1.5 || was > best * 1.5) &&
               math.abs(best - was) > 0.1

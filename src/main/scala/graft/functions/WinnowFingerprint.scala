@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing fingerprint set of a document (Schleimer/Wilkerson/Aiken):
@@ -87,12 +87,25 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
 }
 
 object WinnowFingerprint {
+  /** Reject non-literal / non-int k and w with a NAMED analysis error
+    * instead of the opaque ClassCastException/NPE a blind
+    * `eval().asInstanceOf[Int]` throws on e.g. `graft_winnow(text, 5L, w)`
+    * or a column argument.
+    */
+  private def literalInt(e: Expression, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(
+        s"graft_winnow requires a literal INT for '$arg' " +
+          s"(the window shape must be fixed at plan time); got: ${other.sql}")
+  }
+
   /** Register `graft_winnow(text, k, w)` (k and w must be literal ints). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_winnow",
       exprs => WinnowFingerprint(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]),
+        literalInt(exprs(1), "k"),
+        literalInt(exprs(2), "w")),
       "scala_udf")
 }

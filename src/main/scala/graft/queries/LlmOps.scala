@@ -5038,8 +5038,16 @@ object LlmOps {
         val evAgg = ev.agg(
           (count(lit(1)) - countDistinct(col("event_id")))
             .as("event_id_dup"),
-          sum(when(col("ts") < lit("2024-01-01").cast("timestamp") ||
-              col("ts") >= lit("2025-01-01").cast("timestamp"), 1L)
+          // freshness boundary compared on the WALL-CLOCK date string:
+          // Tables.events turned the file's naive wall time into an
+          // instant via the session tz, and date_format renders it back
+          // through the SAME tz, so the roundtrip cancels and this
+          // matches the oracle's naive TIMESTAMP compare under ANY
+          // driver timezone (a bare lit(...).cast("timestamp") boundary
+          // would shift with spark.sql.session.timeZone). Boundaries are
+          // midnights, so date granularity is exact.
+          sum(when(date_format(col("ts"), "yyyy-MM-dd") < "2024-01-01" ||
+              date_format(col("ts"), "yyyy-MM-dd") >= "2025-01-01", 1L)
             .otherwise(0L)).as("ts_bad"),
           sum(when(col("value") > 100.0, 1L).otherwise(0L))
             .as("value_big"))

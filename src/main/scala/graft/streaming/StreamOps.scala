@@ -964,12 +964,25 @@ object StreamOps {
     * bounded by the VALUE RANGE, never the corpus). Each emitted
     * [[BudgetCut]] answers "where does the quality bar sit right now" —
     * the data-mixing control signal — without any corpus-ordered state.
+    *
+    * RESTART CORRECTNESS: update-mode only re-emits buckets that receive
+    * new data, so a restarted query would leave the driver mirror missing
+    * every quiet bucket and the cut would silently under-count. When
+    * `checkpointDir` is set, the first micro-batch after (re)start seeds
+    * the mirror from the checkpoint's OWN state via the `statestore`
+    * batch source (latest committed batch — exactly the pre-restart
+    * totals, since the current batch commits only after this sink
+    * returns), then lets that batch's fresh emissions overwrite their
+    * buckets. Without a checkpoint the query is memory-only and a cut is
+    * valid only within an unbroken run.
     */
   def budgetHistogramStream(
       docs: DataFrame,
-      sink: BudgetCut => Unit)
+      sink: BudgetCut => Unit,
+      checkpointDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import docs.sparkSession.implicits._
+    val spark = docs.sparkSession
     val keyed = docs.select(col("bucket"), col("n_tok"))
       .as[(Long, Long)]
       .groupByKey(_._1)
@@ -980,8 +993,35 @@ object StreamOps {
           BucketTok(b, tot)
       }
     val mirror = scala.collection.mutable.Map.empty[Long, Long]
-    keyed.writeStream.outputMode("update")
+    var seeded = false
+    val writer = keyed.writeStream.outputMode("update")
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: Dataset[BucketTok], id: Long) =>
+        if (!seeded) {
+          seeded = true
+          checkpointDir.foreach { cp =>
+            try {
+              // drill the single key/state field generically (primitive
+              // Long key and Long state encode as one-field structs)
+              val st = spark.read.format("statestore").load(cp)
+              val kf = st.schema("key").dataType
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+                .fields.head.name
+              val gs = st.select(col("value.groupState").as("g"))
+              val vf = gs.schema("g").dataType
+                .asInstanceOf[org.apache.spark.sql.types.StructType]
+                .fields.head.name
+              st.select(col(s"key.$kf").cast("long"),
+                  col(s"value.groupState.$vf").cast("long"))
+                .collect()
+                .foreach(r => mirror(r.getLong(0)) = r.getLong(1))
+            } catch {
+              // first-ever start: no committed state to seed from
+              case scala.util.control.NonFatal(_) => ()
+            }
+          }
+        }
         batch.collect().foreach(bt => mirror(bt.bucket) = bt.btok)
         val total = mirror.values.sum
         val budget = total / 2

@@ -1991,4 +1991,37 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.map(_._2).sum > distinctChunks,
       "corpus has no repeated chunk — the rewrite is untested here")
   }
+
+  test("graft_winnow rejects non-literal / non-int k and w by name, not with a CCE") {
+    graft.functions.WinnowFingerprint.register(spark)
+    // Spark may wrap the builder's failure during resolution — assert on
+    // the whole cause chain, and specifically that the opaque pre-fix
+    // failures (ClassCastException / NPE) are NOT what surfaces
+    def chain(t: Throwable): List[Throwable] =
+      t :: Option(t.getCause).map(chain).getOrElse(Nil)
+    def messages(t: Throwable): String =
+      chain(t).map(c => s"${c.getClass.getName}: ${c.getMessage}").mkString("\n")
+    val badLong = intercept[Throwable] {
+      spark.sql("SELECT graft_winnow('abcdefgh', CAST(5 AS BIGINT), 4)")
+        .collect()
+    }
+    assert(messages(badLong).contains("graft_winnow requires a literal INT"),
+      messages(badLong))
+    val badColumn = intercept[Throwable] {
+      spark.sql(
+        "SELECT graft_winnow(c, 5, w) FROM (SELECT 'abcdefgh' AS c, 2 AS w)")
+        .collect()
+    }
+    assert(messages(badColumn).contains("graft_winnow requires a literal INT"),
+      messages(badColumn))
+    Seq(badLong, badColumn).foreach { t =>
+      assert(!chain(t).exists(c => c.isInstanceOf[ClassCastException] ||
+        c.isInstanceOf[NullPointerException]),
+        s"opaque failure mode resurfaced:\n${messages(t)}")
+    }
+    // and the valid literal-int form still runs
+    val ok = spark.sql("SELECT graft_winnow('abcdefgh', 5, 2) AS f")
+      .collect().head.getSeq[Long](0)
+    assert(ok.nonEmpty, "literal-int call regressed")
+  }
 }

@@ -1692,4 +1692,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(j71.exists(_._1 == cut),
       "streamed cut bucket is empty in the batch output — vacuous")
   }
+
+  test("budget histogram reseeds its driver mirror from checkpointed state on restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // Kill/restart with a checkpoint: the post-restart batch touches ONE
+    // bucket only, so every other bucket's token total can come ONLY from
+    // the statestore reseed — an unseeded mirror (the pre-fix behavior)
+    // would emit a cut computed from that single bucket and under-count
+    // the total by everything fed before the restart.
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-bud-ck").toString
+    val docs = graft.queries.LlmOps
+      .docPriorities(Tables.documents(spark, d))
+      .select("doc_id", "n_tok", "priority", "bucket")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(docs.map(_._4).distinct.size > 1,
+      "fixture needs >1 bucket for the reseed to be observable")
+    val held = docs.last
+    val in = MemoryStream[(Long, Long, Long, Long)]
+    val cuts = scala.collection.mutable.Buffer.empty[BudgetCut]
+    def start() = StreamOps.budgetHistogramStream(
+      in.toDS().toDF("doc_id", "n_tok", "priority", "bucket"),
+      cuts += _, Some(ckpt))
+    val q1 = start()
+    in.addData(docs.dropRight(1)); q1.processAllAvailable(); q1.stop()
+    val preTotal = cuts.last.total_toks
+    val q2 = start()
+    in.addData(Seq(held)); q2.processAllAvailable(); q2.stop()
+    val fin = cuts.last
+    // full-corpus recompute (identical definition to the in-run test)
+    val hist = docs.groupBy(_._4).view
+      .mapValues(_.map(_._2).sum).toSeq.sortBy(-_._1)
+    val total = docs.map(_._2).sum
+    val budget = total / 2
+    var cum = 0L; var cut = -1L; var above = 0L
+    hist.foreach { case (b, t) =>
+      if (cut == -1L && cum < budget && cum + t > budget) {
+        cut = b; above = cum
+      }
+      cum += t
+    }
+    assert(fin.total_toks == total,
+      s"post-restart total ${fin.total_toks} != corpus total $total — the " +
+        s"mirror lost the ${preTotal} pre-restart tokens (reseed failed)")
+    assert(fin == BudgetCut(fin.batch_id, total, budget, cut, above),
+      s"post-restart cut $fin != corpus recompute ($total, $budget, $cut, $above)")
+  }
 }
