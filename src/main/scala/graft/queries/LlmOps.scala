@@ -5110,6 +5110,147 @@ object LlmOps {
               SELECT cname, n_violations, (n_violations = 0) AS pass
               FROM (SELECT * FROM u
                     UNION ALL SELECT 'event_user_fk', fk_bad FROM fk)
-              ORDER BY cname"""))
+              ORDER BY cname""")),
+
+    // Bigram-LM cross-entropy per document (round 14) — the perplexity
+    // quality filter PROPER (the CCNet shape: score text under a language
+    // model trained on the corpus, drop the high-perplexity tail), where
+    // j28 is the unigram stand-in. Model: add-one-smoothed bigram LM,
+    // p(b|a) = (c(a,b)+1)/(c(a)+V) with c(·) counted over the ≥2-token
+    // corpus slice and V the distinct-token vocabulary; score = −mean ln p
+    // over the doc's bigrams in POSITION ORDER (the j28 order-pinned fold:
+    // sorted (pos, counts) structs reduced left-to-right from an explicit
+    // 0.0 seed, so the float sum is bit-identical to DuckDB's list_reduce
+    // over the same pos-ordered list). Scale shape: the bigram count
+    // table grows with the corpus, so it carries NO broadcast hint —
+    // Catalyst sizes it (at this SF its stats fit the broadcast
+    // threshold; past it the SAME plan degrades to a sort-merge join on
+    // the exact (a,b) key the count aggregate already shuffled on, so
+    // the aggregate's partitioning is reused and only the probe side
+    // moves). The unigram context counts broadcast explicitly (bounded
+    // vocab, j28's argument), V is a 1-row broadcast, and the unigram
+    // table is lineage-truncated so its two consumers don't re-scan the
+    // corpus: documents is read exactly TWICE (bigram probe + bigram
+    // counts) at any scale. High xent = rare-transition text (gibberish,
+    // wrong-language, boilerplate-shredded) — the training-data drop
+    // signal.
+    Q("j77_bigram_lm_score",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+        val bg = toks.select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(t) - 1),
+               i -> named_struct('pos', i, 'a', t[i - 1], 'b', t[i]))"""))
+            .as("p"))
+          .select(col("doc_id"), col("p.pos").as("pos"),
+            col("p.a").as("a"), col("p.b").as("b"))
+        val bgc = bg.groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+        // the unigram table feeds BOTH the context join and V — truncate
+        // it once (vocab-sized output) so the diamond doesn't re-scan the
+        // corpus per reference: the final plan reads documents exactly
+        // twice (bigram probe + bigram counts), never four times
+        val unic = truncateLineage(
+          toks.select(explode(col("t")).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("n_u")))
+        val vocab = unic.agg(count(lit(1)).as("v"))
+        bg.join(bgc, Seq("a", "b"))
+          .join(broadcast(unic.select(col("tok").as("a"),
+            col("n_u").as("n_a"))), Seq("a"))
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(
+            struct(col("pos"), col("n_ab"), col("n_a")))).as("pn"))
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            size(col("pn")).cast("long").as("n_bg"),
+            round(expr(
+              """-(aggregate(pn, CAST(0 AS DOUBLE),
+                   (acc, x) -> acc + ln(CAST(x.n_ab + 1 AS DOUBLE)
+                     / (x.n_a + v)))
+                 / size(pn))"""), 6).as("xent"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE len(string_split(text, ' ')) >= 2),
+              bg AS (
+                SELECT doc_id, p.pos AS pos, p.a AS a, p.b AS b FROM (
+                  SELECT doc_id, unnest(list_transform(
+                    generate_series(1, len(t) - 1),
+                    i -> {'pos': i, 'a': t[i], 'b': t[i + 1]})) AS p
+                  FROM toks)),
+              bgc AS (
+                SELECT a, b, COUNT(*) AS n_ab FROM bg GROUP BY a, b),
+              unic AS (
+                SELECT tok, COUNT(*) AS n_u FROM (
+                  SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+              vocab AS (SELECT COUNT(*) AS v FROM unic),
+              arrs AS (
+                SELECT doc_id,
+                       list({'n_ab': n_ab, 'n_a': n_u} ORDER BY pos) AS pn
+                FROM bg
+                JOIN bgc USING (a, b)
+                JOIN unic ON bg.a = unic.tok
+                GROUP BY doc_id)
+              SELECT doc_id, CAST(len(pn) AS BIGINT) AS n_bg,
+                     round(-(list_reduce(list_transform(pn,
+                         x -> ln((x.n_ab + 1)::DOUBLE / (x.n_a + v))),
+                         (p, q) -> p + q)
+                       / len(pn)), 6) AS xent
+              FROM arrs CROSS JOIN vocab ORDER BY doc_id""")),
+
+    // SCD2 dimension history (round 14) — the versioned complement of
+    // j54's SCD1 upsert: every attribute CHANGE becomes a validity
+    // interval [valid_from, valid_to) instead of an overwrite, which is
+    // how a training pipeline keeps metadata dimensions (source configs,
+    // license states, customer tiers) queryable AS OF any snapshot. Demo
+    // dimension: each customer's order-status track over their order
+    // sequence — consecutive same-status orders collapse into one island
+    // (gaps-and-islands via lag), each island emits one version row with
+    // valid_to = the next island's start and NULL while current. Scale
+    // shape: EVERY window is partitioned by the dimension key (custkey) —
+    // no global window anywhere — and all three window steps (lag, lead,
+    // row_number) share the one (custkey)(ts, ok) sort order, so the
+    // whole history builds on a single keyed exchange: the filter between
+    // lag and lead preserves partitioning+order and Spark plans lead +
+    // row_number in one Window operator with NO re-exchange. Dates
+    // compare and emit as wall-clock strings (the j76 tz discipline).
+    Q("j78_scd2_history",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          col("o_custkey").as("custkey"),
+          col("o_orderdate").as("ts"),
+          col("o_orderkey").as("ok"),
+          col("o_orderstatus").as("status"))
+        val w = Window.partitionBy("custkey").orderBy("ts", "ok")
+        o.withColumn("prev", lag("status", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("status"))
+          .select(col("custkey"), col("status"),
+            date_format(col("ts"), "yyyy-MM-dd").as("valid_from"),
+            date_format(lead("ts", 1).over(w), "yyyy-MM-dd")
+              .as("valid_to"),
+            row_number().over(w).cast("long").as("version"))
+          .orderBy("custkey", "version")
+      },
+      Some("""WITH o AS (
+                SELECT o_custkey AS custkey, o_orderdate AS ts,
+                       o_orderkey AS ok, o_orderstatus AS status
+                FROM orders),
+              mk AS (
+                SELECT *, lag(status) OVER
+                    (PARTITION BY custkey ORDER BY ts, ok) AS prev
+                FROM o),
+              isl AS (
+                SELECT custkey, ts, ok, status FROM mk
+                WHERE prev IS NULL OR prev <> status)
+              SELECT custkey, status,
+                     strftime(ts, '%Y-%m-%d') AS valid_from,
+                     strftime(lead(ts) OVER
+                       (PARTITION BY custkey ORDER BY ts, ok),
+                       '%Y-%m-%d') AS valid_to,
+                     CAST(row_number() OVER
+                       (PARTITION BY custkey ORDER BY ts, ok) AS BIGINT)
+                       AS version
+              FROM isl ORDER BY custkey, version"""))
   )
 }

@@ -846,4 +846,45 @@ class PlanSpec extends AnyFunSuite {
     assert("rangepartitioning".r.findAllIn(plan).length == 1,
       "exactly one range exchange — the output sort")
   }
+
+  test("j77 bigram LM reads documents twice; grams and docs are the only wide keys") {
+    // the truncated unigram table must absorb BOTH its consumers (context
+    // join + V) — an untruncated diamond would re-scan the corpus per
+    // reference and show 4 scans here
+    assertScanCount("j77_bigram_lm_score", "documents", 2)
+    val plan = staticPlan("j77_bigram_lm_score")
+    val (global, keyed) = windowLines(plan)
+    assert(global.isEmpty && keyed.isEmpty,
+      s"the LM score needs no window:\n$plan")
+    // wide exchanges: the bigram count aggregate keys on the gram (prints
+    // its first column `a`) and the per-doc regroup on doc_id — nothing
+    // else; V's 1-row aggregate is a SinglePartition exchange, not a
+    // hashpartitioning
+    val hashKeys = "hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(hashKeys.subsetOf(Set("a", "doc_id")) && hashKeys("doc_id"),
+      s"wide exchanges must key on gram/doc_id only, got $hashKeys")
+    assert("rangepartitioning".r.findAllIn(plan).length == 1,
+      "exactly one range exchange — the output sort")
+  }
+
+  test("j78 SCD2 builds the whole history on ONE custkey exchange") {
+    // lag, the island filter, lead, and row_number all share the
+    // (custkey)(ts, ok) sort order: the filter preserves partitioning and
+    // ordering, so the second Window reuses the first's exchange — the
+    // static plan carries exactly one hashpartitioning (custkey) plus the
+    // output range sort, and every window is keyed (no global window near
+    // the fact table)
+    assertScanCount("j78_scd2_history", "orders", 1)
+    val plan = staticPlan("j78_scd2_history")
+    val hashes = "hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(hashes == Seq("custkey"),
+      s"expected exactly one custkey exchange, got $hashes")
+    val (global, keyed) = windowLines(plan)
+    assert(global.isEmpty, s"no global window allowed:\n$plan")
+    assert(keyed.nonEmpty, "expected keyed window operators")
+    assert("rangepartitioning".r.findAllIn(plan).length == 1,
+      "exactly one range exchange — the output sort")
+  }
 }

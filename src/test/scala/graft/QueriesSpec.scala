@@ -2024,4 +2024,103 @@ class QueriesSpec extends AnyFunSuite {
       .collect().head.getSeq[Long](0)
     assert(ok.nonEmpty, "literal-int call regressed")
   }
+
+  test("j77 bigram-LM xent equals a first-principles recompute, all docs") {
+    import spark.implicits._
+    // independent plain-Scala model build: tokenize, count bigrams and
+    // unigrams over the >=2-token slice, V = vocab size, then per doc the
+    // POSITION-ORDERED left fold of ln((c(a,b)+1)/(c(a)+V)) — the same
+    // IEEE operation sequence the order-pinned SQL fold performs, so
+    // equality is exact after the shared round-6
+    val texts = Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).toSeq }
+      .filter(_._2.size >= 2)
+      .sortBy(_._1)
+    val bgc = scala.collection.mutable.Map.empty[(String, String), Long]
+    val unic = scala.collection.mutable.Map.empty[String, Long]
+    texts.foreach { case (_, t) =>
+      t.foreach(tok => unic(tok) = unic.getOrElse(tok, 0L) + 1)
+      t.sliding(2).foreach { p =>
+        val k = (p(0), p(1)); bgc(k) = bgc.getOrElse(k, 0L) + 1
+      }
+    }
+    val v = unic.size.toLong
+    val expected = texts.map { case (id, t) =>
+      var acc = 0.0
+      t.sliding(2).foreach { p =>
+        acc += math.log(
+          (bgc((p(0), p(1))) + 1).toDouble / (unic(p(0)) + v))
+      }
+      val n = t.size - 1
+      (id, n.toLong,
+        BigDecimal(-(acc / n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = SparkEntry.queries("j77_bigram_lm_score")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == expected.length,
+      s"doc count ${got.length} != ${expected.length}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"xent row $g != recompute $e") }
+    // the score must discriminate: a flat corpus would make the filter
+    // vacuous
+    assert(got.map(_._3).distinct.length > 10,
+      "xent is near-constant across the corpus — no filtering signal")
+  }
+
+  test("j78 SCD2 history equals a sequential per-customer replay") {
+    import spark.implicits._
+    // replay each customer's order sequence in (date, orderkey) order and
+    // build validity intervals imperatively — the definition the windowed
+    // plan must reproduce row for row
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    val orders = Tables.orders(spark, d)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2.toString, t._3))
+    val expected = orders.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (ck, os) =>
+        val islands = scala.collection.mutable.Buffer
+          .empty[(String, java.time.LocalDateTime)]
+        os.foreach { case (_, ts, _, st) =>
+          if (islands.isEmpty || islands.last._1 != st)
+            islands += ((st, ts))
+        }
+        islands.zipWithIndex.map { case ((st, from), i) =>
+          val to = if (i + 1 < islands.size)
+            islands(i + 1)._2.format(fmt) else null
+          (ck, st, from.format(fmt), to, (i + 1).toLong)
+        }
+    }
+    val got = SparkEntry.queries("j78_scd2_history")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(got.length == expected.length,
+      s"version count ${got.length} != ${expected.length}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"SCD2 row $g != sequential replay $e") }
+    // interval laws: versions chain (valid_to of v == valid_from of v+1,
+    // exactly one open interval per customer), and consecutive versions
+    // actually differ in the tracked attribute
+    got.groupBy(_._1).foreach { case (ck, vs) =>
+      val s = vs.sortBy(_._5)
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._4 == b._3, s"customer $ck: v${a._5} valid_to ${a._4} " +
+            s"!= v${b._5} valid_from ${b._3}")
+          assert(a._2 != b._2,
+            s"customer $ck: consecutive versions share status ${a._2}")
+        case _ => ()
+      }
+      assert(s.count(_._4 == null) == 1,
+        s"customer $ck: expected exactly one open (current) version")
+    }
+    // the fixture must exercise multi-version customers or the collapse
+    // logic is untested
+    assert(got.groupBy(_._1).exists(_._2.length > 1),
+      "no customer ever changed status — islands untested")
+  }
 }
