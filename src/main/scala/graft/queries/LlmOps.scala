@@ -790,6 +790,25 @@ object LlmOps {
           WHERE m OR NOT pm)"""
   }
 
+  /** Per-document contract-violation flags — the SHARED seam between
+    * batch j76 and the streaming contract monitor
+    * ([[graft.streaming.StreamOps.contractMonitorStream]]): one
+    * definition of each row-local constraint, so the two surfaces cannot
+    * fork. Row-local only by design — the uniqueness constraint needs
+    * cross-row visibility and lives in the consumers (count−distinct in
+    * batch, doc_id-keyed seen-state in the stream).
+    */
+  private[graft] def docContractFlags(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L).as("text_empty"),
+      when(col("n_chars") =!= length(col("text")), 1L)
+        .otherwise(0L).as("n_chars_bad"),
+      when(!col("lang").isin("en", "es", "zh", "de", "fr"), 1L)
+        .otherwise(0L).as("lang_bad"),
+      when(col("n_chars") < 200L, 1L).otherwise(0L).as("too_short"))
+
   /** Oracle twin of [[bpeSym1]]. */
   private val BpeSym1Sql =
     """vocab AS (
@@ -5025,16 +5044,15 @@ object LlmOps {
         val docs = Tables.documents(s, d)
         val ev = Tables.events(s, d)
         val cust = Tables.customer(s, d)
-        val docAgg = docs.agg(
+        // row-local flags come from the docContractFlags seam (shared
+        // with the streaming monitor — the flag definitions cannot fork);
+        // the projection fuses into the same single aggregate pass
+        val docAgg = docContractFlags(docs).agg(
           (count(lit(1)) - countDistinct(col("doc_id"))).as("doc_id_dup"),
-          sum(when(col("text").isNull || length(col("text")) === 0, 1L)
-            .otherwise(0L)).as("text_empty"),
-          sum(when(col("n_chars") =!= length(col("text")), 1L)
-            .otherwise(0L)).as("n_chars_bad"),
-          sum(when(!col("lang").isin("en", "es", "zh", "de", "fr"), 1L)
-            .otherwise(0L)).as("lang_bad"),
-          sum(when(col("n_chars") < 200L, 1L).otherwise(0L))
-            .as("too_short"))
+          sum(col("text_empty")).as("text_empty"),
+          sum(col("n_chars_bad")).as("n_chars_bad"),
+          sum(col("lang_bad")).as("lang_bad"),
+          sum(col("too_short")).as("too_short"))
         val evAgg = ev.agg(
           (count(lit(1)) - countDistinct(col("event_id")))
             .as("event_id_dup"),

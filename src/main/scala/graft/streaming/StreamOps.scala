@@ -60,6 +60,25 @@ final case class BudgetCut(
     batch_id: Long, total_toks: Long, budget: Long,
     cut_bucket: Long, spent_above: Long)
 
+// per-row contract violations (dup from doc_id-keyed seen-state, the four
+// row-local flags from the LlmOps.docContractFlags seam)
+final case class DocViol(
+    doc_id: Long, dup: Long, text_empty: Long, n_chars_bad: Long,
+    lang_bad: Long, too_short: Long)
+// per-micro-batch violation DELTAS (see contractMonitorStream's contract)
+final case class ContractDelta(
+    batch_id: Long, doc_id_dup: Long, text_empty: Long, n_chars_bad: Long,
+    lang_bad: Long, too_short: Long)
+
+// SCD2 maintenance: dimension-change rows in, closed version rows out;
+// valid dates travel as wall-clock strings (the j76/j78 tz discipline)
+final case class DimIn(custkey: Long, dt: String, ok: Long, status: String)
+final case class Scd2State(
+    status: String, valid_from: String, version: Long)
+final case class Scd2Closed(
+    custkey: Long, status: String, valid_from: String, valid_to: String,
+    version: Long)
+
 /** SURVEY §2 category I — the stateful streaming operators themselves
   * (the reference's core surface), built on Structured Streaming.
   *
@@ -1037,6 +1056,93 @@ object StreamOps {
         sink(BudgetCut(id, total, budget, cut, spentAbove))
       }
       .start()
+  }
+
+  /** Streaming data-contract monitoring — j76's twin: documents arrive as
+    * a stream and every micro-batch emits the DELTA of contract
+    * violations it contributed, per constraint. The row-local flags come
+    * from the SAME `LlmOps.docContractFlags` seam batch j76 aggregates
+    * (one definition — the surfaces cannot fork); the uniqueness
+    * constraint, which needs cross-row visibility, is doc_id-keyed
+    * seen-state (the i6/chunk-dedup state class: one boolean per distinct
+    * key, sharded — the batch plan's count−distinct as keyed state).
+    * Emitting DELTAS, not running totals, is the restart-correct
+    * contract: the seen-state lives in the checkpoint, so a restarted
+    * query keeps attributing each duplicate exactly once, and cumulative
+    * tracking composes downstream as a plain sum (no driver-held total to
+    * lose — the lesson the budget mirror's reseed path encodes).
+    * Per-batch delta aggregation happens DISTRIBUTED (a 5-column sum,
+    * one row to the driver), never by collecting rows.
+    */
+  def contractMonitorStream(
+      docs: DataFrame,
+      sink: ContractDelta => Unit,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import docs.sparkSession.implicits._
+    val viols = graft.queries.LlmOps.docContractFlags(docs)
+      .as[(Long, Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[(Long, Long, Long, Long, Long)],
+            st: GroupState[Boolean]) =>
+          var seen = st.getOption.getOrElse(false)
+          val out = rows.map { case (_, te, ncb, lb, ts) =>
+            val dup = if (seen) 1L else 0L
+            seen = true
+            DocViol(id, dup, te, ncb, lb, ts)
+          }.toList
+          st.update(seen)
+          out.iterator
+      }
+    val writer = viols.writeStream.outputMode("update")
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: Dataset[DocViol], id: Long) =>
+        val a = batch.agg(sum("dup"), sum("text_empty"),
+          sum("n_chars_bad"), sum("lang_bad"), sum("too_short"))
+          .collect()(0)
+        def g(i: Int): Long = if (a.isNullAt(i)) 0L else a.getLong(i)
+        sink(ContractDelta(id, g(0), g(1), g(2), g(3), g(4)))
+      }
+      .start()
+  }
+
+  /** Streaming SCD2 maintenance — j78's twin: dimension-change rows
+    * arrive as a stream (CDC shape) and each key's current version lives
+    * in keyed state; a status change EMITS the closed
+    * [valid_from, valid_to) version row and opens the next. In-order
+    * ingestion reproduces batch j78's islands exactly: the closed rows
+    * match j78's non-open rows, and the OPEN versions are precisely the
+    * keyed state — readable through the offline statestore reader
+    * ([[readKeyedState]]), which the differential asserts, closing the
+    * loop between the history table and the live store. State is one
+    * (status, valid_from, version) triple per dimension key — dimension-
+    * sized, the smallest state any SCD2 maintainer can carry. Intra-batch
+    * rows replay in (dt, ok) order so batch boundaries cannot reorder a
+    * key's timeline (the chunk-dedup in-batch-ordering discipline).
+    */
+  def scd2Stream(dims: Dataset[DimIn]): Dataset[Scd2Closed] = {
+    import dims.sparkSession.implicits._
+    dims.groupByKey(_.custkey)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (ck: Long, rows: Iterator[DimIn], st: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.dt, r.ok))
+          var cur = st.getOption.orNull
+          val closed = List.newBuilder[Scd2Closed]
+          sorted.foreach { r =>
+            if (cur == null) cur = Scd2State(r.status, r.dt, 1L)
+            else if (cur.status != r.status) {
+              closed += Scd2Closed(ck, cur.status, cur.valid_from, r.dt,
+                cur.version)
+              cur = Scd2State(r.status, r.dt, cur.version + 1L)
+            }
+          }
+          if (cur != null) st.update(cur)
+          closed.result().iterator
+      }
   }
 
   /** Offline state inspection via Spark's `statestore` batch data source:

@@ -1739,4 +1739,107 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin == BudgetCut(fin.batch_id, total, budget, cut, above),
       s"post-restart cut $fin != corpus recompute ($total, $budget, $cut, $above)")
   }
+
+  test("streaming contract deltas sum to the batch j76 verdicts (dup injected)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // corpus + ONE duplicated doc_id: the injected dup exercises the
+    // seen-state path (the generator's doc_ids are unique, so without it
+    // the uniqueness constraint would be vacuously green); sum of the
+    // per-batch DELTAS must equal a first-principles recompute over the
+    // UNION input, constraint for constraint
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text", "lang", "n_chars")
+      .as[(Long, String, String, Long)].collect().toSeq
+    val union = docs :+ docs.head
+    val in = MemoryStream[(Long, String, String, Long)]
+    val deltas = scala.collection.mutable.Buffer.empty[ContractDelta]
+    val q = StreamOps.contractMonitorStream(
+      in.toDS().toDF("doc_id", "text", "lang", "n_chars"), deltas += _)
+    union.grouped((union.size + 2) / 3).foreach { b =>
+      in.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    assert(deltas.size == 3, s"expected one delta per micro-batch: $deltas")
+    val langs = Set("en", "es", "zh", "de", "fr")
+    val expected = (
+      union.size.toLong - union.map(_._1).distinct.size,
+      union.count(r => r._2 == null || r._2.isEmpty).toLong,
+      union.count(r => r._4 != r._2.length).toLong,
+      union.count(r => !langs(r._3)).toLong,
+      union.count(_._4 < 200L).toLong)
+    val got = (
+      deltas.map(_.doc_id_dup).sum, deltas.map(_.text_empty).sum,
+      deltas.map(_.n_chars_bad).sum, deltas.map(_.lang_bad).sum,
+      deltas.map(_.too_short).sum)
+    assert(got == expected,
+      s"summed deltas $got != union recompute $expected")
+    assert(got._1 == 1L, "the injected duplicate must be counted exactly once")
+    // and the row-local constraints agree with the registered j76 on the
+    // raw corpus (the duplicate contributes its own flags once more)
+    val dupFlags = {
+      val h = docs.head
+      (if (h._2 == null || h._2.isEmpty) 1L else 0L,
+        if (h._4 != h._2.length) 1L else 0L,
+        if (!langs(h._3)) 1L else 0L,
+        if (h._4 < 200L) 1L else 0L)
+    }
+    val j76 = SparkEntry.queries("j76_data_contract")(spark, d)
+      .filter(col("cname").startsWith("doc_"))
+      .select("cname", "n_violations").as[(String, Long)].collect().toMap
+    assert(got._2 == j76("doc_text_not_empty") + dupFlags._1 &&
+      got._3 == j76("doc_n_chars_consistent") + dupFlags._2 &&
+      got._4 == j76("doc_lang_in_enum") + dupFlags._3 &&
+      got._5 == j76("doc_min_200_chars") + dupFlags._4,
+      s"streamed totals diverge from registered j76 + dup flags: $got vs $j76")
+  }
+
+  test("streaming SCD2 closed rows + live state reproduce batch j78 exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    // CDC-shaped in-order feed: all orders chronologically (dt, ok), three
+    // micro-batches — per customer the arrival order equals batch j78's
+    // (ts, ok) window order, so islands cannot fork
+    val dims = Tables.orders(spark, d)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+      .collect()
+      .map(r => DimIn(r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).format(fmt),
+        r.getLong(2), r.getString(3)))
+      .sortBy(x => (x.dt, x.ok)).toSeq
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-scd2-ck").toString
+    val in = MemoryStream[DimIn]
+    val q = StreamOps.scd2Stream(in.toDS()).writeStream
+      .format("memory").queryName("scd2_closed")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    dims.grouped((dims.size + 2) / 3).foreach { b =>
+      in.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val closed = spark.table("scd2_closed").as[Scd2Closed].collect()
+      .map(c => (c.custkey, c.status, c.valid_from, c.valid_to, c.version))
+    // the OPEN versions are the keyed state itself — read through the
+    // offline statestore reader, closing the loop between the emitted
+    // history and the live store
+    val open = StreamOps.readKeyedState(spark, ckpt)
+      .selectExpr("key.value AS custkey",
+        "value.groupState.status AS status",
+        "value.groupState.valid_from AS valid_from",
+        "CAST(NULL AS STRING) AS valid_to",
+        "value.groupState.version AS version")
+      .as[(Long, String, String, String, Long)].collect()
+    val got = (closed ++ open).sortBy(t => (t._1, t._5)).toSeq
+    val batch = SparkEntry.queries("j78_scd2_history")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got.size == batch.size,
+      s"row count ${got.size} != batch ${batch.size} " +
+        s"(${closed.length} closed + ${open.length} open)")
+    got.zip(batch).foreach { case (g, b) =>
+      assert(g == b, s"SCD2 stream row $g != batch $b") }
+    assert(closed.nonEmpty, "no version ever closed — islands untested")
+  }
 }
