@@ -809,6 +809,33 @@ object LlmOps {
         .otherwise(0L).as("lang_bad"),
       when(col("n_chars") < 200L, 1L).otherwise(0L).as("too_short"))
 
+  /** The SCD2 history derivation — the SHARED seam between the registered
+    * j78 (history table) and j79's point-in-time consumption: per
+    * customer, consecutive same-status orders collapse into islands
+    * (gaps-and-islands via lag on the (custkey)(ts, ok) order), each
+    * island one version row with [valid_from, valid_to) wall-clock date
+    * strings (valid_to NULL while current). One definition, so the
+    * history a fact joins AS OF is exactly the history j78 publishes.
+    * All windows key on custkey; the filter preserves partitioning, so
+    * the whole derivation runs on a single keyed exchange.
+    */
+  private[graft] def scd2History(
+      orders: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val o = orders.select(
+      col("o_custkey").as("custkey"),
+      col("o_orderdate").as("ts"),
+      col("o_orderkey").as("ok"),
+      col("o_orderstatus").as("status"))
+    val w = Window.partitionBy("custkey").orderBy("ts", "ok")
+    o.withColumn("prev", lag("status", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("status"))
+      .select(col("custkey"), col("status"),
+        date_format(col("ts"), "yyyy-MM-dd").as("valid_from"),
+        date_format(lead("ts", 1).over(w), "yyyy-MM-dd").as("valid_to"),
+        row_number().over(w).cast("long").as("version"))
+  }
+
   /** Oracle twin of [[bpeSym1]]. */
   private val BpeSym1Sql =
     """vocab AS (
@@ -5234,22 +5261,8 @@ object LlmOps {
     // row_number in one Window operator with NO re-exchange. Dates
     // compare and emit as wall-clock strings (the j76 tz discipline).
     Q("j78_scd2_history",
-      (s, d) => {
-        val o = Tables.orders(s, d).select(
-          col("o_custkey").as("custkey"),
-          col("o_orderdate").as("ts"),
-          col("o_orderkey").as("ok"),
-          col("o_orderstatus").as("status"))
-        val w = Window.partitionBy("custkey").orderBy("ts", "ok")
-        o.withColumn("prev", lag("status", 1).over(w))
-          .filter(col("prev").isNull || col("prev") =!= col("status"))
-          .select(col("custkey"), col("status"),
-            date_format(col("ts"), "yyyy-MM-dd").as("valid_from"),
-            date_format(lead("ts", 1).over(w), "yyyy-MM-dd")
-              .as("valid_to"),
-            row_number().over(w).cast("long").as("version"))
-          .orderBy("custkey", "version")
-      },
+      (s, d) => scd2History(Tables.orders(s, d))
+        .orderBy("custkey", "version"),
       Some("""WITH o AS (
                 SELECT o_custkey AS custkey, o_orderdate AS ts,
                        o_orderkey AS ok, o_orderstatus AS status
@@ -5269,6 +5282,94 @@ object LlmOps {
                      CAST(row_number() OVER
                        (PARTITION BY custkey ORDER BY ts, ok) AS BIGINT)
                        AS version
-              FROM isl ORDER BY custkey, version"""))
+              FROM isl ORDER BY custkey, version""")),
+
+    // Point-in-time dimension join (round 14) — the CONSUMPTION half of
+    // j78 and the feature-store correctness primitive: a fact row at time
+    // T must see the dimension attributes valid AT T, never today's (the
+    // leakage a training pipeline ships when it joins features naively —
+    // "point-in-time correctness" in Feast/Tecton terms). Facts: each
+    // lineitem at its ship date, attributed to the customer-status
+    // version in force when it shipped; output = revenue per dimension
+    // VERSION. The as-of mechanics need NO argmax/window: SCD2 intervals
+    // PARTITION each key's timeline (j78's chain law, spec-asserted), so
+    // the custkey equi-join + interval filter matches each fact row at
+    // most once — the join multiplies a fact by that key's version count
+    // (the dimension's change cadence, bounded by attribute churn, never
+    // corpus size) and the filter collapses it back. Scale shape: the
+    // orderkey join co-partitions two fact tables (SMJ on the key both
+    // would shuffle on anyway); the history side is dimension-sized and
+    // unhinted (Catalyst broadcasts it here; degrades to a keyed SMJ past
+    // the threshold); revenue in exact integer cents (per-row rounding,
+    // order-independent integer sum).
+    Q("j79_pit_dimension_join",
+      (s, d) => {
+        val hist = scd2History(Tables.orders(s, d))
+        val facts = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_shipdate"),
+            col("l_extendedprice"), col("l_discount"))
+          .join(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("custkey"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("sd"),
+            graft.Q.cents(col("l_extendedprice")
+              * (lit(1.0) - col("l_discount"))).as("rev_c"))
+        // LEFT join with the interval in the join condition: a fact
+        // predating its key's first version (this generator ships 474
+        // such lineitems at sf0.001) keeps an explicit version-0
+        // "(none)" bucket instead of silently dropping — at most one
+        // interval matches (the chain law), so conservation is exact:
+        // Σ n_ship == total facts, spec-asserted
+        facts.join(hist,
+            facts("custkey") === hist("custkey") &&
+              col("valid_from") <= col("sd") &&
+              (col("valid_to").isNull || col("sd") < col("valid_to")),
+            "left")
+          .select(facts("custkey").as("custkey"),
+            coalesce(col("version"), lit(0L)).as("version"),
+            coalesce(col("status"), lit("(none)")).as("status"),
+            col("rev_c"))
+          .groupBy("custkey", "version", "status")
+          .agg(count(lit(1)).as("n_ship"), sum("rev_c").as("rev_cents"))
+          .orderBy("custkey", "version")
+      },
+      Some("""WITH o AS (
+                SELECT o_custkey AS custkey, o_orderdate AS ts,
+                       o_orderkey AS ok, o_orderstatus AS status
+                FROM orders),
+              mk AS (
+                SELECT *, lag(status) OVER
+                    (PARTITION BY custkey ORDER BY ts, ok) AS prev
+                FROM o),
+              isl AS (
+                SELECT custkey, ts, ok, status FROM mk
+                WHERE prev IS NULL OR prev <> status),
+              hist AS (
+                SELECT custkey, status,
+                       strftime(ts, '%Y-%m-%d') AS valid_from,
+                       strftime(lead(ts) OVER
+                         (PARTITION BY custkey ORDER BY ts, ok),
+                         '%Y-%m-%d') AS valid_to,
+                       CAST(row_number() OVER
+                         (PARTITION BY custkey ORDER BY ts, ok) AS BIGINT)
+                         AS version
+                FROM isl),
+              f AS (
+                SELECT o_custkey AS custkey,
+                       strftime(l_shipdate, '%Y-%m-%d') AS sd,
+                       CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT) AS rev_c
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+              SELECT f.custkey AS custkey,
+                     COALESCE(version, 0) AS version,
+                     COALESCE(status, '(none)') AS status,
+                     CAST(count(*) AS BIGINT) AS n_ship,
+                     CAST(sum(rev_c) AS BIGINT) AS rev_cents
+              FROM f LEFT JOIN hist ON f.custkey = hist.custkey
+                AND valid_from <= sd
+                AND (valid_to IS NULL OR sd < valid_to)
+              GROUP BY 1, 2, 3
+              ORDER BY custkey, version"""))
   )
 }

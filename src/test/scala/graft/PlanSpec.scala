@@ -887,4 +887,19 @@ class PlanSpec extends AnyFunSuite {
     assert("rangepartitioning".r.findAllIn(plan).length == 1,
       "exactly one range exchange — the output sort")
   }
+
+  test("j79 PIT join: no window or argmax near the facts — intervals do the as-of") {
+    // the as-of mechanics ride the SCD2 chain law: an equi-join on
+    // custkey + the interval filter replaces the per-fact-row argmax a
+    // naive PIT join would window over — the ONLY windows in the plan are
+    // the history derivation's custkey-keyed ones, and lineitem is
+    // scanned exactly once (orders twice: the custkey map + the history)
+    assertScanCount("j79_pit_dimension_join", "lineitem", 1)
+    assertScanCount("j79_pit_dimension_join", "orders", 2)
+    val plan = staticPlan("j79_pit_dimension_join")
+    val (global, keyed) = windowLines(plan)
+    assert(global.isEmpty, s"no global window allowed:\n$plan")
+    assert(keyed.forall(_.contains("custkey")),
+      s"every window must key on custkey (the history derivation only)")
+  }
 }

@@ -2123,4 +2123,74 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.groupBy(_._1).exists(_._2.length > 1),
       "no customer ever changed status — islands untested")
   }
+
+  test("j79 PIT join attributes every shipment to exactly one version (full replay)") {
+    import spark.implicits._
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    // rebuild the islands imperatively (the j78 replay), then walk every
+    // lineitem and pick its version by interval membership — the
+    // definition the equi-join + interval filter must reproduce
+    val orders = Tables.orders(spark, d)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).format(fmt),
+        r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val custToOrder = orders.map(o => o._3 -> o._1).toMap
+    val islands: Map[Long, Seq[(String, String, Long)]] =
+      orders.groupBy(_._1).view.mapValues { os =>
+        val isl = scala.collection.mutable.Buffer.empty[(String, String)]
+        os.foreach { case (_, dt, _, st) =>
+          if (isl.isEmpty || isl.last._1 != st) isl += ((st, dt))
+        }
+        isl.zipWithIndex.map { case ((st, from), i) =>
+          (st, from, (i + 1).toLong) }.toSeq
+      }.toMap
+    val facts = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).format(fmt),
+        math.round(r.getDouble(2) * (1.0 - r.getDouble(3)) * 100)))
+    val agg = scala.collection.mutable
+      .Map.empty[(Long, Long, String), (Long, Long)]
+    var unmatched = 0
+    facts.foreach { case (okey, sd, cents) =>
+      val ck = custToOrder(okey)
+      val vs = islands(ck)
+      // version in force at sd: last island starting <= sd; a shipment
+      // predating the first version lands in the explicit version-0
+      // "(none)" bucket (this generator has such rows — see below)
+      val k = vs.takeWhile(_._2 <= sd).lastOption match {
+        case Some((st, _, ver)) => (ck, ver, st)
+        case None => unmatched += 1; (ck, 0L, "(none)")
+      }
+      val (n, c) = agg.getOrElse(k, (0L, 0L))
+      agg(k) = (n + 1, c + cents)
+    }
+    val expected = agg.toSeq
+      .map { case ((ck, ver, st), (n, c)) => (ck, ver, st, n, c) }
+      .sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("j79_pit_dimension_join")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got.size == expected.size,
+      s"version-bucket count ${got.size} != replay ${expected.size}")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g == e, s"PIT row $g != replay $e") }
+    // conservation — the PIT property itself: every shipment lands in
+    // EXACTLY one bucket (an interval gap or overlap would break this)
+    assert(got.map(_._4).sum == facts.length.toLong,
+      "sum of per-version shipment counts != total lineitems")
+    // the generator genuinely ships before the first version, so the
+    // explicit "(none)" bucket path is exercised, not decorative
+    assert(unmatched > 0 && got.exists(_._2 == 0L),
+      "no pre-history shipments — the unversioned bucket is untested")
+    // and the referenced versions actually exist in the published j78
+    val hist = SparkEntry.queries("j78_scd2_history")(spark, d)
+      .select("custkey", "version").as[(Long, Long)].collect().toSet
+    assert(got.filter(_._2 > 0L).forall(g => hist((g._1, g._2))),
+      "PIT output references a version absent from the j78 history")
+  }
 }
