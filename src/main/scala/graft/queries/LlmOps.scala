@@ -5370,6 +5370,73 @@ object LlmOps {
                 AND valid_from <= sd
                 AND (valid_to IS NULL OR sd < valid_to)
               GROUP BY 1, 2, 3
-              ORDER BY custkey, version"""))
+              ORDER BY custkey, version""")),
+
+    // Corpus snapshot diff (round 14) — dataset-versioning AUDIT, the
+    // complement of j54's upsert: given two corpus snapshots, report per
+    // source how many documents were added / removed / changed /
+    // unchanged and the net character drift — the release-notes table a
+    // training-data version bump ships with. Snapshot stand-ins derived
+    // deterministically from the one generator table (the j29 eval-slice
+    // convention): OLD drops doc_id % 10 == 9 and carries an ' OLDREV'
+    // edit on % 13 == 0; NEW drops % 10 == 0 — so all four buckets are
+    // genuinely populated. Scale discipline: both sides project to
+    // (doc_id, source, md5(text), length) BEFORE the join — content
+    // comparison rides the 32-hex HASH, so the doc_id-keyed full-outer
+    // shuffle moves ~50 bytes per document, never the text (at 100 TB
+    // the diff costs two scans + a keyed join of fingerprints). The
+    // classification is null-pattern matching on the join result; one
+    // final tiny aggregate by (source, dstatus).
+    Q("j80_snapshot_diff",
+      (s, d) => {
+        def fp(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), col("source"),
+            md5(col("text")).as("h"),
+            length(col("text")).cast("long").as("len"))
+        val old = fp(Tables.documents(s, d)
+          .filter(col("doc_id") % 10 =!= 9)
+          .withColumn("text",
+            when(col("doc_id") % 13 === 0, concat(col("text"),
+              lit(" OLDREV"))).otherwise(col("text"))))
+          .select(col("doc_id"), col("source").as("o_source"),
+            col("h").as("o_h"), col("len").as("o_len"))
+        val neu = fp(Tables.documents(s, d)
+          .filter(col("doc_id") % 10 =!= 0))
+        neu.join(old, Seq("doc_id"), "full_outer")
+          .select(
+            coalesce(col("source"), col("o_source")).as("source"),
+            when(col("o_h").isNull, "added")
+              .when(col("h").isNull, "removed")
+              .when(col("h") =!= col("o_h"), "changed")
+              .otherwise("unchanged").as("dstatus"),
+            (coalesce(col("len"), lit(0L))
+              - coalesce(col("o_len"), lit(0L))).as("d_len"))
+          .groupBy("source", "dstatus")
+          .agg(count(lit(1)).as("n_docs"), sum("d_len").as("chars_delta"))
+          .orderBy("source", "dstatus")
+      },
+      Some("""WITH old AS (
+                SELECT doc_id, source,
+                       md5(CASE WHEN doc_id % 13 = 0
+                           THEN text || ' OLDREV' ELSE text END) AS o_h,
+                       CAST(length(CASE WHEN doc_id % 13 = 0
+                           THEN text || ' OLDREV' ELSE text END)
+                         AS BIGINT) AS o_len
+                FROM documents WHERE doc_id % 10 <> 9),
+              neu AS (
+                SELECT doc_id, source, md5(text) AS h,
+                       CAST(length(text) AS BIGINT) AS len
+                FROM documents WHERE doc_id % 10 <> 0)
+              SELECT COALESCE(neu.source, old.source) AS source,
+                     CASE WHEN o_h IS NULL THEN 'added'
+                          WHEN h IS NULL THEN 'removed'
+                          WHEN h <> o_h THEN 'changed'
+                          ELSE 'unchanged' END AS dstatus,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(COALESCE(len, 0) - COALESCE(o_len, 0))
+                       AS BIGINT) AS chars_delta
+              FROM neu FULL OUTER JOIN old USING (doc_id)
+              GROUP BY 1, 2
+              ORDER BY source, dstatus"""))
   )
 }

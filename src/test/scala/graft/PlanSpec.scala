@@ -902,4 +902,21 @@ class PlanSpec extends AnyFunSuite {
     assert(keyed.forall(_.contains("custkey")),
       s"every window must key on custkey (the history derivation only)")
   }
+
+  test("j80 snapshot diff: fingerprints shuffle, text never does") {
+    // each snapshot projects to (doc_id, source, md5, length) BEFORE the
+    // full-outer join — the text column must die at the scan's project,
+    // so the only wide keys are the join's doc_id and the final tiny
+    // aggregate's source, with no window anywhere
+    assertScanCount("j80_snapshot_diff", "documents", 2)
+    val plan = staticPlan("j80_snapshot_diff")
+    val (global, keyed) = windowLines(plan)
+    assert(global.isEmpty && keyed.isEmpty, s"diff needs no window:\n$plan")
+    val hashKeys = "hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(hashKeys.subsetOf(Set("doc_id", "source")) && hashKeys("doc_id"),
+      s"wide exchanges must key on doc_id/source only, got $hashKeys")
+    assert(plan.contains("FullOuter"),
+      s"snapshot diff must plan a full-outer join:\n$plan")
+  }
 }

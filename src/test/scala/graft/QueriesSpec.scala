@@ -2193,4 +2193,45 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.filter(_._2 > 0L).forall(g => hist((g._1, g._2))),
       "PIT output references a version absent from the j78 history")
   }
+
+  test("j80 snapshot diff equals a per-doc replay and covers all four buckets") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "source", "text").as[(Long, String, String)]
+      .collect()
+    val old = docs.filter(_._1 % 10 != 9).map { case (id, src, t) =>
+      id -> (src, if (id % 13 == 0) t + " OLDREV" else t)
+    }.toMap
+    val neu = docs.filter(_._1 % 10 != 0)
+      .map { case (id, src, t) => id -> (src, t) }.toMap
+    val agg = scala.collection.mutable
+      .Map.empty[(String, String), (Long, Long)]
+    (old.keySet ++ neu.keySet).foreach { id =>
+      val (src, status, dLen) = (neu.get(id), old.get(id)) match {
+        case (Some((s, t)), None) => (s, "added", t.length.toLong)
+        case (None, Some((s, t))) => (s, "removed", -t.length.toLong)
+        case (Some((s, tn)), Some((_, to))) =>
+          (s, if (tn == to) "unchanged" else "changed",
+            (tn.length - to.length).toLong)
+        case (None, None) => throw new IllegalStateException("unreachable")
+      }
+      val (n, c) = agg.getOrElse((src, status), (0L, 0L))
+      agg((src, status)) = (n + 1, c + dLen)
+    }
+    val expected = agg.toSeq
+      .map { case ((s, st), (n, c)) => (s, st, n, c) }
+      .sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("j80_snapshot_diff")(spark, d)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expected, s"diff rows\n$got\n!= replay\n$expected")
+    // all four verdicts must be populated or the audit is part-vacuous
+    val statuses = got.map(_._2).toSet
+    assert(statuses == Set("added", "removed", "changed", "unchanged"),
+      s"snapshot stand-ins failed to exercise every bucket: $statuses")
+    // conservation: bucket counts cover the id universe of both snapshots
+    assert(got.map(_._3).sum == (old.keySet ++ neu.keySet).size.toLong,
+      "diff counts != union of snapshot ids")
+  }
 }
