@@ -14,11 +14,12 @@ result row-for-row against the Scala DataFrame twin invoked through py4j
 Usage:
   python3 tools/pyspark_smoke.py [sfDir] [query ...]
 defaults: /root/testdata/sf0.001 and the FULL m-tranche (every m*_tpch_*
-key in the catalog, discovered through py4j — 21 workloads), plus two
-non-SQL LLM operator checks: j1_exact_dedup and j73_random_projection,
-each invoked through py4j AND re-composed natively in the PySpark
-DataFrame API, compared row-for-row (non-SQL operators reach the Python
-surface both ways, including the vector/HOF family).
+key in the catalog, discovered through py4j — 21 workloads), plus three
+non-SQL LLM operator checks: j1_exact_dedup, j73_random_projection and
+j78_scd2_history, each invoked through py4j AND re-composed natively in
+the PySpark DataFrame API, compared row-for-row (non-SQL operators
+reach the Python surface both ways, including the vector/HOF family
+and the keyed-window family).
 
 Run from the repo root after `sbt compile` (needs
 target/scala-2.13/classes on disk).
@@ -131,7 +132,37 @@ def main() -> int:
     print(f"[pyspark-smoke] {j73}: py4j rows={len(via_jvm73)} "
           f"native-pyspark rows={len(via_py73)} "
           f"{'MATCH' if j73_ok else 'MISMATCH'}")
-    n_total = len(names) + 2
+    # A round-14 windowed operator the same two ways: the SCD2 history
+    # (j78) re-composed natively — gaps-and-islands is lag/lead/row_number
+    # over one keyed window spec, all present in pyspark.sql.functions.
+    j78 = "j78_scd2_history"
+    jdf78 = queries.apply(j78).apply(spark._jsparkSession, sf_dir)
+    via_jvm78 = sorted(map(tuple, DataFrame(jdf78, spark).collect()))
+    w78 = Window.partitionBy("custkey").orderBy("ts", "ok")
+    o78 = spark.table("orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("status"))
+    native78 = (o78.withColumn("prev", F.lag("status", 1).over(w78))
+                .filter(F.col("prev").isNull()
+                        | (F.col("prev") != F.col("status")))
+                .select("custkey", "status",
+                        F.date_format("ts", "yyyy-MM-dd")
+                        .alias("valid_from"),
+                        F.date_format(F.lead("ts", 1).over(w78),
+                                      "yyyy-MM-dd").alias("valid_to"),
+                        F.row_number().over(w78).cast("long")
+                        .alias("version"))
+                .orderBy("custkey", "version"))
+    via_py78 = sorted(map(tuple, native78.collect()),
+                      key=lambda t: (t[0], t[4]))
+    j78_ok = via_jvm78 == sorted(via_py78) and len(via_jvm78) > 0
+    failures += 0 if j78_ok else 1
+    print(f"[pyspark-smoke] {j78}: py4j rows={len(via_jvm78)} "
+          f"native-pyspark rows={len(via_py78)} "
+          f"{'MATCH' if j78_ok else 'MISMATCH'}")
+    n_total = len(names) + 3
     spark.stop()
     print(f"[pyspark-smoke] {n_total - failures}/{n_total} matched")
     return 1 if failures else 0
