@@ -5437,6 +5437,106 @@ object LlmOps {
                        AS BIGINT) AS chars_delta
               FROM neu FULL OUTER JOIN old USING (doc_id)
               GROUP BY 1, 2
-              ORDER BY source, dstatus"""))
+              ORDER BY source, dstatus""")),
+
+    // Winnow-fingerprint near-dup join (round 14) — the CONSUMPTION half
+    // of j19, completing the winnowing loop the way j69 completed BPE and
+    // j79 completed SCD2: the per-doc fingerprint SETS become an inverted
+    // index and docs sharing ≥3 fingerprints emit as near-dup candidate
+    // pairs with a fixed-point containment score — the MOSS shape
+    // (Schleimer et al. §5: fingerprint postings + per-pair counts), and
+    // a dedup family member with LOCAL sensitivity (winnow fingerprints
+    // survive partial overlap/reordering that document-global MinHash
+    // dilutes). Scale discipline is the j66 posting-list playbook: the
+    // posting table is lineage-truncated ONCE (it IS the index — a real
+    // deployment persists it, ImiIndexStore-style) and hot fingerprints
+    // with df > 64 leave the index via a HAVING on the SAME fp key the
+    // self-join shuffles on (no extra wide exchange; per-fp pair work
+    // bounded at cap²); the pair count then rides one fp-keyed equi-join,
+    // never an all-pairs scan. Containment = shared·1e6 div min(|fp|)
+    // (exact integer both engines).
+    Q("j81_winnow_neardup",
+      (s, d) => {
+        val K = 8; val W = 4; val Cap = 64; val MinShared = 3
+        graft.functions.WinnowFingerprint.register(s)
+        val post = truncateLineage(
+          Tables.documents(s, d)
+            .filter(length(col("text")) >= K + W - 1)
+            .select(col("doc_id"),
+              expr(s"graft_winnow(text, $K, $W)").as("fps"))
+            .select(col("doc_id"),
+              size(col("fps")).cast("long").as("n_fp"),
+              explode(col("fps")).as("fp")))
+        val keep = post.groupBy("fp").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= Cap).select("fp")
+        val idx = post.join(keep, Seq("fp"))
+        idx.as("x").join(idx.as("y"),
+            col("x.fp") === col("y.fp") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("doc_a"),
+            col("y.doc_id").as("doc_b"),
+            col("x.n_fp").as("n_fp_a"), col("y.n_fp").as("n_fp_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= MinShared)
+          .select(col("doc_a"), col("doc_b"), col("n_shared"),
+            expr("n_shared * 1000000 div least(n_fp_a, n_fp_b)")
+              .as("containment_ppm"))
+          // verdict threshold τ = 0.5 containment: measured on this
+          // corpus the distribution is bimodal — planted near-dup
+          // clusters sit ≥ 0.80 while the shared-vocabulary background
+          // has p99 ≈ 0.20, so 0.5 separates cleanly (29 pairs vs 78k
+          // candidates at sf0.001); MinShared prunes the count-only
+          // cheap filter BEFORE the division
+          .filter(col("containment_ppm") >= 500000L)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val K = 8; val W = 4
+        val B = 257L; val M = 1000000007L
+        val pows = {
+          val a = new Array[Long](K)
+          a(K - 1) = 1L
+          ((K - 2) to 0 by -1).foreach(j => a(j) = a(j + 1) * B % M)
+          a
+        }
+        val powList = pows.mkString("[", ", ", "]")
+        s"""WITH hs AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, length(text) - ${K - 1}),
+                       i -> list_reduce(
+                         list_transform(generate_series(0, ${K - 1}),
+                           j -> (CAST(ascii(substring(text,
+                               CAST(i + j AS INT), 1)) AS BIGINT)
+                             * ($powList)[j + 1]) % $M),
+                         (a, b) -> (a + b) % $M)) AS h
+              FROM documents WHERE length(text) >= ${K + W - 1}),
+            fps AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, len(h) - ${W - 1}),
+                       j -> list_min(h[j:j + ${W - 1}]))) AS fp
+              FROM hs),
+            post AS (
+              SELECT doc_id, CAST(len(fp) AS BIGINT) AS n_fp,
+                     unnest(fp) AS f
+              FROM fps),
+            keep AS (
+              SELECT f FROM post GROUP BY f HAVING count(*) <= 64),
+            idx AS (
+              SELECT post.* FROM post JOIN keep USING (f))
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared,
+                   CAST((count(*) * 1000000)
+                     // LEAST(x.n_fp, y.n_fp) AS BIGINT)
+                     AS containment_ppm
+            FROM idx x JOIN idx y
+              ON x.f = y.f AND x.doc_id < y.doc_id
+            GROUP BY x.doc_id, y.doc_id, x.n_fp, y.n_fp
+            HAVING count(*) >= 3
+               AND (count(*) * 1000000) // LEAST(x.n_fp, y.n_fp)
+                   >= 500000
+            ORDER BY doc_a, doc_b"""
+      })
   )
 }

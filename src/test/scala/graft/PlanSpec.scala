@@ -919,4 +919,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("FullOuter"),
       s"snapshot diff must plan a full-outer join:\n$plan")
   }
+
+  test("j81 winnow join runs entirely on the materialized fingerprint index") {
+    // the posting table is truncated ONCE (it IS the inverted index) —
+    // the final static plan reads documents ZERO times: df cap, both
+    // self-join sides, and the pair count all consume the index, and the
+    // only wide keys are the fingerprint (cap + join) and the pair group
+    // (whose partition expression prints the pre-alias doc_id attr)
+    assertScanCount("j81_winnow_neardup", "documents", 0)
+    val plan = staticPlan("j81_winnow_neardup")
+    val (global, keyed) = windowLines(plan)
+    assert(global.isEmpty && keyed.isEmpty,
+      s"the pair join needs no window:\n$plan")
+    val hashKeys = "hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(hashKeys.subsetOf(Set("fp", "doc_id")),
+      s"wide exchanges must key on fp / the pair group only, got $hashKeys")
+  }
 }

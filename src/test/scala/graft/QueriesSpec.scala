@@ -2234,4 +2234,33 @@ class QueriesSpec extends AnyFunSuite {
     assert(got.map(_._3).sum == (old.keySet ++ neu.keySet).size.toLong,
       "diff counts != union of snapshot ids")
   }
+
+  test("j81 winnow pairs contain every j2 MinHash pair (cross-family recall)") {
+    import spark.implicits._
+    // two INDEPENDENT near-dup detectors over the same corpus: MinHash
+    // approximates global Jaccard ≥ 0.9, winnowing counts shared local
+    // fingerprints at containment ≥ 0.5. A J ≥ 0.9 pair shares almost
+    // all k-gram windows, so it must clear the (looser) containment bar:
+    // j2 ⊆ j81 — and j81 may legitimately add local-overlap pairs j2's
+    // document-global sketch dilutes away.
+    val winnow = SparkEntry.queries("j81_winnow_neardup")(spark, d)
+      .select("doc_a", "doc_b", "containment_ppm")
+      .as[(Long, Long, Long)].collect()
+    val minhash = SparkEntry.queries("j2_minhash_neardup")(spark, d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(minhash.nonEmpty && winnow.nonEmpty, "fixture has no near-dups")
+    val wset = winnow.map(t => (t._1, t._2)).toSet
+    val missed = minhash.filterNot(wset)
+    assert(missed.isEmpty,
+      s"${missed.length} MinHash J>=0.9 pairs missing from the winnow " +
+        s"join: ${missed.take(5).toSeq}")
+    // pair structure: canonical orientation, score in (0, 1e6]
+    winnow.foreach { case (a, b, c) =>
+      assert(a < b && c > 0L && c <= 1000000L, s"malformed pair ($a,$b,$c)")
+    }
+    // the detectors are genuinely different, not one masquerading as the
+    // other: the measured corpus has at least one winnow-only pair
+    assert(wset.size > minhash.length,
+      "winnow found nothing beyond MinHash — local sensitivity untested")
+  }
 }

@@ -1842,4 +1842,66 @@ class StreamingSpec extends AnyFunSuite {
       assert(g == b, s"SCD2 stream row $g != batch $b") }
     assert(closed.nonEmpty, "no version ever closed — islands untested")
   }
+
+  test("SCD2 stream recovers open versions across kill/restart (RocksDB+changelog)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    val dims = Tables.orders(spark, d)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+      .collect()
+      .map(r => DimIn(r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).format(fmt),
+        r.getLong(2), r.getString(3)))
+      .sortBy(x => (x.dt, x.ok)).toSeq
+    withRocksDB { withChangelog {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-scd2-rck").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-scd2-rout").toString
+      val in = MemoryStream[DimIn]
+      def start() = StreamOps.scd2Stream(in.toDS()).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Scd2Closed],
+            _: Long) => df.write.mode("append").parquet(out) }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      // kill after 2/3 of the history: versions OPEN at the kill live only
+      // in checkpointed state; a version opened before the restart and
+      // closed after it must emit exactly once, with the PRE-restart
+      // valid_from — zero = state lost, wrong date = state corrupted,
+      // two = replay double-emission
+      val q1 = start()
+      val (pre, post) = dims.splitAt(dims.size * 2 / 3)
+      in.addData(pre); q1.processAllAvailable()
+      assertRocksDbServed(q1)
+      q1.stop()
+      val q2 = start()
+      in.addData(post); q2.processAllAvailable()
+      q2.stop()
+      val closed = spark.read.parquet(out).as[Scd2Closed].collect()
+        .map(c => (c.custkey, c.status, c.valid_from, c.valid_to,
+          c.version))
+      val open = StreamOps.readKeyedState(spark, ckpt)
+        .selectExpr("key.value AS custkey",
+          "value.groupState.status AS status",
+          "value.groupState.valid_from AS valid_from",
+          "CAST(NULL AS STRING) AS valid_to",
+          "value.groupState.version AS version")
+        .as[(Long, String, String, String, Long)].collect()
+      val got = (closed ++ open).sortBy(t => (t._1, t._5)).toSeq
+      val batch = SparkEntry.queries("j78_scd2_history")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      assert(got.size == batch.size,
+        s"row count ${got.size} != batch ${batch.size} after restart")
+      got.zip(batch).foreach { case (g, b) =>
+        assert(g == b, s"post-restart SCD2 row $g != batch $b") }
+      // the cross-restart close path must be genuinely exercised: at
+      // least one emitted close has valid_from before the kill point and
+      // valid_to after it
+      val cut = post.head.dt
+      assert(closed.exists(c => c._3 < cut && c._4 >= cut),
+        "no version spanned the restart — the recovery path is untested")
+    } }
+  }
 }
