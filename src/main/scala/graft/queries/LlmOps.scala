@@ -809,6 +809,49 @@ object LlmOps {
         .otherwise(0L).as("lang_bad"),
       when(col("n_chars") < 200L, 1L).otherwise(0L).as("too_short"))
 
+  /** The winnow near-dup pair join (j81's body), parameterized on the df
+    * cap so the cap is a MEASURABLE knob (`graft.WinnowLadder` times it
+    * on vocab-saturated synthetic corpora, where fingerprint df grows ∝ n
+    * and the cap is what keeps the posting self-join from entering its
+    * n²/V regime — dup-cluster fingerprints have df ≈ cluster size, so
+    * any cap ≥ 8 keeps recall while background work collapses).
+    * Verdict threshold τ = 0.5 containment: measured bimodal on the
+    * testdata corpus — planted near-dup clusters sit ≥ 0.80 while the
+    * shared-vocabulary background has p99 ≈ 0.20, so 0.5 separates
+    * cleanly (29 pairs vs 78k candidates at sf0.001); MinShared = 3
+    * prunes on the cheap count BEFORE the division.
+    */
+  private[graft] def winnowPairs(
+      s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame,
+      cap: Long): org.apache.spark.sql.DataFrame = {
+    val K = 8; val W = 4; val MinShared = 3
+    graft.functions.WinnowFingerprint.register(s)
+    val post = truncateLineage(
+      docs.filter(length(col("text")) >= K + W - 1)
+        .select(col("doc_id"),
+          expr(s"graft_winnow(text, $K, $W)").as("fps"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          explode(col("fps")).as("fp")))
+    val keep = post.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("fp")
+    val idx = post.join(keep, Seq("fp"))
+    idx.as("x").join(idx.as("y"),
+        col("x.fp") === col("y.fp") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"),
+        col("x.n_fp").as("n_fp_a"), col("y.n_fp").as("n_fp_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= MinShared)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        expr("n_shared * 1000000 div least(n_fp_a, n_fp_b)")
+          .as("containment_ppm"))
+      .filter(col("containment_ppm") >= 500000L)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** The SCD2 history derivation — the SHARED seam between the registered
     * j78 (history table) and j79's point-in-time consumption: per
     * customer, consecutive same-status orders collapse into islands
@@ -5456,40 +5499,7 @@ object LlmOps {
     // never an all-pairs scan. Containment = shared·1e6 div min(|fp|)
     // (exact integer both engines).
     Q("j81_winnow_neardup",
-      (s, d) => {
-        val K = 8; val W = 4; val Cap = 64; val MinShared = 3
-        graft.functions.WinnowFingerprint.register(s)
-        val post = truncateLineage(
-          Tables.documents(s, d)
-            .filter(length(col("text")) >= K + W - 1)
-            .select(col("doc_id"),
-              expr(s"graft_winnow(text, $K, $W)").as("fps"))
-            .select(col("doc_id"),
-              size(col("fps")).cast("long").as("n_fp"),
-              explode(col("fps")).as("fp")))
-        val keep = post.groupBy("fp").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= Cap).select("fp")
-        val idx = post.join(keep, Seq("fp"))
-        idx.as("x").join(idx.as("y"),
-            col("x.fp") === col("y.fp") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("doc_a"),
-            col("y.doc_id").as("doc_b"),
-            col("x.n_fp").as("n_fp_a"), col("y.n_fp").as("n_fp_b"))
-          .agg(count(lit(1)).as("n_shared"))
-          .filter(col("n_shared") >= MinShared)
-          .select(col("doc_a"), col("doc_b"), col("n_shared"),
-            expr("n_shared * 1000000 div least(n_fp_a, n_fp_b)")
-              .as("containment_ppm"))
-          // verdict threshold τ = 0.5 containment: measured on this
-          // corpus the distribution is bimodal — planted near-dup
-          // clusters sit ≥ 0.80 while the shared-vocabulary background
-          // has p99 ≈ 0.20, so 0.5 separates cleanly (29 pairs vs 78k
-          // candidates at sf0.001); MinShared prunes the count-only
-          // cheap filter BEFORE the division
-          .filter(col("containment_ppm") >= 500000L)
-          .orderBy("doc_a", "doc_b")
-      },
+      (s, d) => winnowPairs(s, Tables.documents(s, d), cap = 64L),
       Some {
         val K = 8; val W = 4
         val B = 257L; val M = 1000000007L

@@ -969,6 +969,47 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** [[scd2Stream]]'s island logic as a [[StatefulProcessor]]: ValueState
+    * holds the one open (status, valid_from, version) triple per
+    * dimension key — the same state shape, on the API that brings TTL,
+    * timers, and column families to the SCD2 maintainer.
+    */
+  final class Scd2Processor
+      extends StatefulProcessor[Long, DimIn, Scd2Closed] {
+    @transient private var cur: ValueState[Scd2State] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[Scd2State](
+        "cur", Encoders.product[Scd2State], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[DimIn],
+        timerValues: TimerValues): Iterator[Scd2Closed] = {
+      var c = if (cur.exists()) cur.get() else null
+      val closed = List.newBuilder[Scd2Closed]
+      rows.toSeq.sortBy(r => (r.dt, r.ok)).foreach { r =>
+        if (c == null) c = Scd2State(r.status, r.dt, 1L)
+        else if (c.status != r.status) {
+          closed += Scd2Closed(key, c.status, c.valid_from, r.dt, c.version)
+          c = Scd2State(r.status, r.dt, c.version + 1L)
+        }
+      }
+      if (c != null) cur.update(c)
+      closed.result().iterator
+    }
+  }
+
+  /** [[scd2Stream]] via transformWithState (see [[Scd2Processor]]). */
+  def scd2StreamTws(dims: Dataset[DimIn]): Dataset[Scd2Closed] = {
+    import dims.sparkSession.implicits._
+    dims.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    dims.groupByKey(_.custkey)
+      .transformWithState(new Scd2Processor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming token-budget histogram maintenance — j71's twin: documents
     * arrive with their (n_tok, priority, bucket) derived by the SAME
     * `LlmOps.docPriorities` seam the batch selection uses, keyed state

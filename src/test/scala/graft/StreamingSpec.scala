@@ -1904,4 +1904,41 @@ class StreamingSpec extends AnyFunSuite {
         "no version spanned the restart — the recovery path is untested")
     } }
   }
+
+  test("transformWithState SCD2 emits the same closed versions as batch j78") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    val dims = Tables.orders(spark, d)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+      .collect()
+      .map(r => DimIn(r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1).format(fmt),
+        r.getLong(2), r.getString(3)))
+      .sortBy(x => (x.dt, x.ok)).toSeq
+    withRocksDB {
+      val in = MemoryStream[DimIn]
+      val q = StreamOps.scd2StreamTws(in.toDS()).writeStream
+        .format("memory").queryName("scd2_tws")
+        .outputMode("append").start()
+      dims.grouped((dims.size + 2) / 3).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      assertRocksDbServed(q)
+      q.stop()
+      val closed = spark.table("scd2_tws").as[Scd2Closed].collect()
+        .map(c => (c.custkey, c.status, c.valid_from, c.valid_to,
+          c.version)).sortBy(t => (t._1, t._5)).toSeq
+      // in-order full feed ⇒ the TWS emissions are exactly the batch
+      // history's CLOSED rows (the open tails live in state)
+      val batchClosed = SparkEntry.queries("j78_scd2_history")(spark, d)
+        .filter(col("valid_to").isNotNull)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getString(3), r.getLong(4))).toSeq
+      assert(closed.size == batchClosed.size,
+        s"closed count ${closed.size} != batch ${batchClosed.size}")
+      closed.zip(batchClosed).foreach { case (g, b) =>
+        assert(g == b, s"TWS SCD2 row $g != batch $b") }
+    }
+  }
 }
