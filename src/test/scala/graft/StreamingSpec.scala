@@ -1794,6 +1794,49 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed totals diverge from registered j76 + dup flags: $got vs $j76")
   }
 
+  test("contract deltas stay exactly-once attributed across kill/restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the delta contract's restart claim, exercised: the uniqueness
+    // seen-state lives in the checkpoint, so a doc fed BEFORE the kill
+    // and duplicated AFTER the restart must still count as exactly one
+    // duplicate — and summed deltas across both runs equal the union
+    // recompute, nothing double- or under-counted
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-contract-ck").toString
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text", "lang", "n_chars")
+      .as[(Long, String, String, Long)].collect().toSeq
+    val in = MemoryStream[(Long, String, String, Long)]
+    val deltas = scala.collection.mutable.Buffer.empty[ContractDelta]
+    def start() = StreamOps.contractMonitorStream(
+      in.toDS().toDF("doc_id", "text", "lang", "n_chars"),
+      deltas += _, Some(ckpt))
+    val (pre, post) = docs.splitAt(docs.size / 2)
+    val q1 = start()
+    in.addData(pre); q1.processAllAvailable(); q1.stop()
+    val q2 = start()
+    in.addData(post :+ pre.head); q2.processAllAvailable(); q2.stop()
+    val union = docs :+ pre.head
+    val langs = Set("en", "es", "zh", "de", "fr")
+    val expected = (
+      union.size.toLong - union.map(_._1).distinct.size,
+      union.count(r => r._2 == null || r._2.isEmpty).toLong,
+      union.count(r => r._4 != r._2.length).toLong,
+      union.count(r => !langs(r._3)).toLong,
+      union.count(_._4 < 200L).toLong)
+    val got = (
+      deltas.map(_.doc_id_dup).sum, deltas.map(_.text_empty).sum,
+      deltas.map(_.n_chars_bad).sum, deltas.map(_.lang_bad).sum,
+      deltas.map(_.too_short).sum)
+    assert(got == expected,
+      s"cross-restart delta sums $got != union recompute $expected")
+    assert(got._1 == 1L,
+      "the post-restart duplicate of a pre-restart doc must count exactly " +
+        "once — zero means the seen-state was lost, two means replay " +
+        "double-attribution")
+  }
+
   test("streaming SCD2 closed rows + live state reproduce batch j78 exactly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
