@@ -79,6 +79,15 @@ final case class Scd2Closed(
     custkey: Long, status: String, valid_from: String, valid_to: String,
     version: Long)
 
+// streaming PIT enrichment: a union of dimension-change and fact rows
+// (kind 0 = dim, 1 = fact; at equal date the dim sorts first, matching
+// the batch valid_from <= sd boundary), facts emerge tagged with the
+// version in force at their own date
+final case class PitIn(custkey: Long, kind: Int, dt: String, ok: Long,
+    status: String, rev_c: Long)
+final case class PitFact(custkey: Long, sd: String, version: Long,
+    status: String, rev_c: Long)
+
 /** SURVEY §2 category I — the stateful streaming operators themselves
   * (the reference's core surface), built on Structured Streaming.
   *
@@ -967,6 +976,45 @@ object StreamOps {
     chunks.groupByKey(_.ck)
       .transformWithState(new ChunkDedupProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming point-in-time enrichment — j79's twin and the engine's
+    * stream–TABLE join (the Kafka-Streams KTable shape): ONE keyed
+    * operator consumes the UNION of the dimension-change stream and the
+    * fact stream, maintains the same per-key SCD2 state [[scd2Stream]]
+    * does, and tags each fact with the version in force at its own date.
+    * The load-bearing observation: under in-order event-time arrival the
+    * as-of lookup needs NO version history — the OPEN version at the
+    * moment a fact passes through IS the interval containing its date
+    * (batch j79 proves the same fact via the interval chain law), so
+    * state stays one (status, valid_from, version) triple per key, the
+    * smallest any PIT server can carry. Facts preceding their key's
+    * first version tag version 0 / "(none)" — identical to j79's
+    * explicit bucket, so nothing silently drops in either form. Kind
+    * ordering inside a batch (dim before fact at equal date) reproduces
+    * the batch boundary convention valid_from <= sd exactly.
+    */
+  def pitEnrichStream(rows: Dataset[PitIn]): Dataset[PitFact] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.custkey)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (ck: Long, rs: Iterator[PitIn], st: GroupState[Scd2State]) =>
+          var cur = st.getOption.orNull
+          val out = List.newBuilder[PitFact]
+          rs.toSeq.sortBy(r => (r.dt, r.kind, r.ok)).foreach { r =>
+            if (r.kind == 0) {
+              if (cur == null) cur = Scd2State(r.status, r.dt, 1L)
+              else if (cur.status != r.status)
+                cur = Scd2State(r.status, r.dt, cur.version + 1L)
+            } else {
+              if (cur == null) out += PitFact(ck, r.dt, 0L, "(none)", r.rev_c)
+              else out += PitFact(ck, r.dt, cur.version, cur.status, r.rev_c)
+            }
+          }
+          if (cur != null) st.update(cur)
+          out.result().iterator
+      }
   }
 
   /** [[scd2Stream]]'s island logic as a [[StatefulProcessor]]: ValueState

@@ -1948,6 +1948,59 @@ class StreamingSpec extends AnyFunSuite {
     } }
   }
 
+  test("streaming PIT enrichment aggregates to the batch j79 attribution") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    // the union feed: dimension changes (orders) + facts (lineitems with
+    // their order's custkey), merged in event order with dims first at
+    // equal dates — the batch valid_from <= sd boundary convention
+    val dims = Tables.orders(spark, d)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+      .collect()
+      .map(r => PitIn(r.getLong(0), 0,
+        r.getAs[java.time.LocalDateTime](1).format(fmt),
+        r.getLong(2), r.getString(3), 0L))
+    val facts = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey", "l_shipdate", "l_orderkey", "l_extendedprice",
+        "l_discount")
+      .collect()
+      .map(r => PitIn(r.getLong(0), 1,
+        r.getAs[java.time.LocalDateTime](1).format(fmt),
+        r.getLong(2), "",
+        math.round(r.getDouble(3) * (1.0 - r.getDouble(4)) * 100)))
+    val feed = (dims ++ facts).sortBy(r => (r.dt, r.kind, r.ok)).toSeq
+    val in = MemoryStream[PitIn]
+    val q = StreamOps.pitEnrichStream(in.toDS()).writeStream
+      .format("memory").queryName("pit_enriched")
+      .outputMode("append").start()
+    feed.grouped((feed.size + 2) / 3).foreach { b =>
+      in.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    // the streamed enrichment, re-aggregated, must equal the registered
+    // batch PIT attribution row for row — the stream-table-join law
+    val got = spark.table("pit_enriched").as[PitFact]
+      .groupBy("custkey", "version", "status")
+      .agg(count(lit(1)).as("n_ship"), sum("rev_c").as("rev_cents"))
+      .orderBy("custkey", "version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val batch = SparkEntry.queries("j79_pit_dimension_join")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got.size == batch.size,
+      s"attribution rows ${got.size} != batch ${batch.size}")
+    got.zip(batch).foreach { case (g, b) =>
+      assert(g == b, s"streamed PIT row $g != batch $b") }
+    // the pre-history bucket must flow through the stream too
+    assert(got.exists(_._2 == 0L),
+      "no version-0 facts streamed — the unversioned path is untested")
+  }
+
   test("transformWithState SCD2 emits the same closed versions as batch j78") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
