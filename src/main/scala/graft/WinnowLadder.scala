@@ -35,8 +35,13 @@ object WinnowLadder {
       val sec = (System.nanoTime() - t0) / 1e9
       val planted = pairs.count { case (a, b) =>
         a / 100 == b / 100 && a % 100 < 5 && b % 100 < 5 }
-      // 5-doc clusters → C(5,2) = 10 planted pairs per 100-id group
-      val plantedTotal = (nDocs / 100) * 10
+      // 5-doc clusters → C(5,2) = 10 planted pairs per FULL 100-id
+      // group; a partial tail group still carries its first
+      // min(tail, 5) clones, so count its C(m, 2) too or recall can
+      // read > 100% on non-multiple-of-100 corpora
+      val tailClones = math.min(nDocs % 100, 5L)
+      val plantedTotal =
+        (nDocs / 100) * 10 + tailClones * (tailClones - 1) / 2
       println(s"""{"winnow_ladder": {"docs": $nDocs, "cap": $cap, """ +
         s""""sec": ${MiniJson.num(sec, 2)}, "pairs": ${pairs.length}, """ +
         s""""planted_found": $planted, "planted_total": $plantedTotal}}""")

@@ -94,6 +94,11 @@ object WinnowFingerprint {
     */
   private def literalInt(e: Expression, arg: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
+    // constant-foldable int expressions (4+4, CAST(8 AS INT)) are fixed
+    // at plan time too — keep accepting them as the eval()-based builder
+    // did, just never a column reference or a non-int type
+    case other if other.foldable && other.dataType == IntegerType =>
+      other.eval().asInstanceOf[Int]
     case other =>
       throw new IllegalArgumentException(
         s"graft_winnow requires a literal INT for '$arg' " +

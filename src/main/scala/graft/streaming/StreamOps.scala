@@ -1004,9 +1004,7 @@ object StreamOps {
           val out = List.newBuilder[PitFact]
           rs.toSeq.sortBy(r => (r.dt, r.kind, r.ok)).foreach { r =>
             if (r.kind == 0) {
-              if (cur == null) cur = Scd2State(r.status, r.dt, 1L)
-              else if (cur.status != r.status)
-                cur = Scd2State(r.status, r.dt, cur.version + 1L)
+              cur = scd2Step(cur, r.status, r.dt)._1
             } else {
               if (cur == null) out += PitFact(ck, r.dt, 0L, "(none)", r.rev_c)
               else out += PitFact(ck, r.dt, cur.version, cur.status, r.rev_c)
@@ -1036,18 +1034,27 @@ object StreamOps {
       var c = if (cur.exists()) cur.get() else null
       val closed = List.newBuilder[Scd2Closed]
       rows.toSeq.sortBy(r => (r.dt, r.ok)).foreach { r =>
-        if (c == null) c = Scd2State(r.status, r.dt, 1L)
-        else if (c.status != r.status) {
-          closed += Scd2Closed(key, c.status, c.valid_from, r.dt, c.version)
-          c = Scd2State(r.status, r.dt, c.version + 1L)
+        val (next, closedOpt) = scd2Step(c, r.status, r.dt)
+        closedOpt.foreach { case (p, to) =>
+          closed += Scd2Closed(key, p.status, p.valid_from, to, p.version)
         }
+        c = next
       }
       if (c != null) cur.update(c)
       closed.result().iterator
     }
   }
 
-  /** [[scd2Stream]] via transformWithState (see [[Scd2Processor]]). */
+  /** [[scd2Stream]] via transformWithState (see [[Scd2Processor]]).
+    *
+    * NOTE (shared with [[chunkDedupStreamTws]]): transformWithState
+    * requires column families, so this SETS the session's state-store
+    * provider to RocksDB and the change persists for streaming queries
+    * started afterwards — callers that also run non-TWS queries on the
+    * heap provider should save/restore
+    * `spark.sql.streaming.stateStore.providerClass` around this call
+    * (the test suite's withRocksDB wrapper is that pattern).
+    */
   def scd2StreamTws(dims: Dataset[DimIn]): Dataset[Scd2Closed] = {
     import dims.sparkSession.implicits._
     dims.sparkSession.conf.set(
@@ -1109,10 +1116,21 @@ object StreamOps {
         if (!seeded) {
           seeded = true
           checkpointDir.foreach { cp =>
-            try {
+            // benign ONLY on a first-ever start: no committed batch means
+            // no state to seed. Distinguish that from a real statestore
+            // read failure by the commit log — swallowing the latter
+            // would silently reintroduce the under-count this reseed
+            // exists to fix, so it must fail the query loudly instead.
+            val hasCommits = {
+              val commits = new java.io.File(cp, "commits")
+              commits.isDirectory &&
+                commits.listFiles().exists(f => f.getName.forall(_.isDigit))
+            }
+            if (hasCommits) {
               // drill the single key/state field generically (primitive
-              // Long key and Long state encode as one-field structs)
-              val st = spark.read.format("statestore").load(cp)
+              // Long key and Long state encode as one-field structs) on
+              // the same statestore surface readKeyedState exposes
+              val st = readKeyedState(spark, cp)
               val kf = st.schema("key").dataType
                 .asInstanceOf[org.apache.spark.sql.types.StructType]
                 .fields.head.name
@@ -1124,9 +1142,6 @@ object StreamOps {
                   col(s"value.groupState.$vf").cast("long"))
                 .collect()
                 .foreach(r => mirror(r.getLong(0)) = r.getLong(1))
-            } catch {
-              // first-ever start: no committed state to seed from
-              case scala.util.control.NonFatal(_) => ()
             }
           }
         }
@@ -1222,17 +1237,31 @@ object StreamOps {
           var cur = st.getOption.orNull
           val closed = List.newBuilder[Scd2Closed]
           sorted.foreach { r =>
-            if (cur == null) cur = Scd2State(r.status, r.dt, 1L)
-            else if (cur.status != r.status) {
-              closed += Scd2Closed(ck, cur.status, cur.valid_from, r.dt,
-                cur.version)
-              cur = Scd2State(r.status, r.dt, cur.version + 1L)
+            val (next, closedOpt) = scd2Step(cur, r.status, r.dt)
+            closedOpt.foreach { case (c, to) =>
+              closed += Scd2Closed(ck, c.status, c.valid_from, to, c.version)
             }
+            cur = next
           }
           if (cur != null) st.update(cur)
           closed.result().iterator
       }
   }
+
+  /** The ONE SCD2 island transition, shared by [[scd2Stream]],
+    * [[Scd2Processor]], and [[pitEnrichStream]] so the three surfaces
+    * cannot fork (the docContractFlags/scd2History seam discipline):
+    * given the current open version (null if none) and an arriving
+    * (status, dt), returns the next open version plus the closed
+    * interval the arrival produced — (previous open state, valid_to) —
+    * if the status changed.
+    */
+  private def scd2Step(cur: Scd2State, status: String, dt: String)
+      : (Scd2State, Option[(Scd2State, String)]) =
+    if (cur == null) (Scd2State(status, dt, 1L), None)
+    else if (cur.status != status)
+      (Scd2State(status, dt, cur.version + 1L), Some((cur, dt)))
+    else (cur, None)
 
   /** Offline state inspection via Spark's `statestore` batch data source:
     * read a stopped (or running) streaming query's checkpointed keyed

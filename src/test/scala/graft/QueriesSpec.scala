@@ -2019,10 +2019,15 @@ class QueriesSpec extends AnyFunSuite {
         c.isInstanceOf[NullPointerException]),
         s"opaque failure mode resurfaced:\n${messages(t)}")
     }
-    // and the valid literal-int form still runs
+    // and the valid literal-int form still runs — including
+    // constant-FOLDABLE int expressions, which are fixed at plan time
+    // too and were accepted by the eval()-based builder
     val ok = spark.sql("SELECT graft_winnow('abcdefgh', 5, 2) AS f")
       .collect().head.getSeq[Long](0)
     assert(ok.nonEmpty, "literal-int call regressed")
+    val folded = spark.sql("SELECT graft_winnow('abcdefgh', 4 + 1, 2) AS f")
+      .collect().head.getSeq[Long](0)
+    assert(folded == ok, "constant-foldable int args regressed")
   }
 
   test("j77 bigram-LM xent equals a first-principles recompute, all docs") {

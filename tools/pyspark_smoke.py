@@ -137,7 +137,11 @@ def main() -> int:
     # over one keyed window spec, all present in pyspark.sql.functions.
     j78 = "j78_scd2_history"
     jdf78 = queries.apply(j78).apply(spark._jsparkSession, sf_dir)
-    via_jvm78 = sorted(map(tuple, DataFrame(jdf78, spark).collect()))
+    # valid_to is None on every current version — sort with a None-safe
+    # key or sorted() raises TypeError mid-smoke instead of MISMATCH
+    none_safe = lambda t: tuple("" if v is None else v for v in t)  # noqa: E731
+    via_jvm78 = sorted(map(tuple, DataFrame(jdf78, spark).collect()),
+                       key=none_safe)
     w78 = Window.partitionBy("custkey").orderBy("ts", "ok")
     o78 = spark.table("orders").select(
         F.col("o_custkey").alias("custkey"),
@@ -155,9 +159,8 @@ def main() -> int:
                         F.row_number().over(w78).cast("long")
                         .alias("version"))
                 .orderBy("custkey", "version"))
-    via_py78 = sorted(map(tuple, native78.collect()),
-                      key=lambda t: (t[0], t[4]))
-    j78_ok = via_jvm78 == sorted(via_py78) and len(via_jvm78) > 0
+    via_py78 = sorted(map(tuple, native78.collect()), key=none_safe)
+    j78_ok = via_jvm78 == via_py78 and len(via_jvm78) > 0
     failures += 0 if j78_ok else 1
     print(f"[pyspark-smoke] {j78}: py4j rows={len(via_jvm78)} "
           f"native-pyspark rows={len(via_py78)} "
