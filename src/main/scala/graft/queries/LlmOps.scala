@@ -5547,6 +5547,66 @@ object LlmOps {
                AND (count(*) * 1000000) // LEAST(x.n_fp, y.n_fp)
                    >= 500000
             ORDER BY doc_a, doc_b"""
-      })
+      }),
+
+    // Incremental aggregate refresh (round 14) — materialized-view
+    // maintenance by STATE MERGE: a keyed aggregate over (base ⊎ delta)
+    // computed as merge(agg(base), agg(delta)), never as a rescan of the
+    // union — the core of incremental ETL, and the plain-aggregate
+    // cousin of the sketch-merge family (j50 HLL merge / j51 CMS merge
+    // already prove the path for approximate state; this is the exact
+    // count/sum/min/max algebra). The ORACLE IS THE LAW: the DuckDB side
+    // computes the aggregate directly over all events, so the hash match
+    // proves merge(agg(base), agg(delta)) == agg(base ⊎ delta) on real
+    // data. Scale claim: at production the base states are a STORED
+    // table (they are exactly what this query's base branch computes),
+    // so refresh cost is delta-sized + a state-table-sized merge join —
+    // the corpus is never rescanned; here both branches derive from the
+    // one generator table with the slice predicate PUSHED to parquet
+    // (PlanSpec pins PushedFilters absent — date_format isn't pushable —
+    // so the pin is on the two-scan shape + keyed merge join instead).
+    // Boundary compares ride wall-clock date strings (the j76 tz
+    // discipline; the 2024-01-15 boundary is a midnight, so date
+    // granularity is exact).
+    Q("j82_incremental_agg_refresh",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+            graft.Q.cents(col("value")).as("v_c"))
+        def slice(p: org.apache.spark.sql.Column, tag: String) =
+          ev.filter(p).groupBy("event_type").agg(
+            count(lit(1)).as(s"${tag}_n"),
+            sum(col("v_c")).as(s"${tag}_sum"),
+            min(col("v_c")).as(s"${tag}_mn"),
+            max(col("v_c")).as(s"${tag}_mx"))
+        val base = slice(col("dt") < "2024-01-15", "b")
+        val delta = slice(col("dt") >= "2024-01-15", "d")
+        base.join(delta, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            (coalesce(col("b_n"), lit(0L))
+              + coalesce(col("d_n"), lit(0L))).as("n"),
+            (coalesce(col("b_sum"), lit(0L))
+              + coalesce(col("d_sum"), lit(0L))).as("sum_cents"),
+            when(col("b_mn").isNull, col("d_mn"))
+              .when(col("d_mn").isNull, col("b_mn"))
+              .otherwise(least(col("b_mn"), col("d_mn"))).as("min_cents"),
+            when(col("b_mx").isNull, col("d_mx"))
+              .when(col("d_mx").isNull, col("b_mx"))
+              .otherwise(greatest(col("b_mx"), col("d_mx")))
+              .as("max_cents"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT))
+                       AS BIGINT) AS sum_cents,
+                     CAST(min(CAST(round(value * 100) AS BIGINT))
+                       AS BIGINT) AS min_cents,
+                     CAST(max(CAST(round(value * 100) AS BIGINT))
+                       AS BIGINT) AS max_cents
+              FROM events
+              GROUP BY event_type
+              ORDER BY event_type"""))
   )
 }

@@ -936,4 +936,21 @@ class PlanSpec extends AnyFunSuite {
     assert(hashKeys.subsetOf(Set("fp", "doc_id")),
       s"wide exchanges must key on fp / the pair group only, got $hashKeys")
   }
+
+  test("j82 refresh merges two slice aggregates on one keyed join, no rescan of the union") {
+    // merge(agg(base), agg(delta)): exactly two events scans (one per
+    // slice — at production the base states are a stored table and the
+    // corpus is never rescanned), a full-outer merge join keyed on the
+    // aggregate key, and zero windows anywhere
+    assertScanCount("j82_incremental_agg_refresh", "events", 2)
+    val plan = staticPlan("j82_incremental_agg_refresh")
+    assert(plan.contains("FullOuter"),
+      s"state merge must be a full-outer join:\n$plan")
+    val (global, keyed) = windowLines(plan)
+    assert(global.isEmpty && keyed.isEmpty, "refresh needs no window")
+    val hashKeys = "hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(hashKeys == Set("event_type"),
+      s"only the aggregate key may exchange, got $hashKeys")
+  }
 }

@@ -2268,4 +2268,43 @@ class QueriesSpec extends AnyFunSuite {
     assert(wset.size > minhash.length,
       "winnow found nothing beyond MinHash — local sensitivity untested")
   }
+
+  test("j82 refresh merge is non-vacuous: both slices populated, merge law replayed") {
+    import spark.implicits._
+    // the oracle already proves merge(agg(base), agg(delta)) ==
+    // agg(union) by hashing the direct aggregate; this pins the fixture
+    // actually EXERCISES the merge (both slices non-empty per key) and
+    // replays the merge algebra independently
+    val ev = Tables.events(spark, d)
+      .select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        graft.Q.cents(col("value")).as("v"))
+      .as[(String, String, Long)].collect()
+    val (base, delta) = ev.partition(_._2 < "2024-01-15")
+    assert(base.nonEmpty && delta.nonEmpty,
+      "a slice is empty — the merge would be an identity, vacuous")
+    def aggOf(rows: Array[(String, String, Long)]) =
+      rows.groupBy(_._1).view.mapValues { rs =>
+        val vs = rs.map(_._3)
+        (rs.length.toLong, vs.sum, vs.min, vs.max)
+      }.toMap
+    val (ab, ad) = (aggOf(base), aggOf(delta))
+    val expected = (ab.keySet ++ ad.keySet).toSeq.sorted.map { k =>
+      (ab.get(k), ad.get(k)) match {
+        case (Some((n1, s1, m1, x1)), Some((n2, s2, m2, x2))) =>
+          (k, n1 + n2, s1 + s2, math.min(m1, m2), math.max(x1, x2))
+        case (Some((n1, s1, m1, x1)), None) => (k, n1, s1, m1, x1)
+        case (None, Some((n2, s2, m2, x2))) => (k, n2, s2, m2, x2)
+        case _ => throw new IllegalStateException("unreachable")
+      }
+    }
+    val got = SparkEntry.queries("j82_incremental_agg_refresh")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, s"merged states\n$got\n!= replayed merge\n$expected")
+    // every key present in both slices on this fixture — the
+    // two-sided merge branch (not just the coalesce passthrough) runs
+    assert((ab.keySet intersect ad.keySet).nonEmpty,
+      "no key spans the boundary — the least/greatest merge is untested")
+  }
 }
