@@ -43,6 +43,48 @@ object LlmOps {
     """trim(regexp_replace(regexp_replace(lower(text),
        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"""
 
+  /** Stopword list shared by j7 and the j83 funnel (SQL tuple literal —
+    * identical text in the Spark expr and the DuckDB oracle).
+    */
+  private[graft] val FunnelStops = "('the','a','of','and','to','in')"
+
+  /** j83's shared verdict seam — per-doc quality features + the FIRST-FAIL
+    * rule attribution, used verbatim by the batch funnel and the streaming
+    * funnel monitor so the two cannot fork. The repetition statistic (max
+    * token frequency) is computed INSIDE the row as a sorted-run fold:
+    * array_sort puts equal tokens adjacent, one aggregate() pass tracks the
+    * longest run — exact integer, no explode, no (doc, tok) shuffle. Input
+    * must carry (doc_id, text, source, n_chars); output adds `verdict`.
+    */
+  private[graft] def funnelVerdicts(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("nt", size(col("toks")).cast("long"))
+      .withColumn("nsym",
+        length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long"))
+      .withColumn("nstop",
+        expr(s"size(filter(toks, x -> x IN $FunnelStops))").cast("long"))
+      .withColumn("topc", expr(
+        """aggregate(array_sort(toks),
+             named_struct('prev', '', 'run', 0L, 'best', 0L),
+             (acc, t) -> named_struct(
+               'prev', t,
+               'run', IF(t = acc.prev, acc.run + 1L, 1L),
+               'best', GREATEST(acc.best,
+                 IF(t = acc.prev, acc.run + 1L, 1L))),
+             acc -> acc.best)"""))
+      .withColumn("verdict",
+        when(col("nt") < 20, "fail_short")
+          .when(col("n_chars") > 450, "fail_long")
+          .when(col("n_chars") - col("nt") + 1 > col("nt") * 5,
+            "fail_word_len")
+          .when(col("nsym") * 10 > col("n_chars"), "fail_symbol")
+          .when(col("nstop") === 0, "fail_stopword")
+          .when(col("topc") * 5 > col("nt"), "fail_repetition")
+          .otherwise("pass"))
+      .drop("toks", "nt", "nsym", "nstop", "topc")
+
   private val NumHashes = 32
   // 4 bands × 8 rows: LSH S-curve threshold (1/b)^(1/r) ≈ 0.84, just under
   // the τ=0.9 verify threshold. Measured on this corpus: r=2 bands collide
@@ -5607,6 +5649,139 @@ object LlmOps {
                        AS BIGINT) AS max_cents
               FROM events
               GROUP BY event_type
-              ORDER BY event_type"""))
+              ORDER BY event_type""")),
+
+    // Quality-rule filter funnel (round 14) — the Gopher/C4-shape rule
+    // battery every production corpus ships through, with FIRST-FAIL
+    // attribution: each doc is charged to the earliest rule it breaks
+    // (the funnel semantics an ablation report needs — marginal rule
+    // hits double-count, first-fail partitions), and the output is the
+    // per-(source, verdict) kill table with exact share basis points.
+    // Rule thresholds are calibrated to this corpus (5 of 6 fire at
+    // sf0.01; the symbol rule cannot fire on the all-lowercase generator
+    // text and is kept for rule-battery honesty — QueriesSpec proves it
+    // fires on a planted fixture). Scale shape: the per-doc repetition
+    // statistic (top token frequency) is a SORTED-RUN FOLD inside the
+    // row — array_sort + one aggregate() pass — NOT an explode +
+    // (doc, tok) groupBy, so the whole funnel is one scan with zero
+    // joins and zero explode shuffles; the only exchange is the final
+    // (source, verdict)-keyed aggregate, and the share-of-source window
+    // runs on the POST-aggregate table (≤ 7 rows per source), never on
+    // docs. PlanSpec pins the single documents scan and the no-Generate
+    // shape.
+    Q("j83_filter_funnel",
+      (s, d) => {
+        val v = funnelVerdicts(Tables.documents(s, d))
+        v.groupBy("source", "verdict")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("n_chars_total"))
+          .withColumn("share_bp", expr(
+            "n_docs * 10000 div sum(n_docs) over (partition by source)"))
+          .orderBy("source", "verdict")
+      },
+      Some(s"""WITH t AS (
+                SELECT doc_id, source, n_chars,
+                       len(string_split(text, ' ')) AS nt,
+                       length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+                         AS nsym,
+                       len(list_filter(string_split(text, ' '),
+                         x -> x IN $FunnelStops)) AS nstop
+                FROM documents),
+              m AS (
+                SELECT doc_id, max(c) AS topc FROM (
+                  SELECT doc_id, tok, count(*) AS c FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+                  GROUP BY doc_id, tok)
+                GROUP BY doc_id),
+              v AS (
+                SELECT source, n_chars,
+                       CASE WHEN nt < 20 THEN 'fail_short'
+                            WHEN n_chars > 450 THEN 'fail_long'
+                            WHEN n_chars - nt + 1 > nt * 5
+                              THEN 'fail_word_len'
+                            WHEN nsym * 10 > n_chars THEN 'fail_symbol'
+                            WHEN nstop = 0 THEN 'fail_stopword'
+                            WHEN topc * 5 > nt THEN 'fail_repetition'
+                            ELSE 'pass' END AS verdict
+                FROM t JOIN m USING (doc_id))
+              SELECT source, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+                     CAST((count(*) * 10000)
+                       // CAST(sum(count(*)) OVER (PARTITION BY source)
+                            AS BIGINT) AS BIGINT) AS share_bp
+              FROM v GROUP BY source, verdict
+              ORDER BY source, verdict""")),
+
+    // Quality-aware dedup survivor selection (round 14) — the REWRITE half
+    // of j13, the way j75 rewrites j17 and j81 consumes j19: near-dup
+    // clusters collapse to ONE survivor each, chosen by QUALITY (vocab
+    // richness, distinct-token ppm of j71's fixed-point form) instead of
+    // j13's min-id canonical — the FineWeb/CCNet production semantics
+    // ("keep the best member", not "keep the first"), and the difference
+    // is real: a near-dup cluster pairs a pristine doc with its degraded
+    // twin, and min-id keeps whichever was crawled first. Survivor =
+    // min(struct(-quality, doc_id)) with doc_id as the deterministic
+    // tiebreak — computed as a partition-only WINDOW, not the agg + join
+    // back: the output is DOC-LINEAR (every member row carries its
+    // survivor), so the aggregate form is a diamond (the cluster⋈quality
+    // subtree executes twice, re-scanning documents per reference —
+    // measured in the static plan) while the window is one cluster_id
+    // exchange over rows that had to shuffle there anyway, no join, no
+    // second scan. This is the sanctioned exception to the min-struct-
+    // over-window rule: that rule replaces windows when output is
+    // CLUSTER-linear; here it would manufacture the diamond. Scale
+    // shape: clusters come from the banded pair graph (j2's machinery,
+    // linear), quality is one scan of docs, and nothing is ever
+    // collection-sized on the driver.
+    Q("j84_dedup_survivor",
+      (s, d) => {
+        val pairs = truncateLineage(neardupPairs(s, d))
+        val docs = Tables.documents(s, d)
+        val clusters = graft.operators.ConnectedComponents
+          .byLabelPropagation(docs.select("doc_id"), pairs)
+          .select("doc_id", "cluster_id")
+        val quality = docs
+          .withColumn("toks", split(col("text"), " "))
+          .select(col("doc_id"),
+            expr("""CAST(size(array_distinct(toks)) AS BIGINT) * 1000000L
+                    div size(toks)""").as("quality_ppm"))
+        clusters.join(quality, "doc_id")
+          .withColumn("w", min(struct((-col("quality_ppm")).as("nq"),
+            col("doc_id").as("d")))
+            .over(Window.partitionBy("cluster_id")))
+          .select(col("doc_id"), col("cluster_id"), col("quality_ppm"),
+            col("w.d").as("survivor_id"),
+            (col("doc_id") === col("w.d")).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $NeardupPairsSql,
+              edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                        UNION ALL SELECT doc_b, doc_a FROM pairs),
+              reach(a, b) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+              cl AS (
+                SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+                FROM reach GROUP BY a),
+              q AS (
+                SELECT doc_id,
+                       CAST((len(list_distinct(string_split(text, ' ')))
+                           * 1000000)
+                         // len(string_split(text, ' ')) AS BIGINT)
+                         AS quality_ppm
+                FROM documents),
+              cq AS (
+                SELECT cl.doc_id AS doc_id, cluster_id, quality_ppm
+                FROM cl JOIN q USING (doc_id)),
+              surv AS (
+                SELECT cluster_id, doc_id AS survivor_id FROM cq
+                QUALIFY row_number() OVER (PARTITION BY cluster_id
+                  ORDER BY quality_ppm DESC, doc_id) = 1)
+              SELECT cq.doc_id AS doc_id, cluster_id, quality_ppm,
+                     survivor_id, (cq.doc_id = survivor_id) AS kept
+              FROM cq JOIN surv USING (cluster_id)
+              ORDER BY doc_id"""))
   )
 }

@@ -953,4 +953,48 @@ class PlanSpec extends AnyFunSuite {
     assert(hashKeys == Set("event_type"),
       s"only the aggregate key may exchange, got $hashKeys")
   }
+
+  test("j83 funnel is one scan, no explode, and windows only post-aggregate") {
+    // the whole rule battery — including the per-doc repetition statistic —
+    // must stay INSIDE the row (sorted-run fold), so the plan is one
+    // documents scan, zero Generate (explode) operators, and exactly three
+    // shuffles: the (source, verdict) aggregate, the share-of-source window
+    // over the ALREADY-AGGREGATED table, and the output sort
+    assertScanCount("j83_filter_funnel", "documents", 1)
+    val plan = staticPlan("j83_filter_funnel")
+    assert(!plan.contains("Generate"),
+      s"repetition statistic exploded out of the row:\n$plan")
+    val df = SparkEntry.queries("j83_filter_funnel")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges == 3, s"expected agg+window+sort = 3 shuffles, " +
+      s"got $exchanges:\n$plan")
+    // partial aggregation runs map-side before the one doc-sized exchange
+    val firstExchange = plan.indexOf("Exchange")
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && firstAgg > firstExchange,
+      "no partial aggregate below the exchange (plan prints top-down, " +
+        s"so the map-side agg must appear AFTER the exchange line):\n$plan")
+  }
+
+  test("j84 survivor election is a window, not the agg+join-back diamond") {
+    // doc-linear output: the agg + join-back form re-executes the
+    // cluster⋈quality subtree per reference (two documents scans); the
+    // partition-only window form is one scan, one cluster_id exchange,
+    // one output sort, and no join after the cluster⋈quality attach
+    assertScanCount("j84_dedup_survivor", "documents", 1)
+    val df = SparkEntry.queries("j84_dedup_survivor")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges == 2,
+      s"expected window+sort = 2 shuffles, got $exchanges")
+    val plan = staticPlan("j84_dedup_survivor")
+    assert("SortMergeJoin".r.findAllIn(plan).isEmpty,
+      s"survivor join-back diamond is back:\n$plan")
+    // partition-only window (no ORDER BY ⇒ only one bracket group, so
+    // windowLines' global/keyed split doesn't apply): assert the
+    // partition spec carries cluster_id directly
+    val wins = plan.split("\n").filter(_.contains("Window ["))
+    assert(wins.length == 1, s"expected one Window:\n${wins.mkString("\n")}")
+    assert(wins.head.contains("windowspecdefinition(cluster_id"),
+      s"survivor window not partitioned by cluster_id:\n${wins.head}")
+  }
 }

@@ -2307,4 +2307,93 @@ class QueriesSpec extends AnyFunSuite {
     assert((ab.keySet intersect ad.keySet).nonEmpty,
       "no key spans the boundary — the least/greatest merge is untested")
   }
+
+  test("j83 every funnel rule fires on a planted fixture, first-fail ordered") {
+    import spark.implicits._
+    // one doc per rule, built to pass every EARLIER rule so the verdict
+    // isolates exactly the intended one — plus two multi-violation docs
+    // proving the first-fail ordering (earliest rule wins), and a clean
+    // pass doc. The symbol rule can NEVER fire on the generator corpus
+    // (all-lowercase words, measured 0 symbol chars at every SF) — this
+    // fixture is its only executable evidence.
+    def mk(ws: Seq[String]) = ws.mkString(" ")
+    val passDoc = mk((1 to 25).map(i => s"w$i") :+ "the")
+    val shortDoc = mk(Seq("only", "three", "the"))
+    val longDoc = mk((1 to 120).map(i => f"the$i%04d"))       // 959 chars
+    val wordLenDoc = mk((1 to 24).map(i => f"theword$i%04d")) // mean 11
+    val symbolDoc = mk((1 to 24).map(i => s"a#$i#"))          // 48 syms
+    val stopDoc = mk((1 to 25).map(i => s"z$i"))
+    val repDoc = mk(Seq.fill(5)("dup") ++ (1 to 14).map(i => s"w$i")
+      :+ "the")                                               // topc 5/20
+    val multiShort = "zz# zz#" // short+symbol+stopword+repetition
+    val multiSym = mk((1 to 24).map(i => s"q#$i#")) // symbol+stopword
+    val rows = Seq(
+      (1L, passDoc, "pass"), (2L, shortDoc, "fail_short"),
+      (3L, longDoc, "fail_long"), (4L, wordLenDoc, "fail_word_len"),
+      (5L, symbolDoc, "fail_symbol"), (6L, stopDoc, "fail_stopword"),
+      (7L, repDoc, "fail_repetition"), (8L, multiShort, "fail_short"),
+      (9L, multiSym, "fail_symbol"))
+    val fixture = rows.map { case (id, t, _) => (id, t, "en", "web",
+      t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.queries.LlmOps.funnelVerdicts(fixture)
+      .select("doc_id", "verdict").as[(Long, String)].collect().toMap
+    rows.foreach { case (id, t, want) =>
+      assert(got(id) == want, s"doc $id ('$t'): got ${got(id)}, want $want")
+    }
+    // the sanity constraints the fixture's earlier-rule-passing relies on
+    assert(longDoc.length > 450 && wordLenDoc.length <= 450
+      && symbolDoc.length <= 450, "fixture drifted out of calibration")
+    // real-corpus conservation: verdict counts partition the corpus, and
+    // the integer share_bp per source sums to (10000 - floor loss)
+    val funnel = SparkEntry.queries("j83_filter_funnel")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(4)))
+    assert(funnel.map(_._3).sum == Tables.documents(spark, d).count(),
+      "funnel buckets do not partition the corpus")
+    funnel.groupBy(_._1).foreach { case (src, rs) =>
+      val bp = rs.map(_._4).sum
+      assert(bp <= 10000L && bp > 10000L - rs.length,
+        s"$src: share_bp sums to $bp over ${rs.length} verdicts")
+    }
+    val verdicts = funnel.map(_._2).toSet
+    assert(Set("pass", "fail_short", "fail_long", "fail_stopword")
+      .subsetOf(verdicts), s"calibrated rules went vacuous: $verdicts")
+    assert(!verdicts.contains("fail_symbol"),
+      "the corpus grew symbol chars — recalibrate the fixture comment")
+  }
+
+  test("j84 survivor is the per-cluster quality argmax and diverges from min-id") {
+    import spark.implicits._
+    val out = SparkEntry.queries("j84_dedup_survivor")(spark, d)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (cid, rs) =>
+      // exactly one survivor, flagged consistently
+      val kept = rs.filter(_._5)
+      assert(kept.length == 1, s"cluster $cid: ${kept.length} survivors")
+      assert(rs.map(_._4).distinct.length == 1,
+        s"cluster $cid: inconsistent survivor_id")
+      assert(kept.head._1 == rs.head._4,
+        s"cluster $cid: kept flag disagrees with survivor_id")
+      // argmax(quality) with min-doc_id tiebreak
+      val want = rs.map(t => (-t._3, t._1)).min._2
+      assert(rs.head._4 == want,
+        s"cluster $cid: survivor ${rs.head._4} != quality argmax $want")
+    }
+    // cluster assignment is exactly j13's (the rewrite half reuses the
+    // cluster half — differential, not coincidence)
+    val j13 = SparkEntry.queries("j13_dedup_clusters")(spark, d)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    out.foreach { case (doc, cid, _, _, _) =>
+      assert(j13(doc) == cid, s"doc $doc: cluster $cid != j13 ${j13(doc)}")
+    }
+    // the quality semantics are REAL on this corpus: some multi-member
+    // cluster elects a survivor that is not the min-id canonical
+    // (measured: 8 of 21 multi clusters at sf0.001)
+    val divergent = byCluster.values.filter(rs =>
+      rs.length > 1 && rs.head._4 != rs.map(_._1).min)
+    assert(divergent.nonEmpty,
+      "quality argmax == min-id everywhere — j84 indistinct from j13")
+  }
 }

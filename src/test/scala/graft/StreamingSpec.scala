@@ -1837,6 +1837,42 @@ class StreamingSpec extends AnyFunSuite {
         "double-attribution")
   }
 
+  test("streaming quality-gate deltas fold to the batch j83 funnel exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the shared-seam differential: corpus in three micro-batches through
+    // funnelVerdicts, per-batch (source, verdict) deltas folded at the
+    // consumer must equal the registered batch funnel row for row
+    // (counts AND chars) — the verdict is row-local, so this needs no
+    // keyed state and is restart-correct by the delta contract
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val deltas = scala.collection.mutable.Buffer.empty[Seq[FunnelDelta]]
+    val q = StreamOps.qualityGateStream(
+      in.toDS().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      deltas += _)
+    docs.grouped((docs.size + 2) / 3).foreach { b =>
+      in.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    assert(deltas.size == 3, s"expected one delta set per micro-batch")
+    // every batch contributes (no vacuous empty delta), batch ids distinct
+    assert(deltas.forall(_.nonEmpty), "a micro-batch emitted no funnel rows")
+    assert(deltas.flatMap(_.map(_.batch_id)).distinct.size == 3)
+    val folded = deltas.flatten
+      .groupBy(f => (f.source, f.verdict)).view
+      .mapValues(fs => (fs.map(_.n_docs).sum, fs.map(_.n_chars_total).sum))
+      .toMap
+    val batch = SparkEntry.queries("j83_filter_funnel")(spark, d)
+      .select("source", "verdict", "n_docs", "n_chars_total")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(folded == batch,
+      s"folded stream deltas diverge from batch j83:\n$folded\nvs\n$batch")
+  }
+
   test("streaming SCD2 closed rows + live state reproduce batch j78 exactly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -28,6 +28,9 @@ import duckdb
 # the (slow recursive-CTE) SQL oracle is skipped; the union-find check
 # always runs and must pass.
 CLUSTER_QUERIES = {"j13_dedup_clusters", "j30_cc_bigstar"}
+# j84 (quality-aware survivor) gets the same treatment with its own
+# union-find + quality-argmax checker — see check_survivors.
+SURVIVOR_QUERY = "j84_dedup_survivor"
 PAIRS_QUERY = "j2_minhash_neardup"
 _pairs_cache = {}
 
@@ -63,6 +66,53 @@ def union_find_clusters(con, sf_dir, oracle):
             # then the min id of its component, i.e. the cluster_id
             parent[max(ra, rb)] = min(ra, rb)
     return [(i, find(i), i == find(i)) for i in ids]
+
+
+def check_survivors(con, sf_dir, out_dir, name, oracle):
+    """None if the spark output matches the union-find + quality-argmax
+    oracle (the j84 contract: survivor = max quality, min doc_id tiebreak,
+    within each near-dup cluster), else a failure description. Independent
+    of Spark's CC implementation AND of the recursive-CTE SQL oracle."""
+    pairs = oracle_pairs(con, oracle)
+    rows = con.execute(
+        f"SELECT doc_id, CAST((len(list_distinct(string_split(text, ' ')))"
+        f" * 1000000) // len(string_split(text, ' ')) AS BIGINT)"
+        f" FROM read_parquet('{sf_dir}/documents.parquet')"
+        f" ORDER BY doc_id").fetchall()
+    quality = dict(rows)
+    ids = [r[0] for r in rows]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = {}
+    for i in ids:
+        members.setdefault(find(i), []).append(i)
+    surv = {root: min(ms, key=lambda i: (-quality[i], i))
+            for root, ms in members.items()}
+    expected = [(i, find(i), quality[i], surv[find(i)],
+                 i == surv[find(i)]) for i in ids]
+    try:
+        spark = con.execute(
+            f"SELECT doc_id, cluster_id, quality_ppm, survivor_id, kept "
+            f"FROM read_parquet('{out_dir}/{name}/*.parquet') "
+            f"ORDER BY doc_id").fetchall()
+    except Exception as e:
+        return f"spark parquet read error: {str(e)[:200]}"
+    if len(spark) != len(expected):
+        return f"rows uf={len(expected)} spark={len(spark)}"
+    for r, (er, sr) in enumerate(zip(expected, spark)):
+        if er != (sr[0], sr[1], sr[2], sr[3], bool(sr[4])):
+            return f"row {r} differs\n  uf   = {er}\n  spark= {sr}"
+    return None
 
 
 def check_clusters(con, sf_dir, out_dir, name, oracle):
@@ -123,8 +173,13 @@ def main(sf_dir, out_dir, skip=()):
         oracle = json.load(f)
     n_pass = n_fail = 0
     for name in sorted(oracle):
-        if name in CLUSTER_QUERIES:
-            err = check_clusters(con, sf_dir, out_dir, name, oracle)
+        if ((name in CLUSTER_QUERIES or name == SURVIVOR_QUERY)
+                and PAIRS_QUERY in oracle):
+            # subset runs (Verify's 3rd arg) may omit j2's SQL — then only
+            # the query's own SQL oracle runs, as for any other query
+            checker = (check_survivors if name == SURVIVOR_QUERY
+                       else check_clusters)
+            err = checker(con, sf_dir, out_dir, name, oracle)
             if err:
                 print(f"FAIL {name}: union-find oracle: {err}")
                 n_fail += 1
