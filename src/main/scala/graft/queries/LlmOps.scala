@@ -5783,5 +5783,151 @@ object LlmOps {
                      survivor_id, (cq.doc_id = survivor_id) AS kept
               FROM cq JOIN surv USING (cluster_id)
               ORDER BY doc_id"""))
+  ) ++ Seq(
+
+    // Trigram stupid-backoff LM scoring (round 14) — the CCNet-shape
+    // scoring upgrade of j77's bigram stand-in: order-3 counts with the
+    // Brants et al. ("Large Language Models in Machine Translation",
+    // EMNLP'07) stupid-backoff cascade — trigram ratio if seen, else
+    // 0.4 × bigram ratio, else 0.4² × an add-one unigram floor (open
+    // vocabulary: an eval word absent from training still scores
+    // finitely). Scored HELD-OUT (train doc_id%10≠0, eval %10=0, the
+    // j29/j58 split convention) because a same-corpus score never backs
+    // off — measured at sf0.01 the cascade is non-vacuous at all three
+    // levels (1656 trigram hits / 981 bigram backoffs / 1 unigram
+    // floor). Per-doc backoff counts emit as exact integers; the
+    // cross-entropy rides j77's order-pinned fold (pos-sorted structs,
+    // identical double op order in both engines, round 6). Scale shape:
+    // count tables are vocab/bigram-keyed aggregates (corpus-sized
+    // shuffles only at build; a deployment stores them — they ARE the
+    // LM); the bigram table is lineage-truncated ONCE and feeds both the
+    // (a,b)-context and (b,c)-backoff lookups, the unigram table both
+    // the n1b and n1c lookups + the broadcast 1-row totals; eval lookups
+    // are five keyed equi-joins, never a scan of anything
+    // collection-sized per probe.
+    Q("j85_trigram_backoff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val train = docs.filter(col("doc_id") % 10 =!= 0)
+        val ev = docs.filter(col("doc_id") % 10 === 0)
+          .filter(size(col("t")) >= 3)
+        def trigrams(df: org.apache.spark.sql.DataFrame) =
+          df.filter(size(col("t")) >= 3)
+            .select(col("doc_id"), explode(expr(
+              """transform(sequence(2, size(t) - 1),
+                 i -> named_struct('pos', i, 'a', t[i - 2], 'b', t[i - 1],
+                                   'c', t[i]))""")).as("g"))
+            .select(col("doc_id"), col("g.pos").as("pos"),
+              col("g.a").as("a"), col("g.b").as("b"), col("g.c").as("c"))
+        val c3 = trigrams(train).groupBy("a", "b", "c")
+          .agg(count(lit(1)).as("n3"))
+        val c2 = truncateLineage(train.filter(size(col("t")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(t) - 1),
+               i -> named_struct('x', t[i - 1], 'y', t[i]))""")).as("g"))
+          .select(col("g.x").as("x"), col("g.y").as("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("n2")))
+        val c1 = truncateLineage(train.select(explode(col("t")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("n1")))
+        val totals = c1.agg(sum("n1").cast("long").as("n_tok"),
+          count(lit(1)).cast("long").as("v"))
+        trigrams(ev)
+          .join(c3, Seq("a", "b", "c"), "left")
+          .join(c2.select(col("x").as("a"), col("y").as("b"),
+            col("n2").as("n2ab")), Seq("a", "b"), "left")
+          .join(c2.select(col("x").as("b"), col("y").as("c"),
+            col("n2").as("n2bc")), Seq("b", "c"), "left")
+          .join(broadcast(c1.select(col("w").as("b"),
+            col("n1").as("n1b"))), Seq("b"), "left")
+          .join(broadcast(c1.select(col("w").as("c"),
+            col("n1").as("n1c"))), Seq("c"), "left")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("pos"),
+            coalesce(col("n3"), lit(0L)).as("n3"),
+            coalesce(col("n2ab"), lit(0L)).as("n2ab"),
+            coalesce(col("n2bc"), lit(0L)).as("n2bc"),
+            coalesce(col("n1b"), lit(0L)).as("n1b"),
+            coalesce(col("n1c"), lit(0L)).as("n1c")))).as("pn"))
+          .crossJoin(broadcast(totals))
+          .select(col("doc_id"),
+            size(col("pn")).cast("long").as("n_tg"),
+            expr("""CAST(size(filter(pn,
+                x -> x.n3 = 0L AND x.n2bc > 0L)) AS BIGINT)""")
+              .as("n_bo1"),
+            expr("""CAST(size(filter(pn,
+                x -> x.n3 = 0L AND x.n2bc = 0L)) AS BIGINT)""")
+              .as("n_bo2"),
+            round(expr(
+              """-(aggregate(pn, CAST(0 AS DOUBLE),
+                   (acc, x) -> acc + CASE
+                     WHEN x.n3 > 0L
+                       THEN ln(CAST(x.n3 AS DOUBLE) / x.n2ab)
+                     WHEN x.n2bc > 0L
+                       THEN ln(0.4 * CAST(x.n2bc AS DOUBLE) / x.n1b)
+                     ELSE ln(0.16 * CAST(x.n1c + 1 AS DOUBLE)
+                       / (n_tok + v)) END)
+                 / size(pn))"""), 6).as("xent"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+              train AS (SELECT * FROM docs WHERE doc_id % 10 <> 0),
+              ev AS (SELECT * FROM docs
+                     WHERE doc_id % 10 = 0 AND len(t) >= 3),
+              ttg AS (
+                SELECT unnest(list_transform(generate_series(3, len(t)),
+                  i -> {'a': t[i - 2], 'b': t[i - 1], 'c': t[i]})) AS g
+                FROM train WHERE len(t) >= 3),
+              c3 AS (SELECT g.a AS a, g.b AS b, g.c AS c,
+                       count(*) AS n3 FROM ttg GROUP BY 1, 2, 3),
+              tbg AS (
+                SELECT unnest(list_transform(generate_series(2, len(t)),
+                  i -> {'x': t[i - 1], 'y': t[i]})) AS g
+                FROM train WHERE len(t) >= 2),
+              c2 AS (SELECT g.x AS x, g.y AS y, count(*) AS n2
+                     FROM tbg GROUP BY 1, 2),
+              c1 AS (SELECT w, count(*) AS n1 FROM (
+                       SELECT unnest(t) AS w FROM train) GROUP BY w),
+              tot AS (SELECT CAST(sum(n1) AS BIGINT) AS n_tok,
+                             CAST(count(*) AS BIGINT) AS v FROM c1),
+              etg AS (
+                SELECT doc_id, g.pos AS pos, g.a AS a, g.b AS b, g.c AS c
+                FROM (SELECT doc_id,
+                        unnest(list_transform(generate_series(3, len(t)),
+                          i -> {'pos': i, 'a': t[i - 2], 'b': t[i - 1],
+                                'c': t[i]})) AS g
+                      FROM ev)),
+              j AS (
+                SELECT e.doc_id, e.pos,
+                       COALESCE(c3.n3, 0) AS n3,
+                       COALESCE(ab.n2, 0) AS n2ab,
+                       COALESCE(bc.n2, 0) AS n2bc,
+                       COALESCE(b1.n1, 0) AS n1b,
+                       COALESCE(cx.n1, 0) AS n1c
+                FROM etg e
+                LEFT JOIN c3 ON e.a = c3.a AND e.b = c3.b AND e.c = c3.c
+                LEFT JOIN c2 ab ON e.a = ab.x AND e.b = ab.y
+                LEFT JOIN c2 bc ON e.b = bc.x AND e.c = bc.y
+                LEFT JOIN c1 b1 ON e.b = b1.w
+                LEFT JOIN c1 cx ON e.c = cx.w),
+              arrs AS (
+                SELECT doc_id, list({'n3': n3, 'n2ab': n2ab, 'n2bc': n2bc,
+                    'n1b': n1b, 'n1c': n1c} ORDER BY pos) AS pn
+                FROM j GROUP BY doc_id)
+              SELECT doc_id, CAST(len(pn) AS BIGINT) AS n_tg,
+                     CAST(len(list_filter(pn,
+                       x -> x.n3 = 0 AND x.n2bc > 0)) AS BIGINT) AS n_bo1,
+                     CAST(len(list_filter(pn,
+                       x -> x.n3 = 0 AND x.n2bc = 0)) AS BIGINT) AS n_bo2,
+                     round(-(list_reduce(list_transform(pn, x -> CASE
+                         WHEN x.n3 > 0
+                           THEN ln(CAST(x.n3 AS DOUBLE) / x.n2ab)
+                         WHEN x.n2bc > 0
+                           THEN ln(0.4 * CAST(x.n2bc AS DOUBLE) / x.n1b)
+                         ELSE ln(0.16 * CAST(x.n1c + 1 AS DOUBLE)
+                           / (n_tok + v)) END),
+                       (p, q) -> p + q) / len(pn)), 6) AS xent
+              FROM arrs CROSS JOIN tot ORDER BY doc_id"""))
   )
 }

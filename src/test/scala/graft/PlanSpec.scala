@@ -997,4 +997,20 @@ class PlanSpec extends AnyFunSuite {
     assert(wins.head.contains("windowspecdefinition(cluster_id"),
       s"survivor window not partitioned by cluster_id:\n${wins.head}")
   }
+
+  test("j85 LM tables are built once: two documents scans, no window") {
+    // the count tables are the LM — c2 feeds BOTH the (a,b)-context and
+    // (b,c)-backoff lookups and c1 both unigram lookups + the totals, so
+    // without the lineage truncation each reference would re-derive its
+    // table from parquet (six-plus documents scans); truncated, the plan
+    // reads documents exactly twice (train trigram counts + eval probes)
+    // and the reused tables enter as checkpoint scans
+    assertScanCount("j85_trigram_backoff", "documents", 2)
+    val plan = staticPlan("j85_trigram_backoff")
+    val (global, keyed) = windowLines(plan)
+    assert(global.isEmpty && keyed.isEmpty,
+      s"the backoff cascade needs no window:\n$plan")
+    assert(plan.contains("Scan ExistingRDD"),
+      "count tables stopped entering via checkpoint — diamond risk")
+  }
 }

@@ -2363,6 +2363,61 @@ class QueriesSpec extends AnyFunSuite {
       "the corpus grew symbol chars — recalibrate the fixture comment")
   }
 
+  test("j85 stupid-backoff scores equal a full first-principles Scala replay") {
+    import spark.implicits._
+    // independent in-memory implementation of the whole pipeline: train
+    // counts, the three-level cascade, pos-ordered ln summation, same
+    // rounding — catches any divergence the SQL oracle and Spark plan
+    // could share (join semantics, coalesce defaults, filter boundaries)
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val train = docs.filter(_._1 % 10 != 0).map(_._2)
+    val c3 = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    val c2 = scala.collection.mutable.Map.empty[(String, String), Long]
+    val c1 = scala.collection.mutable.Map.empty[String, Long]
+    train.foreach { t =>
+      if (t.size >= 3) t.sliding(3).foreach { w =>
+        c3((w(0), w(1), w(2))) = c3.getOrElse((w(0), w(1), w(2)), 0L) + 1
+      }
+      if (t.size >= 2) t.sliding(2).foreach { w =>
+        c2((w(0), w(1))) = c2.getOrElse((w(0), w(1)), 0L) + 1
+      }
+      t.foreach(w => c1(w) = c1.getOrElse(w, 0L) + 1)
+    }
+    val nTok = c1.values.sum
+    val v = c1.size.toLong
+    val expected = docs.filter(_._1 % 10 == 0).filter(_._2.size >= 3)
+      .map { case (id, t) =>
+        val terms = t.sliding(3).toSeq.map { w =>
+          val (n3, n2bc) = (c3.getOrElse((w(0), w(1), w(2)), 0L),
+            c2.getOrElse((w(1), w(2)), 0L))
+          val lp =
+            if (n3 > 0) math.log(n3.toDouble / c2((w(0), w(1))))
+            else if (n2bc > 0) math.log(0.4 * n2bc.toDouble / c1(w(1)))
+            else math.log(0.16 * (c1.getOrElse(w(2), 0L) + 1).toDouble
+              / (nTok + v))
+          (lp, n3, n2bc)
+        }
+        val xent = BigDecimal(-(terms.map(_._1).sum / terms.size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, terms.size.toLong,
+          terms.count(x => x._2 == 0 && x._3 > 0).toLong,
+          terms.count(x => x._2 == 0 && x._3 == 0).toLong, xent)
+      }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("j85_trigram_backoff")(spark, d)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected,
+      s"registered j85 diverges from the replay (first diff: " +
+        s"${got.zip(expected).find(p => p._1 != p._2)})")
+    // the cascade is non-vacuous at this SF: both the trigram-hit and the
+    // bigram-backoff levels fire (the unigram floor fires at sf0.01 —
+    // covered by the driver gate; here every eval word is in-vocab)
+    assert(expected.map(_._3).sum > 0, "no bigram backoffs — held-out " +
+      "split degenerated, the cascade is untested")
+    assert(expected.map(t => t._2 - t._3 - t._4).sum > 0, "no trigram hits")
+  }
+
   test("j84 survivor is the per-cluster quality argmax and diverges from min-id") {
     import spark.implicits._
     val out = SparkEntry.queries("j84_dedup_survivor")(spark, d)

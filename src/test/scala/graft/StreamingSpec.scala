@@ -1873,6 +1873,43 @@ class StreamingSpec extends AnyFunSuite {
       s"folded stream deltas diverge from batch j83:\n$folded\nvs\n$batch")
   }
 
+  test("quality-gate deltas survive kill/restart without loss or double-count") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the delta contract's restart claim for the STATELESS twin: docs fed
+    // before the kill were attributed in their own batches; after restart
+    // from the checkpoint only the unseen docs arrive, so the fold across
+    // both runs still equals the batch funnel exactly
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-funnel-ck").toString
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val deltas = scala.collection.mutable.Buffer.empty[Seq[FunnelDelta]]
+    def start() = StreamOps.qualityGateStream(
+      in.toDS().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      deltas += _, Some(ckpt))
+    val (pre, post) = docs.splitAt(docs.size / 2)
+    val q1 = start()
+    in.addData(pre); q1.processAllAvailable(); q1.stop()
+    val preBatches = deltas.size
+    val q2 = start()
+    in.addData(post); q2.processAllAvailable(); q2.stop()
+    assert(preBatches > 0 && deltas.size > preBatches,
+      "both runs must contribute deltas for the restart claim to bite")
+    val folded = deltas.flatten
+      .groupBy(f => (f.source, f.verdict)).view
+      .mapValues(fs => (fs.map(_.n_docs).sum, fs.map(_.n_chars_total).sum))
+      .toMap
+    val batch = SparkEntry.queries("j83_filter_funnel")(spark, d)
+      .select("source", "verdict", "n_docs", "n_chars_total")
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(folded == batch,
+      s"cross-restart fold diverges from batch j83:\n$folded\nvs\n$batch")
+  }
+
   test("streaming SCD2 closed rows + live state reproduce batch j78 exactly") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
