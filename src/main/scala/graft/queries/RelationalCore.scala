@@ -56,6 +56,35 @@ object RelationalCore {
               WHERE o_orderdate >= TIMESTAMP '1996-01-01'
               GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // Custom DataSource V2 scan (graft.sources.DocGenSource): deterministic
+    // LCG row generation behind the full connector surface — doc_id range
+    // predicates PUSH into the source (the generated interval itself
+    // narrows: 10k configured rows, 5k ever produced), lang stays residual,
+    // column pruning drops source/quality_ppm from generation, and
+    // post-pushdown statistics feed the optimizer. The DuckDB oracle
+    // re-derives every value from generate_series + the same LCG, so
+    // pushdown narrowing and residual evaluation are hash-checked, not
+    // just plan-asserted (PlanSpec pins the plan side).
+    Q("a4_dsv2_pushdown",
+      (s, _) => s.read.format("graft-docgen")
+        .option("rows", "10000").option("partitions", "8").load()
+        .filter(col("doc_id") >= 2500 && col("doc_id") < 7500)
+        .filter(col("lang") === "en")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id"),
+      Some("""WITH g AS (
+                SELECT i AS doc_id,
+                       (1103515245 * i + 12345) % 2147483648 AS x
+                FROM generate_series(2500, 7499) s(i)),
+              t AS (
+                SELECT doc_id,
+                       (['en','es','de','fr','zh'])[CAST(x % 5 AS INT) + 1]
+                         AS lang,
+                       CAST(48 + (x // 20) % 500 AS BIGINT) AS n_chars
+                FROM g)
+              SELECT doc_id, lang, n_chars FROM t
+              WHERE lang = 'en' ORDER BY doc_id""")),
+
     // ---- B. projection / filter / predicates ------------------------------
     Q("b1_filter_pred",
       (s, d) => Tables.lineitem(s, d)

@@ -1,0 +1,195 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic synthetic document-metadata generator as a full
+  * DataSource V2 implementation — the "sources" axis beyond files: a
+  * `TableProvider` whose `ScanBuilder` implements BOTH pushdown surfaces
+  * (`SupportsPushDownFilters`: doc_id range predicates narrow the generated
+  * interval itself, so filtered rows are never produced, not produced-then-
+  * dropped; `SupportsPushDownRequiredColumns`: unreferenced columns are
+  * never generated) and reports post-pushdown statistics
+  * (`SupportsReportStatistics` — the optimizer sees the NARROWED row count,
+  * which is what makes a pushed scan broadcast-eligible at planning time).
+  *
+  * Scale shape: `planInputPartitions` splits the (already narrowed) range
+  * into `partitions` independent slices — generation is embarrassingly
+  * parallel, nothing is materialized on the driver, and a 10¹²-row range
+  * costs the same to PLAN as a 10³-row one. The row recipe is a 31-bit LCG
+  * (x = (1103515245·i + 12345) mod 2³¹ — Numerical Recipes' public
+  * constants), chosen because both engines replay it exactly in 64-bit
+  * integer arithmetic: the registered a4 query's DuckDB oracle re-derives
+  * every generated value from `generate_series`, so the whole source —
+  * generation, pushdown narrowing, residual filters, pruning — is
+  * hash-checked end to end.
+  */
+object DocGen {
+  val Langs: Array[String] = Array("en", "es", "de", "fr", "zh")
+  val Sources: Array[String] = Array("web", "books", "code", "wiki")
+
+  val Schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("quality_ppm", LongType, nullable = false)))
+
+  /** The LCG state for row i — every column derives from it. */
+  def x(i: Long): Long = (1103515245L * i + 12345L) % 2147483648L
+
+  /** Column value for row i (JVM types; the reader wraps strings). */
+  def value(i: Long, field: String): Any = {
+    val xi = x(i)
+    field match {
+      case "doc_id" => i
+      case "lang" => Langs((xi % 5).toInt)
+      case "source" => Sources(((xi / 5) % 4).toInt)
+      case "n_chars" => 48L + (xi / 20) % 500L
+      case "quality_ppm" => 100000L + (xi / 10007L) % 900000L
+      case other => throw new IllegalArgumentException(other)
+    }
+  }
+}
+
+class DocGenSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-docgen"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DocGen.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new DocGenTable(
+      properties.asScala.getOrElse("rows", "1000").toLong,
+      properties.asScala.getOrElse("partitions", "4").toInt)
+}
+
+final class DocGenTable(rows: Long, parts: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-docgen($rows)"
+  override def schema(): StructType = DocGen.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new DocGenScanBuilder(rows, parts)
+}
+
+final class DocGenScanBuilder(rows: Long, parts: Int)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+  private var lo = 0L
+  private var hi = rows
+  private var accepted: Array[Filter] = Array.empty
+  private var required: StructType = DocGen.Schema
+
+  private def long(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case _ => None // a non-integral literal never narrows the range
+  }
+
+  /** doc_id range predicates narrow the generated interval; everything
+    * else stays residual (Spark re-evaluates residuals above the scan, so
+    * rejecting a filter is always CORRECT, accepting one must be exact).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (acc, residual) = filters.partition {
+      case GreaterThanOrEqual("doc_id", v) => long(v).isDefined
+      case GreaterThan("doc_id", v) => long(v).isDefined
+      case LessThan("doc_id", v) => long(v).isDefined
+      case LessThanOrEqual("doc_id", v) => long(v).isDefined
+      case EqualTo("doc_id", v) => long(v).isDefined
+      case _ => false
+    }
+    acc.foreach {
+      case GreaterThanOrEqual(_, v) => lo = math.max(lo, long(v).get)
+      case GreaterThan(_, v) => lo = math.max(lo, long(v).get + 1)
+      case LessThan(_, v) => hi = math.min(hi, long(v).get)
+      case LessThanOrEqual(_, v) => hi = math.min(hi, long(v).get + 1)
+      case EqualTo(_, v) =>
+        lo = math.max(lo, long(v).get); hi = math.min(hi, long(v).get + 1)
+      case f => throw new IllegalStateException(s"unreachable: $f")
+    }
+    accepted = acc
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new DocGenScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), parts,
+      required, accepted.map(_.toString).sorted)
+}
+
+final class DocGenScan(lo: Long, hi: Long, parts: Int,
+    required: StructType, pushedDesc: Array[String])
+    extends Scan with Batch with SupportsReportStatistics {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-docgen range=[$lo,$hi) cols=" +
+      s"[${required.fieldNames.mkString(",")}] " +
+      s"PushedFilters: [${pushedDesc.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, parts)
+    val span = hi - lo
+    (0 until n).map { p =>
+      // contiguous near-equal slices of the narrowed range
+      DocGenInputPartition(
+        lo + span * p / n, lo + span * (p + 1) / n): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenReaderFactory(required.fieldNames)
+
+  /** Post-pushdown statistics: the optimizer's broadcast decision sees the
+    * narrowed count, not the configured total.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(math.max(0L, hi - lo) * 48L)
+    override def numRows(): OptionalLong =
+      OptionalLong.of(math.max(0L, hi - lo))
+  }
+}
+
+final case class DocGenInputPartition(start: Long, end: Long)
+    extends InputPartition
+
+final class DocGenReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[DocGenInputPartition]
+    new PartitionReader[InternalRow] {
+      private var i = p.start - 1
+      override def next(): Boolean = { i += 1; i < p.end }
+      override def get(): InternalRow =
+        new GenericInternalRow(fields.map { f =>
+          DocGen.value(i, f) match {
+            case s: String => UTF8String.fromString(s)
+            case other => other.asInstanceOf[AnyRef]
+          }
+        }.asInstanceOf[Array[Any]])
+      override def close(): Unit = ()
+    }
+  }
+}

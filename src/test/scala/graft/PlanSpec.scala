@@ -998,6 +998,37 @@ class PlanSpec extends AnyFunSuite {
       s"survivor window not partitioned by cluster_id:\n${wins.head}")
   }
 
+  test("a4 DSv2 scan narrows its range, prunes columns, reports pushed stats") {
+    val plan = staticPlan("a4_dsv2_pushdown")
+    // the doc_id bounds reached the source: the scan's own description
+    // carries the narrowed generation interval (5k of 10k configured rows)
+    assert(plan.contains("range=[2500,7500)"),
+      s"doc_id range not pushed into the generator:\n$plan")
+    assert(plan.contains("GreaterThanOrEqual(doc_id,2500)")
+      && plan.contains("LessThan(doc_id,7500)"),
+      s"pushed filter list missing the doc_id bounds:\n$plan")
+    // column pruning reached generation: source/quality_ppm never produced
+    assert(plan.contains("cols=[doc_id,lang,n_chars]"),
+      s"required-column pruning did not reach the source:\n$plan")
+    // the residual lang predicate is evaluated ABOVE the scan, not pushed
+    assert(!plan.contains("EqualTo(lang"),
+      s"lang must stay residual (the source only handles doc_id):\n$plan")
+    assert(plan.contains("Filter"), s"residual filter vanished:\n$plan")
+    // post-pushdown statistics: the optimizer sees the narrowed count
+    val pushed = spark.read.format("graft-docgen")
+      .option("rows", "10000").option("partitions", "8").load()
+      .filter(org.apache.spark.sql.functions.expr(
+        "doc_id >= 2500 AND doc_id < 7500"))
+    val stats = pushed.queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(5000)),
+      s"expected post-pushdown rowCount 5000, got ${stats.rowCount}")
+    // partition planning honors the requested parallelism
+    val raw = spark.read.format("graft-docgen")
+      .option("rows", "10000").option("partitions", "8").load()
+    assert(raw.rdd.getNumPartitions == 8,
+      s"expected 8 input partitions, got ${raw.rdd.getNumPartitions}")
+  }
+
   test("j85 LM tables are built once: two documents scans, no window") {
     // the count tables are the LM — c2 feeds BOTH the (a,b)-context and
     // (b,c)-backoff lookups and c1 both unigram lookups + the totals, so

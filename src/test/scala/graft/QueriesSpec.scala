@@ -2363,6 +2363,36 @@ class QueriesSpec extends AnyFunSuite {
       "the corpus grew symbol chars — recalibrate the fixture comment")
   }
 
+  test("a4 DSv2 pushdown is semantics-preserving vs the unpushed full scan") {
+    import spark.implicits._
+    // accepting a filter must be EXACT: the pushed plan (range narrowed in
+    // the source) and the unpushed plan (full generation, all filtering in
+    // DataFrame-land, pushdown defeated by a no-op wrapper) must agree row
+    // for row — and the full table must be the LCG replay
+    val full = spark.read.format("graft-docgen")
+      .option("rows", "10000").option("partitions", "8").load()
+    assert(full.count() == 10000L && full.columns.length == 5)
+    val unpushed = full
+      // abs() wrapping defeats the doc_id pushdown without changing values
+      .filter(abs(col("doc_id")) >= 2500 && abs(col("doc_id")) < 7500)
+      .filter(col("lang") === "en")
+      .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    val pushed = SparkEntry.queries("a4_dsv2_pushdown")(spark, d)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(pushed == unpushed, "pushed != unpushed — the range narrowing " +
+      "dropped or invented rows")
+    // spot-check the generator against the shared recipe (both engines'
+    // ground truth)
+    val row = full.filter(col("doc_id") === 7777L)
+      .select("lang", "source", "n_chars", "quality_ppm")
+      .as[(String, String, Long, Long)].head()
+    val xi = graft.sources.DocGen.x(7777L)
+    assert(row == (graft.sources.DocGen.Langs((xi % 5).toInt),
+      graft.sources.DocGen.Sources(((xi / 5) % 4).toInt),
+      48L + (xi / 20) % 500L, 100000L + (xi / 10007L) % 900000L))
+  }
+
   test("j85 stupid-backoff scores equal a full first-principles Scala replay") {
     import spark.implicits._
     // independent in-memory implementation of the whole pipeline: train

@@ -165,7 +165,26 @@ def main() -> int:
     print(f"[pyspark-smoke] {j78}: py4j rows={len(via_jvm78)} "
           f"native-pyspark rows={len(via_py78)} "
           f"{'MATCH' if j78_ok else 'MISMATCH'}")
-    n_total = len(names) + 3
+    # The round-14 custom DataSource V2 from the PYTHON surface: the same
+    # format("graft-docgen") read re-composed natively — the short name
+    # resolves through META-INF/services on the driver classpath, and
+    # pushdown/pruning happen inside the JVM source regardless of client
+    # language.
+    a4 = "a4_dsv2_pushdown"
+    jdfa4 = queries.apply(a4).apply(spark._jsparkSession, sf_dir)
+    via_jvma4 = sorted(map(tuple, DataFrame(jdfa4, spark).collect()))
+    nativea4 = (spark.read.format("graft-docgen")
+                .option("rows", "10000").option("partitions", "8").load()
+                .filter((F.col("doc_id") >= 2500) & (F.col("doc_id") < 7500))
+                .filter(F.col("lang") == "en")
+                .select("doc_id", "lang", "n_chars").orderBy("doc_id"))
+    via_pya4 = sorted(map(tuple, nativea4.collect()))
+    a4_ok = via_jvma4 == via_pya4 and len(via_jvma4) > 0
+    failures += 0 if a4_ok else 1
+    print(f"[pyspark-smoke] {a4}: py4j rows={len(via_jvma4)} "
+          f"native-pyspark rows={len(via_pya4)} "
+          f"{'MATCH' if a4_ok else 'MISMATCH'}")
+    n_total = len(names) + 4
     spark.stop()
     print(f"[pyspark-smoke] {n_total - failures}/{n_total} matched")
     return 1 if failures else 0
