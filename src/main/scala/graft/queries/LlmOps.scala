@@ -1097,12 +1097,12 @@ object LlmOps {
     // Per-doc quality scoring + stopword-ratio language heuristic.
     Q("j7_quality_langid",
       (s, d) => {
-        val stops = "('the','a','of','and','to','in')"
         Tables.documents(s, d)
           .withColumn("toks", split(col("text"), " "))
           .withColumn("nt", size(col("toks")).cast("long"))
           .withColumn("nstop",
-            expr(s"size(filter(toks, t -> t IN $stops))").cast("long"))
+            expr(s"size(filter(toks, t -> t IN $FunnelStops))")
+              .cast("long"))
           .withColumn("nuniq", size(array_distinct(col("toks"))).cast("long"))
           .select(col("doc_id"), col("lang"),
             col("nt").as("n_tokens"),
@@ -1121,11 +1121,11 @@ object LlmOps {
               .otherwise("other").as("pred_lang"))
           .orderBy("doc_id")
       },
-      Some("""WITH t AS (
+      Some(s"""WITH t AS (
                 SELECT doc_id, lang, n_chars, text,
                        len(string_split(text, ' ')) AS nt,
                        len(list_filter(string_split(text, ' '),
-                         x -> x IN ('the','a','of','and','to','in'))) AS nstop,
+                         x -> x IN $FunnelStops)) AS nstop,
                        len(list_distinct(string_split(text, ' '))) AS nuniq
                 FROM documents)
               SELECT doc_id, lang, CAST(nt AS BIGINT) AS n_tokens,
@@ -5810,8 +5810,6 @@ object LlmOps {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
         val train = docs.filter(col("doc_id") % 10 =!= 0)
-        val ev = docs.filter(col("doc_id") % 10 === 0)
-          .filter(size(col("t")) >= 3)
         def trigrams(df: org.apache.spark.sql.DataFrame) =
           df.filter(size(col("t")) >= 3)
             .select(col("doc_id"), explode(expr(
@@ -5820,8 +5818,18 @@ object LlmOps {
                                    'c', t[i]))""")).as("g"))
             .select(col("doc_id"), col("g.pos").as("pos"),
               col("g.a").as("a"), col("g.b").as("b"), col("g.c").as("c"))
-        val c3 = trigrams(train).groupBy("a", "b", "c")
-          .agg(count(lit(1)).as("n3"))
+        val ev = docs.filter(col("doc_id") % 10 === 0)
+        // the count-building path carries only (a, b, c) through the
+        // corpus-scale explode — pos (and doc_id) would ride the largest
+        // shuffle in the query just to be dropped by the groupBy
+        val c3 = train.filter(size(col("t")) >= 3)
+          .select(explode(expr(
+            """transform(sequence(2, size(t) - 1),
+               i -> named_struct('a', t[i - 2], 'b', t[i - 1],
+                                 'c', t[i]))""")).as("g"))
+          .select(col("g.a").as("a"), col("g.b").as("b"),
+            col("g.c").as("c"))
+          .groupBy("a", "b", "c").agg(count(lit(1)).as("n3"))
         val c2 = truncateLineage(train.filter(size(col("t")) >= 2)
           .select(explode(expr(
             """transform(sequence(1, size(t) - 1),

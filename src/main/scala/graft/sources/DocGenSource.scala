@@ -71,10 +71,15 @@ class DocGenSource extends TableProvider
     DocGen.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
+      properties: java.util.Map[String, String]): Table = {
+    // getTable receives the ORIGINAL-case option map (unlike inferSchema's
+    // CaseInsensitiveStringMap) — rewrap it, or .option("ROWS", …) would
+    // silently fall back to the default
+    val opts = new CaseInsensitiveStringMap(properties)
     new DocGenTable(
-      properties.asScala.getOrElse("rows", "1000").toLong,
-      properties.asScala.getOrElse("partitions", "4").toInt)
+      Option(opts.get("rows")).getOrElse("1000").toLong,
+      Option(opts.get("partitions")).getOrElse("4").toInt)
+  }
 }
 
 final class DocGenTable(rows: Long, parts: Int)
@@ -109,10 +114,17 @@ final class DocGenScanBuilder(rows: Long, parts: Int)
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (acc, residual) = filters.partition {
       case GreaterThanOrEqual("doc_id", v) => long(v).isDefined
-      case GreaterThan("doc_id", v) => long(v).isDefined
+      // the > / <= / = forms need v+1 — at Long.MaxValue that overflows
+      // and, because an ACCEPTED filter is never re-evaluated above the
+      // scan, would return wrong rows (not just prune badly): leave the
+      // boundary literal residual instead
+      case GreaterThan("doc_id", v) =>
+        long(v).exists(_ < Long.MaxValue)
       case LessThan("doc_id", v) => long(v).isDefined
-      case LessThanOrEqual("doc_id", v) => long(v).isDefined
-      case EqualTo("doc_id", v) => long(v).isDefined
+      case LessThanOrEqual("doc_id", v) =>
+        long(v).exists(_ < Long.MaxValue)
+      case EqualTo("doc_id", v) =>
+        long(v).exists(_ < Long.MaxValue)
       case _ => false
     }
     acc.foreach {

@@ -1224,10 +1224,15 @@ object StreamOps {
     * sorted-run repetition fold included — comes from the SAME
     * `LlmOps.funnelVerdicts` seam batch j83 aggregates (one definition —
     * the surfaces cannot fork), and it is row-local, so the stream needs
-    * NO keyed state at all: deltas are restart-correct by construction
-    * (each micro-batch's docs are counted exactly once wherever the
-    * checkpoint restarts it; cumulative funnel totals compose downstream
-    * as a plain fold — the delta-emission contract). The per-batch
+    * NO keyed state at all. Delivery contract: `foreachBatch` is
+    * AT-LEAST-ONCE (a crash between sink() and the checkpoint commit
+    * re-delivers that batch on restart — the exactly-once sink's doc
+    * above demonstrates the replay), so every delta carries its
+    * `batch_id` and the consumer must fold LAST-WRITE-WINS PER BATCH_ID
+    * (idempotent under replay; both StreamingSpec differentials fold
+    * exactly this way). Under that contract restarts neither lose nor
+    * double-count: a clean restart resumes at the next unprocessed
+    * batch, a replayed batch overwrites itself. The per-batch
     * aggregation runs DISTRIBUTED; only the ≤ sources×7-row verdict
     * table reaches the driver.
     */

@@ -1861,7 +1861,11 @@ class StreamingSpec extends AnyFunSuite {
     // every batch contributes (no vacuous empty delta), batch ids distinct
     assert(deltas.forall(_.nonEmpty), "a micro-batch emitted no funnel rows")
     assert(deltas.flatMap(_.map(_.batch_id)).distinct.size == 3)
-    val folded = deltas.flatten
+    // the documented consumer contract: foreachBatch is at-least-once, so
+    // fold LAST-WRITE-WINS PER BATCH_ID (a replayed batch overwrites
+    // itself instead of double-counting)
+    val folded = deltas.filter(_.nonEmpty)
+      .map(s => s.head.batch_id -> s).toMap.values.flatten.toSeq
       .groupBy(f => (f.source, f.verdict)).view
       .mapValues(fs => (fs.map(_.n_docs).sum, fs.map(_.n_chars_total).sum))
       .toMap
@@ -1898,7 +1902,11 @@ class StreamingSpec extends AnyFunSuite {
     in.addData(post); q2.processAllAvailable(); q2.stop()
     assert(preBatches > 0 && deltas.size > preBatches,
       "both runs must contribute deltas for the restart claim to bite")
-    val folded = deltas.flatten
+    // the at-least-once consumer contract (last-write-wins per batch_id):
+    // the restarted query resumes at the next batch id, so nothing
+    // collides here — but a crash-replay WOULD, and this fold absorbs it
+    val folded = deltas.filter(_.nonEmpty)
+      .map(s => s.head.batch_id -> s).toMap.values.flatten.toSeq
       .groupBy(f => (f.source, f.verdict)).view
       .mapValues(fs => (fs.map(_.n_docs).sum, fs.map(_.n_chars_total).sum))
       .toMap

@@ -26,7 +26,9 @@ import duckdb
 # connected-components + min-label step independently of Spark's two CC
 # implementations at ANY sf. When a cluster query is on the skip list only
 # the (slow recursive-CTE) SQL oracle is skipped; the union-find check
-# always runs and must pass.
+# still runs and must pass — EXCEPT on subset runs whose oracle_sql.json
+# omits j2's SQL (the pair-set source), where it is skipped with a loud
+# WARN and only the query's own SQL oracle decides.
 CLUSTER_QUERIES = {"j13_dedup_clusters", "j30_cc_bigstar"}
 # j84 (quality-aware survivor) gets the same treatment with its own
 # union-find + quality-argmax checker — see check_survivors.
@@ -72,34 +74,22 @@ def check_survivors(con, sf_dir, out_dir, name, oracle):
     """None if the spark output matches the union-find + quality-argmax
     oracle (the j84 contract: survivor = max quality, min doc_id tiebreak,
     within each near-dup cluster), else a failure description. Independent
-    of Spark's CC implementation AND of the recursive-CTE SQL oracle."""
-    pairs = oracle_pairs(con, oracle)
-    rows = con.execute(
+    of Spark's CC implementation AND of the recursive-CTE SQL oracle.
+    Cluster assignment comes from the SAME union_find_clusters the j13/j30
+    checks use (one disjoint-set implementation to keep in lockstep);
+    this only layers the quality argmax on top."""
+    clusters = union_find_clusters(con, sf_dir, oracle)
+    quality = dict(con.execute(
         f"SELECT doc_id, CAST((len(list_distinct(string_split(text, ' ')))"
         f" * 1000000) // len(string_split(text, ' ')) AS BIGINT)"
-        f" FROM read_parquet('{sf_dir}/documents.parquet')"
-        f" ORDER BY doc_id").fetchall()
-    quality = dict(rows)
-    ids = [r[0] for r in rows]
-    parent = {i: i for i in ids}
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
+        f" FROM read_parquet('{sf_dir}/documents.parquet')").fetchall())
     members = {}
-    for i in ids:
-        members.setdefault(find(i), []).append(i)
+    for i, root, _ in clusters:
+        members.setdefault(root, []).append(i)
     surv = {root: min(ms, key=lambda i: (-quality[i], i))
             for root, ms in members.items()}
-    expected = [(i, find(i), quality[i], surv[find(i)],
-                 i == surv[find(i)]) for i in ids]
+    expected = [(i, root, quality[i], surv[root], i == surv[root])
+                for i, root, _ in clusters]
     try:
         spark = con.execute(
             f"SELECT doc_id, cluster_id, quality_ppm, survivor_id, kept "
@@ -173,10 +163,16 @@ def main(sf_dir, out_dir, skip=()):
         oracle = json.load(f)
     n_pass = n_fail = 0
     for name in sorted(oracle):
-        if ((name in CLUSTER_QUERIES or name == SURVIVOR_QUERY)
-                and PAIRS_QUERY in oracle):
+        second_oracle = name in CLUSTER_QUERIES or name == SURVIVOR_QUERY
+        if second_oracle and PAIRS_QUERY not in oracle:
             # subset runs (Verify's 3rd arg) may omit j2's SQL — then only
-            # the query's own SQL oracle runs, as for any other query
+            # the query's own SQL oracle runs; say so loudly (and if the
+            # query is ALSO on the skip list, nothing validates it at all)
+            print(f"WARN {name}: {PAIRS_QUERY} SQL absent — "
+                  f"union-find check skipped"
+                  + (" AND SQL oracle on the skip list: NOTHING checked"
+                     if name in skip else ""))
+        if second_oracle and PAIRS_QUERY in oracle:
             checker = (check_survivors if name == SURVIVOR_QUERY
                        else check_clusters)
             err = checker(con, sf_dir, out_dir, name, oracle)
