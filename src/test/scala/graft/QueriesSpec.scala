@@ -2393,6 +2393,29 @@ class QueriesSpec extends AnyFunSuite {
       48L + (xi / 20) % 500L, 100000L + (xi / 10007L) % 900000L))
   }
 
+  test("a4 DSv2 boundary literals: MaxValue stays residual, EqualTo narrows") {
+    import spark.implicits._
+    def gen(n: String) = spark.read.format("graft-docgen")
+      .option("rows", n).option("partitions", "2").load()
+    // regression for the v+1 overflow: > / <= at Long.MaxValue must NOT
+    // be accepted into the range (accepted filters are never re-checked
+    // above the scan) — correctness decided by row counts
+    assert(gen("100").filter(col("doc_id") > Long.MaxValue).count() == 0L,
+      "doc_id > MaxValue returned rows — the overflowed bound was pushed")
+    assert(gen("100").filter(col("doc_id") <= Long.MaxValue).count()
+      == 100L, "doc_id <= MaxValue dropped rows — hi clamped to MinValue")
+    // option keys are case-insensitive like every other DSv2 source
+    assert(spark.read.format("graft-docgen").option("ROWS", "7")
+      .load().count() == 7L, "upper-case option key fell back to default")
+    // EqualTo narrows to a single-row range and the value is the recipe's
+    val one = gen("100").filter(col("doc_id") === 42L)
+      .select("doc_id", "n_chars").as[(Long, Long)].collect().toSeq
+    assert(one == Seq((42L, 48L + (graft.sources.DocGen.x(42L) / 20) % 500L)))
+    // fully-contradictory bounds produce the empty range, not an error
+    assert(gen("100").filter(col("doc_id") >= 90L)
+      .filter(col("doc_id") < 10L).count() == 0L)
+  }
+
   test("j85 stupid-backoff scores equal a full first-principles Scala replay") {
     import spark.implicits._
     // independent in-memory implementation of the whole pipeline: train
