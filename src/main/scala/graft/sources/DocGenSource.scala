@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -78,21 +79,23 @@ class DocGenSource extends TableProvider
     val opts = new CaseInsensitiveStringMap(properties)
     new DocGenTable(
       Option(opts.get("rows")).getOrElse("1000").toLong,
-      Option(opts.get("partitions")).getOrElse("4").toInt)
+      Option(opts.get("partitions")).getOrElse("4").toInt,
+      Option(opts.get("batchRows")).getOrElse("100").toLong)
   }
 }
 
-final class DocGenTable(rows: Long, parts: Int)
+final class DocGenTable(rows: Long, parts: Int, batchRows: Long)
     extends Table with SupportsRead {
   override def name(): String = s"graft-docgen($rows)"
   override def schema(): StructType = DocGen.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new DocGenScanBuilder(rows, parts)
+      : ScanBuilder = new DocGenScanBuilder(rows, parts, batchRows)
 }
 
-final class DocGenScanBuilder(rows: Long, parts: Int)
+final class DocGenScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -146,11 +149,12 @@ final class DocGenScanBuilder(rows: Long, parts: Int)
 
   override def build(): Scan =
     new DocGenScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), parts,
-      required, accepted.map(_.toString).sorted)
+      required, accepted.map(_.toString).sorted, batchRows)
 }
 
 final class DocGenScan(lo: Long, hi: Long, parts: Int,
-    required: StructType, pushedDesc: Array[String])
+    required: StructType, pushedDesc: Array[String],
+    batchRows: Long = 100L)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -172,6 +176,18 @@ final class DocGenScan(lo: Long, hi: Long, parts: Int,
   override def createReaderFactory(): PartitionReaderFactory =
     new DocGenReaderFactory(required.fieldNames)
 
+  /** Streaming form of the same generator: the offset IS the next row
+    * index, so a checkpointed offset replays EXACTLY (generation is a
+    * pure function of the index — the deterministic-source property that
+    * makes end-to-end exactly-once possible at all). Admission control is
+    * `batchRows` per micro-batch over the same (pushdown-narrowed, column-
+    * pruned) range the batch scan reads.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new DocGenMicroBatchStream(lo, hi, parts, batchRows,
+      required.fieldNames)
+
   /** Post-pushdown statistics: the optimizer's broadcast decision sees the
     * narrowed count, not the configured total.
     */
@@ -185,6 +201,67 @@ final class DocGenScan(lo: Long, hi: Long, parts: Int,
 
 final case class DocGenInputPartition(start: Long, end: Long)
     extends InputPartition
+
+/** Row-index offsets: monotone, dense, and replayable — the committed
+  * offset fully determines both what was delivered and what comes next.
+  */
+final case class DocGenOffset(i: Long) extends Offset {
+  override def json(): String = i.toString
+}
+
+final class DocGenMicroBatchStream(lo: Long, hi: Long, parts: Int,
+    batchRows: Long, fields: Array[String])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = DocGenOffset(lo)
+
+  /** Admission control proper: the engine hands us the TRUE start (the
+    * checkpointed position on recovery — not instance state, which a
+    * fresh incarnation would lack), and we admit `batchRows` more. A
+    * stateful `latestOffset()` variant instead returns the committed
+    * position itself on a recovered instance's first call, which
+    * `processAllAvailable` reads as caught-up — measured in the resume
+    * spec before this form replaced it.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[DocGenOffset].i
+    val step = limit match {
+      case m: ReadMaxRows => math.min(m.maxRows(), math.max(1L, batchRows))
+      case _ => math.max(1L, batchRows)
+    }
+    DocGenOffset(math.min(hi, s + step))
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(math.max(1L, batchRows))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  override def deserializeOffset(json: String): Offset =
+    DocGenOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[DocGenOffset].i,
+      end.asInstanceOf[DocGenOffset].i)
+    if (e <= s) Array.empty
+    else {
+      val n = math.max(1, math.min(parts.toLong, e - s).toInt)
+      (0 until n).map { p =>
+        DocGenInputPartition(
+          s + (e - s) * p / n, s + (e - s) * (p + 1) / n): InputPartition
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new DocGenReaderFactory(fields)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 final class DocGenReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
