@@ -25,6 +25,9 @@ object LocalSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // the docgen TableCatalog: SQL text reaches the custom DSv2 source
+      // as graft.docgen_<rows>[_<parts>] with full pushdown (a5)
+      .config("spark.sql.catalog.graft", "graft.sources.DocGenCatalog")
       // both events.ts layouts must read (ns-long pre-regen, µs current) —
       // set once at session build, not mutated at query-build time
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

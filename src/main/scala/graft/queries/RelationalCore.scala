@@ -85,6 +85,36 @@ object RelationalCore {
               SELECT doc_id, lang, n_chars FROM t
               WHERE lang = 'en' ORDER BY doc_id""")),
 
+    // The catalog half of the DSv2 surface: the SAME generated table
+    // reached through plain SQL text via a TableCatalog plugin
+    // (spark.sql.catalog.graft -> DocGenCatalog) — identifier
+    // graft.docgen_10000_8, pushdown and pruning identical to a4's
+    // DataFrame path because both resolve to the same ScanBuilder. The
+    // conf set is idempotent and makes the query self-sufficient on a
+    // foreign session (catalog configs resolve lazily at first lookup).
+    Q("a5_catalog_sql",
+      (s, _) => {
+        s.conf.set("spark.sql.catalog.graft", "graft.sources.DocGenCatalog")
+        s.sql("""SELECT source, COUNT(*) AS n_docs,
+                        CAST(SUM(n_chars) AS BIGINT) AS chars_total
+                 FROM graft.docgen_10000_8
+                 WHERE doc_id >= 2500 AND doc_id < 7500
+                 GROUP BY source ORDER BY source""")
+      },
+      Some("""WITH g AS (
+                SELECT i AS doc_id,
+                       (1103515245 * i + 12345) % 2147483648 AS x
+                FROM generate_series(2500, 7499) s(i)),
+              t AS (
+                SELECT doc_id,
+                       (['web','books','code','wiki'])
+                         [CAST((x // 5) % 4 AS INT) + 1] AS source,
+                       48 + (x // 20) % 500 AS n_chars
+                FROM g)
+              SELECT source, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars_total
+              FROM t GROUP BY source ORDER BY source""")),
+
     // ---- B. projection / filter / predicates ------------------------------
     Q("b1_filter_pred",
       (s, d) => Tables.lineitem(s, d)

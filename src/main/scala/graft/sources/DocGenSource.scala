@@ -202,6 +202,55 @@ final class DocGenScan(lo: Long, hi: Long, parts: Int,
 final case class DocGenInputPartition(start: Long, end: Long)
     extends InputPartition
 
+/** The catalog surface for the same tables: a read-only `TableCatalog`
+  * exposing `docgen_<rows>[_<partitions>]` identifiers, so plain SQL text
+  * reaches the custom source with full pushdown —
+  * `SELECT ... FROM graft.docgen_10000 WHERE doc_id < 100`. Registered in
+  * `LocalSession` via `spark.sql.catalog.graft` (the public catalog-plugin
+  * config), which is how a deployment would mount it cluster-wide. DDL
+  * (create/alter/drop/rename) is rejected: generated tables have no
+  * mutable state to manage.
+  */
+class DocGenCatalog
+    extends org.apache.spark.sql.connector.catalog.TableCatalog {
+  import org.apache.spark.sql.connector.catalog.Identifier
+
+  private var catalogName = "graft"
+  private val Pattern = """docgen_(\d+)(?:_(\d+))?""".r
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = catalogName = name
+  override def name(): String = catalogName
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "docgen_1000"))
+
+  override def loadTable(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.Table =
+    ident.name() match {
+      case Pattern(rows, parts) =>
+        new DocGenTable(rows.toLong,
+          Option(parts).map(_.toInt).getOrElse(4), 100L)
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException(ident)
+    }
+
+  override def createTable(ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table =
+    throw new UnsupportedOperationException("docgen tables are generated")
+  override def alterTable(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.TableChange*)
+      : org.apache.spark.sql.connector.catalog.Table =
+    throw new UnsupportedOperationException("docgen tables are immutable")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("docgen tables are generated")
+  override def renameTable(ident: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException("docgen tables are generated")
+}
+
 /** Row-index offsets: monotone, dense, and replayable — the committed
   * offset fully determines both what was delivered and what comes next.
   */

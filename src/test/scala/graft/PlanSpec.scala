@@ -1029,6 +1029,19 @@ class PlanSpec extends AnyFunSuite {
       s"expected 8 input partitions, got ${raw.rdd.getNumPartitions}")
   }
 
+  test("a5 catalog SQL pushes the same bounds as the DataFrame path") {
+    // the TableCatalog route resolves to the same ScanBuilder, so SQL text
+    // over graft.docgen_* must show the identical narrowed range — and the
+    // pruning here is TIGHTER than a4's: both doc_id predicates are fully
+    // pushed, so doc_id itself is never generated (cols = group key + sum
+    // input only; lang/quality_ppm/doc_id all dropped)
+    val plan = staticPlan("a5_catalog_sql")
+    assert(plan.contains("range=[2500,7500)"),
+      s"catalog path lost the doc_id pushdown:\n$plan")
+    assert(plan.contains("cols=[source,n_chars]"),
+      s"catalog path lost column pruning:\n$plan")
+  }
+
   test("j85 LM tables are built once: two documents scans, no window") {
     // the count tables are the LM — c2 feeds BOTH the (a,b)-context and
     // (b,c)-backoff lookups and c1 both unigram lookups + the totals, so

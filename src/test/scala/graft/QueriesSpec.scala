@@ -2416,6 +2416,26 @@ class QueriesSpec extends AnyFunSuite {
       .filter(col("doc_id") < 10L).count() == 0L)
   }
 
+  test("docgen catalog: identifiers parse, DDL rejects, unknown tables 404") {
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.DocGenCatalog")
+    // identifier grammar: docgen_<rows>[_<parts>]
+    assert(spark.sql("SELECT count(*) AS n FROM graft.docgen_123")
+      .head().getLong(0) == 123L)
+    assert(spark.sql("SELECT count(*) AS n FROM graft.docgen_50_2")
+      .head().getLong(0) == 50L)
+    // unknown identifiers surface as the standard missing-table error,
+    // not an opaque match failure
+    val miss = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft.nope").collect()
+    }
+    assert(miss.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND")
+      || miss.getMessage.toLowerCase.contains("not found"), miss.getMessage)
+    // generated tables are read-only: DDL is refused loudly
+    intercept[Exception] {
+      spark.sql("DROP TABLE graft.docgen_123")
+    }
+  }
+
   test("j85 stupid-backoff scores equal a full first-principles Scala replay") {
     import spark.implicits._
     // independent in-memory implementation of the whole pipeline: train
