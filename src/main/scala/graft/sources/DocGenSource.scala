@@ -229,8 +229,15 @@ class DocGenCatalog
       : org.apache.spark.sql.connector.catalog.Table =
     ident.name() match {
       case Pattern(rows, parts) =>
-        new DocGenTable(rows.toLong,
+        // a digits-only suffix can still overflow Long/Int — that's an
+        // unknown table, not a NumberFormatException leaking to the user
+        try new DocGenTable(rows.toLong,
           Option(parts).map(_.toInt).getOrElse(4), 100L)
+        catch {
+          case _: NumberFormatException =>
+            throw new org.apache.spark.sql.catalyst.analysis
+              .NoSuchTableException(ident)
+        }
       case _ => throw new org.apache.spark.sql.catalyst.analysis
           .NoSuchTableException(ident)
     }

@@ -2430,6 +2430,14 @@ class QueriesSpec extends AnyFunSuite {
     }
     assert(miss.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND")
       || miss.getMessage.toLowerCase.contains("not found"), miss.getMessage)
+    // a digits-only suffix that overflows Long is also an unknown table,
+    // not a NumberFormatException escaping the catalog
+    val overflow = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft.docgen_99999999999999999999").collect()
+    }
+    assert(overflow.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND")
+      || overflow.getMessage.toLowerCase.contains("not found"),
+      overflow.getMessage)
     // generated tables are read-only: DDL is refused loudly
     intercept[Exception] {
       spark.sql("DROP TABLE graft.docgen_123")
