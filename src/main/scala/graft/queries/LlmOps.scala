@@ -5936,6 +5936,51 @@ object LlmOps {
                          ELSE ln(0.16 * CAST(x.n1c + 1 AS DOUBLE)
                            / (n_tok + v)) END),
                        (p, q) -> p + q) / len(pn)), 6) AS xent
-              FROM arrs CROSS JOIN tot ORDER BY doc_id"""))
+              FROM arrs CROSS JOIN tot ORDER BY doc_id""")),
+
+    // k-anonymity audit (round 14) — the privacy complement of j52's PII
+    // scrub: before a corpus ships, count how identifiable each record is
+    // under its quasi-identifier tuple (Sweeney's k-anonymity, the public
+    // re-identification framework; QI here = lang × source × 200-char
+    // length band — the release-visible attributes). Output per source:
+    // group counts by risk band (k=1 unique → re-identifiable, 2≤k<5,
+    // k≥5), docs at risk (members of sub-5 groups), and the source's
+    // k-anonymity level (its min group size). All three bands fire at
+    // sf0.001/sf0.01; at sf0.1 the k=1 band is measured EMPTY — more
+    // data raises k, which is exactly the property the audit reports.
+    // Scale shape: one QI-keyed aggregate (map-side combinable count)
+    // then a source-keyed rollup of the group table (QI-cardinality-
+    // sized, ≪ corpus); no window, no join, no driver state.
+    Q("j86_k_anonymity",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          expr("n_chars div 200").as("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(count(lit(1)).as("k"))
+        .groupBy("source")
+        .agg(
+          sum(when(col("k") === 1, 1L).otherwise(0L)).as("groups_k1"),
+          sum(when(col("k") >= 2 && col("k") < 5, 1L).otherwise(0L))
+            .as("groups_k2_4"),
+          sum(when(col("k") >= 5, 1L).otherwise(0L)).as("groups_k5"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L))
+            .as("docs_at_risk"),
+          min(col("k")).as("min_k"))
+        .orderBy("source"),
+      Some("""WITH g AS (
+                SELECT lang, source, n_chars // 200 AS len_bucket,
+                       count(*) AS k
+                FROM documents GROUP BY 1, 2, 3)
+              SELECT source,
+                     CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS groups_k1,
+                     CAST(sum(CASE WHEN k >= 2 AND k < 5 THEN 1 ELSE 0
+                       END) AS BIGINT) AS groups_k2_4,
+                     CAST(sum(CASE WHEN k >= 5 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS groups_k5,
+                     CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END)
+                       AS BIGINT) AS docs_at_risk,
+                     CAST(min(k) AS BIGINT) AS min_k
+              FROM g GROUP BY source ORDER BY source"""))
   )
 }

@@ -2444,6 +2444,38 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("j86 k-anonymity bands conserve groups and docs, all bands fire") {
+    import spark.implicits._
+    val out = SparkEntry.queries("j86_k_anonymity")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // group-count conservation: bands partition the QI group table
+    val qiGroups = Tables.documents(spark, d)
+      .select(col("lang"), col("source"),
+        expr("n_chars div 200").as("b"))
+      .groupBy("lang", "source", "b").agg(count(lit(1)).as("k"))
+      .groupBy("source").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { case (src, k1, k24, k5, _, minK) =>
+      assert(k1 + k24 + k5 == qiGroups(src),
+        s"$src: bands don't partition the group table")
+      assert(minK >= 1, s"$src: impossible k-anonymity level $minK")
+    }
+    // doc conservation: at-risk + safe == corpus
+    val safeDocs = Tables.documents(spark, d)
+      .select(col("lang"), col("source"),
+        expr("n_chars div 200").as("b"))
+      .groupBy("lang", "source", "b").agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 5).agg(sum("k")).head().getLong(0)
+    assert(out.map(_._5).sum + safeDocs ==
+      Tables.documents(spark, d).count(),
+      "docs_at_risk + k>=5 members != corpus")
+    // all three risk bands genuinely fire at this SF (measured: 92 / 124
+    // / 16 at sf0.001) — a vacuous band would mean the audit can't
+    // distinguish risk levels on its own fixture
+    assert(out.map(_._2).sum > 0 && out.map(_._3).sum > 0
+      && out.map(_._4).sum > 0, s"a risk band is vacuous")
+  }
+
   test("j85 stupid-backoff scores equal a full first-principles Scala replay") {
     import spark.implicits._
     // independent in-memory implementation of the whole pipeline: train
