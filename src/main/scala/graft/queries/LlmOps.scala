@@ -85,6 +85,15 @@ object LlmOps {
           .otherwise("pass"))
       .drop("toks", "nt", "nsym", "nstop", "topc")
 
+  /** j86's quasi-identifier seam — the release-visible attribute tuple,
+    * shared by the batch audit and the streaming monitor (the
+    * funnelVerdicts discipline: one definition, two surfaces).
+    */
+  private[graft] def qiTuples(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(col("lang"), col("source"),
+      expr("n_chars div 200").as("len_bucket"))
+
   private val NumHashes = 32
   // 4 bands × 8 rows: LSH S-curve threshold (1/b)^(1/r) ≈ 0.84, just under
   // the τ=0.9 verify threshold. Measured on this corpus: r=2 bands collide
@@ -5952,9 +5961,7 @@ object LlmOps {
     // then a source-keyed rollup of the group table (QI-cardinality-
     // sized, ≪ corpus); no window, no join, no driver state.
     Q("j86_k_anonymity",
-      (s, d) => Tables.documents(s, d)
-        .select(col("lang"), col("source"),
-          expr("n_chars div 200").as("len_bucket"))
+      (s, d) => qiTuples(Tables.documents(s, d))
         .groupBy("lang", "source", "len_bucket")
         .agg(count(lit(1)).as("k"))
         .groupBy("source")

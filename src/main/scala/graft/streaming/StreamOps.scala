@@ -75,6 +75,15 @@ final case class FunnelDelta(
     batch_id: Long, source: String, verdict: String, n_docs: Long,
     n_chars_total: Long)
 
+// k-anonymity monitoring: quasi-identifier tuples in, per-batch risk-band
+// DELTAS out (see kAnonymityStream)
+final case class QiIn(lang: String, source: String, len_bucket: Long)
+final case class QiBandDelta(
+    source: String, d_k1: Long, d_k2_4: Long, d_k5: Long, d_at_risk: Long)
+final case class AnonDelta(
+    batch_id: Long, source: String, groups_k1: Long, groups_k2_4: Long,
+    groups_k5: Long, docs_at_risk: Long)
+
 // SCD2 maintenance: dimension-change rows in, closed version rows out;
 // valid dates travel as wall-clock strings (the j76/j78 tz discipline)
 final case class DimIn(custkey: Long, dt: String, ok: Long, status: String)
@@ -1252,6 +1261,62 @@ object StreamOps {
           .map(r => FunnelDelta(id, r.getString(0), r.getString(1),
             r.getLong(2), r.getLong(3)))
           .sortBy(f => (f.source, f.verdict)).toSeq
+        sink(rows)
+      }
+      .start()
+  }
+
+  /** Streaming k-anonymity monitoring — j86's twin: documents arrive as a
+    * stream of quasi-identifier tuples (through the SAME `LlmOps.qiTuples`
+    * seam batch j86 aggregates) and each QI group's population count lives
+    * in keyed state; arrivals emit the risk-band TRANSITIONS they cause
+    * (a group growing 1→2 leaves the unique band, 4→5 leaves the at-risk
+    * bands entirely), per-batch aggregated to (source, band-delta) rows.
+    * Folded downstream (last-write-wins per batch_id, the at-least-once
+    * contract), the deltas reproduce batch j86's band counts exactly —
+    * which is the monitor's point: a corpus release gate can watch its
+    * k-anonymity posture improve as data streams in, without rescanning.
+    * State is one Long per DISTINCT QI tuple (QI-cardinality-sized, ≪
+    * corpus — the same reason the batch rollup is cheap); min_k is NOT
+    * delta-composable (a min over the live group table), so the monitor
+    * doesn't emit it — the statestore reader exposes the live k per group
+    * for exactly that kind of point-in-time question (spec-asserted).
+    */
+  def kAnonymityStream(
+      qi: Dataset[QiIn],
+      sink: Seq[AnonDelta] => Unit,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import qi.sparkSession.implicits._
+    def bands(k: Long): (Long, Long, Long) =
+      if (k <= 0L) (0L, 0L, 0L)
+      else if (k == 1L) (1L, 0L, 0L)
+      else if (k < 5L) (0L, 1L, 0L)
+      else (0L, 0L, 1L)
+    val deltas = qi
+      .groupByKey(q => (q.lang, q.source, q.len_bucket))
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) {
+        (key: (String, String, Long), rows: Iterator[QiIn],
+            st: GroupState[Long]) =>
+          val k0 = st.getOption.getOrElse(0L)
+          val k1 = k0 + rows.size.toLong
+          st.update(k1)
+          val ((a0, b0, c0), (a1, b1, c1)) = (bands(k0), bands(k1))
+          def atRisk(k: Long): Long = if (k < 5L) k else 0L
+          Iterator.single(QiBandDelta(key._2,
+            a1 - a0, b1 - b0, c1 - c0, atRisk(k1) - atRisk(k0)))
+      }
+    val writer = deltas.writeStream.outputMode("update")
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: Dataset[QiBandDelta], id: Long) =>
+        val rows = batch.groupBy("source")
+          .agg(sum("d_k1"), sum("d_k2_4"), sum("d_k5"), sum("d_at_risk"))
+          .collect()
+          .map(r => AnonDelta(id, r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4)))
+          .sortBy(_.source).toSeq
         sink(rows)
       }
       .start()

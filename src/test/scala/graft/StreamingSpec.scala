@@ -1918,6 +1918,53 @@ class StreamingSpec extends AnyFunSuite {
       s"cross-restart fold diverges from batch j83:\n$folded\nvs\n$batch")
   }
 
+  test("k-anonymity monitor deltas fold to batch j86; statestore holds min_k") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // band-transition deltas over QI-keyed count state, through the same
+    // qiTuples seam batch j86 aggregates; folding all batches' deltas must
+    // land on exactly the batch audit's band counts per source
+    val qi = graft.queries.LlmOps.qiTuples(Tables.documents(spark, d))
+      .as[(String, String, Long)].collect()
+      .map(t => QiIn(t._1, t._2, t._3)).toSeq
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-anon-ck").toString
+    val in = MemoryStream[QiIn]
+    val deltas = scala.collection.mutable.Buffer.empty[Seq[AnonDelta]]
+    val q = StreamOps.kAnonymityStream(in.toDS(), deltas += _, Some(ckpt))
+    qi.grouped((qi.size + 2) / 3).foreach { b =>
+      in.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    assert(deltas.size == 3 && deltas.forall(_.nonEmpty))
+    val folded = deltas.filter(_.nonEmpty)
+      .map(s => s.head.batch_id -> s).toMap.values.flatten.toSeq
+      .groupBy(_.source).view.mapValues { ds =>
+        (ds.map(_.groups_k1).sum, ds.map(_.groups_k2_4).sum,
+          ds.map(_.groups_k5).sum, ds.map(_.docs_at_risk).sum)
+      }.toMap
+    val batch = SparkEntry.queries("j86_k_anonymity")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(folded == batch,
+      s"folded monitor deltas diverge from batch j86:\n$folded\nvs\n$batch")
+    // a band TRANSITION actually happened (a group left the unique band) —
+    // otherwise the delta algebra was never exercised beyond inserts
+    assert(deltas.flatten.exists(_.groups_k1 < 0),
+      "no group ever left the k=1 band — transitions untested")
+    // min_k is not delta-composable; the statestore READ answers it: the
+    // live per-group counts' min per source must equal batch j86's min_k
+    val live = StreamOps.readKeyedState(spark, ckpt)
+      .selectExpr("key._2 AS source", "value.groupState.value AS k")
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val minK = SparkEntry.queries("j86_k_anonymity")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._6).toMap
+    assert(live == minK,
+      s"statestore min-k diverges from the batch audit:\n$live\nvs\n$minK")
+  }
+
   test("DSv2 streaming read delivers the batch table exactly, in batchRows chunks") {
     import spark.implicits._
     // one TableProvider, two execution modes: the micro-batch stream over
