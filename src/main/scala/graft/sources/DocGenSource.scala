@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -39,6 +39,12 @@ import org.apache.spark.unsafe.types.UTF8String
 object DocGen {
   val Langs: Array[String] = Array("en", "es", "de", "fr", "zh")
   val Sources: Array[String] = Array("web", "books", "code", "wiki")
+
+  /** The one default for streaming admission (rows per micro-batch) —
+    * every construction path (provider options, catalog options) funnels
+    * through this constant.
+    */
+  val DefaultBatchRows = 100L
 
   val Schema: StructType = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -80,7 +86,8 @@ class DocGenSource extends TableProvider
     new DocGenTable(
       Option(opts.get("rows")).getOrElse("1000").toLong,
       Option(opts.get("partitions")).getOrElse("4").toInt,
-      Option(opts.get("batchRows")).getOrElse("100").toLong)
+      Option(opts.get("batchRows"))
+        .map(_.toLong).getOrElse(DocGen.DefaultBatchRows))
   }
 }
 
@@ -95,7 +102,7 @@ final class DocGenTable(rows: Long, parts: Int, batchRows: Long)
       : ScanBuilder = new DocGenScanBuilder(rows, parts, batchRows)
 }
 
-final class DocGenScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
+final class DocGenScanBuilder(rows: Long, parts: Int, batchRows: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
@@ -153,8 +160,7 @@ final class DocGenScanBuilder(rows: Long, parts: Int, batchRows: Long = 100L)
 }
 
 final class DocGenScan(lo: Long, hi: Long, parts: Int,
-    required: StructType, pushedDesc: Array[String],
-    batchRows: Long = 100L)
+    required: StructType, pushedDesc: Array[String], batchRows: Long)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -216,23 +222,38 @@ class DocGenCatalog
   import org.apache.spark.sql.connector.catalog.Identifier
 
   private var catalogName = "graft"
+  // catalog-level default for streaming admission, settable as
+  // spark.sql.catalog.<name>.batchRows (catalog options arrive in
+  // initialize) — the SQL path has no per-read .option() surface
+  private var batchRows = DocGen.DefaultBatchRows
   private val Pattern = """docgen_(\d+)(?:_(\d+))?""".r
 
   override def initialize(name: String,
-      options: CaseInsensitiveStringMap): Unit = catalogName = name
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    batchRows = Option(options.get("batchRows"))
+      .map(_.toLong).getOrElse(DocGen.DefaultBatchRows)
+  }
   override def name(): String = catalogName
 
-  override def listTables(namespace: Array[String]): Array[Identifier] =
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    // the catalog is flat: only the empty namespace exists — fabricating
+    // entries under arbitrary namespaces would make wrong-namespace
+    // queries succeed silently
+    if (namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
     Array(Identifier.of(namespace, "docgen_1000"))
+  }
 
   override def loadTable(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.Table =
     ident.name() match {
-      case Pattern(rows, parts) =>
+      case Pattern(rows, parts) if ident.namespace().isEmpty =>
         // a digits-only suffix can still overflow Long/Int — that's an
         // unknown table, not a NumberFormatException leaking to the user
         try new DocGenTable(rows.toLong,
-          Option(parts).map(_.toInt).getOrElse(4), 100L)
+          Option(parts).map(_.toInt).getOrElse(4), batchRows)
         catch {
           case _: NumberFormatException =>
             throw new org.apache.spark.sql.catalyst.analysis
@@ -281,11 +302,16 @@ final class DocGenMicroBatchStream(lo: Long, hi: Long, parts: Int,
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[DocGenOffset].i
-    val step = limit match {
-      case m: ReadMaxRows => math.min(m.maxRows(), math.max(1L, batchRows))
-      case _ => math.max(1L, batchRows)
+    limit match {
+      // Trigger.Once / AvailableNow pass ReadAllAvailable — the engine is
+      // asking for EVERYTHING, and answering with one batchRows chunk
+      // would terminate the run with data silently undelivered
+      case _: ReadAllAvailable => DocGenOffset(hi)
+      case m: ReadMaxRows =>
+        DocGenOffset(math.min(hi, s + math.max(1L, m.maxRows())))
+      case _ =>
+        DocGenOffset(math.min(hi, s + math.max(1L, batchRows)))
     }
-    DocGenOffset(math.min(hi, s + step))
   }
 
   override def getDefaultReadLimit: ReadLimit =

@@ -2448,24 +2448,22 @@ class QueriesSpec extends AnyFunSuite {
     import spark.implicits._
     val out = SparkEntry.queries("j86_k_anonymity")(spark, d)
       .as[(String, Long, Long, Long, Long, Long)].collect()
+    // ONE group table through the production seam (LlmOps.qiTuples — a
+    // hand-copied QI expression here would keep passing against itself
+    // if the seam's bucket width ever changed), collected once
+    val groups = graft.queries.LlmOps
+      .qiTuples(Tables.documents(spark, d))
+      .groupBy("lang", "source", "len_bucket").agg(count(lit(1)).as("k"))
+      .select("source", "k").as[(String, Long)].collect()
     // group-count conservation: bands partition the QI group table
-    val qiGroups = Tables.documents(spark, d)
-      .select(col("lang"), col("source"),
-        expr("n_chars div 200").as("b"))
-      .groupBy("lang", "source", "b").agg(count(lit(1)).as("k"))
-      .groupBy("source").agg(count(lit(1)).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qiGroups = groups.groupBy(_._1).view.mapValues(_.length.toLong)
     out.foreach { case (src, k1, k24, k5, _, minK) =>
       assert(k1 + k24 + k5 == qiGroups(src),
         s"$src: bands don't partition the group table")
       assert(minK >= 1, s"$src: impossible k-anonymity level $minK")
     }
     // doc conservation: at-risk + safe == corpus
-    val safeDocs = Tables.documents(spark, d)
-      .select(col("lang"), col("source"),
-        expr("n_chars div 200").as("b"))
-      .groupBy("lang", "source", "b").agg(count(lit(1)).as("k"))
-      .filter(col("k") >= 5).agg(sum("k")).head().getLong(0)
+    val safeDocs = groups.filter(_._2 >= 5).map(_._2).sum
     assert(out.map(_._5).sum + safeDocs ==
       Tables.documents(spark, d).count(),
       "docs_at_risk + k>=5 members != corpus")

@@ -1998,9 +1998,10 @@ class StreamingSpec extends AnyFunSuite {
     // foreachBatch (the recoverable sink), one buffer across incarnations
     val got = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     var dupDelivered = false
-    def start(trigger: org.apache.spark.sql.streaming.Trigger) =
+    def start(rows: String,
+        trigger: org.apache.spark.sql.streaming.Trigger) =
       spark.readStream.format("graft-docgen")
-        .option("rows", "1000").option("partitions", "4")
+        .option("rows", rows).option("partitions", "4")
         .option("batchRows", "300").load()
         .select("doc_id")
         .writeStream
@@ -2012,14 +2013,19 @@ class StreamingSpec extends AnyFunSuite {
         }
         .option("checkpointLocation", ckpt)
         .trigger(trigger).start()
-    // first incarnation: exactly ONE micro-batch (300 rows), then die
-    val q1 = start(org.apache.spark.sql.streaming.Trigger.Once())
+    // first incarnation is capped at rows=300 and runs Trigger.Once —
+    // which passes ReadAllAvailable, so the run must DRAIN its table in
+    // one batch and terminate cleanly (answering all-available with one
+    // batchRows chunk would strand rows — the review finding)
+    val q1 = start("300", org.apache.spark.sql.streaming.Trigger.Once())
     q1.awaitTermination()
-    assert(got.size == 300, s"one batchRows chunk expected, ${got.size}")
-    // second incarnation resumes AFTER the committed offset: the row-index
-    // offset in the checkpoint fully determines the continuation, so the
-    // union is the complete table with zero duplicates
-    val q2 = start(org.apache.spark.sql.streaming.Trigger
+    assert(got.size == 300,
+      s"Trigger.Once must drain the 300-row table, got ${got.size}")
+    // second incarnation widens the table to 1000 rows on the SAME
+    // checkpoint: it must resume AFTER the committed offset — the
+    // row-index offset fully determines the continuation, so the union
+    // is the complete table with zero duplicates
+    val q2 = start("1000", org.apache.spark.sql.streaming.Trigger
       .ProcessingTime(0L))
     q2.processAllAvailable(); q2.stop()
     assert(!dupDelivered, "a row index was delivered twice across restart")
