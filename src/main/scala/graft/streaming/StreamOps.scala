@@ -1322,6 +1322,69 @@ object StreamOps {
       .start()
   }
 
+  /** [[kAnonymityStream]]'s delta step as a transformWithState
+    * StatefulProcessor — the dual-API discipline (chunk dedup and SCD2
+    * are ported the same way): one ValueState[Long] group count per QI
+    * key, identical band-transition algebra, so the two API surfaces
+    * cannot fork (the spec runs both against the same corpus and batch
+    * j86).
+    */
+  final class KAnonProcessor
+      extends StatefulProcessor[(String, String, Long), QiIn, QiBandDelta] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long](
+        "count", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: (String, String, Long), rows: Iterator[QiIn],
+        timerValues: TimerValues): Iterator[QiBandDelta] = {
+      def bands(k: Long): (Long, Long, Long) =
+        if (k <= 0L) (0L, 0L, 0L)
+        else if (k == 1L) (1L, 0L, 0L)
+        else if (k < 5L) (0L, 1L, 0L)
+        else (0L, 0L, 1L)
+      def atRisk(k: Long): Long = if (k < 5L) k else 0L
+      val k0 = if (count.exists()) count.get() else 0L
+      val k1 = k0 + rows.size.toLong
+      count.update(k1)
+      val ((a0, b0, c0), (a1, b1, c1)) = (bands(k0), bands(k1))
+      Iterator.single(QiBandDelta(key._2,
+        a1 - a0, b1 - b0, c1 - c0, atRisk(k1) - atRisk(k0)))
+    }
+  }
+
+  /** [[kAnonymityStream]] via transformWithState (see
+    * [[KAnonProcessor]]) — same sink contract, same delta algebra.
+    */
+  def kAnonymityStreamTws(
+      qi: Dataset[QiIn],
+      sink: Seq[AnonDelta] => Unit,
+      checkpointDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import qi.sparkSession.implicits._
+    qi.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val deltas = qi.groupByKey(q => (q.lang, q.source, q.len_bucket))
+      .transformWithState(new KAnonProcessor,
+        TimeMode.None(), OutputMode.Update())
+    val writer = deltas.writeStream.outputMode("update")
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    writer
+      .foreachBatch { (batch: Dataset[QiBandDelta], id: Long) =>
+        val rows = batch.groupBy("source")
+          .agg(sum("d_k1"), sum("d_k2_4"), sum("d_k5"), sum("d_at_risk"))
+          .collect()
+          .map(r => AnonDelta(id, r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4)))
+          .sortBy(_.source).toSeq
+        sink(rows)
+      }
+      .start()
+  }
+
   /** Streaming SCD2 maintenance — j78's twin: dimension-change rows
     * arrive as a stream (CDC shape) and each key's current version lives
     * in keyed state; a status change EMITS the closed

@@ -1965,6 +1965,35 @@ class StreamingSpec extends AnyFunSuite {
       s"statestore min-k diverges from the batch audit:\n$live\nvs\n$minK")
   }
 
+  test("k-anonymity monitor TWS port folds to batch j86 identically") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the dual-API differential: the transformWithState port (RocksDB
+    // provider, ValueState[Long] per QI group) must fold to the same
+    // batch j86 band counts the MGWS form does
+    val qi = graft.queries.LlmOps.qiTuples(Tables.documents(spark, d))
+      .as[(String, String, Long)].collect()
+      .map(t => QiIn(t._1, t._2, t._3)).toSeq
+    val in = MemoryStream[QiIn]
+    val deltas = scala.collection.mutable.Buffer.empty[Seq[AnonDelta]]
+    val q = StreamOps.kAnonymityStreamTws(in.toDS(), deltas += _)
+    qi.grouped((qi.size + 1) / 2).foreach { b =>
+      in.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val folded = deltas.filter(_.nonEmpty)
+      .map(s => s.head.batch_id -> s).toMap.values.flatten.toSeq
+      .groupBy(_.source).view.mapValues { ds =>
+        (ds.map(_.groups_k1).sum, ds.map(_.groups_k2_4).sum,
+          ds.map(_.groups_k5).sum, ds.map(_.docs_at_risk).sum)
+      }.toMap
+    val batch = SparkEntry.queries("j86_k_anonymity")(spark, d)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(folded == batch,
+      s"TWS monitor deltas diverge from batch j86:\n$folded\nvs\n$batch")
+  }
+
   test("DSv2 streaming read delivers the batch table exactly, in batchRows chunks") {
     import spark.implicits._
     // one TableProvider, two execution modes: the micro-batch stream over
