@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DotProduct, MinHashSignature, SquaredDistance}
+import graft.functions.{BloomMightContain, DotProduct, MinHashSignature, SquaredDistance}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -35,5 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_d2"),
       new ExpressionInfo(classOf[SquaredDistance].getName, "graft_d2"),
       (exprs: Seq[Expression]) => SquaredDistance(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_maybe"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "graft_bloom_maybe"),
+      (exprs: Seq[Expression]) =>
+        BloomMightContain(exprs.head, exprs(1), exprs(2))))
   }
 }

@@ -198,6 +198,96 @@ object Joins {
                      CAST(SUM(CAST(round(l_extendedprice*(1-l_discount)*100)
                        AS BIGINT)) AS BIGINT) AS rev_cents
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Binned range join (round 14): a pure time-range join with NO equi key —
+    // per order, the global shipment activity (count + quantity of ALL
+    // lineitems, any order) in the 7 days from its order date. Written
+    // naively ("l_shipdate BETWEEN o_orderdate AND +7d") Spark can only plan
+    // a BroadcastNestedLoopJoin — O(n·m) predicate evaluations, the classic
+    // 100 TB scale-killer (c8 is the sanctioned tiny-side demo of that
+    // plan). The standard rewrite makes it an EQUI join: quantize both sides
+    // to 7-day bins, explode each order to the ≤2 bins its window can touch
+    // (window length = bin width ⇒ never more), equi-join on the bin, then
+    // apply the exact interval predicate as a residual filter. Each lineitem
+    // has exactly ONE bin, so no match can duplicate. Cost falls from n·m to
+    // shuffle(n+m on bin) + Σ per-bin products — linear in matches, and the
+    // bin key is as uniform as the date distribution. The oracle is the
+    // NAIVE range join (DuckDB plans it as an IEJoin), so the hash match
+    // proves the rewrite exact, bins included. Both engines compare naive
+    // TIMESTAMP values day-quantized via an integer day index (UTC session,
+    // wall-clock dates identical by [E10]).
+    Q("c10_join_range_binned",
+      (s, d) => {
+        val W = 7 // bin width = window length, right-open [o_day, o_day + 7)
+        val epoch = lit("1995-01-01").cast("date")
+        val o = Tables.orders(s, d).select(
+          col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), epoch).as("o_day"))
+        val l = Tables.lineitem(s, d).select(
+          datediff(col("l_shipdate").cast("date"), epoch).as("l_day"),
+          col("l_quantity"))
+        val oBins = o.withColumn("bin",
+          explode(sequence(floor(col("o_day") / W),
+            floor((col("o_day") + (W - 1)) / W))))
+        val lBins = l.withColumn("bin", floor(col("l_day") / W))
+        oBins.join(lBins, Seq("bin"))
+          .where(col("l_day") >= col("o_day") &&
+            col("l_day") < col("o_day") + W)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_ship"),
+            round(sum("l_quantity"), 1).as("ship_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, COUNT(*) AS n_ship,
+                     round(SUM(l_quantity), 1) AS ship_qty
+              FROM orders JOIN lineitem
+                ON l_shipdate >= o_orderdate
+               AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+              GROUP BY o_orderkey ORDER BY o_orderkey""")),
+
+    // Bloom semi-join reduction (round 14): the explicit runtime-filter
+    // pattern. A semi-join of a 100 TB fact table against a mid-query
+    // FILTERED dimension (high-value orders) normally shuffles EVERY fact
+    // row to the join — including the ~96% that can't match. Build a Bloom
+    // filter over the dim keys instead (mergeable Aggregator: fixed 16 KiB
+    // per partition OR-merged, driver state bounded by construction — the
+    // IVF-codebook exception), ship it back as a BinaryType literal inside
+    // the codegen'd `graft_bloom_maybe` probe, and the fact scan drops
+    // non-candidates BEFORE the exchange: shuffle volume falls from |fact|
+    // to |matches| + the FP trickle. No false negatives is the Bloom law
+    // (spec-pinned), so the exact semi-join after the prefilter returns
+    // precisely the unfiltered result — which is what the oracle's plain
+    // EXISTS checks. Spark's AQE does this automatically where it can
+    // (InjectRuntimeFilter); the explicit form covers mid-query dims and
+    // streaming-static prefilters AQE can't see.
+    Q("c11_join_bloom_reduced",
+      (s, d) => {
+        import s.implicits._
+        graft.functions.BloomMightContain.register(s)
+        val hot = Tables.orders(s, d)
+          .filter(col("o_totalprice") > 480000.0)
+          .select(col("o_orderkey"))
+        val bits: Array[Byte] = hot.as[Long]
+          .select(new graft.functions.BloomAggregator[Long](identity)
+            .toColumn).head()
+        Tables.lineitem(s, d)
+          .where(call_function("graft_bloom_maybe",
+            col("l_orderkey"), lit(bits),
+            lit(graft.functions.Bloom.DefaultHashes)))
+          .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(Q.cents(col("l_extendedprice"))).as("price_cents"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, COUNT(*) AS n_lines,
+                     CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT))
+                       AS BIGINT) AS price_cents
+              FROM lineitem
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_orderkey = l_orderkey
+                              AND o_totalprice > 480000.0)
+              GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -115,6 +115,32 @@ object RelationalCore {
                      CAST(SUM(n_chars) AS BIGINT) AS chars_total
               FROM t GROUP BY source ORDER BY source""")),
 
+    // The third DSv2 pushdown surface (round 14): AGGREGATE pushdown.
+    // count/min/max/sum over the generator's row index have closed forms on
+    // the (filter-narrowed) interval, so the source answers this query from
+    // arithmetic — zero rows generated, zero rows aggregated, O(1) in the
+    // configured row count (here 100M rows, which a generate-then-aggregate
+    // plan would take seconds over and the pushed plan answers instantly;
+    // PlanSpec pins the executed plan carries NO HashAggregate and the scan
+    // advertises the pushed functions). supportCompletePushDown means Spark
+    // drops its own Aggregate node entirely; the oracle recomputes all four
+    // closed forms from a real generate_series aggregation, so the
+    // arithmetic (incl. the Gauss sum and the filter∘aggregate composition
+    // order) is hash-checked, not trusted.
+    Q("a6_agg_pushdown",
+      (s, _) => s.read.format("graft-docgen")
+        .option("rows", "100000000").option("partitions", "8").load()
+        .where(col("doc_id") >= 12345 && col("doc_id") < 90000000)
+        .agg(count(col("doc_id")).as("n_rows"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          sum(col("doc_id")).as("sum_id")),
+      Some("""SELECT count(*) AS n_rows,
+                     CAST(min(i) AS BIGINT) AS min_id,
+                     CAST(max(i) AS BIGINT) AS max_id,
+                     CAST(sum(i) AS BIGINT) AS sum_id
+              FROM generate_series(12345, 89999999) s(i)""")),
+
     // ---- B. projection / filter / predicates ------------------------------
     Q("b1_filter_pred",
       (s, d) => Tables.lineitem(s, d)

@@ -7,8 +7,9 @@ import scala.collection.JavaConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -105,11 +106,13 @@ final class DocGenTable(rows: Long, parts: Int, batchRows: Long)
 final class DocGenScanBuilder(rows: Long, parts: Int, batchRows: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = DocGen.Schema
+  private var pushedAgg: Option[Aggregation] = None
 
   private def long(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
@@ -154,9 +157,131 @@ final class DocGenScanBuilder(rows: Long, parts: Int, batchRows: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new DocGenScan(math.max(lo, 0L), math.max(hi, math.max(lo, 0L)), parts,
-      required, accepted.map(_.toString).sorted, batchRows)
+  /** Aggregate pushdown — the third pushdown surface, and the one that
+    * changes the COST CLASS: `count/min/max/sum` over the row index have
+    * closed forms on a [lo,hi) interval, so an accepted aggregation makes
+    * the scan O(1) — zero rows generated, zero rows shuffled — regardless
+    * of the configured row count. Composition with filter pushdown is
+    * exactly why this is sound: `pushFilters` has ALREADY narrowed
+    * [lo,hi), so the closed forms aggregate precisely the rows a plain
+    * scan would have produced. Only the index column qualifies (the
+    * LCG-derived columns have no closed-form aggregates — a request
+    * touching them is declined and Spark aggregates normally, which the
+    * contract makes always-correct). Grouped aggregations are declined
+    * for the same reason. `supportCompletePushDown` answers true for the
+    * same set, so Spark drops its own Aggregate node entirely — the a6
+    * oracle then hash-checks the closed forms against a real
+    * `generate_series` aggregation.
+    */
+  private def aggSupported(agg: Aggregation): Boolean = {
+    def isDocId(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case nr: NamedReference => nr.fieldNames.sameElements(Array("doc_id"))
+        case _ => false
+      }
+    def isNonNullLiteral(
+        e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case lv: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          lv.value != null
+        case _ => false
+      }
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      // doc_id is the (unique, non-null) row index, so DISTINCT is a no-op
+      // and count(doc_id) = count(*); count(<non-null literal>) (Spark's
+      // count(1) form) also counts every row
+      case c: Count =>
+        isDocId(c.column) || (!c.isDistinct && isNonNullLiteral(c.column))
+      case m: Min => isDocId(m.column)
+      case m: Max => isDocId(m.column)
+      case s: Sum => isDocId(s.column)
+      case _ => false
+    }
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    aggSupported(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    // accepting here is also sound under Spark's PARTIAL-pushdown fallback
+    // (final count = SUM of returned counts, min of mins, …): every
+    // accepted function is decomposable and the scan returns one exact row
+    val ok = aggSupported(agg)
+    if (ok) pushedAgg = Some(agg)
+    ok
+  }
+
+  override def build(): Scan = {
+    val boundedLo = math.max(lo, 0L)
+    val boundedHi = math.max(hi, boundedLo)
+    pushedAgg match {
+      case Some(agg) =>
+        new DocGenAggScan(boundedLo, boundedHi, agg.aggregateExpressions,
+          accepted.map(_.toString).sorted)
+      case None =>
+        new DocGenScan(boundedLo, boundedHi, parts,
+          required, accepted.map(_.toString).sorted, batchRows)
+    }
+  }
+}
+
+/** The O(1) scan a pushed aggregation builds: one partition, one row, every
+  * value a closed form over the (filter-narrowed) index interval [lo,hi).
+  * Empty interval ⇒ count 0 and NULL min/max/sum — the global-aggregate
+  * convention both engines share. The sum uses the Gauss closed form in
+  * BigInt and truncates to Long, which reproduces Spark's (non-ANSI)
+  * wrap-around addition bit-for-bit if a range ever exceeds 2⁶³.
+  */
+final class DocGenAggScan(lo: Long, hi: Long, funcs: Array[AggregateFunc],
+    pushedDesc: Array[String]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(funcs.map {
+      case f: CountStar => StructField(f.toString, LongType, nullable = false)
+      case f: Count => StructField(f.toString, LongType, nullable = false)
+      case f => StructField(f.toString, LongType, nullable = true)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-docgen-agg range=[$lo,$hi) " +
+      s"PushedAggregates: [${funcs.map(_.toString).mkString(", ")}] " +
+      s"PushedFilters: [${pushedDesc.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(DocGenInputPartition(0L, 1L))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (l, h) = (lo, hi)
+    val kinds: Array[Int] = funcs.map {
+      case _: CountStar | _: Count => 0
+      case _: Min => 1
+      case _: Max => 2
+      case _: Sum => 3
+    }
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition)
+          : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val r = !emitted; emitted = true; r }
+        override def get(): InternalRow = {
+          val empty = h <= l
+          val values: Array[Any] = kinds.map {
+            case 0 => (h - l): java.lang.Long
+            case 1 => if (empty) null else (l: java.lang.Long)
+            case 2 => if (empty) null else ((h - 1): java.lang.Long)
+            case 3 =>
+              if (empty) null
+              else {
+                val s = (BigInt(l) + BigInt(h - 1)) * BigInt(h - l) / 2
+                (s.toLong: java.lang.Long)
+              }
+          }
+          new GenericInternalRow(values)
+        }
+        override def close(): Unit = ()
+      }
+    }
+  }
 }
 
 final class DocGenScan(lo: Long, hi: Long, parts: Int,

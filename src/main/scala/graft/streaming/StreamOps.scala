@@ -1245,6 +1245,37 @@ object StreamOps {
     * aggregation runs DISTRIBUTED; only the ≤ sources×7-row verdict
     * table reaches the driver.
     */
+  /** Streaming bloom semi-join reduction — c11's twin and the explicit
+    * runtime filter for the stream-static path AQE never sees: the static
+    * dimension's (possibly mid-query-filtered) key set folds ONCE into a
+    * fixed 16 KiB bloom at query build (driver-bounded by construction),
+    * ships inside the codegen'd `graft_bloom_maybe` probe, and drops
+    * non-candidate fact rows INSIDE each micro-batch before the
+    * stream-static semi join re-checks exactly. Per-batch join work falls
+    * from |batch| dim lookups to |candidates|; the bloom law (no false
+    * negatives) keeps the result provably equal to the unfiltered
+    * stream-static semi join, which is what the spec differentials pin.
+    * On a real cluster the dim side of the semi join is a broadcast, so
+    * the probe saves the per-row hash-lookup work and — for a shuffled
+    * dim — the exchange volume, exactly like batch c11.
+    */
+  def bloomSemiReducedStream(facts: DataFrame, keyCol: String,
+      dimKeys: DataFrame): DataFrame = {
+    val s = dimKeys.sparkSession
+    import s.implicits._
+    val dimCol = dimKeys.columns.head
+    val bits: Array[Byte] = dimKeys
+      .select(col(dimCol).cast("long")).as[Long]
+      .select(new graft.functions.BloomAggregator[Long](identity).toColumn)
+      .head()
+    graft.functions.BloomMightContain.register(facts.sparkSession)
+    facts
+      .where(call_function("graft_bloom_maybe", col(keyCol), lit(bits),
+        lit(graft.functions.Bloom.DefaultHashes)))
+      .join(dimKeys.select(col(dimCol).as("__dim_key")),
+        col(keyCol) === col("__dim_key"), "left_semi")
+  }
+
   def qualityGateStream(
       docs: DataFrame,
       sink: Seq[FunnelDelta] => Unit,

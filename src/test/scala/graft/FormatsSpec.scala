@@ -27,6 +27,57 @@ class FormatsSpec extends AnyFunSuite {
     assert(week.count() == expected)
   }
 
+  test("rowsink V2 write commits once, checksum partition-invariant") {
+    import graft.sources.RowSinkRegistry
+    val t = "fs-happy"
+    RowSinkRegistry.clear(t)
+    val df = Tables.events(spark, d)
+      .select("event_id", "user_id", "event_type", "value")
+    df.write.format("graft-rowsink").option("target", t)
+      .mode("append").save()
+    val first = RowSinkRegistry.get(t).get
+    assert(first.rows == df.count(), s"committed ${first.rows} rows")
+    // the same data written through a different partitioning must commit
+    // the identical checksum — the XOR aggregate is order/partition-free,
+    // which is what makes it meaningful under speculation and retries
+    RowSinkRegistry.clear(t)
+    df.repartition(7).write.format("graft-rowsink").option("target", t)
+      .mode("append").save()
+    val second = RowSinkRegistry.get(t).get
+    assert(second == first,
+      s"repartitioned write committed differently: $second vs $first")
+    assert(RowSinkRegistry.abortCount(t) == 0)
+  }
+
+  test("rowsink commit protocol: duplicate attempt never double-counts") {
+    import graft.sources.{RowSinkBatchWrite, RowSinkTaskResult, RowSinkRegistry, RowSinkWriterFactory}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("k", LongType)))
+    val rows = (1L to 100L).map(v => InternalRow(v))
+    val factory = new RowSinkWriterFactory(schema)
+    // the attempt race: two writers for the SAME partition (speculation /
+    // retry); both run to completion, but the engine delivers only ONE
+    // commit message to the driver — that asymmetry, not anything the
+    // writers do, is what makes the write exactly-once
+    val attempt0 = factory.createWriter(0, taskId = 1L)
+    val attempt1 = factory.createWriter(0, taskId = 2L)
+    rows.foreach(attempt0.write); rows.foreach(attempt1.write)
+    val winner = attempt0.commit().asInstanceOf[RowSinkTaskResult]
+    attempt1.abort() // loser attempt: nothing external to undo
+    val t = "fs-race"
+    RowSinkRegistry.clear(t)
+    new RowSinkBatchWrite(t, schema).commit(Array(winner))
+    val got = RowSinkRegistry.get(t).get
+    assert(got.rows == 100L, s"duplicate attempt double-counted: $got")
+    // job-level abort publishes NOTHING (atomicity) and is observable
+    val t2 = "fs-abort"
+    RowSinkRegistry.clear(t2)
+    new RowSinkBatchWrite(t2, schema).abort(Array(winner))
+    assert(RowSinkRegistry.get(t2).isEmpty &&
+      RowSinkRegistry.abortCount(t2) == 1L)
+  }
+
   test("binaryFile ingests raw blobs with glob pruning into the media pipeline") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-bin")

@@ -1029,6 +1029,47 @@ class PlanSpec extends AnyFunSuite {
       s"expected 8 input partitions, got ${raw.rdd.getNumPartitions}")
   }
 
+  test("a6 aggregate pushdown: no HashAggregate, closed forms in the scan") {
+    val plan = staticPlan("a6_agg_pushdown")
+    // complete pushdown means Spark's own Aggregate node is GONE — the
+    // scan answers count/min/max/sum from interval arithmetic
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"aggregate was not completely pushed:\n$plan")
+    assert(plan.contains("PushedAggregates: [COUNT"),
+      s"scan does not advertise the pushed aggregation:\n$plan")
+    // filter∘aggregate composition: the closed forms run over the range the
+    // pushed doc_id bounds narrowed, not the configured total
+    assert(plan.contains("range=[12345,90000000)"),
+      s"aggregation did not compose with the pushed filter range:\n$plan")
+  }
+
+  test("c10 binned range join plans as an equi-join, not a nested loop") {
+    val plan = staticPlan("c10_join_range_binned")
+    // the whole point of the bin rewrite: the O(n·m) plan shapes must be
+    // absent, the join must key on the bin
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to BNL:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"range join degenerated to a cross product:\n$plan")
+    val gens = plan.split("\n").count(_.contains("Generate explode"))
+    assert(gens == 1, s"expected exactly one explode (orders→bins), " +
+      s"got $gens:\n$plan")
+  }
+
+  test("c11 bloom probe sits on the fact side below the semi join") {
+    val plan = staticPlan("c11_join_bloom_reduced")
+    // the probe expression must appear as a Filter in the lineitem branch
+    // — that's the shuffle-volume reduction the pattern exists for
+    assert(plan.contains("graft_bloom_maybe"),
+      s"bloom prefilter missing from the physical plan:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"exact semi join missing (the FP-removal stage):\n$plan")
+    val probeLine = plan.split("\n").find(_.contains("graft_bloom_maybe"))
+      .getOrElse("")
+    assert(probeLine.contains("Filter"),
+      s"probe not planned as a Filter:\n$probeLine")
+  }
+
   test("a5 catalog SQL pushes the same bounds as the DataFrame path") {
     // the TableCatalog route resolves to the same ScanBuilder, so SQL text
     // over graft.docgen_* must show the identical narrowed range — and the

@@ -2393,6 +2393,207 @@ class QueriesSpec extends AnyFunSuite {
       48L + (xi / 20) % 500L, 100000L + (xi / 10007L) % 900000L))
   }
 
+  test("a6 aggregate pushdown closed forms equal a real aggregation") {
+    import spark.implicits._
+    // the pushed plan (O(1) interval arithmetic) must agree with Spark
+    // aggregating an honest range — same bounds as the registered query
+    val pushed = SparkEntry.queries("a6_agg_pushdown")(spark, d)
+      .as[(Long, Long, Long, Long)].head()
+    val honest = spark.range(12345L, 90000000L)
+      .agg(count(col("id")), min(col("id")), max(col("id")), sum(col("id")))
+      .as[(Long, Long, Long, Long)].head()
+    assert(pushed == honest, s"closed forms diverge: $pushed vs $honest")
+    // count(1) / df.count() translates to CountStar or Count(literal) —
+    // both must reach the pushed path and agree
+    val viaCount = spark.read.format("graft-docgen")
+      .option("rows", "5000").load()
+      .filter(col("doc_id") >= 100 && col("doc_id") < 4600).count()
+    assert(viaCount == 4500L)
+    // empty narrowed range: count 0, NULL min/max/sum — the global-agg
+    // convention (and the h <= l branch of the closed forms)
+    val emptyAgg = spark.read.format("graft-docgen")
+      .option("rows", "100").load()
+      .filter(col("doc_id") >= 500)
+      .agg(count(col("doc_id")).as("n"), min(col("doc_id")).as("mn"),
+        max(col("doc_id")).as("mx"), sum(col("doc_id")).as("sm"))
+      .head()
+    assert(emptyAgg.getLong(0) == 0L && emptyAgg.isNullAt(1)
+      && emptyAgg.isNullAt(2) && emptyAgg.isNullAt(3),
+      s"empty-range aggregate wrong: $emptyAgg")
+    // a request the closed forms can't serve (an LCG column) is DECLINED,
+    // not mis-answered: Spark aggregates normally and the value matches
+    // the recipe replay
+    val gen = spark.read.format("graft-docgen").option("rows", "1000").load()
+    val declined = gen.agg(sum(col("n_chars"))).as[Long].head()
+    val replay = (0L until 1000L)
+      .map(i => 48L + (graft.sources.DocGen.x(i) / 20) % 500L).sum
+    assert(declined == replay, "sum(n_chars) went through the closed-form " +
+      "path (which has no closed form for LCG columns)")
+  }
+
+  test("c10 binned rewrite equals the naive range-predicate join") {
+    import spark.implicits._
+    // the differential the oracle also proves, but here against Spark's own
+    // nested-loop evaluation of the UNREWRITTEN predicate — any bin-boundary
+    // off-by-one (right-open window, ≤2-bin explode) shows up as a diff
+    val naive = Tables.orders(spark, d)
+      .join(Tables.lineitem(spark, d),
+        col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 7 DAY"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_ship"), round(sum("l_quantity"), 1)
+        .as("ship_qty"))
+      .orderBy("o_orderkey")
+      .as[(Long, Long, Double)].collect().toSeq
+    val binned = SparkEntry.queries("c10_join_range_binned")(spark, d)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(binned == naive,
+      s"binned rewrite diverges from the naive range join " +
+        s"(${binned.length} vs ${naive.length} rows)")
+  }
+
+  test("j87 deletion-neighborhood join equals brute force on planted typos") {
+    import spark.implicits._
+    // planted vocabulary exercising what the corpus can't: distance-1 pairs
+    // (substitution, insertion, deletion), a distance-2 chain, 1-char
+    // tokens (the empty-string variant bucket), and a far pair that must
+    // NOT match
+    val vocab = Seq(
+      ("hello", 10L), ("helo", 2L), ("hxllo", 1L), ("helloo", 3L),
+      ("spark", 7L), ("spork", 1L), ("sprk", 1L),
+      ("a", 100L), ("ab", 4L), ("xy", 5L),
+      ("window", 9L), ("totallydifferent", 1L))
+      .toDF("tok", "cnt")
+    def lev(s: String, t: String): Int = {
+      val dp = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      dp(s.length)(t.length)
+    }
+    val toks = vocab.as[(String, Long)].collect().toSeq
+    val brute = (for {
+      (a, ca) <- toks; (b, cb) <- toks if a < b
+      dist = lev(a, b) if dist <= 2
+    } yield (a, b, dist, ca, cb)).sortBy(p => (p._1, p._2))
+    val joined = graft.queries.LlmOps.typoCandidates(vocab)
+      .as[(String, String, Int, Long, Long)].collect().toSeq
+    assert(joined == brute,
+      s"SymSpell recall/precision failure:\n got $joined\nwant $brute")
+    // non-vacuity: the fixture must exercise both distances
+    assert(brute.exists(_._3 == 1) && brute.exists(_._3 == 2))
+  }
+
+  test("j88 capped typo index replays first-principles and bites") {
+    import spark.implicits._
+    def lev(s: String, t: String): Int = {
+      var prev = (0 to t.length).toArray
+      for (i <- 1 to s.length) {
+        val cur = new Array[Int](t.length + 1); cur(0) = i
+        for (j <- 1 to t.length)
+          cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+            prev(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+        prev = cur
+      }
+      prev(t.length)
+    }
+    def dels(tk: String): Set[String] = {
+      val d1 = (0 until tk.length).map(i => tk.take(i) + tk.drop(i + 1)).toSet
+      Set(tk) ++ d1 ++
+        d1.flatMap(s => (0 until s.length).map(i => s.take(i) + s.drop(i + 1)))
+    }
+    val vocab = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(col("tok") =!= "").groupBy("tok")
+      .agg(count(lit(1)).as("cnt")).as[(String, Long)].collect().toMap
+    // first-principles replay of the CAPPED index (cap = 2, as registered)
+    val inv = scala.collection.mutable.Map.empty[String, Set[String]]
+      .withDefaultValue(Set.empty)
+    vocab.keys.foreach(t => dels(t).foreach(v => inv(v) = inv(v) + t))
+    val candidates: Set[(String, String)] = inv.values
+      .filter(_.size <= 2)
+      .flatMap { ts =>
+        val sorted = ts.toSeq.sorted
+        for (i <- sorted.indices; j <- (i + 1) until sorted.size)
+          yield (sorted(i), sorted(j))
+      }.toSet
+    val expected = candidates.toSeq
+      .filter(p => lev(p._1, p._2) <= 2).sorted
+      .map(p => (p._1, p._2, lev(p._1, p._2), vocab(p._1), vocab(p._2)))
+    val got = SparkEntry.queries("j88_typo_capped")(spark, d)
+      .as[(String, String, Int, Long, Long)].collect().toSeq
+    assert(got == expected, s"capped index replay diverged:\n$got\n$expected")
+    // the subset law vs the uncapped j87, and the cap must BITE here (the
+    // df-3 'at' bucket drops, and (fast, part) shares no other variant)
+    val uncapped = SparkEntry.queries("j87_typo_candidates")(spark, d)
+      .as[(String, String, Int, Long, Long)].collect().toSeq
+    assert(got.toSet.subsetOf(uncapped.toSet), "cap INVENTED a pair")
+    assert(got.size < uncapped.size,
+      "cap=2 no longer bites on this corpus — recalibrate the j88 comment")
+  }
+
+  test("c11 bloom: no false negatives, bounded FPs, order-invariant build") {
+    import spark.implicits._
+    import graft.functions.{Bloom, BloomAggregator}
+    val keys = (0L until 1000L).map(_ * 7919L) // spread keys
+    // build distributed with different partitionings — OR-merge must make
+    // the bit array identical regardless of split (task-retry safety)
+    def build(parts: Int, bits: Int): Array[Byte] =
+      keys.toDS().repartition(parts)
+        .select(new BloomAggregator[Long](identity, numBits = bits)
+          .toColumn).head()
+    val b1 = build(1, 1 << 14)
+    val b7 = build(7, 1 << 14)
+    assert(java.util.Arrays.equals(b1, b7),
+      "bloom bits differ across partitionings — merge is not order-free")
+    // THE bloom law: every inserted key passes (zero false negatives)
+    assert(keys.forall(Bloom.mightContain(b1, 5, _)),
+      "false negative — an inserted key failed the probe")
+    // disjoint keys: FP rate bounded at this sizing (expected ~0.1%)
+    val probe = (1L to 10000L).map(_ * 7919L + 3L)
+    val fp14 = probe.count(Bloom.mightContain(b1, 5, _))
+    assert(fp14 < 100, s"FP rate blew the 1% bound at m=2^14: $fp14/10000")
+    // at a deliberately undersized array the FPs must actually FIRE —
+    // proves the probe is a real filter, not a tautology
+    val tiny = build(3, 1 << 12)
+    val fp12 = probe.count(Bloom.mightContain(tiny, 5, _))
+    assert(fp12 > 0, "undersized bloom produced zero FPs on 10k probes")
+    // codegen'd probe ≡ the Scala reference arithmetic, row for row
+    graft.functions.BloomMightContain.register(spark)
+    val viaExpr = spark.range(0L, 20000L)
+      .where(call_function("graft_bloom_maybe", col("id"), lit(b1), lit(5)))
+      .as[Long].collect().toSet
+    val viaScala = (0L until 20000L).filter(Bloom.mightContain(b1, 5, _))
+      .toSet
+    assert(viaExpr == viaScala,
+      "generated probe diverges from the interpreted arithmetic")
+  }
+
+  test("c11 bloom prefilter keeps the result exact and actually reduces") {
+    import spark.implicits._
+    // exactness is the oracle's job; here pin the REDUCTION the pattern
+    // exists for: the prefiltered fact side is a small superset of the
+    // true matches (law: superset; sizing: under 2× here)
+    graft.functions.BloomMightContain.register(spark)
+    val hot = Tables.orders(spark, d).filter(col("o_totalprice") > 480000.0)
+      .select(col("o_orderkey"))
+    val bits = hot.as[Long]
+      .select(new graft.functions.BloomAggregator[Long](identity)
+        .toColumn).head()
+    val li = Tables.lineitem(spark, d)
+    val total = li.count()
+    val passed = li.where(call_function("graft_bloom_maybe",
+      col("l_orderkey"), lit(bits),
+      lit(graft.functions.Bloom.DefaultHashes))).count()
+    val exact = li.join(hot, col("l_orderkey") === col("o_orderkey"),
+      "left_semi").count()
+    assert(passed >= exact, "bloom dropped a true match (false negative)")
+    assert(passed <= exact * 2 && passed < total / 5,
+      s"prefilter not selective: $passed passed vs $exact exact of $total")
+  }
+
   test("a4 DSv2 boundary literals: MaxValue stays residual, EqualTo narrows") {
     import spark.implicits._
     def gen(n: String) = spark.read.format("graft-docgen")

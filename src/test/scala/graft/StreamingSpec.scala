@@ -1091,6 +1091,34 @@ class StreamingSpec extends AnyFunSuite {
       s"heap state not recovered: ${last.get(1L)}")
   }
 
+  test("bloom-reduced stream-static semi join matches the unreduced batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // "hot" dimension: a mid-query-filtered key set, like batch c11's
+    val dim = Tables.customer(spark, d)
+      .filter(col("c_acctbal") > 4000.0).select(col("c_custkey"))
+    val in = MemoryStream[Event]
+    val q = bloomSemiReducedStream(in.toDS().toDF(), "user_id", dim)
+      .writeStream.format("memory").queryName("bloomsemi")
+      .outputMode("append").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    // differential: the bloom-prefiltered stream must equal the plain
+    // batch semi join — no false negatives lost a row, the exact join
+    // removed every FP
+    val want = Tables.events(spark, d)
+      .join(dim, col("user_id") === col("c_custkey"), "left_semi")
+      .select("event_id").as[Long].collect().toSet
+    val got = spark.table("bloomsemi")
+      .select("event_id").as[Long].collect().toSet
+    assert(got == want,
+      s"bloom-reduced stream diverged: ${got.size} vs ${want.size} rows")
+    // non-vacuity: the dim filter must keep a strict subset, so the
+    // reduction has something to do
+    val total = Tables.events(spark, d).count()
+    assert(want.size < total && want.nonEmpty)
+  }
+
   test("stream-static enrichment join matches batch left join") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
