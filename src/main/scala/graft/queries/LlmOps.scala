@@ -6107,8 +6107,12 @@ object LlmOps {
             t.substr(i + lit(2), j - i - 1),
             t.substr(j + lit(2), bigL))))
         .otherwise(array().cast("array<string>"))))
-    val postedAll = vocab.select(t, col("cnt"),
-      explode(array_distinct(concat(array(t), d1, d2))).as("v"))
+    // the posting table IS the index: truncate its lineage once so the
+    // self-join (and the cap's groupBy) read the materialized index, not
+    // two re-executions of the tokenize→explode subtree (the diamond —
+    // PlanSpec pins the final plan reads documents zero times)
+    val postedAll = truncateLineage(vocab.select(t, col("cnt"),
+      explode(array_distinct(concat(array(t), d1, d2))).as("v")))
     // the df cap groups on the SAME variant key the self-join shuffles on
     // — no extra wide exchange, bucket contribution bounded at cap²
     val posted = dfCap match {

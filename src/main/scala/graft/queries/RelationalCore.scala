@@ -251,6 +251,49 @@ object RelationalCore {
                                   AND o.o_orderpriority = '5-LOW')
               ORDER BY c_custkey""")),
 
+    // Recursive CTE (round 14) — Spark 4's WITH RECURSIVE (UnionLoop):
+    // iterative transitive closure, the query shape graph traversals and
+    // BOM explosions need and the one the engine previously expressed only
+    // through driver-looped joins (ConnectedComponents). Hierarchy derived
+    // in SQL on both engines: parent(ck) = ck div 10 — a 10-ary referral
+    // tree over customer, roots ck < 10, provably terminating (parent < ck)
+    // at depth ≤ 4 here. Each recursion step is ONE keyed equi-join of the
+    // frontier against customer — at 100 TB that's depth × shuffle(join
+    // key), never a materialized closure. Per-depth rollup keeps the
+    // output scalar and deterministic. The only dialect split is integer
+    // division (Spark DIV, DuckDB //); the recursion structure is
+    // identical text.
+    Q("b6_recursive_cte",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        s.sql("""WITH RECURSIVE chain(custkey, root, depth) AS (
+                   SELECT c_custkey, c_custkey, 0 FROM customer
+                   WHERE c_custkey < 10
+                   UNION ALL
+                   SELECT c.c_custkey, ch.root, ch.depth + 1
+                   FROM customer c JOIN chain ch
+                     ON c.c_custkey DIV 10 = ch.custkey
+                   WHERE c.c_custkey >= 10
+                 )
+                 SELECT depth, COUNT(*) AS n_members,
+                        COUNT(DISTINCT root) AS n_roots,
+                        CAST(SUM(custkey) AS BIGINT) AS key_sum
+                 FROM chain GROUP BY depth ORDER BY depth""")
+      },
+      Some("""WITH RECURSIVE chain(custkey, root, depth) AS (
+                SELECT c_custkey, c_custkey, 0 FROM customer
+                WHERE c_custkey < 10
+                UNION ALL
+                SELECT c.c_custkey, ch.root, ch.depth + 1
+                FROM customer c JOIN chain ch
+                  ON c.c_custkey // 10 = ch.custkey
+                WHERE c.c_custkey >= 10
+              )
+              SELECT depth, COUNT(*) AS n_members,
+                     COUNT(DISTINCT root) AS n_roots,
+                     CAST(SUM(custkey) AS BIGINT) AS key_sum
+              FROM chain GROUP BY depth ORDER BY depth""")),
+
     // ---- F. sort / limit --------------------------------------------------
     // TakeOrderedAndProjectExec: per-partition top-K then merge on the
     // driver — no global sort materialization, which is exactly the plan

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -48,13 +49,15 @@ final class RowSinkTable(target: String, writeSchema: StructType)
   override def name(): String = s"graft-rowsink($target)"
   override def schema(): StructType = writeSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new RowSinkBatchWrite(target, info.schema())
+        override def toStreaming: StreamingWrite =
+          new RowSinkStreamingWrite(target, info.schema())
       }
     }
 }
@@ -83,6 +86,48 @@ final class RowSinkBatchWrite(target: String, schema: StructType)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     RowSinkRegistry.recordAbort(target)
+}
+
+/** The STREAMING half of the protocol: identical task-side choreography,
+  * but the driver commit is keyed by EPOCH (micro-batch id). Publishing is
+  * a keyed PUT, so a replayed epoch (crash between sink commit and
+  * checkpoint commit — the at-least-once window every streaming sink
+  * lives with) overwrites its own entry with identical content and the
+  * epoch fold stays exactly-once — the same batchId-keyed idempotency
+  * recipe as `StreamOps.idempotentBatchWrite`, here at the connector
+  * protocol layer.
+  */
+final class RowSinkStreamingWrite(target: String, schema: StructType)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new RowSinkStreamingWriterFactory(schema)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    var rows = 0L
+    var sum = 0L
+    messages.foreach { case RowSinkTaskResult(_, r, c) =>
+      rows += r; sum ^= c
+    }
+    RowSinkRegistry.publishEpoch(target, epochId, rows, sum)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    RowSinkRegistry.recordAbort(target)
+}
+
+/** Streaming writer factory — ships to executors, so it must be a
+  * self-contained serializable class (an anonymous factory would capture
+  * the non-serializable StreamingWrite). Task state is epoch-agnostic:
+  * the epoch key matters only at driver commit.
+  */
+final class RowSinkStreamingWriterFactory(schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new RowSinkWriterFactory(schema).createWriter(partitionId, taskId)
 }
 
 final class RowSinkWriterFactory(schema: StructType)
@@ -137,11 +182,37 @@ object RowSinkRegistry {
   def recordAbort(target: String): Unit =
     aborts.merge(target, 1L, (a, b) => a + b)
 
+  // epoch-keyed streaming commits: PUT semantics make replays idempotent
+  private val epochs =
+    new ConcurrentHashMap[(String, Long), Committed]()
+  def publishEpoch(target: String, epochId: Long, rows: Long,
+      checksum: Long): Unit =
+    epochs.put((target, epochId), Committed(rows, checksum))
+  /** The exactly-once fold a consumer reads: distinct epochs, summed. */
+  def epochTotal(target: String): Committed = {
+    var rows = 0L
+    var sum = 0L
+    epochs.forEach { (k, v) =>
+      if (k._1 == target) { rows += v.rows; sum ^= v.checksum }
+    }
+    Committed(rows, sum)
+  }
+  def epochCount(target: String): Int = {
+    var n = 0
+    epochs.forEach((k, _) => if (k._1 == target) n += 1)
+    n
+  }
+  def epochGet(target: String, epochId: Long): Option[Committed] =
+    Option(epochs.get((target, epochId)))
+
   def get(target: String): Option[Committed] =
     Option(committed.get(target))
   def abortCount(target: String): Long =
     Option(aborts.get(target)).map(_.longValue).getOrElse(0L)
   def clear(target: String): Unit = {
     committed.remove(target); aborts.remove(target)
+    val stale = new java.util.ArrayList[(String, Long)]()
+    epochs.forEach((k, _) => if (k._1 == target) stale.add(k))
+    stale.forEach(epochs.remove(_))
   }
 }

@@ -1056,6 +1056,18 @@ class PlanSpec extends AnyFunSuite {
       s"got $gens:\n$plan")
   }
 
+  test("j87/j88 typo joins read documents zero times (index truncated)") {
+    // the posting table is lineage-truncated once — the self-join and the
+    // j88 cap groupBy must consume the materialized index, never re-run
+    // the tokenize→explode subtree (which would scan documents twice)
+    Seq("j87_typo_candidates", "j88_typo_capped").foreach { q =>
+      val plan = staticPlan(q)
+      val scans = "documents\\.parquet".r.findAllIn(plan).length
+      assert(scans == 0,
+        s"$q: expected the truncated index, got $scans documents scans")
+    }
+  }
+
   test("c11 bloom probe sits on the fact side below the semi join") {
     val plan = staticPlan("c11_join_bloom_reduced")
     // the probe expression must appear as a Filter in the lineitem branch

@@ -1091,6 +1091,43 @@ class StreamingSpec extends AnyFunSuite {
       s"heap state not recovered: ${last.get(1L)}")
   }
 
+  test("rowsink streaming write commits per epoch, replay-idempotent") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.sources.RowSinkRegistry
+    val t = "ss-epochs"
+    RowSinkRegistry.clear(t)
+    val in = MemoryStream[Event]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-rowsink-ckpt").toString
+    val q = in.toDS().select(col("event_id"), col("user_id"))
+      .writeStream.format("graft-rowsink").option("target", t)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val fed = chunks.take(3)
+    fed.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    // one epoch-keyed entry per non-empty micro-batch; the fold over
+    // DISTINCT epochs equals everything fed — the exactly-once read
+    val total = RowSinkRegistry.epochTotal(t)
+    assert(total.rows == fed.map(_.size).sum,
+      s"epoch fold lost rows: ${total.rows} vs ${fed.map(_.size).sum}")
+    assert(RowSinkRegistry.epochCount(t) >= fed.size)
+    // replay-idempotence at the protocol seam: re-committing an epoch
+    // (the crash-between-sink-and-checkpoint window) must leave the fold
+    // unchanged, because publishing is a keyed PUT, not an append
+    val someEpoch = (0 until RowSinkRegistry.epochCount(t))
+      .flatMap(e => RowSinkRegistry.epochGet(t, e.toLong).map(e.toLong -> _))
+      .head
+    new graft.sources.RowSinkStreamingWrite(t,
+      org.apache.spark.sql.types.StructType(Nil))
+      .commit(someEpoch._1, Array(
+        graft.sources.RowSinkTaskResult(0, someEpoch._2.rows,
+          someEpoch._2.checksum)))
+    assert(RowSinkRegistry.epochTotal(t) == total,
+      "an epoch replay changed the fold — the sink is not idempotent")
+  }
+
   test("bloom-reduced stream-static semi join matches the unreduced batch") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -184,7 +184,51 @@ def main() -> int:
     print(f"[pyspark-smoke] {a4}: py4j rows={len(via_jvma4)} "
           f"native-pyspark rows={len(via_pya4)} "
           f"{'MATCH' if a4_ok else 'MISMATCH'}")
-    n_total = len(names) + 4
+    # Round-14 SQL surface from Python: Spark 4's recursive CTE — the
+    # Spark-dialect text (DIV) through the Python session's spark.sql vs
+    # the catalog entry through py4j.
+    b6 = "b6_recursive_cte"
+    jdfb6 = queries.apply(b6).apply(spark._jsparkSession, sf_dir)
+    via_jvmb6 = sorted(map(tuple, DataFrame(jdfb6, spark).collect()))
+    via_pyb6 = sorted(map(tuple, spark.sql("""
+        WITH RECURSIVE chain(custkey, root, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer
+          WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, ch.root, ch.depth + 1
+          FROM customer c JOIN chain ch ON c.c_custkey DIV 10 = ch.custkey
+          WHERE c.c_custkey >= 10
+        )
+        SELECT depth, COUNT(*) AS n_members,
+               COUNT(DISTINCT root) AS n_roots,
+               CAST(SUM(custkey) AS BIGINT) AS key_sum
+        FROM chain GROUP BY depth ORDER BY depth""").collect()))
+    b6_ok = via_jvmb6 == via_pyb6 and len(via_jvmb6) > 0
+    failures += 0 if b6_ok else 1
+    print(f"[pyspark-smoke] {b6}: py4j rows={len(via_jvmb6)} "
+          f"python-sql rows={len(via_pyb6)} "
+          f"{'MATCH' if b6_ok else 'MISMATCH'}")
+    # Round-14 aggregate pushdown from Python: the closed-form scan serves
+    # the native pyspark aggregation too (the pushdown negotiation happens
+    # in the JVM source, client language irrelevant).
+    a6 = "a6_agg_pushdown"
+    jdfa6 = queries.apply(a6).apply(spark._jsparkSession, sf_dir)
+    via_jvma6 = sorted(map(tuple, DataFrame(jdfa6, spark).collect()))
+    nativea6 = (spark.read.format("graft-docgen")
+                .option("rows", "100000000").option("partitions", "8").load()
+                .filter((F.col("doc_id") >= 12345) &
+                        (F.col("doc_id") < 90000000))
+                .agg(F.count(F.col("doc_id")).alias("n_rows"),
+                     F.min(F.col("doc_id")).alias("min_id"),
+                     F.max(F.col("doc_id")).alias("max_id"),
+                     F.sum(F.col("doc_id")).alias("sum_id")))
+    via_pya6 = sorted(map(tuple, nativea6.collect()))
+    a6_ok = via_jvma6 == via_pya6 and len(via_jvma6) == 1
+    failures += 0 if a6_ok else 1
+    print(f"[pyspark-smoke] {a6}: py4j rows={len(via_jvma6)} "
+          f"native-pyspark rows={len(via_pya6)} "
+          f"{'MATCH' if a6_ok else 'MISMATCH'}")
+    n_total = len(names) + 6
     spark.stop()
     print(f"[pyspark-smoke] {n_total - failures}/{n_total} matched")
     return 1 if failures else 0
