@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_bloom_maybe"),
       (exprs: Seq[Expression]) =>
         BloomMightContain(exprs.head, exprs(1), exprs(2))))
+    // optimizer extension: equi-keyless bounded range joins rewrite to bin
+    // equi-joins (c10's rewrite, automatic; spark.graft.binnedRangeJoin
+    // kill switch)
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRule)
   }
 }

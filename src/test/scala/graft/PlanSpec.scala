@@ -1068,6 +1068,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("binned-range-join rule turns a naive window join into an equi-join") {
+    import org.apache.spark.sql.functions._
+    def naivePlan(): String = {
+      val epoch = lit("1995-01-01").cast("date")
+      val o = Tables.orders(spark, d).select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), epoch).as("o_day"))
+      val l = Tables.lineitem(spark, d).select(
+        datediff(col("l_shipdate").cast("date"), epoch).as("l_day"))
+      o.join(l, col("l_day") >= col("o_day") &&
+          col("l_day") < col("o_day") + 7)
+        .queryExecution.executedPlan.toString
+    }
+    val rewritten = naivePlan()
+    assert(rewritten.contains("__graft_bin"),
+      s"rule did not fire on the naive window join:\n$rewritten")
+    assert(!rewritten.contains("BroadcastNestedLoopJoin") &&
+      !rewritten.contains("CartesianProduct"),
+      s"rewritten join still plans as a nested loop:\n$rewritten")
+    // kill switch restores the (sanctioned-for-tiny-sides) BNL plan
+    spark.conf.set("spark.graft.binnedRangeJoin", "false")
+    val off = try naivePlan()
+    finally spark.conf.unset("spark.graft.binnedRangeJoin")
+    assert(!off.contains("__graft_bin") &&
+      off.contains("BroadcastNestedLoopJoin"),
+      s"kill switch did not restore the naive plan:\n$off")
+  }
+
   test("c11 bloom probe sits on the fact side below the semi join") {
     val plan = staticPlan("c11_join_bloom_reduced")
     // the probe expression must appear as a Filter in the lineitem branch

@@ -2486,6 +2486,32 @@ class QueriesSpec extends AnyFunSuite {
     assert(brute.exists(_._3 == 1) && brute.exists(_._3 == 2))
   }
 
+  test("binned-range-join rule is semantics-preserving (A/B via conf)") {
+    import spark.implicits._
+    // a USER-written naive window join on integral day indexes — exactly
+    // the shape the rule targets (c10's manual rewrite, unwritten)
+    def naive() = {
+      val epoch = lit("1995-01-01").cast("date")
+      val o = Tables.orders(spark, d).select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast("date"), epoch).as("o_day"))
+      val l = Tables.lineitem(spark, d).select(
+        datediff(col("l_shipdate").cast("date"), epoch).as("l_day"))
+      o.join(l, col("l_day") >= col("o_day") &&
+          col("l_day") < col("o_day") + 7)
+        .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderkey")
+        .as[(Long, Long)].collect().toSeq
+    }
+    val withRule = naive()
+    spark.conf.set("spark.graft.binnedRangeJoin", "false")
+    val without = try naive()
+    finally spark.conf.unset("spark.graft.binnedRangeJoin")
+    assert(withRule == without,
+      s"rule changed the join result: ${withRule.length} vs " +
+        s"${without.length} rows")
+    assert(withRule.nonEmpty)
+  }
+
   test("j88 capped typo index replays first-principles and bites") {
     import spark.implicits._
     def lev(s: String, t: String): Int = {
