@@ -206,17 +206,29 @@ object Joins {
     // naively ("l_shipdate BETWEEN o_orderdate AND +7d") Spark can only plan
     // a BroadcastNestedLoopJoin — O(n·m) predicate evaluations, the classic
     // 100 TB scale-killer (c8 is the sanctioned tiny-side demo of that
-    // plan). The standard rewrite makes it an EQUI join: quantize both sides
-    // to 7-day bins, explode each order to the ≤2 bins its window can touch
-    // (window length = bin width ⇒ never more), equi-join on the bin, then
-    // apply the exact interval predicate as a residual filter. Each lineitem
-    // has exactly ONE bin, so no match can duplicate. Cost falls from n·m to
-    // shuffle(n+m on bin) + Σ per-bin products — linear in matches, and the
-    // bin key is as uniform as the date distribution. The oracle is the
-    // NAIVE range join (DuckDB plans it as an IEJoin), so the hash match
-    // proves the rewrite exact, bins included. Both engines compare naive
-    // TIMESTAMP values day-quantized via an integer day index (UTC session,
-    // wall-clock dates identical by [E10]).
+    // plan). TWO rewrites compose here, and both are load-bearing:
+    //
+    //  1. EAGER AGGREGATION: the aggregate only reads (l_day, l_quantity),
+    //     and count/sum are decomposable — so lineitem collapses to ONE
+    //     partial row per day (≤ 2500 here) BEFORE the join. Without this
+    //     the join materializes every (order, lineitem) match — ~250M rows
+    //     at sf0.1, measured 56 s in the sweep; with it the join touches
+    //     orders × ≤7 day-partials (~1M) and the same query runs in ~2 s.
+    //     At 100 TB this is THE difference: join volume is bounded by
+    //     |orders|·window, independent of lineitem count.
+    //  2. BIN EQUI-JOIN (what BinnedRangeJoinRule automates for the raw
+    //     shape): quantize to 7-day bins, explode each order to the ≤2 bins
+    //     its window can touch (window length = bin width ⇒ never more),
+    //     equi-join on the bin, exact interval predicate as residual. Each
+    //     day-partial has exactly ONE bin, so no match can duplicate.
+    //
+    // Final per-order totals are sums of per-day partials: count = Σ day
+    // counts (exact integers), quantity = Σ day sums (integer-valued
+    // doubles, ≤7 addends — order-insensitive, SURVEY §5.3). The oracle is
+    // the NAIVE range join (DuckDB plans it as an IEJoin), so the hash
+    // match proves BOTH rewrites exact, bins and partials included. Both
+    // engines compare naive TIMESTAMP values day-quantized via an integer
+    // day index (UTC session, wall-clock dates identical by [E10]).
     Q("c10_join_range_binned",
       (s, d) => {
         val W = 7 // bin width = window length, right-open [o_day, o_day + 7)
@@ -224,19 +236,21 @@ object Joins {
         val o = Tables.orders(s, d).select(
           col("o_orderkey"),
           datediff(col("o_orderdate").cast("date"), epoch).as("o_day"))
-        val l = Tables.lineitem(s, d).select(
-          datediff(col("l_shipdate").cast("date"), epoch).as("l_day"),
-          col("l_quantity"))
+        val lByDay = Tables.lineitem(s, d)
+          .select(datediff(col("l_shipdate").cast("date"), epoch)
+            .as("l_day"), col("l_quantity"))
+          .groupBy("l_day")
+          .agg(count(lit(1)).as("day_n"), sum("l_quantity").as("day_qty"))
         val oBins = o.withColumn("bin",
           explode(sequence(floor(col("o_day") / W),
             floor((col("o_day") + (W - 1)) / W))))
-        val lBins = l.withColumn("bin", floor(col("l_day") / W))
+        val lBins = lByDay.withColumn("bin", floor(col("l_day") / W))
         oBins.join(lBins, Seq("bin"))
           .where(col("l_day") >= col("o_day") &&
             col("l_day") < col("o_day") + W)
           .groupBy("o_orderkey")
-          .agg(count(lit(1)).as("n_ship"),
-            round(sum("l_quantity"), 1).as("ship_qty"))
+          .agg(sum("day_n").as("n_ship"),
+            round(sum("day_qty"), 1).as("ship_qty"))
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, COUNT(*) AS n_ship,
