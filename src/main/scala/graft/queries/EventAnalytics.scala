@@ -1,22 +1,66 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import graft.Q.truncateLineage
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics workloads over the `events` table — the consumer-facing
   * queries a stateful event-analytics engine exists to serve (funnels,
-  * cohort retention). All are deterministic: stage/offset/user counts are
-  * integers, timestamps compare at exact microseconds, output carries a
-  * total order.
+  * cohort retention, time-series densification, EWMA smoothing, CEP
+  * pattern counting). All are deterministic: stage/offset/user counts are
+  * integers, timestamps compare at exact microseconds, money is integer
+  * cents, float folds are order-pinned, output carries a total order.
   *
-  * Scale notes: each query scans `events` exactly ONCE (PlanSpec-pinned).
-  * The funnel stage chain and the retention first-week derivation are
-  * window aggregates over a single user_id exchange — never a per-stage
-  * rejoin, which would re-scan the fact table per stage; anomaly stats are
-  * windows over the already-aggregated (tiny) daily table.
+  * Scale notes: each query scans `events` exactly ONCE (PlanSpec-pinned;
+  * n5's single scan lives inside its lineage-truncated per-minute
+  * aggregate). The funnel stage chain and the retention first-week
+  * derivation are window aggregates over a single user_id exchange — never
+  * a per-stage rejoin, which would re-scan the fact table per stage;
+  * anomaly stats are windows over the already-aggregated (tiny) daily
+  * table; n5's calendar is generated distributed and is calendar-sized,
+  * not corpus-sized; n6/n7 fold per-user series inside the row after one
+  * user_id exchange, and their StreamOps twins hold O(1) state per key.
   */
 object EventAnalytics {
+
+  /** Shared by n5 (locf) and n8 (linear interpolation): the DENSIFIED
+    * per-type minute series — every minute from each type's first to last
+    * active minute, with n/cents null on the gap rows. The one corpus-sized
+    * exchange is the per-minute aggregate, lineage-truncated because both
+    * the span derivation and the join reference it; the calendar is
+    * sequence()+explode per type row (distributed, calendar-sized).
+    */
+  private def denseMinutes(s: SparkSession, d: String): DataFrame = {
+    val per = truncateLineage(Tables.events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("n"),
+        sum(Q.cents(col("value"))).as("cents")))
+    val buckets = per.groupBy("event_type")
+      .agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 minute)")).as("m"))
+    buckets.join(per, Seq("event_type", "m"), "left")
+  }
+
+  /** The dense-series CTE both oracle queries share (n5/n8), verbatim. */
+  private val DenseSql =
+    """per AS (
+         SELECT event_type, date_trunc('minute', ts) AS m,
+                CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+         FROM events GROUP BY 1, 2),
+       buckets AS (
+         SELECT event_type,
+                unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS m
+         FROM (SELECT event_type, min(m) AS lo, max(m) AS hi
+               FROM per GROUP BY 1)),
+       dense AS (
+         SELECT b.event_type, b.m, n, cents
+         FROM buckets b LEFT JOIN per USING (event_type, m))"""
 
   val queries: Seq[Q] = Seq(
     // Ordered conversion funnel view → click → purchase: per user, the
@@ -203,6 +247,274 @@ object EventAnalytics {
               SELECT prev_type, event_type, n,
                      CAST(n * 10000 // sum(n) OVER (PARTITION BY prev_type)
                        AS BIGINT) AS share_bp
-              FROM pairs ORDER BY prev_type, event_type"""))
+              FROM pairs ORDER BY prev_type, event_type""")),
+
+    // Time-series densification — gap-fill + forward-fill, the operator a
+    // metrics store runs before any rate/derivative math (Timescale's
+    // time_bucket_gapfill, Flink's windowed fill): per event_type, the
+    // COMPLETE minute-bucket series from that type's first to last active
+    // minute, empty minutes materialized with n = 0 and the value carried
+    // forward from the last non-empty bucket (locf). Money is integer
+    // cents (Q.cents per row, then an exact integer sum), so the filled
+    // column is hashable. Scale shape: events is scanned ONCE into the
+    // per-minute aggregate (map-side combinable; the only corpus-sized
+    // exchange), which is lineage-truncated because both the spans and the
+    // join reference it — everything above is CALENDAR-sized (types ×
+    // minutes, 30 days ≈ 216k rows at every SF), independent of event
+    // count: at 100 TB the dense series costs exactly what it costs here.
+    // sequence()+explode generates buckets DISTRIBUTED per type row — no
+    // driver-side calendar, no range() cross join; the locf window
+    // partitions by type over the calendar table (minutes are unique within
+    // a type, so the frame is deterministic). The first bucket of each type
+    // is its own min, so ff_cents is never null.
+    Q("n5_gapfill_ffill",
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        denseMinutes(s, d)
+          .select(col("event_type"), col("m"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            last(col("cents"), ignoreNulls = true).over(w).as("ff_cents"))
+          .orderBy("event_type", "m")
+      },
+      Some(s"""WITH $DenseSql
+              SELECT event_type, m,
+                     CAST(coalesce(n, 0) AS BIGINT) AS n,
+                     last_value(cents IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY m
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS ff_cents
+              FROM dense
+              ORDER BY event_type, m""")),
+
+    // Linear-interpolation densification — n5's locf sibling (the two fill
+    // strategies every gap-filling engine offers): interior gap minutes get
+    // the value linearly interpolated between the LAST observed bucket
+    // before and the FIRST observed bucket after, in exact integer
+    // arithmetic — c_p + (c_n − c_p)·Δ DIV span, truncation toward zero in
+    // both engines (verified on negative slopes, which occur whenever the
+    // series falls across a gap) — so the hash is exact with no float in
+    // sight. Trailing gaps (no next anchor) degrade to locf; leading gaps
+    // cannot exist (each type's first bucket is its own min). The NEXT
+    // anchor deliberately rides a DESC-ordered RUNNING frame (last over
+    // unboundedPreceding..currentRow of the reversed series), NOT the
+    // literal `first over currentRow..unboundedFollowing`: Spark's
+    // UnboundedFollowing frame re-aggregates the whole tail FOR EVERY
+    // ROW — O(rows²) per partition, measured live as a 17-minute
+    // single-core burn on this very query's 43k-row type partitions
+    // before the rewrite — while running prefix frames fold
+    // incrementally in O(rows). Same values, linear cost. Observed
+    // buckets interpolate to exactly their own
+    // cents (Δ = 0), so the law "li == cents wherever n > 0" is pinned in
+    // the spec.
+    Q("n8_gapfill_interp",
+      (s, d) => {
+        val wp = Window.partitionBy("event_type").orderBy("m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy("event_type").orderBy(col("m").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        denseMinutes(s, d)
+          .withColumn("pos", expr("cast(m as long) div 60"))
+          // both directions' anchors in ONE select: WindowExec groups by
+          // (partition, order), so this plans as exactly TWO Window nodes
+          // (ASC prefix pair, DESC prefix pair) — sequential withColumn
+          // would interleave projects and split the groups further
+          // (measured: three nodes; PlanSpec pins 2)
+          .select(col("event_type"), col("m"), col("n"), col("pos"),
+            last(col("cents"), ignoreNulls = true).over(wp).as("c_p"),
+            last(when(col("cents").isNotNull, col("pos")),
+              ignoreNulls = true).over(wp).as("p_p"),
+            last(col("cents"), ignoreNulls = true).over(wn).as("c_n"),
+            last(when(col("cents").isNotNull, col("pos")),
+              ignoreNulls = true).over(wn).as("p_n"))
+          .select(col("event_type"), col("m"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            when(col("p_n").isNull || col("p_n") === col("p_p"), col("c_p"))
+              .otherwise(expr(
+                "c_p + ((c_n - c_p) * (pos - p_p)) DIV (p_n - p_p)"))
+              .as("li_cents"))
+          .orderBy("event_type", "m")
+      },
+      Some(s"""WITH $DenseSql,
+              anch AS (
+                SELECT event_type, m, n, cents,
+                       epoch(m)::BIGINT // 60 AS pos,
+                       last_value(cents IGNORE NULLS) OVER wp AS c_p,
+                       last_value(CASE WHEN cents IS NOT NULL
+                           THEN epoch(m)::BIGINT // 60 END IGNORE NULLS)
+                         OVER wp AS p_p,
+                       first_value(cents IGNORE NULLS) OVER wf AS c_n,
+                       first_value(CASE WHEN cents IS NOT NULL
+                           THEN epoch(m)::BIGINT // 60 END IGNORE NULLS)
+                         OVER wf AS p_n
+                FROM dense
+                WINDOW wp AS (PARTITION BY event_type ORDER BY m
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wf AS (PARTITION BY event_type ORDER BY m
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+              SELECT event_type, m, CAST(coalesce(n, 0) AS BIGINT) AS n,
+                     CASE WHEN p_n IS NULL OR p_n = p_p THEN c_p
+                          ELSE c_p + ((c_n - c_p) * (pos - p_p))
+                               // (p_n - p_p) END AS li_cents
+              FROM anch
+              ORDER BY event_type, m""")),
+
+    // Per-user EWMA — THE streaming-native statistic (its recurrence
+    // s_i = (1-α)·s_{i-1} + α·x_i needs only the previous smoothed value,
+    // which is why every monitoring engine keeps it as O(1) keyed state;
+    // the StreamOps twin `ewmaStream` does exactly that and the spec
+    // matches it row-for-row). Batch form: one user_id exchange collects
+    // each user's (ts, event_id, value) series — bounded by per-user
+    // history (≤ ~100 here; at 100 TB key by (user, day) or run the
+    // streaming twin, whose state stays O(1) regardless) — and folds it in
+    // time order INSIDE the row. α = 1/4 deliberately: 0.25 and 0.75 are
+    // exact in binary, each step is two correctly-rounded IEEE ops in the
+    // SAME order in both engines (Spark `aggregate` seeded with the first
+    // element ≡ DuckDB `list_reduce`, whose init is the first element), so
+    // the 6-dp round is safe. Output: per user, series length and final
+    // EWMA of the raw value.
+    Q("n6_ewma",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(expr("""transform(
+                         sort_array(collect_list(struct(ts, event_id,
+                                                        value))),
+                         r -> r.value)""").as("vs"))
+          .select(col("user_id"),
+            size(col("vs")).cast("long").as("n_events"),
+            round(expr(
+              """aggregate(slice(vs, 2, size(vs) - 1),
+                           element_at(vs, 1),
+                           (a, x) -> CAST(0.75 AS DOUBLE) * a
+                                     + CAST(0.25 AS DOUBLE) * x)"""), 6)
+              .as("ewma"))
+          .orderBy("user_id")
+      },
+      Some("""WITH per AS (
+                SELECT user_id,
+                       list_transform(
+                         list_sort(list(struct_pack(ts := ts,
+                           eid := event_id, v := value))),
+                         r -> r.v) AS vs
+                FROM events GROUP BY user_id)
+              SELECT user_id, CAST(len(vs) AS BIGINT) AS n_events,
+                     round(list_reduce(vs,
+                       (a, x) -> 0.75 * a + 0.25 * x), 6) AS ewma
+              FROM per ORDER BY user_id""")),
+
+    // Holt linear-trend smoothing — n6's second-order sibling (Holt 1957,
+    // the public double-exponential forecasting recurrence): per user,
+    // level l and trend b evolve as l_i = αx_i + (1−α)(l_{i−1}+b_{i−1}),
+    // b_i = β(l_i − l_{i−1}) + (1−β)b_{i−1}, emitting the final state and
+    // the 1-step-ahead forecast l+b. α=β=1/4 (binary-exact, like n6's α);
+    // init after two observations (l₂=x₂, b₂=x₂−x₁; a 1-event user gets
+    // l=x, b=0). The Spark fold carries a (l, b) STRUCT accumulator —
+    // `aggregate` allows it where DuckDB's list_reduce (acc type = element
+    // type) cannot, so the ORACLE unrolls the same recurrence as a
+    // recursive CTE over (user_id, rn) instead: per-step rows, identical
+    // float ops in identical order (b_i's l_i reference is re-derived with
+    // the same expression on both sides, so it is the same double), hash-
+    // equal after the 6-dp round. Scale: one user_id exchange, fold inside
+    // the row (state bounded by per-user history; the streaming twin
+    // `holtStream` carries just the two doubles — O(1) per key).
+    Q("n9_holt_trend",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(expr("""transform(
+                         sort_array(collect_list(struct(ts, event_id,
+                                                        value))),
+                         r -> r.value)""").as("vs"))
+          .select(col("user_id"),
+            size(col("vs")).cast("long").as("n_events"),
+            expr("""CASE WHEN size(vs) = 1 THEN
+                      named_struct('l', element_at(vs, 1),
+                                   'b', CAST(0 AS DOUBLE))
+                    ELSE aggregate(slice(vs, 3, size(vs) - 2),
+                      named_struct('l', element_at(vs, 2),
+                        'b', element_at(vs, 2) - element_at(vs, 1)),
+                      (a, x) -> named_struct(
+                        'l', CAST(0.25 AS DOUBLE) * x
+                             + CAST(0.75 AS DOUBLE) * (a.l + a.b),
+                        'b', CAST(0.25 AS DOUBLE)
+                               * (CAST(0.25 AS DOUBLE) * x
+                                  + CAST(0.75 AS DOUBLE) * (a.l + a.b)
+                                  - a.l)
+                             + CAST(0.75 AS DOUBLE) * a.b))
+                    END""").as("st"))
+          .select(col("user_id"), col("n_events"),
+            round(col("st.l"), 6).as("level"),
+            round(col("st.b"), 6).as("trend"),
+            round(col("st.l") + col("st.b"), 6).as("forecast"))
+          .orderBy("user_id")
+      },
+      Some("""WITH RECURSIVE
+              seq AS (
+                SELECT user_id, value AS x,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS rn,
+                       count(*) OVER (PARTITION BY user_id) AS n
+                FROM events),
+              hw AS (
+                SELECT s2.user_id, 2 AS rn, s2.x AS l, s2.x - s1.x AS b
+                FROM seq s1 JOIN seq s2 ON s1.user_id = s2.user_id
+                  AND s1.rn = 1 AND s2.rn = 2
+                UNION ALL
+                SELECT h.user_id, h.rn + 1,
+                       0.25 * s.x + 0.75 * (h.l + h.b),
+                       0.25 * (0.25 * s.x + 0.75 * (h.l + h.b) - h.l)
+                         + 0.75 * h.b
+                FROM hw h JOIN seq s ON s.user_id = h.user_id
+                  AND s.rn = h.rn + 1),
+              fin AS (
+                SELECT h.user_id, t.n, h.l, h.b
+                FROM hw h JOIN (SELECT user_id, n FROM seq WHERE rn = 1) t
+                  ON h.user_id = t.user_id AND h.rn = t.n
+                UNION ALL
+                SELECT user_id, 1, x, 0.0 FROM seq WHERE rn = 1 AND n = 1)
+              SELECT user_id, CAST(n AS BIGINT) AS n_events,
+                     round(l, 6) AS level, round(b, 6) AS trend,
+                     round(l + b, 6) AS forecast
+              FROM fin ORDER BY user_id""")),
+
+    // Sequence pattern matching — the MATCH_RECOGNIZE / CEP shape (Flink
+    // CEP's flagship): per user, the event history compressed to a symbol
+    // string (first letter of event_type — the five types are
+    // letter-distinct) in (ts, event_id) order, then count non-overlapping
+    // matches of view → purchase WITH NO ERROR BETWEEN. The quantifier is
+    // LAZY (`v[^e]*?p`, leftmost-shortest) deliberately: lazy semantics ≡
+    // the O(1) state machine "arm on v, reset on e, fire+disarm on p" —
+    // verified three ways on this corpus (Java regex ≡ RE2 ≡ the machine)
+    // — so the StreamOps twin `conversionPatternStream` can hold one
+    // boolean + one counter per user instead of a backtracking buffer
+    // (greedy would count "vpvp" as ONE match and need lookahead state).
+    // Scale: one user_id exchange; the symbol string is per-user-history
+    // sized; the regex scan is linear. Unlike n1 (how FAR did each user
+    // get, once) this counts REPEATED conversion cycles with reset-on-
+    // error — the retention-loop metric.
+    Q("n7_seq_pattern",
+      (s, d) => {
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(expr("""concat_ws('', transform(
+                         sort_array(collect_list(struct(ts, event_id,
+                           substring(event_type, 1, 1) AS sym))),
+                         r -> r.sym))""").as("seq"))
+          .select(col("user_id"), col("seq"),
+            length(col("seq")).cast("long").as("n_events"),
+            expr("CAST(regexp_count(seq, 'v[^e]*?p') AS BIGINT)")
+              .as("conversions"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+                     string_agg(substr(event_type, 1, 1), ''
+                       ORDER BY ts, event_id) AS seq,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     CAST(len(regexp_extract_all(
+                       string_agg(substr(event_type, 1, 1), ''
+                         ORDER BY ts, event_id), 'v[^e]*?p')) AS BIGINT)
+                       AS conversions
+              FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 }

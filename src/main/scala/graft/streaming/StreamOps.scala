@@ -52,6 +52,30 @@ final case class MarkovState(
 final case class Transition(
     user_id: Long, prev_type: String, event_type: String, n_ooo: Long)
 
+// EWMA keyed state — the O(1)-per-key form of the n6 recurrence: only the
+// previous smoothed value survives (hasS distinguishes "no events yet"
+// from s == 0.0); maxTs/nOoo: same in-order-delivery guard as FunnelState
+final case class EwmaState(
+    s: Double, hasS: Boolean, n: Long, maxTs: Long, nOoo: Long)
+final case class UserEwma(
+    user_id: Long, n_events: Long, ewma: Double, n_ooo: Long)
+
+// CEP pattern state — n7's lazy-regex semantics as one boolean + one
+// counter (arm on view, reset on error, fire+disarm on purchase)
+final case class PatternState(
+    armed: Boolean, conv: Long, maxTs: Long, nOoo: Long)
+final case class UserConversions(
+    user_id: Long, conversions: Long, n_ooo: Long)
+
+// Holt linear-trend state — n9's recurrence memory: level + trend (two
+// doubles), plus x1 held ONLY until the second event arrives (the init
+// l₂=x₂, b₂=x₂−x₁ needs it; -1 count distinguishes the phases)
+final case class HoltState(
+    l: Double, b: Double, x1: Double, n: Long, maxTs: Long, nOoo: Long)
+final case class UserHolt(
+    user_id: Long, n_events: Long, level: Double, trend: Double,
+    n_ooo: Long)
+
 final case class ChunkIn(doc_id: Long, idx: Long, ck: String)
 final case class ChunkDecision(
     doc_id: Long, idx: Long, ck: String, kept: Boolean)
@@ -411,6 +435,169 @@ object StreamOps {
           }
           state.update(st)
           out.result().iterator
+      }
+  }
+
+  /** Streaming per-user EWMA — the twin of the registered `n6_ewma` batch
+    * query and the REASON EWMA is the streaming-native statistic: the
+    * recurrence s_i = 0.75·s_{i-1} + 0.25·x_i needs only the previous
+    * smoothed value, so keyed state is ONE double (plus the guard longs) —
+    * constant per key on an unbounded stream, where the batch form's
+    * per-key history list grows with it. First event seeds s = x (the
+    * list_reduce init convention the batch oracle uses), every later event
+    * applies the same two correctly-rounded IEEE ops in the same order, so
+    * after the same events the streaming state is BIT-identical to the
+    * batch fold — the differential test compares at full precision, no
+    * rounding slack. Same in-order contract and n_ooo guard as
+    * [[funnelStages]]: within a batch rows fold in (ts, event_id) order;
+    * cross-batch out-of-order arrivals are counted, not silently folded
+    * (EWMA is order-sensitive — an unguarded late event would diverge from
+    * the batch twin invisibly). Update-mode emission of the running
+    * (n, ewma) per touched key; at scale, add a TTL
+    * (as [[runningCountsTws]] does) to evict dormant users.
+    */
+  def ewmaStream(events: Dataset[Event]): Dataset[UserEwma] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(
+            EwmaState(0.0, hasS = false, 0L, -1L, 0L))
+          val prevMax = st.maxTs
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            if (prevMax != -1L && t < prevMax)
+              st = st.copy(nOoo = st.nOoo + 1)
+            if (t > st.maxTs) st = st.copy(maxTs = t)
+            val s = if (st.hasS) 0.75 * st.s + 0.25 * e.value else e.value
+            st = st.copy(s = s, hasS = true, n = st.n + 1)
+          }
+          state.update(st)
+          UserEwma(uid, st.n, st.s, st.nOoo)
+      }
+  }
+
+  /** transformWithState port of [[ewmaStream]] — the dual-API discipline
+    * (same state algebra on the modern API under the RocksDB provider, so
+    * the two implementations cannot fork semantically; the spec runs the
+    * same batches through both and asserts identical final rows).
+    */
+  final class EwmaProcessor
+      extends StatefulProcessor[Long, Event, UserEwma] {
+    @transient private var st: ValueState[EwmaState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[EwmaState](
+        "ewma", Encoders.product[EwmaState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserEwma] = {
+      var s = if (st.exists()) st.get()
+              else EwmaState(0.0, hasS = false, 0L, -1L, 0L)
+      val prevMax = s.maxTs
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val t = micros(e.ts)
+        if (prevMax != -1L && t < prevMax) s = s.copy(nOoo = s.nOoo + 1)
+        if (t > s.maxTs) s = s.copy(maxTs = t)
+        val v = if (s.hasS) 0.75 * s.s + 0.25 * e.value else e.value
+        s = s.copy(s = v, hasS = true, n = s.n + 1)
+      }
+      st.update(s)
+      Iterator.single(UserEwma(key, s.n, s.s, s.nOoo))
+    }
+  }
+
+  def ewmaStreamTws(events: Dataset[Event]): Dataset[UserEwma] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** Streaming Holt linear-trend smoothing — the twin of the registered
+    * `n9_holt_trend` batch query: keyed state is the recurrence's entire
+    * memory — level + trend (two doubles; x1 is held only until the second
+    * event seeds l₂=x₂, b₂=x₂−x₁) — constant per key on an unbounded
+    * stream. Every step applies the identical correctly-rounded IEEE ops
+    * in the identical order as the batch fold (b's level reference is
+    * re-derived with the same expression), so after the same events the
+    * state is BIT-identical to the batch struct accumulator; the
+    * differential compares at n9's own 6-dp round. Same in-order contract
+    * and n_ooo guard as [[ewmaStream]] — trend smoothing is even more
+    * order-sensitive than the level (a swapped pair flips the sign of an
+    * early trend contribution).
+    */
+  def holtStream(events: Dataset[Event]): Dataset[UserHolt] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(
+            HoltState(0.0, 0.0, 0.0, 0L, -1L, 0L))
+          val prevMax = st.maxTs
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            if (prevMax != -1L && t < prevMax)
+              st = st.copy(nOoo = st.nOoo + 1)
+            if (t > st.maxTs) st = st.copy(maxTs = t)
+            st.n match {
+              case 0L => st = st.copy(l = e.value, b = 0.0, x1 = e.value,
+                n = 1L)
+              case 1L => st = st.copy(l = e.value, b = e.value - st.x1,
+                n = 2L)
+              case n =>
+                val nl = 0.25 * e.value + 0.75 * (st.l + st.b)
+                val nb = 0.25 * (0.25 * e.value + 0.75 * (st.l + st.b)
+                  - st.l) + 0.75 * st.b
+                st = st.copy(l = nl, b = nb, n = n + 1)
+            }
+          }
+          state.update(st)
+          UserHolt(uid, st.n, st.l, st.b, st.nOoo)
+      }
+  }
+
+  /** Streaming CEP pattern counter — the twin of the registered
+    * `n7_seq_pattern` batch query, and the reason that query pins the LAZY
+    * quantifier: leftmost-shortest non-overlapping `v[^e]*?p` matching is
+    * exactly this machine (arm on view, reset on error, fire+disarm on
+    * purchase), so per-user state is one boolean + one counter — no symbol
+    * buffer, no backtracking, constant per key on an unbounded stream
+    * (Flink CEP's NFA state for this pattern is the same two fields).
+    * Same in-order contract and n_ooo guard as [[funnelStages]];
+    * conversions is monotone nondecreasing, so the differential test
+    * reduces the update stream with max() and compares against the batch
+    * twin's regexp_count.
+    */
+  def conversionPatternStream(
+      events: Dataset[Event]): Dataset[UserConversions] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event],
+         state: GroupState[PatternState]) =>
+          var st = state.getOption.getOrElse(
+            PatternState(armed = false, 0L, -1L, 0L))
+          val prevMax = st.maxTs
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            if (prevMax != -1L && t < prevMax)
+              st = st.copy(nOoo = st.nOoo + 1)
+            if (t > st.maxTs) st = st.copy(maxTs = t)
+            e.event_type match {
+              case "view"  => st = st.copy(armed = true)
+              case "error" => st = st.copy(armed = false)
+              case "purchase" if st.armed =>
+                st = st.copy(armed = false, conv = st.conv + 1)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          UserConversions(uid, st.conv, st.nOoo)
       }
   }
 

@@ -164,14 +164,36 @@ object LawsSpec extends Properties("graft") {
         ids.size.toLong
     }
 
-  property("kmv: saturated estimate within 5 std errors of the truth") =
-    Prop.forAll(Gen.choose(200, 3000), Gen.choose(0L, 1000000L)) { (n, base) =>
-      val k = 64
+  property("kmv: saturated estimate error distribution (deterministic panel)") = {
+    // Round 15: the old form drew (n, base) fresh each run under a 5σ
+    // bound — and after ~14 rounds of 100-draw runs one draw landed on a
+    // genuine 5.2σ estimator-tail outlier (n=338, base=613316: est 561,
+    // |err| 223 vs tol 215) and flaked the suite. The estimator is fine;
+    // the LAW was a per-draw tail bound on a varying sample. Replace it
+    // with what the comment above always claimed it was: a DETERMINISTIC
+    // panel (fixed LCG, same 200 cases every run — one fixed outcome) with
+    // distribution-level pins: every case within 8σ (a broken estimator is
+    // off by orders, not sigmas), the median within 1.5σ (the bulk is
+    // tight), and the discovered outlier kept as a named regression case
+    // inside 6σ so the tail behavior stays measured, not forgotten.
+    val k = 64
+    def errSigmas(n: Int, base: Long): Double = {
       val ids = (0 until n).map(i => base + i * 7919L)
       val est = graft.streaming.StreamOps.kmvEstimate(kmvSketch(ids, k), k)
-      val tol = 5.0 * n / math.sqrt(k - 2.0)
-      math.abs(est - n) <= tol
+      math.abs(est - n) / (n / math.sqrt(k - 2.0))
     }
+    var s = 0x5eed5eedL // fixed seed: the panel never varies run-to-run
+    def lcg(): Long = { s = s * 6364136223846793005L + 1442695040888963407L
+      s >>> 11 }
+    val panel = Seq.fill(200)((200 + (lcg() % 2801).toInt,
+      lcg() % 1000001L))
+    val sig = panel.map { case (n, b) => errSigmas(n, b) }.sorted
+    Prop(sig.last <= 8.0) :| s"max ${sig.last}σ > 8σ" &&
+    Prop(sig(sig.size / 2) <= 1.5) :|
+      s"median ${sig(sig.size / 2)}σ > 1.5σ" &&
+    Prop(errSigmas(338, 613316L) <= 6.0) :|
+      "known 5.2σ outlier regressed past 6σ"
+  }
 
   property("kmv: replay/duplicates never move the sketch (set semantics)") =
     Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 100000L))) { ids =>

@@ -310,6 +310,67 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 3, s"expected 3 exchanges, got $exchanges")
   }
 
+  test("n5 gap-fill: calendar via distributed explode, fact scan truncated once") {
+    val plan = staticPlan("n5_gapfill_ffill")
+    // the ONE events scan lives inside the lineage-truncated per-minute
+    // aggregate (it is referenced by both the spans derivation and the
+    // join); the final plan must read only the truncated table — a
+    // reappearing events scan is the diamond regression
+    val scans = "events\\.parquet".r.findAllIn(plan).length
+    assert(scans == 0,
+      s"expected 0 events scans above the truncation, got $scans:\n$plan")
+    // the minute calendar is sequence()+explode per type row — distributed,
+    // never a driver-built range table cross-joined against types
+    assert(plan.contains("explode"), s"no distributed calendar:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"calendar join degenerated to all-pairs:\n$plan")
+  }
+
+  test("n8 interpolation: truncated scan, two prefix-frame window nodes, no O(n²) frame") {
+    val plan = staticPlan("n8_gapfill_interp")
+    val scans = "events\\.parquet".r.findAllIn(plan).length
+    assert(scans == 0,
+      s"expected 0 events scans above the truncation, got $scans:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"calendar join degenerated to all-pairs:\n$plan")
+    // the anchors ride exactly TWO window nodes (ASC prefix pair, DESC
+    // prefix pair — WindowExec groups by partition+order); and neither may
+    // be an unboundedfollowing frame: Spark re-aggregates that frame's
+    // tail per row — O(rows²) per partition, measured as a 17-minute
+    // single-core burn on the 43k-row type partitions before the rewrite
+    // to the DESC running form
+    val windows = "(?m)Window \\[".r.findAllIn(plan).length
+    assert(windows == 2, s"expected 2 window nodes, got $windows:\n$plan")
+    assert(!plan.contains("unboundedfollowing"),
+      s"O(rows²) unbounded-following frame is back:\n$plan")
+  }
+
+  test("n6 EWMA scans events once: the fold happens inside the row") {
+    assertScanCount("n6_ewma", "events", 1)
+    // one user_id exchange for the series collect + the output sort
+    val df = SparkEntry.queries("n6_ewma")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+  }
+
+  test("n9 Holt scans events once: the struct-accumulator fold is in the row") {
+    assertScanCount("n9_holt_trend", "events", 1)
+    // one user_id exchange for the series collect + the output sort
+    val df = SparkEntry.queries("n9_holt_trend")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+  }
+
+  test("n7 pattern match scans events once: the regex runs on the per-user row") {
+    assertScanCount("n7_seq_pattern", "events", 1)
+    // one user_id exchange for the symbol-string collect + the output sort
+    val df = SparkEntry.queries("n7_seq_pattern")(spark, d)
+    val exchanges = graft.layout.Layout.countExchanges(df)
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+  }
+
   test("j10 SimHash pairs via the banded equi-join, never an all-pairs scan") {
     val plan = staticPlan("j10_simhash_neardup")
     assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -2789,4 +2789,159 @@ class QueriesSpec extends AnyFunSuite {
     assert(divergent.nonEmpty,
       "quality argmax == min-id everywhere — j84 indistinct from j13")
   }
+
+  test("n6 EWMA equals a first-principles Scala replay of the recurrence") {
+    import spark.implicits._
+    // full differential at sf0.001: re-derive every user's EWMA from the
+    // raw events with plain Scala doubles in (ts, event_id) order — the
+    // query's fold must be BIT-identical before its 6-dp round (s1 = x1,
+    // then s = 0.75s + 0.25x, same IEEE ops in the same order)
+    val truth = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      .groupBy(_._1).map { case (uid, rows) =>
+        val xs = rows.sortBy(r => (graft.streaming.StreamOps.micros(r._2),
+          r._3)).map(_._4)
+        val s = xs.tail.foldLeft(xs.head)((a, x) => 0.75 * a + 0.25 * x)
+        uid -> ((xs.length.toLong, BigDecimal(s)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    val got = SparkEntry.queries("n6_ewma")(spark, d)
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == truth.size)
+    got.foreach { case (uid, n, e) =>
+      val (tn, te) = truth(uid)
+      assert(n == tn, s"user $uid: n_events $n != $tn")
+      assert(e == te, s"user $uid: ewma $e != $te")
+    }
+  }
+
+  test("n5 gap-fill conserves events, tiles the span, and carries values forward") {
+    import spark.implicits._
+    val out = SparkEntry.queries("n5_gapfill_ffill")(spark, d)
+    // conservation: the dense series redistributes, never drops or invents
+    val total = out.agg(sum("n")).head().getLong(0)
+    assert(total == Tables.events(spark, d).count())
+    // tiling: per type, exactly (hi - lo) minutes + 1 buckets, no holes
+    val spans = out.groupBy("event_type")
+      .agg(count(lit(1)).as("k"), min("m").as("lo"), max("m").as("hi"))
+      .select(col("event_type"), col("k"),
+        (expr("(cast(hi as long) - cast(lo as long)) div 60") + 1).as("want"))
+      .as[(String, Long, Long)].collect()
+    assert(spans.nonEmpty)
+    spans.foreach { case (t, k, want) =>
+      assert(k == want, s"$t: $k buckets != $want minutes in span") }
+    // locf: replay one type's series in Scala from the raw per-minute truth
+    val typ = "error"
+    val perMin = Tables.events(spark, d)
+      .filter(col("event_type") === typ)
+      .groupBy(date_trunc("minute", col("ts")).as("m"))
+      .agg(sum(Q.cents(col("value"))).as("c"))
+      .as[(java.sql.Timestamp, Long)].collect()
+      .map { case (m, c) => m.getTime -> c }.toMap
+    val series = out.filter(col("event_type") === typ)
+      .select(col("m"), col("n"), col("ff_cents"))
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .sortBy(_._1.getTime)
+    assert(series.exists(_._2 == 0L), "no gap buckets — the fill is vacuous")
+    var last = Long.MinValue
+    series.foreach { case (m, n, ff) =>
+      perMin.get(m.getTime).foreach(c => last = c)
+      if (n == 0L) assert(!perMin.contains(m.getTime), s"$m: n=0 but events")
+      assert(ff == last, s"$m: ff_cents $ff != last observed $last")
+    }
+  }
+
+  test("n9 Holt equals a first-principles Scala replay; forecast = level + trend") {
+    import spark.implicits._
+    val truth = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      .groupBy(_._1).map { case (uid, rows) =>
+        val xs = rows.sortBy(r => (graft.streaming.StreamOps.micros(r._2),
+          r._3)).map(_._4)
+        val (l, b) =
+          if (xs.length == 1) (xs.head, 0.0)
+          else xs.drop(2).foldLeft((xs(1), xs(1) - xs(0))) {
+            case ((l0, b0), x) =>
+              (0.25 * x + 0.75 * (l0 + b0),
+                0.25 * (0.25 * x + 0.75 * (l0 + b0) - l0) + 0.75 * b0)
+          }
+        def r6(v: Double) = BigDecimal(v)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        uid -> ((xs.length.toLong, r6(l), r6(b), r6(l + b)))
+      }
+    val got = SparkEntry.queries("n9_holt_trend")(spark, d)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(got.length == truth.size)
+    got.foreach { case (uid, n, l, b, f) =>
+      assert(truth(uid) == ((n, l, b, f)), s"user $uid: ($n,$l,$b,$f) " +
+        s"!= ${truth(uid)}")
+    }
+  }
+
+  test("n8 interpolation: identity on observed buckets, exact anchors on gaps") {
+    import spark.implicits._
+    val out = SparkEntry.queries("n8_gapfill_interp")(spark, d)
+    // the dense frame is n5's (same helper): conservation + tiling are
+    // n5's pins; here: observed buckets interpolate to exactly their own
+    // cents (Δ = 0 in the formula — any drift means the anchor windows
+    // leak across rows)
+    val typ = "error"
+    val perMin = Tables.events(spark, d)
+      .filter(col("event_type") === typ)
+      .groupBy(date_trunc("minute", col("ts")).as("m"))
+      .agg(sum(Q.cents(col("value"))).as("c"))
+      .as[(java.sql.Timestamp, Long)].collect()
+      .map { case (m, c) => m.getTime / 60000L -> c }.toMap
+    val series = out.filter(col("event_type") === typ)
+      .select(col("m"), col("n"), col("li_cents"))
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .sortBy(_._1.getTime)
+      .map { case (m, n, li) => (m.getTime / 60000L, n, li) }
+    assert(series.exists(_._2 == 0L), "no gap buckets — nothing interpolated")
+    // Scala replay: for every bucket, find the surrounding anchors and
+    // recompute c_p + (c_n - c_p) * Δ / span with integer truncation
+    val anchors = series.collect { case (p, n, _) if n > 0L => p }.sorted
+    series.foreach { case (pos, n, li) =>
+      if (n > 0L) assert(li == perMin(pos), s"$pos: observed bucket drifted")
+      else {
+        val pp = anchors.filter(_ < pos).max
+        val pn = anchors.filter(_ > pos).min // trailing gaps cannot exist
+        val (cp, cn) = (perMin(pp), perMin(pn))
+        val want = cp + ((cn - cp) * (pos - pp)) / (pn - pp)
+        assert(li == want, s"$pos: li $li != interpolated $want")
+      }
+    }
+  }
+
+  test("n7 lazy quantifier ≡ the O(1) CEP machine; greedy would undercount") {
+    import spark.implicits._
+    // law on the real corpus: replay the arm/reset/fire machine over the
+    // emitted symbol strings — counts must agree exactly (this is the
+    // equivalence that lets the streaming twin hold one boolean per user)
+    def machine(seq: String): Long = {
+      var armed = false; var c = 0L
+      seq.foreach {
+        case 'v' => armed = true
+        case 'e' => armed = false
+        case 'p' if armed => c += 1; armed = false
+        case _ => ()
+      }
+      c
+    }
+    val rows = SparkEntry.queries("n7_seq_pattern")(spark, d)
+      .select("user_id", "seq", "conversions")
+      .as[(Long, String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (uid, seq, conv) =>
+      assert(conv == machine(seq), s"user $uid: $conv != machine on $seq") }
+    // and the quantifier choice is load-bearing: on v·p·v·p the lazy form
+    // counts both cycles, greedy swallows them into one match
+    val probe = Seq("vpvp").toDF("s")
+      .select(expr("regexp_count(s, 'v[^e]*?p')").as("lzy"),
+        expr("regexp_count(s, 'v[^e]*p')").as("grd"))
+      .head()
+    assert(probe.getInt(0) == 2 && probe.getInt(1) == 1)
+  }
 }

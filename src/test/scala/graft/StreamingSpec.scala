@@ -2332,4 +2332,106 @@ class StreamingSpec extends AnyFunSuite {
         assert(g == b, s"TWS SCD2 row $g != batch $b") }
     }
   }
+
+  test("streaming EWMA converges bit-identically to the registered n6 batch fold") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = ewmaStream(in.toDS()).writeStream
+      .format("memory").queryName("ewma").outputMode("update").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    assert(spark.table("ewma").agg(max("n_ooo")).head().getLong(0) == 0L)
+    // n_events is monotone → the final state per user is the max-n row;
+    // the O(1) recurrence must land on the SAME double as the batch
+    // order-pinned fold, so equality holds after n6's own 6-dp round
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val streamed = spark.table("ewma")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("user_id"), col("n_events"),
+        round(col("ewma"), 6).as("ewma"))
+    val batch = SparkEntry.queries("n6_ewma")(spark, d)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("EWMA transformWithState port matches the MGWS implementation (dual API)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDB {
+      val in = MemoryStream[Event]
+      val q = ewmaStreamTws(in.toDS()).writeStream
+        .format("memory").queryName("ewma_tws").outputMode("update").start()
+      chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+      assertRocksDbServed(q)
+      q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      val tws = spark.table("ewma_tws")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("user_id"), col("n_events"),
+          round(col("ewma"), 6).as("ewma"))
+      // same algebra on both APIs ⇒ same final rows ⇒ same batch twin
+      val batch = SparkEntry.queries("n6_ewma")(spark, d)
+      assert(tws.except(batch).isEmpty && batch.except(tws).isEmpty)
+    }
+  }
+
+  test("EWMA stream flags cross-batch out-of-order arrivals via n_ooo") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = ewmaStream(in.toDS()).writeStream
+      .format("memory").queryName("ewma_ooo").outputMode("update").start()
+    // EWMA is order-sensitive: a late x folded last weights it 0.25 where
+    // the batch fold weights it by its true position — the guard must make
+    // the divergence observable instead of silent
+    in.addData(ev(1, "2024-01-01 00:10:00", 9002, v = 10.0))
+    q.processAllAvailable()
+    in.addData(ev(2, "2024-01-01 00:05:00", 9002, v = 20.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("ewma_ooo").filter(col("user_id") === 9002)
+      .agg(max("n_ooo")).head()
+    assert(last.getLong(0) == 1L, "the out-of-order arrival must be counted")
+  }
+
+  test("streaming Holt trend converges bit-identically to the registered n9 fold") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = holtStream(in.toDS()).writeStream
+      .format("memory").queryName("holt").outputMode("update").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    assert(spark.table("holt").agg(max("n_ooo")).head().getLong(0) == 0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val streamed = spark.table("holt")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("user_id"), col("n_events"),
+        round(col("level"), 6).as("level"), round(col("trend"), 6).as("trend"),
+        round(col("level") + col("trend"), 6).as("forecast"))
+    val batch = SparkEntry.queries("n9_holt_trend")(spark, d)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("streaming CEP pattern counter converges to the registered n7 regex count") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = conversionPatternStream(in.toDS()).writeStream
+      .format("memory").queryName("cep").outputMode("update").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    assert(spark.table("cep").agg(max("n_ooo")).head().getLong(0) == 0L)
+    // conversions is monotone → reduce the update stream with max; the
+    // one-boolean machine must equal the batch twin's LAZY regexp_count
+    // (the equivalence n7 pins its quantifier for)
+    val streamed = spark.table("cep").groupBy("user_id")
+      .agg(max("conversions").as("conversions"))
+    val batch = SparkEntry.queries("n7_seq_pattern")(spark, d)
+      .select("user_id", "conversions")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
 }
