@@ -67,6 +67,12 @@ final case class PatternState(
 final case class UserConversions(
     user_id: Long, conversions: Long, n_ooo: Long)
 
+// Streaming gap-fill emission — n5's bucket row with the minute as epoch
+// minutes (the test derives the timestamp; keyed state must stay scalar)
+final case class GapBucket(
+    event_type: String, epoch_min: Long, n: Long, ff_cents: Long)
+final case class PendingMinute(n: Long, cents: Long)
+
 // Holt linear-trend state — n9's recurrence memory: level + trend (two
 // doubles), plus x1 held ONLY until the second event arrives (the init
 // l₂=x₂, b₂=x₂−x₁ needs it; -1 count distinguishes the phases)
@@ -516,6 +522,110 @@ object StreamOps {
     events.groupByKey(_.user_id)
       .transformWithState(new EwmaProcessor, TimeMode.None(),
         OutputMode.Update())
+  }
+
+  /** Streaming gap-fill — the twin of the registered `n5_gapfill_ffill`
+    * batch query, and the operator that shows WHY densification needs
+    * event-time timers: a gap bucket has no event to trigger its emission,
+    * so something else must fire when the bucket becomes final. Here that
+    * is the WATERMARK: per event_type, arriving events accumulate into a
+    * pending per-minute map (bounded by the watermark lag — ~10 entries,
+    * never the series), and every batch/timer drain emits, IN ORDER, each
+    * minute whose end the watermark has passed: observed minutes with
+    * their (n, cents), gap minutes with n=0 and the last observed cents
+    * (locf) — exactly n5's row, finalized exactly once (Append mode). An
+    * event-time timer parked at the newest pending minute's end flushes
+    * the tail when the watermark moves without new rows for this key.
+    * Ordering needs no n_ooo guard: Spark drops rows behind the watermark,
+    * and every surviving row lands in a bucket that is by definition not
+    * yet final — the watermark contract IS the order contract. Emission
+    * never runs past the key's max observed minute, so after the watermark
+    * passes a type's whole series the emitted stream equals the batch n5
+    * series row-for-row (asserted in the differential with a far-future
+    * sentinel on a throwaway type to push the global watermark).
+    */
+  final class GapFillProcessor
+      extends StatefulProcessor[String, Event, GapBucket] {
+    @transient private var pending: MapState[Long, PendingMinute] = _
+    @transient private var lastMin: ValueState[Long] = _   // last emitted
+    @transient private var lastCents: ValueState[Long] = _ // locf carry
+    @transient private var maxSeen: ValueState[Long] = _   // newest minute
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getMapState[Long, PendingMinute]("pending",
+        Encoders.scalaLong, Encoders.product[PendingMinute], TTLConfig.NONE)
+      lastMin = getHandle.getValueState[Long](
+        "lastMin", Encoders.scalaLong, TTLConfig.NONE)
+      lastCents = getHandle.getValueState[Long](
+        "lastCents", Encoders.scalaLong, TTLConfig.NONE)
+      maxSeen = getHandle.getValueState[Long](
+        "maxSeen", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    /** Emit every complete minute in order; re-arm the flush timer. */
+    private def drain(key: String, wmMs: Long): Iterator[GapBucket] = {
+      val out = Vector.newBuilder[GapBucket]
+      val mx = if (maxSeen.exists()) maxSeen.get() else Long.MinValue
+      if (mx != Long.MinValue) {
+        // first drain starts at the key's first observed minute (in-order
+        // feed ⇒ it is the series min, matching batch n5's span start)
+        var cur =
+          if (lastMin.exists()) lastMin.get() + 1
+          else {
+            var m = Long.MaxValue
+            pending.keys().foreach(k => if (k < m) m = k)
+            m
+          }
+        var carry = if (lastCents.exists()) lastCents.get() else 0L
+        // bucket [m, m+1) is final once the watermark reaches its end
+        while (cur <= mx && (cur + 1) * 60000L <= wmMs) {
+          if (pending.containsKey(cur)) {
+            val p = pending.getValue(cur)
+            carry = p.cents
+            out += GapBucket(key, cur, p.n, carry)
+            pending.removeKey(cur)
+          } else out += GapBucket(key, cur, 0L, carry)
+          lastMin.update(cur)
+          cur += 1
+        }
+        lastCents.update(carry)
+        // park the flush timer at the newest pending minute's end so the
+        // tail emits when the watermark advances without new rows here
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        if (cur <= mx) getHandle.registerTimer((mx + 1) * 60000L)
+      }
+      out.result().iterator
+    }
+
+    override def handleInputRows(
+        key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[GapBucket] = {
+      rows.foreach { e =>
+        val m = micros(e.ts) / 60000000L
+        val p = if (pending.containsKey(m)) pending.getValue(m)
+                else PendingMinute(0L, 0L)
+        pending.updateValue(m, PendingMinute(p.n + 1,
+          p.cents + StreamOps.cents(e.value)))
+        if (!maxSeen.exists() || m > maxSeen.get()) maxSeen.update(m)
+      }
+      drain(key, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(
+        key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[GapBucket] =
+      drain(key, timerValues.getCurrentWatermarkInMs())
+  }
+
+  def gapFillStream(events: Dataset[Event]): Dataset[GapBucket] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.event_type)
+      .transformWithState(new GapFillProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Streaming Holt linear-trend smoothing — the twin of the registered

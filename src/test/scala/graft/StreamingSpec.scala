@@ -2396,6 +2396,84 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.getLong(0) == 1L, "the out-of-order arrival must be counted")
   }
 
+  test("streaming gap-fill emits exactly the batch n5 series as the watermark passes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDB {
+      val in = MemoryStream[Event]
+      val q = gapFillStream(in.toDS()).writeStream
+        .format("memory").queryName("gapfill").outputMode("append").start()
+      chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+      // push the GLOBAL watermark past every real type's last minute with
+      // sentinels on a throwaway type (their own buckets stay pending —
+      // the watermark never reaches them). Two batches: the first carries
+      // the max event time, the second runs WITH the advanced watermark so
+      // the parked flush timers actually fire.
+      val maxTs = chunks.flatten.map(_.ts.getTime).max
+      in.addData(ev(999999L, "2024-01-01 00:00:00", 999999L, "wmflush")
+        .copy(ts = new Timestamp(maxTs + 30 * 60000L)))
+      q.processAllAvailable()
+      in.addData(ev(999998L, "2024-01-01 00:00:00", 999999L, "wmflush")
+        .copy(ts = new Timestamp(maxTs + 31 * 60000L)))
+      q.processAllAvailable()
+      assertRocksDbServed(q)
+      q.stop()
+      // append-mode = each bucket finalized exactly once
+      assert(spark.table("gapfill").groupBy("event_type", "epoch_min")
+        .count().filter(col("count") > 1).isEmpty,
+        "a bucket emitted twice — finalization is not exactly-once")
+      val streamed = spark.table("gapfill")
+        .filter(col("event_type") =!= "wmflush")
+        .select(col("event_type"),
+          expr("timestamp_millis(epoch_min * 60000)").as("m"),
+          col("n"), col("ff_cents"))
+      val batch = SparkEntry.queries("n5_gapfill_ffill")(spark, d)
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    }
+  }
+
+  test("gap-fill recovers pending minutes and timers across kill/restart") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDB {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-gf-ck").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-gf-out").toString
+      val in = MemoryStream[Event]
+      def start() = gapFillStream(in.toDS()).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[GapBucket],
+            _: Long) => df.write.mode("append").parquet(out) }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      chunks.take(2).foreach { c => in.addData(c); q1.processAllAvailable() }
+      q1.stop() // kill: pending minutes + parked timers live only in state
+      val q2 = start()
+      chunks.drop(2).foreach { c => in.addData(c); q2.processAllAvailable() }
+      val maxTs = chunks.flatten.map(_.ts.getTime).max
+      in.addData(ev(999999L, "2024-01-01 00:00:00", 999999L, "wmflush")
+        .copy(ts = new Timestamp(maxTs + 30 * 60000L)))
+      q2.processAllAvailable()
+      in.addData(ev(999998L, "2024-01-01 00:00:00", 999999L, "wmflush")
+        .copy(ts = new Timestamp(maxTs + 31 * 60000L)))
+      q2.processAllAvailable()
+      q2.stop()
+      val got = spark.read.parquet(out)
+      // exactly-once across the restart boundary: no bucket twice, and the
+      // recovered run completes the identical batch series
+      assert(got.groupBy("event_type", "epoch_min").count()
+        .filter(col("count") > 1).isEmpty,
+        "a bucket emitted twice across restart")
+      val streamed = got.filter(col("event_type") =!= "wmflush")
+        .select(col("event_type"),
+          expr("timestamp_millis(epoch_min * 60000)").as("m"),
+          col("n"), col("ff_cents"))
+      val batch = SparkEntry.queries("n5_gapfill_ffill")(spark, d)
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    }
+  }
+
   test("streaming Holt trend converges bit-identically to the registered n9 fold") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
