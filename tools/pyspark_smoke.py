@@ -14,12 +14,14 @@ result row-for-row against the Scala DataFrame twin invoked through py4j
 Usage:
   python3 tools/pyspark_smoke.py [sfDir] [query ...]
 defaults: /root/testdata/sf0.001 and the FULL m-tranche (every m*_tpch_*
-key in the catalog, discovered through py4j — 21 workloads), plus three
-non-SQL LLM operator checks: j1_exact_dedup, j73_random_projection and
-j78_scd2_history, each invoked through py4j AND re-composed natively in
-the PySpark DataFrame API, compared row-for-row (non-SQL operators
-reach the Python surface both ways, including the vector/HOF family
-and the keyed-window family).
+key in the catalog, discovered through py4j — 21 workloads), plus
+seven non-SQL/dialect checks: j1_exact_dedup, j73_random_projection,
+j78_scd2_history, a4 DSv2 pushdown, b6 recursive SQL, a6 aggregate
+pushdown, and n6_ewma (round 15 — the order-pinned HOF fold), each
+invoked through py4j AND re-composed natively in the PySpark
+DataFrame API / SQL, compared row-for-row (non-SQL operators reach
+the Python surface both ways, including the vector/HOF family, the
+keyed-window family, and the time-series fold family).
 
 Run from the repo root after `sbt compile` (needs
 target/scala-2.13/classes on disk).
@@ -228,7 +230,34 @@ def main() -> int:
     print(f"[pyspark-smoke] {a6}: py4j rows={len(via_jvma6)} "
           f"native-pyspark rows={len(via_pya6)} "
           f"{'MATCH' if a6_ok else 'MISMATCH'}")
-    n_total = len(names) + 6
+    # Round-15 time-series operator from Python: the per-user EWMA (n6)
+    # re-composed natively — the order-pinned fold is built-in HOFs
+    # (sort_array/collect_list/aggregate), so the Python surface expresses
+    # it verbatim and must land on the SAME doubles.
+    n6 = "n6_ewma"
+    jdfn6 = queries.apply(n6).apply(spark._jsparkSession, sf_dir)
+    via_jvmn6 = sorted(map(tuple, DataFrame(jdfn6, spark).collect()))
+    nativen6 = (spark.table("events")
+                .groupBy("user_id")
+                .agg(F.expr("transform(sort_array(collect_list("
+                            "struct(ts, event_id, value))), r -> r.value)")
+                     .alias("vs"))
+                .select(F.col("user_id"),
+                        F.size("vs").cast("long").alias("n_events"),
+                        F.round(F.expr(
+                            "aggregate(slice(vs, 2, size(vs) - 1), "
+                            "element_at(vs, 1), (a, x) -> "
+                            "CAST(0.75 AS DOUBLE) * a "
+                            "+ CAST(0.25 AS DOUBLE) * x)"), 6)
+                        .alias("ewma"))
+                .orderBy("user_id"))
+    via_pyn6 = sorted(map(tuple, nativen6.collect()))
+    n6_ok = via_jvmn6 == via_pyn6 and len(via_jvmn6) > 0
+    failures += 0 if n6_ok else 1
+    print(f"[pyspark-smoke] {n6}: py4j rows={len(via_jvmn6)} "
+          f"native-pyspark rows={len(via_pyn6)} "
+          f"{'MATCH' if n6_ok else 'MISMATCH'}")
+    n_total = len(names) + 7
     spark.stop()
     print(f"[pyspark-smoke] {n_total - failures}/{n_total} matched")
     return 1 if failures else 0
