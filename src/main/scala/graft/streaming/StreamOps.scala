@@ -73,6 +73,10 @@ final case class GapBucket(
     event_type: String, epoch_min: Long, n: Long, ff_cents: Long)
 final case class PendingMinute(n: Long, cents: Long)
 
+// Streaming interpolation emission — n8's bucket row (epoch-minute form)
+final case class InterpBucket(
+    event_type: String, epoch_min: Long, n: Long, li_cents: Long)
+
 // Holt linear-trend state — n9's recurrence memory: level + trend (two
 // doubles), plus x1 held ONLY until the second event arrives (the init
 // l₂=x₂, b₂=x₂−x₁ needs it; -1 count distinguishes the phases)
@@ -562,8 +566,12 @@ object StreamOps {
         "maxSeen", Encoders.scalaLong, TTLConfig.NONE)
     }
 
-    /** Emit every complete minute in order; re-arm the flush timer. */
-    private def drain(key: String, wmMs: Long): Iterator[GapBucket] = {
+    /** Emit every complete minute in order; re-arm the flush timer.
+      * `firedAt` is the just-expired timer's stamp when called from
+      * handleExpiredTimer — it is already gone, deleting it again only
+      * logs a spurious WARN. */
+    private def drain(key: String, wmMs: Long,
+        firedAt: Long = Long.MinValue): Iterator[GapBucket] = {
       val out = Vector.newBuilder[GapBucket]
       val mx = if (maxSeen.exists()) maxSeen.get() else Long.MinValue
       if (mx != Long.MinValue) {
@@ -591,7 +599,8 @@ object StreamOps {
         lastCents.update(carry)
         // park the flush timer at the newest pending minute's end so the
         // tail emits when the watermark advances without new rows here
-        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        getHandle.listTimers().foreach(t =>
+          if (t != firedAt) getHandle.deleteTimer(t))
         if (cur <= mx) getHandle.registerTimer((mx + 1) * 60000L)
       }
       out.result().iterator
@@ -614,7 +623,8 @@ object StreamOps {
     override def handleExpiredTimer(
         key: String, timerValues: TimerValues,
         expiredTimerInfo: ExpiredTimerInfo): Iterator[GapBucket] =
-      drain(key, timerValues.getCurrentWatermarkInMs())
+      drain(key, timerValues.getCurrentWatermarkInMs(),
+        expiredTimerInfo.getExpiryTimeInMs())
   }
 
   def gapFillStream(events: Dataset[Event]): Dataset[GapBucket] = {
@@ -625,6 +635,98 @@ object StreamOps {
     events.withWatermark("ts", "10 minutes")
       .groupByKey(_.event_type)
       .transformWithState(new GapFillProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Streaming linear interpolation — n8's twin and [[gapFillStream]]'s
+    * BOUNDED-LOOKAHEAD sibling: locf is causal (a gap needs only the last
+    * anchor) but interpolation needs the NEXT observed bucket, so a gap
+    * row cannot finalize when the watermark passes it — it finalizes when
+    * the watermark passes its next ANCHOR. The state trick: gap rows are
+    * never buffered at all. They are arithmetic between two anchors
+    * (c_p + (c_n−c_p)·Δ DIV span, n8's exact integer form), so state is
+    * the last emitted anchor (two longs) + the pending observed minutes
+    * (watermark-lag-bounded, same as locf); each observed minute that
+    * finalizes first RECONSTRUCTS and emits the whole gap run behind it,
+    * then itself. Emission remains exactly-once append, and once the
+    * watermark passes a type's series the output equals the registered
+    * batch n8 row-for-row (differential-pinned with the sentinel).
+    */
+  final class GapInterpProcessor
+      extends StatefulProcessor[String, Event, InterpBucket] {
+    @transient private var pending: MapState[Long, PendingMinute] = _
+    @transient private var anchorPos: ValueState[Long] = _
+    @transient private var anchorCents: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getMapState[Long, PendingMinute]("pending",
+        Encoders.scalaLong, Encoders.product[PendingMinute], TTLConfig.NONE)
+      anchorPos = getHandle.getValueState[Long](
+        "anchorPos", Encoders.scalaLong, TTLConfig.NONE)
+      anchorCents = getHandle.getValueState[Long](
+        "anchorCents", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def drain(key: String, wmMs: Long,
+        firedAt: Long = Long.MinValue): Iterator[InterpBucket] = {
+      val out = Vector.newBuilder[InterpBucket]
+      val ready = pending.keys().filter(m => (m + 1) * 60000L <= wmMs)
+        .toSeq.sorted
+      var maxPend = Long.MinValue
+      ready.foreach { m =>
+        val p = pending.getValue(m)
+        if (anchorPos.exists()) {
+          val (pp, cp) = (anchorPos.get(), anchorCents.get())
+          var g = pp + 1
+          // the gap run behind this anchor: pure arithmetic, no state
+          // (Scala's Long division truncates toward zero — n8's DIV)
+          while (g < m) {
+            out += InterpBucket(key, g, 0L,
+              cp + ((p.cents - cp) * (g - pp)) / (m - pp))
+            g += 1
+          }
+        }
+        out += InterpBucket(key, m, p.n, p.cents)
+        anchorPos.update(m)
+        anchorCents.update(p.cents)
+        pending.removeKey(m)
+      }
+      pending.keys().foreach(k => if (k > maxPend) maxPend = k)
+      getHandle.listTimers().foreach(t =>
+        if (t != firedAt) getHandle.deleteTimer(t))
+      if (maxPend != Long.MinValue)
+        getHandle.registerTimer((maxPend + 1) * 60000L)
+      out.result().iterator
+    }
+
+    override def handleInputRows(
+        key: String, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[InterpBucket] = {
+      rows.foreach { e =>
+        val m = micros(e.ts) / 60000000L
+        val p = if (pending.containsKey(m)) pending.getValue(m)
+                else PendingMinute(0L, 0L)
+        pending.updateValue(m, PendingMinute(p.n + 1,
+          p.cents + StreamOps.cents(e.value)))
+      }
+      drain(key, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(
+        key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[InterpBucket] =
+      drain(key, timerValues.getCurrentWatermarkInMs(),
+        expiredTimerInfo.getExpiryTimeInMs())
+  }
+
+  def gapInterpStream(events: Dataset[Event]): Dataset[InterpBucket] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.event_type)
+      .transformWithState(new GapInterpProcessor,
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -2432,6 +2432,35 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming interpolation reconstructs gap runs and equals batch n8") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDB {
+      val in = MemoryStream[Event]
+      val q = gapInterpStream(in.toDS()).writeStream
+        .format("memory").queryName("gapinterp").outputMode("append").start()
+      chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+      val maxTs = chunks.flatten.map(_.ts.getTime).max
+      in.addData(ev(999999L, "2024-01-01 00:00:00", 999999L, "wmflush")
+        .copy(ts = new Timestamp(maxTs + 30 * 60000L)))
+      q.processAllAvailable()
+      in.addData(ev(999998L, "2024-01-01 00:00:00", 999999L, "wmflush")
+        .copy(ts = new Timestamp(maxTs + 31 * 60000L)))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table("gapinterp").groupBy("event_type", "epoch_min")
+        .count().filter(col("count") > 1).isEmpty,
+        "a bucket emitted twice — finalization is not exactly-once")
+      val streamed = spark.table("gapinterp")
+        .filter(col("event_type") =!= "wmflush")
+        .select(col("event_type"),
+          expr("timestamp_millis(epoch_min * 60000)").as("m"),
+          col("n"), col("li_cents"))
+      val batch = SparkEntry.queries("n8_gapfill_interp")(spark, d)
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    }
+  }
+
   test("gap-fill recovers pending minutes and timers across kill/restart") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
