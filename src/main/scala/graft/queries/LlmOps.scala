@@ -6081,7 +6081,46 @@ object LlmOps {
                      CAST(levenshtein(tok_a, tok_b) AS INTEGER) AS dist,
                      cnt_a, cnt_b
               FROM cand WHERE levenshtein(tok_a, tok_b) <= 2
-              ORDER BY tok_a, tok_b"""))
+              ORDER BY tok_a, tok_b""")),
+
+    // Triangle enumeration over the near-dup graph — the cluster-DENSITY
+    // audit the pairwise dedup reports can't give: a triangle is three
+    // documents that are all mutually near-duplicates, the strongest
+    // evidence a cluster is a true template family rather than a chain of
+    // borderline pairs (transitive chaining is dedup's classic false-merge
+    // mode; j13's clusters connect by ANY path, triangles certify mutual
+    // similarity). Standard distributed shape (Suri & Vassilvitskii,
+    // WWW'11): orient every edge low→high, build wedges by joining edges
+    // on the shared middle vertex, close each wedge with one more
+    // equi-join — per-vertex work bounded by degree² on the ORIENTED
+    // graph (the high-degree hub contributes only its higher-id
+    // neighbors), never all-pairs. The edge set is j2's banded pair table
+    // (linear, truncated once, reused for all three join roles).
+    // Cohesion = the triangle's weakest pairwise Jaccard in basis points
+    // (floor of the exact division both engines compute identically).
+    Q("j89_dup_triangles",
+      (s, d) => {
+        val e = truncateLineage(neardupPairs(s, d)
+          .select(col("doc_a").as("u"), col("doc_b").as("v"), col("jac")))
+        val tri = e.alias("ab")
+          .join(e.alias("bc"), col("ab.v") === col("bc.u"))
+          .join(e.alias("ac"),
+            col("ab.u") === col("ac.u") && col("bc.v") === col("ac.v"))
+        tri.select(col("ab.u").as("doc_a"), col("ab.v").as("doc_b"),
+            col("bc.v").as("doc_c"),
+            expr("""CAST(floor(least(ab.jac, bc.jac, ac.jac) * 10000)
+                    AS BIGINT)""").as("cohesion_bp"))
+          .orderBy("doc_a", "doc_b", "doc_c")
+      },
+      Some(s"""WITH $NeardupPairsSql,
+              e AS (SELECT doc_a AS u, doc_b AS v, jac FROM pairs)
+              SELECT ab.u AS doc_a, ab.v AS doc_b, bc.v AS doc_c,
+                     CAST(floor(least(ab.jac, bc.jac, ac.jac) * 10000)
+                       AS BIGINT) AS cohesion_bp
+              FROM e ab
+              JOIN e bc ON ab.v = bc.u
+              JOIN e ac ON ab.u = ac.u AND bc.v = ac.v
+              ORDER BY doc_a, doc_b, doc_c"""))
   )
 
   /** j87/j88's core seam — deletion-neighborhood candidate generation +

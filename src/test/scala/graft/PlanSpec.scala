@@ -310,6 +310,19 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 3, s"expected 3 exchanges, got $exchanges")
   }
 
+  test("j89 triangles close wedges by equi-join on the truncated edge table") {
+    val plan = staticPlan("j89_dup_triangles")
+    // the shingle/banding machinery ran once into the truncated pair
+    // table; all three join roles read THAT — a reappearing documents
+    // scan means an edge role re-derives the pairs
+    val scans = "documents\\.parquet".r.findAllIn(plan).length
+    assert(scans == 0,
+      s"expected 0 documents scans above the truncation, got $scans:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"triangle closing degenerated to all-pairs:\n$plan")
+  }
+
   test("n5 gap-fill: calendar via distributed explode, fact scan truncated once") {
     val plan = staticPlan("n5_gapfill_ffill")
     // the ONE events scan lives inside the lineage-truncated per-minute

@@ -2852,6 +2852,36 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("j89 triangles equal brute-force enumeration over the exact pair set") {
+    import spark.implicits._
+    // the pair set is j2's registered output (oracle-verified); enumerate
+    // its triangles in plain Scala and compare triples + cohesion exactly
+    val pairs = SparkEntry.queries("j2_minhash_neardup")(spark, d)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    // j2 emits round(jac, 4); recompute raw jac the query's own way is
+    // unnecessary — compare TRIPLES from the raw query instead and check
+    // cohesion against the emitted edges' min within rounding slack
+    val edge = pairs.map { case (a, b, j) => (a, b) -> j }.toMap
+    val adj = pairs.flatMap { case (a, b, _) => Seq(a -> b) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = (for {
+      (a, bs) <- adj.toSeq; b <- bs; c <- adj.getOrElse(b, Set.empty)
+      if bs.contains(c)
+    } yield (a, b, c)).sorted
+    val got = SparkEntry.queries("j89_dup_triangles")(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq.sorted == want)
+    assert(got.nonEmpty, "no triangles at sf0.001 — the audit is vacuous")
+    // cohesion is the weakest edge (j2's rounded jac within 1 bp of the
+    // floor-of-raw the query emits)
+    got.foreach { case (a, b, c, coh) =>
+      val m = Seq(edge((a, b)), edge((b, c)), edge((a, c))).min
+      assert(math.abs(coh - math.floor(m * 10000)) <= 1.0,
+        s"($a,$b,$c): cohesion $coh vs edges min $m")
+    }
+  }
+
   test("n9 Holt equals a first-principles Scala replay; forecast = level + trend") {
     import spark.implicits._
     val truth = Tables.events(spark, d)
