@@ -86,6 +86,15 @@ final case class UserHolt(
     user_id: Long, n_events: Long, level: Double, trend: Double,
     n_ooo: Long)
 
+// CUSUM keyed state — n10's recurrence memory: the one-sided cumulative
+// sum plus the alarm counter, O(1) per key on an unbounded stream;
+// maxTs/nOoo: same in-order-delivery guard as FunnelState
+final case class CusumState(
+    s: Double, alarms: Long, n: Long, maxTs: Long, nOoo: Long)
+final case class UserCusum(
+    user_id: Long, n_events: Long, alarms: Long, cusum: Double,
+    n_ooo: Long)
+
 final case class ChunkIn(doc_id: Long, idx: Long, ck: String)
 final case class ChunkDecision(
     doc_id: Long, idx: Long, ck: String, kept: Boolean)
@@ -773,6 +782,92 @@ object StreamOps {
       }
   }
 
+  /** Streaming CUSUM drift alarm — the twin of the registered
+    * `n10_cusum_alarm` batch query, and the deployment CUSUM was INVENTED
+    * for (Page 1954 framed it as a sequential test: decide after every
+    * observation): keyed state is the one-sided cumulative sum plus the
+    * alarm counter — two fields, constant per key on an unbounded stream,
+    * where the batch form's per-key history grows with it. Each event
+    * applies s ← max(0, s + x − 60) with alarm-and-reset at s > 80 — the
+    * identical correctly-rounded IEEE ops in the identical order as the
+    * batch fold's `greatest`/compare, so after the same events the state
+    * is BIT-identical to the batch struct accumulator (the differential
+    * compares alarms exactly and s at n10's own 6-dp round). Same
+    * in-order contract and n_ooo guard as [[ewmaStream]]: CUSUM is
+    * order-sensitive through the max(0, ·) clamp — a late event folded
+    * last can fire an alarm the true order drains away — so cross-batch
+    * violations are counted, never silently folded. Update-mode emission
+    * of the running (n, alarms, s) per touched key; alarms is monotone
+    * nondecreasing, so downstream alerting can consume the stream
+    * idempotently by max().
+    */
+  def cusumStream(events: Dataset[Event]): Dataset[UserCusum] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event],
+         state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(
+            CusumState(0.0, 0L, 0L, -1L, 0L))
+          val prevMax = st.maxTs
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val t = micros(e.ts)
+            if (prevMax != -1L && t < prevMax)
+              st = st.copy(nOoo = st.nOoo + 1)
+            if (t > st.maxTs) st = st.copy(maxTs = t)
+            val raw = math.max(0.0, st.s + e.value - 60.0)
+            st = if (raw > 80.0)
+              st.copy(s = 0.0, alarms = st.alarms + 1, n = st.n + 1)
+            else st.copy(s = raw, n = st.n + 1)
+          }
+          state.update(st)
+          UserCusum(uid, st.n, st.alarms, st.s, st.nOoo)
+      }
+  }
+
+  /** transformWithState port of [[cusumStream]] — the dual-API discipline
+    * (same state algebra on the modern API under the RocksDB provider, so
+    * the two implementations cannot fork semantically; the spec runs the
+    * same batches through both and asserts identical final rows).
+    */
+  final class CusumProcessor
+      extends StatefulProcessor[Long, Event, UserCusum] {
+    @transient private var st: ValueState[CusumState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[CusumState](
+        "cusum", Encoders.product[CusumState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserCusum] = {
+      var s = if (st.exists()) st.get()
+              else CusumState(0.0, 0L, 0L, -1L, 0L)
+      val prevMax = s.maxTs
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val t = micros(e.ts)
+        if (prevMax != -1L && t < prevMax) s = s.copy(nOoo = s.nOoo + 1)
+        if (t > s.maxTs) s = s.copy(maxTs = t)
+        val raw = math.max(0.0, s.s + e.value - 60.0)
+        s = if (raw > 80.0)
+          s.copy(s = 0.0, alarms = s.alarms + 1, n = s.n + 1)
+        else s.copy(s = raw, n = s.n + 1)
+      }
+      st.update(s)
+      Iterator.single(UserCusum(key, s.n, s.alarms, s.s, s.nOoo))
+    }
+  }
+
+  def cusumStreamTws(events: Dataset[Event]): Dataset[UserCusum] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events.groupByKey(_.user_id)
+      .transformWithState(new CusumProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   /** Streaming CEP pattern counter — the twin of the registered
     * `n7_seq_pattern` batch query, and the reason that query pins the LAZY
     * quantifier: leftmost-shortest non-overlapping `v[^e]*?p` matching is
@@ -839,6 +934,23 @@ object StreamOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("start_ts"), col("user_id"),
         col("n_events"))
+
+  /** i9 — DYNAMIC-gap session windows: the native session_window operator
+    * with a per-row gap expression (an 'error' ends engagement in 2 min,
+    * anything else keeps the 30-min gap). Streaming and batch share this
+    * exact code (session_window is mode-agnostic); the registered batch
+    * shadow i9_dynamic_session re-derives the same sessions relationally
+    * (running-max interval ends) and QueriesSpec pins the two equal, so
+    * the oracle transitively checks THIS operator too.
+    */
+  def sessionWindowsDynamic(events: Dataset[Event]): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"),
+        when(col("event_type") === "error", lit("2 minutes"))
+          .otherwise(lit("30 minutes"))), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("start_ts"),
+        col("user_id"), col("n_events"))
 
   /** i5 (classic form) — sessionization with explicit state + event-time
     * timeout: state for an idle key is closed and emitted when the watermark

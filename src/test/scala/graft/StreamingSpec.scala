@@ -469,6 +469,29 @@ class StreamingSpec extends AnyFunSuite {
       "streaming session_window diverges from batch lag-gap sessionization")
   }
 
+  test("i9 streaming dynamic-gap session_window matches the batch shadow") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = sessionWindowsDynamic(in.toDS()).writeStream
+      .format("memory").queryName("sessdyn").outputMode("append").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    // sentinel batches close every real session (append emission waits for
+    // the watermark to pass session end)
+    in.addData(Seq(ev(9000001L, "2024-06-01 00:00:00", -1L)))
+    q.processAllAvailable()
+    in.addData(Seq(ev(9000002L, "2024-06-02 00:00:00", -1L)))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sessdyn")
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("start_ts"), col("n_events"))
+    val batch = SparkEntry.queries("i9_dynamic_session")(spark, d)
+      .select(col("user_id"), col("start_ts"), col("n_events"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streaming dynamic-gap session_window diverges from the batch shadow")
+  }
+
   test("i1 update mode revises an open window on in-watermark late arrivals") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -2392,6 +2415,73 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
     val last = spark.table("ewma_ooo").filter(col("user_id") === 9002)
+      .agg(max("n_ooo")).head()
+    assert(last.getLong(0) == 1L, "the out-of-order arrival must be counted")
+  }
+
+  test("streaming CUSUM converges bit-identically to the registered n10 batch fold") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = cusumStream(in.toDS()).writeStream
+      .format("memory").queryName("cusum").outputMode("update").start()
+    chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+    q.stop()
+    assert(spark.table("cusum").agg(max("n_ooo")).head().getLong(0) == 0L)
+    // n_events is monotone → the final state per user is the max-n row;
+    // alarms are exact integers and the O(1) recurrence must land on the
+    // SAME double as the batch order-pinned fold, so equality holds after
+    // n10's own 6-dp round
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val streamed = spark.table("cusum")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("user_id"), col("n_events"), col("alarms"),
+        round(col("cusum"), 6).as("cusum_final"))
+    val batch = SparkEntry.queries("n10_cusum_alarm")(spark, d)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    // non-vacuous on this corpus: the alarm path must actually fire
+    assert(spark.table("cusum").agg(sum("alarms")).head().getLong(0) > 0L)
+  }
+
+  test("CUSUM transformWithState port matches the MGWS implementation (dual API)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDB {
+      val in = MemoryStream[Event]
+      val q = cusumStreamTws(in.toDS()).writeStream
+        .format("memory").queryName("cusum_tws").outputMode("update")
+        .start()
+      chunks.foreach { c => in.addData(c); q.processAllAvailable() }
+      assertRocksDbServed(q)
+      q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      val tws = spark.table("cusum_tws")
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("user_id"), col("n_events"), col("alarms"),
+          round(col("cusum"), 6).as("cusum_final"))
+      // same algebra on both APIs ⇒ same final rows ⇒ same batch twin
+      val batch = SparkEntry.queries("n10_cusum_alarm")(spark, d)
+      assert(tws.except(batch).isEmpty && batch.except(tws).isEmpty)
+    }
+  }
+
+  test("CUSUM stream flags cross-batch out-of-order arrivals via n_ooo") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = cusumStream(in.toDS()).writeStream
+      .format("memory").queryName("cusum_ooo").outputMode("update").start()
+    // CUSUM is order-sensitive through the max(0, ·) clamp: a late spike
+    // folded last can fire an alarm the true order drains away — the
+    // guard must make the divergence observable instead of silent
+    in.addData(ev(1, "2024-01-01 00:10:00", 9003, v = 10.0))
+    q.processAllAvailable()
+    in.addData(ev(2, "2024-01-01 00:05:00", 9003, v = 20.0))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("cusum_ooo").filter(col("user_id") === 9003)
       .agg(max("n_ooo")).head()
     assert(last.getLong(0) == 1L, "the out-of-order arrival must be counted")
   }
