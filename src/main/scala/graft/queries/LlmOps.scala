@@ -6120,7 +6120,201 @@ object LlmOps {
               FROM e ab
               JOIN e bc ON ab.v = bc.u
               JOIN e ac ON ab.u = ac.u AND bc.v = ac.v
-              ORDER BY doc_a, doc_b, doc_c"""))
+              ORDER BY doc_a, doc_b, doc_c""")),
+
+    // l-diversity audit (Machanavajjhala et al. 2006, the public successor
+    // to k-anonymity) — j86's blind spot made executable: a group can be
+    // k-anonymous yet leak everything if all k members SHARE the sensitive
+    // value (the homogeneity attack). Here the quasi-identifier is (lang,
+    // len_bucket) and the sensitive attribute is `source` (the release-
+    // visible provenance a curator may need to hide): per QI group, the
+    // distinct-l (how many sources appear) and entropy-l (how evenly —
+    // ln N − Σ n·ln n / N, the entropy of the source distribution) plus
+    // the max single-source share the recursive-(c,l) check needs.
+    // Determinism: counts are exact integers; the entropy sum is a float
+    // fold ORDER-PINNED by sorting the (source, n) list before the fold
+    // (n6's discipline — Spark `aggregate` seeded with the first term ≡
+    // DuckDB `list_reduce`, left fold in identical order), so the 6-dp
+    // round is safe; ln parity is j27's measured prior art. Scale: two
+    // keyed aggregations on subset keys (the second groups a strict subset
+    // of the first's key — no extra wide exchange under AQE), output is
+    // QI-group-sized; the per-group fold list is bounded by the number of
+    // DISTINCT sensitive values (≤ sources, tiny), never by row count.
+    Q("j90_l_diversity",
+      (s, d) => {
+        val g = qiTuples(Tables.documents(s, d))
+          .groupBy("lang", "len_bucket", "source")
+          .agg(count(lit(1)).as("n"))
+        g.groupBy("lang", "len_bucket")
+          .agg(sum(col("n")).as("n_docs"),
+            count(lit(1)).as("l_distinct"),
+            max(col("n")).as("max_source"),
+            expr("sort_array(collect_list(struct(source, n)))").as("cs"))
+          .withColumn("terms",
+            expr("transform(cs, c -> CAST(c.n AS DOUBLE) * ln(c.n))"))
+          .select(col("lang"), col("len_bucket"), col("n_docs"),
+            col("l_distinct"), col("max_source"),
+            round(
+              expr("ln(CAST(n_docs AS DOUBLE))") -
+                expr("""aggregate(slice(terms, 2, size(terms) - 1),
+                          element_at(terms, 1),
+                          (a, x) -> a + x)""")
+                / col("n_docs").cast("double"), 6).as("entropy_l"))
+          .orderBy("lang", "len_bucket")
+      },
+      Some("""WITH g AS (
+                SELECT lang, n_chars // 200 AS len_bucket, source,
+                       count(*) AS n
+                FROM documents GROUP BY 1, 2, 3),
+              q AS (
+                SELECT lang, len_bucket,
+                       sum(n) AS n_docs, count(*) AS l_distinct,
+                       max(n) AS max_source,
+                       list_sort(list(struct_pack(source := source,
+                                                  n := n))) AS cs
+                FROM g GROUP BY 1, 2)
+              SELECT lang, len_bucket,
+                     CAST(n_docs AS BIGINT) AS n_docs,
+                     CAST(l_distinct AS BIGINT) AS l_distinct,
+                     CAST(max_source AS BIGINT) AS max_source,
+                     round(ln(CAST(n_docs AS DOUBLE)) -
+                       list_reduce(list_transform(cs,
+                           c -> CAST(c.n AS DOUBLE)
+                                * ln(CAST(c.n AS DOUBLE))),
+                         (a, x) -> a + x)
+                       / CAST(n_docs AS DOUBLE), 6) AS entropy_l
+              FROM q ORDER BY lang, len_bucket""")),
+
+    // Heaps'-law vocabulary-growth diagnostic (Heaps 1978) — the curve a
+    // corpus curator reads before sizing a tokenizer vocabulary or judging
+    // dedup quality: distinct vocabulary V(n) vs corpus position n, here
+    // at 8 equal doc-count checkpoints. The vocabulary unit is the token
+    // TRIGRAM (this synthetic corpus's unigram vocabulary saturates at 31
+    // tokens by the first checkpoint — flat and useless; trigrams grow
+    // 3k → 16k across the checkpoints, a real concave Heaps curve). A
+    // sub-linear curve is healthy; a LINEAR tail is the classic signal of
+    // boilerplate/noise injection, and a flattened one of heavy
+    // duplication. All-integer output, exact hash. Scale: the corpus is
+    // scanned twice, both column-pruned (grams carry text; per-doc length
+    // carries only size(split)) — the first-occurrence table shuffles ONE
+    // row per DISTINCT gram (min(doc_id) partial-aggregates map-side), the
+    // checkpoint panel is an 8-row broadcast (the theta join below it is
+    // 8×V against a broadcast, never pairwise), and the per-doc length
+    // table is lineage-truncated so the checkpoint derivation and the
+    // cumulative-gram join read it once.
+    Q("j91_heaps_law",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        val tri = docs.where(size(col("ts")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(ts) - 2),
+                 i -> concat_ws(' ', element_at(ts, i),
+                        element_at(ts, i + 1),
+                        element_at(ts, i + 2)))""")).as("g"))
+        val fo = tri.groupBy("g").agg(min(col("doc_id")).as("fd"))
+        val dl = truncateLineage(docs.select(col("doc_id"),
+          greatest(size(col("ts")) - 2, lit(0)).cast("long").as("ng")))
+        val cps = dl.agg((max(col("doc_id")) + lit(1L)).as("nd"))
+          .select(explode(expr("sequence(1, 8)")).as("k"), col("nd"))
+          .select(col("k").cast("long").as("k"),
+            expr("(k * nd) div 8").as("c"))
+        val vocab = fo.join(broadcast(cps), col("fd") < col("c"))
+          .groupBy("k", "c").agg(count(lit(1)).as("vocab"))
+        val grams = dl.join(broadcast(cps), col("doc_id") < col("c"))
+          .groupBy("k", "c").agg(sum(col("ng")).as("n_grams"))
+        cps.join(vocab, Seq("k", "c"), "left")
+          .join(grams, Seq("k", "c"), "left")
+          .select(col("k"), col("c").as("c_docs"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("vocab"), lit(0L)).as("vocab"))
+          .orderBy("k")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS ts
+                FROM documents),
+              mx AS (SELECT max(doc_id) + 1 AS nd FROM d),
+              cps AS (
+                SELECT CAST(t.k AS BIGINT) AS k, (t.k * nd) // 8 AS c
+                FROM mx, unnest(generate_series(1, 8)) t(k)),
+              tri AS (
+                SELECT doc_id,
+                       ts[i.i] || ' ' || ts[i.i + 1] || ' ' || ts[i.i + 2]
+                         AS g
+                FROM d, LATERAL unnest(range(1, greatest(len(ts) - 1, 1)))
+                  i(i)
+                WHERE len(ts) >= 3),
+              fo AS (SELECT g, min(doc_id) AS fd FROM tri GROUP BY 1),
+              dl AS (
+                SELECT doc_id,
+                       CAST(greatest(len(ts) - 2, 0) AS BIGINT) AS ng
+                FROM d),
+              v AS (SELECT k, c, count(*) AS vocab
+                    FROM cps JOIN fo ON fd < c GROUP BY 1, 2),
+              t AS (SELECT k, c, sum(ng) AS n_grams
+                    FROM cps JOIN dl ON doc_id < c GROUP BY 1, 2)
+              SELECT cps.k, cps.c AS c_docs,
+                     CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+                     CAST(coalesce(v.vocab, 0) AS BIGINT) AS vocab
+              FROM cps LEFT JOIN v ON cps.k = v.k
+                LEFT JOIN t ON cps.k = t.k
+              ORDER BY cps.k""")),
+
+    // Per-document n-gram novelty audit — j91's first-occurrence table
+    // turned per-document (the memorization/staleness signal a curriculum
+    // or dedup pass reads): for each doc in corpus (doc_id) order, the
+    // share of its trigrams NEVER seen in any earlier doc, in exact basis
+    // points. A late document scoring near 0 is recombined boilerplate; a
+    // tail of high scores means the corpus is still contributing new
+    // content (measured here: 0–10000 bp, mean ≈ 6100 — real spread).
+    // EXACT INTEGERS end-to-end (count + integer-div basis points — both
+    // engines truncate toward zero). Scale: the trigram explode is
+    // lineage-truncated ONCE and serves both the min(doc_id)
+    // first-occurrence aggregate and the per-gram rejoin (no diamond —
+    // the j87 playbook); both wide exchanges key on the gram hash (one
+    // row per distinct gram out of the aggregate, corpus-sized into the
+    // join, exactly the posting-list shape j62 already carries at 100 TB);
+    // the final per-doc rollup partial-aggregates map-side.
+    Q("j92_ngram_novelty",
+      (s, d) => {
+        val tri = truncateLineage(Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .where(size(col("ts")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(ts) - 2),
+                 i -> concat_ws(' ', element_at(ts, i),
+                        element_at(ts, i + 1),
+                        element_at(ts, i + 2)))""")).as("g")))
+        val fo = tri.groupBy("g").agg(min(col("doc_id")).as("fd"))
+        tri.join(fo, Seq("g"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
+              .as("novel"))
+          .select(col("doc_id"), col("n_grams"), col("novel"),
+            expr("(novel * CAST(10000 AS BIGINT)) div n_grams")
+              .as("novelty_bp"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+                SELECT doc_id, string_split(text, ' ') AS ts
+                FROM documents),
+              tri AS (
+                SELECT doc_id,
+                       ts[i.i] || ' ' || ts[i.i + 1] || ' ' || ts[i.i + 2]
+                         AS g
+                FROM d, LATERAL unnest(range(1, greatest(len(ts) - 1, 1)))
+                  i(i)
+                WHERE len(ts) >= 3),
+              fo AS (SELECT g, min(doc_id) AS fd FROM tri GROUP BY 1)
+              SELECT t.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN f.fd = t.doc_id THEN 1 ELSE 0 END)
+                       AS BIGINT) AS novel,
+                     CAST((sum(CASE WHEN f.fd = t.doc_id THEN 1 ELSE 0
+                       END) * 10000) // count(*) AS BIGINT) AS novelty_bp
+              FROM tri t JOIN fo f ON t.g = f.g
+              GROUP BY t.doc_id ORDER BY t.doc_id"""))
   )
 
   /** j87/j88's core seam — deletion-neighborhood candidate generation +

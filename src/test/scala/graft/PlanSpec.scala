@@ -323,6 +323,32 @@ class PlanSpec extends AnyFunSuite {
       s"triangle closing degenerated to all-pairs:\n$plan")
   }
 
+  test("j91 Heaps curve: one corpus scan; checkpoints ride an 8-row broadcast") {
+    // the trigram explode feeds the first-occurrence aggregate directly
+    // (one documents scan); the per-doc length table is truncated so the
+    // checkpoint derivation and the cumulative join read the materialized
+    // table, not two more text scans
+    assertScanCount("j91_heaps_law", "documents", 1)
+    val plan = staticPlan("j91_heaps_law")
+    // the fd < c theta join must sit on a BROADCAST of the 8-row panel —
+    // a CartesianProduct here means the broadcast hint was lost and the
+    // V×8 work became a real shuffle-pair plan
+    assert(!plan.contains("CartesianProduct"),
+      s"checkpoint join degenerated to a cartesian:\n$plan")
+  }
+
+  test("j92 novelty reads documents zero times above the truncated grams") {
+    // the trigram explode is truncated ONCE and serves both the
+    // min(doc_id) first-occurrence aggregate and the per-gram rejoin — a
+    // reappearing documents scan means the diamond is back (each branch
+    // re-tokenizing the corpus)
+    assertScanCount("j92_ngram_novelty", "documents", 0)
+    val plan = staticPlan("j92_ngram_novelty")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"gram rejoin degenerated to all-pairs:\n$plan")
+  }
+
   test("n5 gap-fill: calendar via distributed explode, fact scan truncated once") {
     val plan = staticPlan("n5_gapfill_ffill")
     // the ONE events scan lives inside the lineage-truncated per-minute
