@@ -382,6 +382,50 @@ object RelationalCore {
         .orderBy("doc_id"),
       None),
 
+    // Deterministic hash sample — f2's ORACLED twin, and the sampler a
+    // REPRODUCIBLE pipeline actually wants at 100 TB: membership is a pure
+    // function of the key (j36's exact-BIGINT LCG, mod 100 < 5 ≈ 5%), no
+    // RNG state, so the same rows are sampled on every engine, every rerun,
+    // every partitioning — which is also what makes it the first sampler in
+    // the f-family the DuckDB oracle can replay row-for-row (f2/f3's seeded
+    // Bernoulli is Spark-RNG-specific, sanctioned rows-only). Map-side
+    // filter, zero exchanges before the output sort; at 100 TB it composes
+    // with any downstream op as a free scan predicate.
+    Q("f6_hash_sample",
+      (s, d) => Tables.orders(s, d)
+        .where(expr(
+          "((o_orderkey % 1000003) * 2654435761 + 101) % 2147483648 % 100 < 5"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+              WHERE ((o_orderkey % 1000003) * 2654435761 + 101)
+                    % 2147483648 % 100 < 5
+              ORDER BY o_orderkey""")),
+
+    // Deterministic stratified hash sample — f3's ORACLED twin: per-stratum
+    // rates (downsample the over-represented languages to 10%/20%, keep the
+    // rare ones whole — the class-balancing primitive) applied through the
+    // same keyed LCG, so stratum membership AND the sampled set are exact
+    // cross-engine facts. The rate table is a literal CASE (at production
+    // scale: a broadcast dimension); the filter stays map-side either way.
+    Q("f7_hash_stratified",
+      (s, d) => Tables.documents(s, d)
+        .where(expr(
+          """((doc_id % 1000003) * 2654435761 + 101) % 2147483648 % 100 <
+             CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 20
+                       ELSE 100 END"""))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, source FROM documents
+              WHERE ((doc_id % 1000003) * 2654435761 + 101)
+                    % 2147483648 % 100 <
+                    CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 20
+                              ELSE 100 END
+              ORDER BY doc_id""")),
+
     // ---- G. set operations -------------------------------------------------
     Q("g1_union",
       (s, d) => Tables.orders(s, d).select(col("o_custkey").as("k"))

@@ -2974,4 +2974,217 @@ class QueriesSpec extends AnyFunSuite {
       .head()
     assert(probe.getInt(0) == 2 && probe.getInt(1) == 1)
   }
+
+  test("n10 CUSUM equals a first-principles Scala replay; alarms fire") {
+    import spark.implicits._
+    // re-derive every user's (alarms, final s) from the raw events with
+    // plain Scala doubles in (ts, event_id) order — the query's fold must
+    // be BIT-identical before its 6-dp round (s ← max(0, s + x − 60),
+    // alarm-and-reset at s > 80, same IEEE ops in the same order)
+    val truth = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      .groupBy(_._1).map { case (uid, rows) =>
+        val xs = rows.sortBy(r => (graft.streaming.StreamOps.micros(r._2),
+          r._3)).map(_._4)
+        val (s, a) = xs.foldLeft((0.0, 0L)) { case ((s0, a0), x) =>
+          val raw = math.max(0.0, s0 + x - 60.0)
+          if (raw > 80.0) (0.0, a0 + 1) else (raw, a0)
+        }
+        uid -> ((xs.length.toLong, a, BigDecimal(s)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    val got = SparkEntry.queries("n10_cusum_alarm")(spark, d)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.length == truth.size)
+    got.foreach { case (uid, n, a, s) =>
+      assert(truth(uid) == ((n, a, s)),
+        s"user $uid: ($n,$a,$s) != ${truth(uid)}")
+    }
+    // non-vacuous: the alarm-and-reset branch must actually execute
+    assert(got.map(_._3).sum > 0L, "no alarms fired — h never crossed")
+    assert(got.exists(_._4 > 0.0), "every user drained to 0 — k too low")
+  }
+
+  test("j90 l-diversity equals a first-principles recount; entropy bounded") {
+    import spark.implicits._
+    // recount QI × sensitive groups in plain Scala from the raw table and
+    // re-derive every column including the order-pinned entropy fold
+    val raw = Tables.documents(spark, d)
+      .select(col("lang"), expr("n_chars div 200").as("lb"), col("source"))
+      .as[(String, Long, String)].collect()
+    val truth = raw.groupBy(r => (r._1, r._2)).map { case (qi, rows) =>
+      val bySrc = rows.groupBy(_._3).map { case (src, v) =>
+        src -> v.length.toLong }.toSeq.sortBy(_._1)
+      val n = rows.length.toLong
+      val terms = bySrc.map { case (_, c) => c.toDouble * math.log(c.toDouble) }
+      val ent = math.log(n.toDouble) -
+        terms.tail.foldLeft(terms.head)(_ + _) / n.toDouble
+      qi -> ((n, bySrc.length.toLong, bySrc.map(_._2).max,
+        BigDecimal(ent).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+    }
+    val got = SparkEntry.queries("j90_l_diversity")(spark, d)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(got.length == truth.size)
+    got.foreach { case (lang, lb, n, l, mx, e) =>
+      assert(truth((lang, lb)) == ((n, l, mx, e)),
+        s"($lang,$lb): ($n,$l,$mx,$e) != ${truth((lang, lb))}")
+      // entropy-l laws: 0 ≤ entropy ≤ ln(l_distinct) (max at uniform)
+      assert(e >= -1e-9 && e <= math.log(l.toDouble) + 1e-9,
+        s"($lang,$lb): entropy $e outside [0, ln($l)]")
+    }
+    // non-vacuous: at least one group must be non-uniform (entropy < ln l)
+    assert(got.exists { case (_, _, _, l, _, e) =>
+      e < math.log(l.toDouble) - 1e-6 })
+  }
+
+  test("j91 Heaps curve is monotone, lands on exact totals, and grows") {
+    import spark.implicits._
+    val got = SparkEntry.queries("j91_heaps_law")(spark, d)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 8L))
+    // monotone: vocab and gram totals never shrink as the corpus grows
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3 && b._4 >= a._4, s"non-monotone at k=${b._1}") }
+    // the final checkpoint covers the whole corpus: totals must equal a
+    // first-principles recount of distinct trigrams / gram count
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val grams = docs.flatMap { case (id, t) =>
+      val ts = t.split(" ", -1)
+      if (ts.length < 3) Seq.empty
+      else (0 to ts.length - 3).map(i =>
+        id -> s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}")
+    }
+    val (_, cDocs, nGrams, vocab) = got.last
+    assert(cDocs == docs.map(_._1).max + 1)
+    assert(nGrams == grams.length.toLong,
+      s"gram total $nGrams != ${grams.length}")
+    assert(vocab == grams.map(_._2).distinct.length.toLong,
+      s"vocab $vocab != first-principles distinct")
+    // Heaps growth is non-vacuous on the trigram unit (the unigram
+    // vocabulary saturates at the first checkpoint — that's WHY the
+    // query shingles)
+    assert(got.last._4 > got.head._4 * 2,
+      "vocabulary saturated — the diagnostic is flat")
+  }
+
+  test("i9 shadow equals the native dynamic-gap session_window; the gap bites") {
+    import spark.implicits._
+    // the registered relational shadow (running-max interval ends) must
+    // reproduce Spark's own session_window(ts, gapExpr) merge semantics
+    // exactly — including that an event AT the session end starts a new
+    // session (the [start, end) exclusivity)
+    val native = Tables.events(spark, d)
+      .groupBy(session_window(col("ts"),
+        when(col("event_type") === "error", lit("2 minutes"))
+          .otherwise(lit("30 minutes"))), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start_ts"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("n_events"))
+    val shadow = SparkEntry.queries("i9_dynamic_session")(spark, d)
+      .select("user_id", "start_ts", "sess_end_us", "n_events")
+    assert(shadow.except(native).isEmpty && native.except(shadow).isEmpty,
+      "relational shadow diverges from the native session_window")
+    // and the dynamic gap must actually change the sessionization vs i3
+    val nDyn = shadow.count()
+    val nFix = SparkEntry.queries("i3_session_window")(spark, d).count()
+    assert(nDyn > nFix, s"dynamic gap is vacuous: $nDyn <= $nFix sessions")
+  }
+
+  test("f6/f7 hash samples equal the LCG replay; rare strata kept whole") {
+    import spark.implicits._
+    def lcg(k: Long): Long =
+      ((k % 1000003L) * 2654435761L + 101L) % 2147483648L % 100L
+    // f6: membership is a pure function of the key — replay it in Scala
+    val allOrders = Tables.orders(spark, d)
+      .select("o_orderkey").as[Long].collect().toSet
+    val wantF6 = allOrders.filter(k => lcg(k) < 5L)
+    val gotF6 = SparkEntry.queries("f6_hash_sample")(spark, d)
+      .select("o_orderkey").as[Long].collect().toSet
+    assert(gotF6 == wantF6)
+    // rate sanity: ~5% with binomial slack (±3σ on n=1500: ±1.7%)
+    val rate = gotF6.size.toDouble / allOrders.size
+    assert(rate > 0.02 && rate < 0.08, s"f6 rate $rate far from 5%")
+    // f7: per-stratum replay + the rare strata survive whole
+    val docs = Tables.documents(spark, d)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val rateOf = Map("en" -> 10L, "de" -> 20L).withDefaultValue(100L)
+    val wantF7 = docs.filter { case (id, l) => lcg(id) < rateOf(l) }
+      .map(_._1).toSet
+    val gotF7 = SparkEntry.queries("f7_hash_stratified")(spark, d)
+      .select("doc_id").as[Long].collect().toSet
+    assert(gotF7 == wantF7)
+    val byLang = docs.groupBy(_._2).map { case (l, v) => l -> v.size }
+    val keptByLang = docs.filter(r => gotF7.contains(r._1))
+      .groupBy(_._2).map { case (l, v) => l -> v.size }
+    Seq("fr", "es", "zh").foreach { l =>
+      assert(keptByLang.getOrElse(l, 0) == byLang(l),
+        s"$l: rare stratum was downsampled") }
+    assert(keptByLang("en") < byLang("en") / 2,
+      "en: the over-represented stratum was not downsampled")
+  }
+
+  test("n11 Mann–Kendall S equals the brute-force pair replay; tau bounded") {
+    import spark.implicits._
+    val truth = Tables.events(spark, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+      .groupBy(_._1).map { case (uid, rows) =>
+        val xs = rows.sortBy(r => (graft.streaming.StreamOps.micros(r._2),
+          r._3)).map(_._4)
+        var sStat = 0L
+        for (i <- xs.indices; j <- i + 1 until xs.length)
+          sStat += (if (xs(j) > xs(i)) 1L
+                    else if (xs(j) < xs(i)) -1L else 0L)
+        uid -> ((xs.length.toLong, sStat))
+      }
+    val got = SparkEntry.queries("n11_mann_kendall")(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == truth.size)
+    got.foreach { case (uid, n, sStat, tau) =>
+      assert(truth(uid) == ((n, sStat)),
+        s"user $uid: ($n,$sStat) != ${truth(uid)}")
+      // |S| ≤ pair count ⇒ |tau_bp| ≤ 10000; exact integer-div replay
+      val pairs = n * (n - 1) / 2
+      assert(math.abs(tau) <= 10000, s"user $uid: tau $tau out of range")
+      if (n >= 2) assert(tau == sStat * 10000 / pairs)
+    }
+    // non-vacuous: trends in both directions on this corpus
+    assert(got.exists(_._3 > 0) && got.exists(_._3 < 0),
+      "all users trend one way — the sign path is untested")
+  }
+
+  test("j92 novelty equals a first-principles replay and covers both extremes") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val grams = docs.flatMap { case (id, t) =>
+      val ts = t.split(" ", -1)
+      if (ts.length < 3) Seq.empty
+      else (0 to ts.length - 3).map(i =>
+        id -> s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}")
+    }
+    val firstDoc = grams.groupBy(_._2).map { case (g, v) =>
+      g -> v.map(_._1).min }
+    val truth = grams.groupBy(_._1).map { case (id, v) =>
+      val novel = v.count { case (_, g) => firstDoc(g) == id }.toLong
+      id -> ((v.length.toLong, novel, novel * 10000 / v.length))
+    }
+    val got = SparkEntry.queries("j92_ngram_novelty")(spark, d)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length == truth.size)
+    got.foreach { case (id, n, novel, bp) =>
+      assert(truth(id) == ((n, novel, bp)),
+        s"doc $id: ($n,$novel,$bp) != ${truth(id)}")
+    }
+    // the audit must separate: fully-novel docs AND heavy-reuse docs exist
+    assert(got.exists(_._4 == 10000L), "no fully novel doc")
+    assert(got.exists(_._4 < 2000L), "no heavy-reuse doc — audit is flat")
+    // doc 0 is novel by construction (nothing precedes it)
+    got.find(_._1 == docs.map(_._1).min).foreach { r =>
+      assert(r._4 == 10000L, "the first doc must be 100% novel") }
+  }
 }
