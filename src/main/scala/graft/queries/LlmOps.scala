@@ -6314,7 +6314,73 @@ object LlmOps {
                      CAST((sum(CASE WHEN f.fd = t.doc_id THEN 1 ELSE 0
                        END) * 10000) // count(*) AS BIGINT) AS novelty_bp
               FROM tri t JOIN fo f ON t.g = f.g
-              GROUP BY t.doc_id ORDER BY t.doc_id"""))
+              GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    // Two-sample Kolmogorov–Smirnov drift test — the DISTRIBUTIONAL
+    // complement of j35's unigram drift (which compares token shares):
+    // for every source pair, D = max_v |F_a(v) − F_b(v)| over the doc-
+    // length empirical CDFs, the classic test for "did this source's
+    // length distribution shift" (mixture rebalancing, truncation bugs,
+    // boilerplate injection all move it). EXACT INTEGERS: the CDF
+    // difference is compared as |le_a·n_b − le_b·n_a| over the common
+    // denominator n_a·n_b, and D lands in basis points by one toward-zero
+    // division of the max numerator (division is monotone, so max-then-
+    // divide ≡ divide-then-max) — no float ever, the hash is exact.
+    // Shapes: ONE count scan into the (source, n_chars) table; the value
+    // grid is distinct-length-sized; per-source CDFs are linear PREFIX-
+    // frame running sums over the densified grid (n8's lesson — never the
+    // quadratic following frame); the pair compare is a value-keyed
+    // equi-join of the tiny CDF table against itself. The ORACLE builds
+    // the same CDFs by an independent theta-grid aggregation, so the hash
+    // match crosses two formulations. At ~10⁹⁺ docs per source the
+    // integer cross products approach BIGINT range — sample with f6's LCG
+    // first (KS power is long saturated) — documented, not needed here.
+    Q("j93_ks_drift",
+      (s, d) => {
+        val cnt = truncateLineage(Tables.documents(s, d)
+          .groupBy("source", "n_chars").agg(count(lit(1)).as("c")))
+        val n = cnt.groupBy("source").agg(sum(col("c")).as("n"))
+        val grid = cnt.select(col("n_chars").as("v")).distinct()
+          .crossJoin(broadcast(n))
+        val dense = grid.join(
+          cnt.select(col("source"), col("n_chars").as("v"), col("c")),
+          Seq("source", "v"), "left")
+          .select(col("source"), col("v"), col("n"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val wCdf = Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cdf = dense.withColumn("le", sum("c").over(wCdf))
+          .select(col("source"), col("v"), col("n"), col("le"))
+        val a = cdf.select(col("source").as("source_a"), col("v"),
+          col("n").as("n_a"), col("le").as("le_a"))
+        val b = cdf.select(col("source").as("source_b"), col("v"),
+          col("n").as("n_b"), col("le").as("le_b"))
+        a.join(b, Seq("v"))
+          .where(col("source_a") < col("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(max(abs(col("le_a") * col("n_b") - col("le_b") * col("n_a")))
+            .as("num"), max(col("n_a") * col("n_b")).as("den"))
+          .select(col("source_a"), col("source_b"),
+            expr("(num * CAST(10000 AS BIGINT)) div den").as("d_bp"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""WITH v AS (SELECT DISTINCT n_chars AS v FROM documents),
+              s AS (SELECT source, n_chars, count(*) AS c
+                    FROM documents GROUP BY 1, 2),
+              n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+                    FROM s GROUP BY 1),
+              cdf AS (
+                SELECT n.source, v.v, n.n,
+                       CAST(coalesce(sum(s.c), 0) AS BIGINT) AS le
+                FROM n CROSS JOIN v
+                  LEFT JOIN s ON s.source = n.source AND s.n_chars <= v.v
+                GROUP BY 1, 2, 3)
+              SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(max(abs(a.le * b.n - b.le * a.n)) * 10000
+                          // max(a.n * b.n) AS BIGINT) AS d_bp
+              FROM cdf a JOIN cdf b
+                ON a.v = b.v AND a.source < b.source
+              GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** j87/j88's core seam — deletion-neighborhood candidate generation +

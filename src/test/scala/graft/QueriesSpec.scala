@@ -3070,6 +3070,33 @@ class QueriesSpec extends AnyFunSuite {
       "vocabulary saturated — the diagnostic is flat")
   }
 
+  test("j93 KS drift equals a first-principles CDF replay; D bounded and spread") {
+    import spark.implicits._
+    val rows = Tables.documents(spark, d)
+      .select(col("source"), col("n_chars")).as[(String, Long)].collect()
+    val bySrc = rows.groupBy(_._1).map { case (s, v) =>
+      s -> v.map(_._2).sorted }
+    val vs = rows.map(_._2).distinct.sorted
+    def le(xs: Array[Long], v: Long): Long = xs.count(_ <= v).toLong
+    val truth = (for {
+      (sa, xa) <- bySrc.toSeq; (sb, xb) <- bySrc.toSeq if sa < sb
+    } yield {
+      val num = vs.map(v =>
+        math.abs(le(xa, v) * xb.length - le(xb, v) * xa.length)).max
+      (sa, sb) -> num * 10000L / (xa.length.toLong * xb.length)
+    }).toMap
+    val got = SparkEntry.queries("j93_ks_drift")(spark, d)
+      .as[(String, String, Long)].collect()
+    assert(got.length == truth.size)
+    got.foreach { case (a, b, dBp) =>
+      assert(truth((a, b)) == dBp, s"($a,$b): $dBp != ${truth((a, b))}")
+      assert(dBp >= 0 && dBp <= 10000, s"($a,$b): D $dBp out of [0,1]")
+    }
+    // the test must separate: distributions differ by pair, not uniformly
+    assert(got.map(_._3).distinct.length > 3,
+      "every pair has the same D — the statistic is degenerate here")
+  }
+
   test("i9 shadow equals the native dynamic-gap session_window; the gap bites") {
     import spark.implicits._
     // the registered relational shadow (running-max interval ends) must
