@@ -6277,20 +6277,34 @@ object LlmOps {
     // the final per-doc rollup partial-aggregates map-side.
     Q("j92_ngram_novelty",
       (s, d) => {
-        val tri = truncateLineage(Tables.documents(s, d)
+        // per-(doc, gram) occurrence counts — the ONE corpus-sized
+        // exchange, partial-aggregated map-side so repeats collapse
+        // before the shuffle
+        val cntDg = truncateLineage(Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
           .where(size(col("ts")) >= 3)
           .select(col("doc_id"), explode(expr(
             """transform(sequence(1, size(ts) - 2),
                  i -> concat_ws(' ', element_at(ts, i),
                         element_at(ts, i + 1),
-                        element_at(ts, i + 2)))""")).as("g")))
-        val fo = tri.groupBy("g").agg(min(col("doc_id")).as("fd"))
-        tri.join(fo, Seq("g"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            sum(when(col("fd") === col("doc_id"), 1L).otherwise(0L))
-              .as("novel"))
+                        element_at(ts, i + 2)))""")).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt")))
+        // first-occurrence + its in-doc count in ONE min-struct aggregate
+        // (doc_id leads the struct, so min picks the earliest doc and
+        // carries that doc's count along) — the first cut REJOINED the
+        // corpus-sized gram table against the first-occurrence table on
+        // the gram string, and the ladder measured it 4.6× slower at 200k
+        // docs (40.6 s vs 8.8 s at 50k); this form never joins anything
+        // bigger than doc-count-sized tables
+        val novel = cntDg.groupBy("g")
+          .agg(min(struct(col("doc_id"), col("cnt"))).as("m"))
+          .groupBy(col("m.doc_id").as("doc_id"))
+          .agg(sum(col("m.cnt")).as("novel"))
+        val perDoc = cntDg.groupBy("doc_id")
+          .agg(sum(col("cnt")).as("n_grams"))
+        perDoc.join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("novel"), lit(0L)).as("novel"))
           .select(col("doc_id"), col("n_grams"), col("novel"),
             expr("(novel * CAST(10000 AS BIGINT)) div n_grams")
               .as("novelty_bp"))
