@@ -336,7 +336,56 @@ object MoreAggregates {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
             .map(centsBranch))
           .mkString("", " UNION ALL ", " ORDER BY col_name")
-      })
+      }),
+
+    // Weighted median (round 16) — the aggregate SQL engines rarely ship
+    // natively because it's ORDER-dependent (a plain median treats a
+    // 50-unit line like a 1-unit line; revenue-per-unit questions need the
+    // quantity-weighted one). Distributed form: collapse to per-(group,
+    // value) weight sums (the one keyed exchange, map-side combined —
+    // at 100 TB this is value-space-sized, not row-sized), then one
+    // linear PREFIX-frame cumulative weight over the sorted values, and
+    // the lower weighted median is min v with 2·cum ≥ total — exact
+    // integers throughout (cents values, rounded long weights), identical
+    // tie rule in both engines. The conditional-min rides the same
+    // aggregate as the total, so the group table is scanned once.
+    Q("d18_weighted_median",
+      (s, d) => {
+        val b = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("flag"),
+          expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+            .as("v"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
+        val g = b.groupBy("flag", "v").agg(sum(col("w")).as("w"))
+        val wCum = Window.partitionBy("flag").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy("flag")
+        g.withColumn("cum", sum("w").over(wCum))
+          .withColumn("tot", sum("w").over(wTot))
+          .groupBy("flag")
+          .agg(min(col("tot")).as("total_w"),
+            min(when(lit(2) * col("cum") >= col("tot"), col("v")))
+              .as("wmedian_cents"))
+          .orderBy("flag")
+      },
+      Some("""WITH b AS (
+                SELECT l_returnflag AS flag,
+                       CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT) AS v,
+                       CAST(round(l_quantity) AS BIGINT) AS w
+                FROM lineitem),
+              g AS (SELECT flag, v, CAST(sum(w) AS BIGINT) AS w
+                    FROM b GROUP BY 1, 2),
+              c AS (SELECT flag, v, w,
+                           sum(w) OVER (PARTITION BY flag ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum,
+                           sum(w) OVER (PARTITION BY flag) AS tot
+                    FROM g)
+              SELECT flag, CAST(min(tot) AS BIGINT) AS total_w,
+                     CAST(min(CASE WHEN 2 * cum >= tot THEN v END)
+                       AS BIGINT) AS wmedian_cents
+              FROM c GROUP BY flag ORDER BY flag"""))
   )
 
   /** d17's single-scan profiler, shared by the registered exact query and

@@ -3070,6 +3070,82 @@ class QueriesSpec extends AnyFunSuite {
       "vocabulary saturated — the diagnostic is flat")
   }
 
+  test("n12 Holt-Winters equals a first-principles Scala replay of the recurrence") {
+    import spark.implicits._
+    // dense hourly series per type, first-principles from the raw events
+    val raw = Tables.events(spark, d)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+          .as("hr"))
+      .as[(String, Long)].collect()
+    val truth = raw.groupBy(_._1).map { case (typ, rows) =>
+      val byH = rows.groupBy(_._2).map { case (h, v) => h -> v.size }
+      val (lo, hi) = (byH.keys.min, byH.keys.max)
+      val xs = (lo to hi).map(h => byH.getOrElse(h, 0).toDouble)
+      // identical fold as the registered query and the streaming twin
+      val ini = xs.take(24)
+      val l0 = ini.tail.foldLeft(ini.head)(_ + _) / 24.0
+      val b0 = (ini(23) - ini(0)) / 23.0
+      var (l, b, s, t) = (l0, b0, ini.map(_ - l0).toArray, 24L)
+      xs.drop(24).foreach { x =>
+        val pos = (t % 24L).toInt
+        val sOld = s(pos)
+        val nl = 0.25 * (x - sOld) + 0.75 * (l + b)
+        val nb = 0.25 * (0.25 * (x - sOld) + 0.75 * (l + b) - l) +
+          0.75 * b
+        s(pos) = 0.25 * (x - (0.25 * (x - sOld) + 0.75 * (l + b))) +
+          0.75 * sOld
+        l = nl; b = nb; t += 1
+      }
+      def r6(v: Double) = BigDecimal(v)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      typ -> ((t, r6(l), r6(b), r6(l + b + s((t % 24L).toInt))))
+    }
+    val got = SparkEntry.queries("n12_holt_winters")(spark, d)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(got.length == truth.size)
+    got.foreach { case (typ, n, l, b, f) =>
+      assert(truth(typ) == ((n, l, b, f)),
+        s"$typ: ($n,$l,$b,$f) != ${truth(typ)}")
+    }
+    // seasonality is load-bearing on this corpus: for some type the
+    // seasonal slot must materially shift the forecast away from the pure
+    // level+trend projection (otherwise HW degenerates to n9)
+    assert(got.exists { case (_, _, l, b, f) =>
+      math.abs(f - (l + b)) > 1e-4 })
+  }
+
+  test("d18 weighted median equals a first-principles replay; weights matter") {
+    import spark.implicits._
+    val rows = Tables.lineitem(spark, d)
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"),
+        expr("CAST(round(l_quantity) AS BIGINT)"))
+      .as[(String, Long, Long)].collect()
+    def wmedian(vw: Seq[(Long, Long)]): (Long, Long) = {
+      val sorted = vw.groupBy(_._1).map { case (v, g) =>
+        v -> g.map(_._2).sum }.toSeq.sortBy(_._1)
+      val tot = sorted.map(_._2).sum
+      var cum = 0L
+      val m = sorted.collectFirst {
+        case (v, w) if { cum += w; 2 * cum >= tot } => v }.get
+      (tot, m)
+    }
+    val truth = rows.groupBy(_._1).map { case (f, g) =>
+      f -> wmedian(g.map(r => (r._2, r._3)).toSeq) }
+    val got = SparkEntry.queries("d18_weighted_median")(spark, d)
+      .as[(String, Long, Long)].collect()
+    assert(got.length == truth.size)
+    got.foreach { case (f, tot, m) =>
+      assert(truth(f) == ((tot, m)), s"$f: ($tot,$m) != ${truth(f)}") }
+    // the weighting must be load-bearing: an all-weights-1 median differs
+    // for at least one group on this corpus
+    val unw = rows.groupBy(_._1).map { case (f, g) =>
+      f -> wmedian(g.map(r => (r._2, 1L)).toSeq)._2 }
+    assert(got.exists { case (f, _, m) => unw(f) != m },
+      "weighted == unweighted everywhere — the weight is vacuous here")
+  }
+
   test("j93 KS drift equals a first-principles CDF replay; D bounded and spread") {
     import spark.implicits._
     val rows = Tables.documents(spark, d)
