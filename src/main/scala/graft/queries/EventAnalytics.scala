@@ -662,6 +662,146 @@ object EventAnalytics {
                        AS BIGINT) AS tau_bp
               FROM (SELECT user_id, n FROM seq WHERE rn = 1) u
                 LEFT JOIN st ON u.user_id = st.user_id
-              ORDER BY u.user_id"""))
+              ORDER BY u.user_id""")),
+
+    // Holt–Winters additive seasonal smoothing (Winters 1960) — the
+    // forecasting family's capstone over n6 (level) and n9 (level+trend):
+    // per event_type, the HOURLY count series (dense, gap hours = 0 —
+    // n5's calendar discipline at hour grain) smoothed with level + trend
+    // + a 24-slot seasonal profile at α=β=γ=1/4 (binary-exact). Init at
+    // t=24: l₀ = first-day mean (left-fold seeded with the first element,
+    // the n6 convention both engines share), b₀ = (x₂₄−x₁)/23,
+    // s₀ = first-day deviations from l₀; then for t>24
+    //   l_t = α(x_t − s_{t−24}) + (1−α)(l_{t−1}+b_{t−1})
+    //   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    //   s_t = γ(x_t − l_t) + (1−γ)s_{t−24}
+    // The Spark fold carries (l, b, s[24], t) in ONE struct accumulator —
+    // the seasonal slot update is a slice‖[new]‖slice value move, zero
+    // float ops — and the ORACLE replays the identical recurrence as a
+    // recursive CTE whose rows carry the 24-slot LIST (l_t re-derived by
+    // the same expression inside b_t and s_t, the n9 discipline), so every
+    // IEEE op happens in the same order and the 6-dp round is exact.
+    // Scale: everything above one map-side-combinable hourly count is
+    // CALENDAR-sized (types × hours ≈ 3.6k at every SF — measured flat);
+    // per-type state is 27 doubles, which is why the streaming twin
+    // `holtWintersStream` holds O(m) keyed state on an unbounded stream.
+    Q("n12_holt_winters",
+      (s, d) => {
+        val per = Tables.events(s, d)
+          .groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n"))
+        val perT = truncateLineage(per)
+        val cal = perT.groupBy("event_type")
+          .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+          .select(col("event_type"),
+            explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+        val dense = cal.join(perT, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h"),
+            coalesce(col("n"), lit(0L)).cast("double").as("x"))
+        dense.groupBy("event_type")
+          .agg(expr("transform(sort_array(collect_list(struct(h, x))), r -> r.x)")
+            .as("xs"))
+          .where(size(col("xs")) >= 25)
+          .withColumn("l0",
+            expr("""aggregate(slice(xs, 2, 23), element_at(xs, 1),
+                      (a, v) -> a + v) / CAST(24 AS DOUBLE)"""))
+          .withColumn("st0", expr(
+            """named_struct(
+                 'l', l0,
+                 'b', (element_at(xs, 24) - element_at(xs, 1))
+                      / CAST(23 AS DOUBLE),
+                 's', transform(slice(xs, 1, 24), v -> v - l0),
+                 't', CAST(24 AS BIGINT))"""))
+          .withColumn("fin", expr(
+            """aggregate(slice(xs, 25, size(xs) - 24), st0,
+                 (acc, x) -> named_struct(
+                   'l', CAST(0.25 AS DOUBLE)
+                          * (x - element_at(acc.s,
+                               CAST(acc.t % 24 + 1 AS INT)))
+                        + CAST(0.75 AS DOUBLE) * (acc.l + acc.b),
+                   'b', CAST(0.25 AS DOUBLE)
+                          * (CAST(0.25 AS DOUBLE)
+                               * (x - element_at(acc.s,
+                                    CAST(acc.t % 24 + 1 AS INT)))
+                             + CAST(0.75 AS DOUBLE) * (acc.l + acc.b)
+                             - acc.l)
+                        + CAST(0.75 AS DOUBLE) * acc.b,
+                   's', concat(
+                          slice(acc.s, 1, CAST(acc.t % 24 AS INT)),
+                          array(CAST(0.25 AS DOUBLE)
+                              * (x - (CAST(0.25 AS DOUBLE)
+                                   * (x - element_at(acc.s,
+                                        CAST(acc.t % 24 + 1 AS INT)))
+                                 + CAST(0.75 AS DOUBLE) * (acc.l + acc.b)))
+                            + CAST(0.75 AS DOUBLE)
+                              * element_at(acc.s,
+                                  CAST(acc.t % 24 + 1 AS INT))),
+                          slice(acc.s, CAST(acc.t % 24 + 2 AS INT),
+                            CAST(24 - (acc.t % 24 + 1) AS INT))),
+                   't', acc.t + CAST(1 AS BIGINT)))"""))
+          .select(col("event_type"),
+            col("fin.t").as("n_hours"),
+            round(col("fin.l"), 6).as("level"),
+            round(col("fin.b"), 6).as("trend"),
+            round(expr(
+              """fin.l + fin.b + element_at(fin.s,
+                   CAST(fin.t % 24 + 1 AS INT))"""), 6).as("forecast"))
+          .orderBy("event_type")
+      },
+      Some("""WITH RECURSIVE per AS (
+                SELECT event_type, date_trunc('hour', ts) AS h,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2),
+              span AS (SELECT event_type, min(h) AS lo, max(h) AS hi
+                       FROM per GROUP BY 1),
+              cal AS (SELECT event_type,
+                             unnest(generate_series(lo, hi,
+                               INTERVAL 1 HOUR)) AS h
+                      FROM span),
+              dense AS (
+                SELECT c.event_type, c.h,
+                       CAST(coalesce(p.n, 0) AS DOUBLE) AS x,
+                       row_number() OVER (PARTITION BY c.event_type
+                         ORDER BY c.h) AS t
+                FROM cal c LEFT JOIN per p
+                  ON p.event_type = c.event_type AND p.h = c.h),
+              f24 AS (SELECT event_type, list(x ORDER BY t) AS xs
+                      FROM dense WHERE t <= 24 GROUP BY event_type),
+              lvl AS (SELECT event_type,
+                             list_reduce(xs, (a, v) -> a + v) / 24.0 AS l0,
+                             (xs[24] - xs[1]) / 23.0 AS b0, xs
+                      FROM f24),
+              i2 AS (SELECT event_type, l0, b0,
+                            list_transform(xs, v -> v - l0) AS s0
+                     FROM lvl),
+              hw AS (
+                SELECT event_type, CAST(24 AS BIGINT) AS t,
+                       l0 AS l, b0 AS b, s0 AS s
+                FROM i2
+                UNION ALL
+                SELECT h.event_type, d.t,
+                       0.25 * (d.x - h.s[CAST((d.t - 1) % 24 + 1 AS INT)])
+                         + 0.75 * (h.l + h.b),
+                       0.25 * (0.25 * (d.x
+                                - h.s[CAST((d.t - 1) % 24 + 1 AS INT)])
+                              + 0.75 * (h.l + h.b) - h.l)
+                         + 0.75 * h.b,
+                       h.s[1:CAST((d.t - 1) % 24 AS INT)]
+                         || [0.25 * (d.x - (0.25 * (d.x
+                                - h.s[CAST((d.t - 1) % 24 + 1 AS INT)])
+                              + 0.75 * (h.l + h.b)))
+                             + 0.75 * h.s[CAST((d.t - 1) % 24 + 1 AS INT)]]
+                         || h.s[CAST((d.t - 1) % 24 + 2 AS INT):24]
+                FROM hw h JOIN dense d
+                  ON d.event_type = h.event_type AND d.t = h.t + 1)
+              SELECT h.event_type, t AS n_hours,
+                     round(l, 6) AS level, round(b, 6) AS trend,
+                     round(l + b + s[CAST(t % 24 + 1 AS INT)], 6)
+                       AS forecast
+              FROM hw h JOIN (SELECT event_type, max(t) mt FROM hw
+                              GROUP BY 1) m
+                ON m.event_type = h.event_type AND h.t = m.mt
+              ORDER BY h.event_type"""))
   )
 }

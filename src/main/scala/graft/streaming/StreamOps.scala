@@ -95,6 +95,20 @@ final case class UserCusum(
     user_id: Long, n_events: Long, alarms: Long, cusum: Double,
     n_ooo: Long)
 
+// Holt–Winters keyed state — n12's recurrence memory: level, trend, the
+// 24-slot seasonal profile, and the hour counter; `init` buffers ONLY the
+// first season (≤ 24 values, then cleared — state is O(m) forever after);
+// maxH/nOoo: the in-order guard on the hour index
+final case class HwState(
+    l: Double, b: Double, s: Seq[Double], t: Long, init: Seq[Double],
+    maxH: Long, nOoo: Long)
+// One dense hourly bucket (the gap-filled series element n12 folds;
+// upstream = an hourly gapFillStream shape with zero-filled gaps)
+final case class HourCount(event_type: String, epoch_hour: Long, x: Double)
+final case class TypeHw(
+    event_type: String, n_hours: Long, level: Double, trend: Double,
+    forecast: Double, n_ooo: Long)
+
 final case class ChunkIn(doc_id: Long, idx: Long, ck: String)
 final case class ChunkDecision(
     doc_id: Long, idx: Long, ck: String, kept: Boolean)
@@ -822,6 +836,61 @@ object StreamOps {
           }
           state.update(st)
           UserCusum(uid, st.n, st.alarms, st.s, st.nOoo)
+      }
+  }
+
+  /** Streaming Holt–Winters — the twin of the registered
+    * `n12_holt_winters` batch query, consuming the DENSE hourly series (a
+    * gap-filled bucket stream — compose with an hourly [[GapFillProcessor]]
+    * shape upstream; gap hours arrive as x = 0). Keyed state is level +
+    * trend + the 24-slot seasonal profile + the hour counter — O(m) per
+    * key on an unbounded stream, where the batch form's per-key series
+    * grows with it. The first season buffers into `init` (≤ 24 values,
+    * cleared at the 24th bucket when l₀/b₀/s₀ compute by the batch
+    * fold's exact expressions); every later bucket applies the identical
+    * correctly-rounded IEEE ops in the identical order as the batch
+    * struct accumulator, so after the same buckets the state is
+    * BIT-identical (the differential compares at n12's own 6-dp round).
+    * In-order contract on the hour index with the usual n_ooo guard —
+    * a seasonal slot folded out of order corrupts the profile silently.
+    */
+  def holtWintersStream(buckets: Dataset[HourCount]): Dataset[TypeHw] = {
+    import buckets.sparkSession.implicits._
+    buckets.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[HourCount],
+         state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(
+            HwState(0.0, 0.0, Nil, 0L, Nil, -1L, 0L))
+          val prevMax = st.maxH
+          rows.toSeq.sortBy(_.epoch_hour).foreach { r =>
+            if (prevMax != -1L && r.epoch_hour < prevMax)
+              st = st.copy(nOoo = st.nOoo + 1)
+            if (r.epoch_hour > st.maxH) st = st.copy(maxH = r.epoch_hour)
+            if (st.t < 24L) {
+              val ini = st.init :+ r.x
+              if (ini.length == 24) {
+                val l0 = ini.tail.foldLeft(ini.head)(_ + _) / 24.0
+                val b0 = (ini(23) - ini(0)) / 23.0
+                st = st.copy(l = l0, b = b0, s = ini.map(_ - l0),
+                  t = 24L, init = Nil)
+              } else st = st.copy(init = ini, t = st.t + 1)
+            } else {
+              val pos = (st.t % 24L).toInt // 0-based slot of this hour
+              val sOld = st.s(pos)
+              val nl = 0.25 * (r.x - sOld) + 0.75 * (st.l + st.b)
+              val nb = 0.25 * (0.25 * (r.x - sOld) + 0.75 * (st.l + st.b)
+                - st.l) + 0.75 * st.b
+              val ns = 0.25 * (r.x - (0.25 * (r.x - sOld)
+                + 0.75 * (st.l + st.b))) + 0.75 * sOld
+              st = st.copy(l = nl, b = nb, s = st.s.updated(pos, ns),
+                t = st.t + 1)
+            }
+          }
+          state.update(st)
+          val fc = if (st.t >= 24L)
+            st.l + st.b + st.s((st.t % 24L).toInt) else 0.0
+          TypeHw(typ, st.t, st.l, st.b, fc, st.nOoo)
       }
   }
 

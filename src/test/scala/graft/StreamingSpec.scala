@@ -2444,6 +2444,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("cusum").agg(sum("alarms")).head().getLong(0) > 0L)
   }
 
+  test("streaming Holt-Winters converges bit-identically to the registered n12 fold") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the twin consumes the DENSE hourly series; derive it exactly as the
+    // batch query does (calendar from first to last hour, gaps = 0)
+    val raw = Tables.events(spark, d)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+          .as("hr"))
+      .as[(String, Long)].collect()
+    val series = raw.groupBy(_._1).toSeq.flatMap { case (typ, rows) =>
+      val byH = rows.groupBy(_._2).map { case (h, v) => h -> v.size }
+      val (lo, hi) = (byH.keys.min, byH.keys.max)
+      (lo to hi).map(h => HourCount(typ, h, byH.getOrElse(h, 0).toDouble))
+    }.sortBy(r => (r.epoch_hour, r.event_type))
+    val in = MemoryStream[HourCount]
+    val q = holtWintersStream(in.toDS()).writeStream
+      .format("memory").queryName("hw").outputMode("update").start()
+    series.grouped((series.size + 2) / 3).foreach { c =>
+      in.addData(c); q.processAllAvailable() }
+    q.stop()
+    assert(spark.table("hw").agg(max("n_ooo")).head().getLong(0) == 0L)
+    // n_hours is monotone → final state per type = max-t row; the O(m)
+    // recurrence must land on the same doubles as the batch fold
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("n_hours").desc)
+    val streamed = spark.table("hw")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("event_type"), col("n_hours"),
+        round(col("level"), 6).as("level"),
+        round(col("trend"), 6).as("trend"),
+        round(col("forecast"), 6).as("forecast"))
+    val batch = SparkEntry.queries("n12_holt_winters")(spark, d)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streaming Holt-Winters diverges from the batch fold")
+  }
+
   test("CUSUM transformWithState port matches the MGWS implementation (dual API)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
