@@ -2481,6 +2481,59 @@ class StreamingSpec extends AnyFunSuite {
       "streaming Holt-Winters diverges from the batch fold")
   }
 
+  test("Holt-Winters 24-slot profile survives kill/restart under RocksDB") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDB {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-hw-ck").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-hw-out").toString
+      val in = MemoryStream[HourCount]
+      // memory sinks cannot recover from a checkpoint — emit through
+      // foreachBatch to parquet (the Markov restart test's pattern)
+      def start() = holtWintersStream(in.toDS()).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[TypeHw],
+            _: Long) => df.write.mode("append").parquet(out) }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      // deterministic 60-hour series with real seasonal structure
+      val xs = (0 until 60).map(i => ((i * 37) % 11).toDouble)
+      val q1 = start()
+      in.addData((0 until 30).map(i => HourCount("t", 1000L + i, xs(i))))
+      q1.processAllAvailable()
+      q1.stop() // kill: level/trend AND the seasonal array live only in state
+      val q2 = start()
+      in.addData((30 until 60).map(i => HourCount("t", 1000L + i, xs(i))))
+      q2.processAllAvailable()
+      assertRocksDbServed(q2)
+      q2.stop()
+      // full-precision Scala replay of the SAME fold over the whole series
+      val ini = xs.take(24)
+      val l0 = ini.tail.foldLeft(ini.head)(_ + _) / 24.0
+      var (l, b, t) = (l0, (ini(23) - ini(0)) / 23.0, 24L)
+      val s = ini.map(_ - l0).toArray
+      xs.drop(24).foreach { x =>
+        val pos = (t % 24L).toInt
+        val sOld = s(pos)
+        val nl = 0.25 * (x - sOld) + 0.75 * (l + b)
+        val nb = 0.25 * (0.25 * (x - sOld) + 0.75 * (l + b) - l) +
+          0.75 * b
+        s(pos) = 0.25 * (x - (0.25 * (x - sOld) + 0.75 * (l + b))) +
+          0.75 * sOld
+        l = nl; b = nb; t += 1
+      }
+      val last = spark.read.parquet(out).orderBy(col("n_hours").desc)
+        .select("n_hours", "level", "trend", "forecast").head()
+      // a lost seasonal array cannot reproduce these doubles: the
+      // recovered fold must land bit-identically on the replay
+      assert(last.getLong(0) == 60L)
+      assert(last.getDouble(1) == l && last.getDouble(2) == b &&
+        last.getDouble(3) == l + b + s((t % 24L).toInt),
+        s"recovered state diverged: $last vs ($l, $b)")
+    }
+  }
+
   test("CUSUM transformWithState port matches the MGWS implementation (dual API)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

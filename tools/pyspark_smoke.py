@@ -15,9 +15,10 @@ Usage:
   python3 tools/pyspark_smoke.py [sfDir] [query ...]
 defaults: /root/testdata/sf0.001 and the FULL m-tranche (every m*_tpch_*
 key in the catalog, discovered through py4j — 21 workloads), plus
-seven non-SQL/dialect checks: j1_exact_dedup, j73_random_projection,
+eight non-SQL/dialect checks: j1_exact_dedup, j73_random_projection,
 j78_scd2_history, a4 DSv2 pushdown, b6 recursive SQL, a6 aggregate
-pushdown, and n6_ewma (round 15 — the order-pinned HOF fold), each
+pushdown, n6_ewma (round 15 — the order-pinned HOF fold), and
+n10_cusum_alarm (round 16 — the struct-accumulator alarm fold), each
 invoked through py4j AND re-composed natively in the PySpark
 DataFrame API / SQL, compared row-for-row (non-SQL operators reach
 the Python surface both ways, including the vector/HOF family, the
@@ -257,7 +258,43 @@ def main() -> int:
     print(f"[pyspark-smoke] {n6}: py4j rows={len(via_jvmn6)} "
           f"native-pyspark rows={len(via_pyn6)} "
           f"{'MATCH' if n6_ok else 'MISMATCH'}")
-    n_total = len(names) + 7
+    # Round-16 monitoring operator from Python: the CUSUM drift alarm
+    # (n10) re-composed natively — the struct-accumulator fold is built-in
+    # HOFs too, so the alarm-and-reset branch reaches Python verbatim and
+    # must land on the same (alarms, cusum) pairs.
+    n10 = "n10_cusum_alarm"
+    jdfn10 = queries.apply(n10).apply(spark._jsparkSession, sf_dir)
+    via_jvmn10 = sorted(map(tuple, DataFrame(jdfn10, spark).collect()))
+    nativen10 = (spark.table("events")
+                 .groupBy("user_id")
+                 .agg(F.expr("transform(sort_array(collect_list("
+                             "struct(ts, event_id, value))), r -> r.value)")
+                      .alias("vs"))
+                 .select(F.col("user_id"),
+                         F.size("vs").cast("long").alias("n_events"),
+                         F.expr(
+                             "aggregate(vs, named_struct('s', "
+                             "CAST(0 AS DOUBLE), 'a', CAST(0 AS BIGINT)), "
+                             "(acc, x) -> CASE WHEN greatest("
+                             "CAST(0 AS DOUBLE), acc.s + x - "
+                             "CAST(60 AS DOUBLE)) > CAST(80 AS DOUBLE) "
+                             "THEN named_struct('s', CAST(0 AS DOUBLE), "
+                             "'a', acc.a + CAST(1 AS BIGINT)) "
+                             "ELSE named_struct('s', greatest("
+                             "CAST(0 AS DOUBLE), acc.s + x - "
+                             "CAST(60 AS DOUBLE)), 'a', acc.a) END)")
+                         .alias("st"))
+                 .select(F.col("user_id"), F.col("n_events"),
+                         F.col("st.a").alias("alarms"),
+                         F.round(F.col("st.s"), 6).alias("cusum_final"))
+                 .orderBy("user_id"))
+    via_pyn10 = sorted(map(tuple, nativen10.collect()))
+    n10_ok = via_jvmn10 == via_pyn10 and len(via_jvmn10) > 0
+    failures += 0 if n10_ok else 1
+    print(f"[pyspark-smoke] {n10}: py4j rows={len(via_jvmn10)} "
+          f"native-pyspark rows={len(via_pyn10)} "
+          f"{'MATCH' if n10_ok else 'MISMATCH'}")
+    n_total = len(names) + 8
     spark.stop()
     print(f"[pyspark-smoke] {n_total - failures}/{n_total} matched")
     return 1 if failures else 0
