@@ -84,6 +84,36 @@ object CustomFns {
                      CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
                        AS BIGINT) AS cents
               FROM orders WHERE o_orderstatus = 'F'
-              GROUP BY o_custkey ORDER BY o_custkey"""))
+              GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // SQL-defined UDF (round 16) — Spark 4's CREATE FUNCTION ... RETURN
+    // <expression> (SQL UDF), the fourth and SCALE-PREFERRED extension
+    // point: unlike k1's JVM closure, a SQL UDF is INLINED into the plan
+    // at analysis time (PlanSpec pins zero ScalaUDF nodes), so it rides
+    // whole-stage codegen, null-safety and pushdown for free — the UDF
+    // mechanism with no UDF tax. The body is the engine's integer-cents
+    // revenue convention; the oracle states the same expression inline
+    // (the driver harness runs ONE statement, and the truth doesn't need
+    // the mechanism — the mechanism is what's under test on the Spark
+    // side). QueriesSpec additionally pins k5 ≡ the inlined-expression
+    // DataFrame twin row-for-row.
+    Q("k5_sql_udf",
+      (s, d) => {
+        Tables.registerAllViews(s, d)
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_revenue(
+                   p DOUBLE, disc DOUBLE) RETURNS BIGINT
+                 RETURN CAST(round(p * (1 - disc) * 100) AS BIGINT)""")
+        s.sql("""SELECT l_returnflag,
+                        CAST(sum(graft_revenue(l_extendedprice,
+                                               l_discount)) AS BIGINT)
+                          AS rev_cents,
+                        count(*) AS n_lines
+                 FROM lineitem GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""SELECT l_returnflag,
+                     CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                       * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+                     count(*) AS n_lines
+              FROM lineitem GROUP BY 1 ORDER BY 1"""))
   )
 }

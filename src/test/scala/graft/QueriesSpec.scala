@@ -3070,6 +3070,25 @@ class QueriesSpec extends AnyFunSuite {
       "vocabulary saturated — the diagnostic is flat")
   }
 
+  test("k5 SQL UDF inlines: result equals the expression twin, no ScalaUDF node") {
+    import spark.implicits._
+    val got = SparkEntry.queries("k5_sql_udf")(spark, d)
+    val twin = Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(sum(expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"))
+        .cast("long").as("rev_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("l_returnflag")
+    assert(got.except(twin).isEmpty && twin.except(got).isEmpty,
+      "SQL UDF result diverges from the inlined expression")
+    // the mechanism's point: the UDF is gone from the physical plan —
+    // no ScalaUDF (JVM closure) node; the body inlined into codegen
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"),
+      s"SQL UDF compiled to a JVM closure node:\n$plan")
+  }
+
   test("n12 Holt-Winters equals a first-principles Scala replay of the recurrence") {
     import spark.implicits._
     // dense hourly series per type, first-principles from the raw events
