@@ -685,6 +685,10 @@ object EventAnalytics {
     // CALENDAR-sized (types × hours ≈ 3.6k at every SF — measured flat);
     // per-type state is 27 doubles, which is why the streaming twin
     // `holtWintersStream` holds O(m) keyed state on an unbounded stream.
+    // DOMAIN: a type needs ≥ 25 dense hours (one full season + one step)
+    // to register — enforced IDENTICALLY on both sides (Spark's
+    // size ≥ 25 filter; the oracle's nh.tn >= 25 join), so a sparse type
+    // drops from both rather than hash-diverging.
     Q("n12_holt_winters",
       (s, d) => {
         val per = Tables.events(s, d)
@@ -766,8 +770,12 @@ object EventAnalytics {
                          ORDER BY c.h) AS t
                 FROM cal c LEFT JOIN per p
                   ON p.event_type = c.event_type AND p.h = c.h),
-              f24 AS (SELECT event_type, list(x ORDER BY t) AS xs
-                      FROM dense WHERE t <= 24 GROUP BY event_type),
+              nh AS (SELECT event_type, max(t) AS tn
+                     FROM dense GROUP BY 1),
+              f24 AS (SELECT de.event_type, list(de.x ORDER BY de.t) AS xs
+                      FROM dense de JOIN nh
+                        ON nh.event_type = de.event_type AND nh.tn >= 25
+                      WHERE de.t <= 24 GROUP BY de.event_type),
               lvl AS (SELECT event_type,
                              list_reduce(xs, (a, v) -> a + v) / 24.0 AS l0,
                              (xs[24] - xs[1]) / 23.0 AS b0, xs

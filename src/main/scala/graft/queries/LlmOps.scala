@@ -94,6 +94,20 @@ object LlmOps {
     docs.select(col("lang"), col("source"),
       expr("n_chars div 200").as("len_bucket"))
 
+  /** j91/j92's shared shingling seam — (doc_id, g) token-trigram rows from
+    * a (doc_id, ts: array<string>) projection (the qiTuples discipline:
+    * one definition, two surfaces — j92's novelty is DEFINED against
+    * j91's vocabulary unit, so they must not drift apart).
+    */
+  private[graft] def docTrigrams(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.where(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ts) - 2),
+             i -> concat_ws(' ', element_at(ts, i),
+                    element_at(ts, i + 1),
+                    element_at(ts, i + 2)))""")).as("g"))
+
   private val NumHashes = 32
   // 4 bands × 8 rows: LSH S-curve threshold (1/b)^(1/r) ≈ 0.84, just under
   // the τ=0.9 verify threshold. Measured on this corpus: r=2 bands collide
@@ -6206,12 +6220,7 @@ object LlmOps {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
-        val tri = docs.where(size(col("ts")) >= 3)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(ts) - 2),
-                 i -> concat_ws(' ', element_at(ts, i),
-                        element_at(ts, i + 1),
-                        element_at(ts, i + 2)))""")).as("g"))
+        val tri = docTrigrams(docs)
         val fo = tri.groupBy("g").agg(min(col("doc_id")).as("fd"))
         val dl = truncateLineage(docs.select(col("doc_id"),
           greatest(size(col("ts")) - 2, lit(0)).cast("long").as("ng")))
@@ -6279,15 +6288,11 @@ object LlmOps {
       (s, d) => {
         // per-(doc, gram) occurrence counts — the ONE corpus-sized
         // exchange, partial-aggregated map-side so repeats collapse
-        // before the shuffle
-        val cntDg = truncateLineage(Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("ts"))
-          .where(size(col("ts")) >= 3)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(ts) - 2),
-                 i -> concat_ws(' ', element_at(ts, i),
-                        element_at(ts, i + 1),
-                        element_at(ts, i + 2)))""")).as("g"))
+        // before the shuffle; the shingling is j91's docTrigrams seam
+        // (one definition, two surfaces — the qiTuples discipline)
+        val cntDg = truncateLineage(docTrigrams(
+          Tables.documents(s, d)
+            .select(col("doc_id"), split(col("text"), " ").as("ts")))
           .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt")))
         // first-occurrence + its in-doc count in ONE min-struct aggregate
         // (doc_id leads the struct, so min picks the earliest doc and

@@ -18,6 +18,18 @@ object StatefulShadows {
 
   private val GapUs = 1800000000L // 30 min session gap, microseconds
 
+  // i9's per-row gap policy — ONE definition shared by the batch shadow
+  // (µs literals below), the native streaming operator
+  // (StreamOps.sessionWindowsDynamic) and the spec's native twin, so the
+  // "oracle transitively checks the native operator" chain cannot be
+  // broken by editing one copy: the interval strings derive from the
+  // same µs constants the relational shadow compares with.
+  private[graft] val ErrorGapUs = 120000000L // 2 min — an error ends it
+  private[graft] def dynamicGapCol: org.apache.spark.sql.Column =
+    when(col("event_type") === "error",
+      lit(s"${ErrorGapUs / 60000000L} minutes"))
+      .otherwise(lit(s"${GapUs / 60000000L} minutes"))
+
   val queries: Seq[Q] = Seq(
     // Tumbling event-time window — batch form of
     // events.withWatermark().groupBy(window($"ts","1 hour"), $"event_type").
@@ -236,8 +248,8 @@ object StatefulShadows {
         Tables.events(s, d)
           .withColumn("us", unix_micros(col("ts")))
           .withColumn("end_us", col("us") +
-            when(col("event_type") === "error", 120000000L)
-              .otherwise(1800000000L))
+            when(col("event_type") === "error", ErrorGapUs)
+              .otherwise(GapUs))
           .withColumn("pme", max("end_us").over(wPrev))
           .withColumn("new_s",
             when(col("pme").isNull || col("us") >= col("pme"), 1)

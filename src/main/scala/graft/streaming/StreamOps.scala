@@ -853,6 +853,10 @@ object StreamOps {
     * BIT-identical (the differential compares at n12's own 6-dp round).
     * In-order contract on the hour index with the usual n_ooo guard —
     * a seasonal slot folded out of order corrupts the profile silently.
+    * DOMAIN NOTE: the batch twin registers only series with ≥ 25 hours
+    * (one season + one step); this online form also emits rows for
+    * still-initializing keys (t ≤ 24, forecast 0.0) — consumers and the
+    * differential filter on n_hours ≥ 25 for batch-comparable output.
     */
   def holtWintersStream(buckets: Dataset[HourCount]): Dataset[TypeHw] = {
     import buckets.sparkSession.implicits._
@@ -1015,8 +1019,7 @@ object StreamOps {
   def sessionWindowsDynamic(events: Dataset[Event]): DataFrame =
     events.withWatermark("ts", "30 minutes")
       .groupBy(session_window(col("ts"),
-        when(col("event_type") === "error", lit("2 minutes"))
-          .otherwise(lit("30 minutes"))), col("user_id"))
+        graft.queries.StatefulShadows.dynamicGapCol), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("start_ts"),
         col("user_id"), col("n_events"))

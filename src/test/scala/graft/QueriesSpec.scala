@@ -10,6 +10,17 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class QueriesSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
+
+  /** The j91/j92 trigram unit replayed first-principles — ONE definition
+    * for both tests, mirroring LlmOps.docTrigrams (their shared seam).
+    */
+  private val replayTrigrams: (Long, String) => Seq[(Long, String)] = {
+    (id, t) =>
+      val ts = t.split(" ", -1)
+      if (ts.length < 3) Seq.empty
+      else (0 to ts.length - 3).map(i =>
+        id -> s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}")
+  }
   private val d = TestSpark.Sf0001
 
   test("every registered query executes and has a schema") {
@@ -3051,12 +3062,7 @@ class QueriesSpec extends AnyFunSuite {
     // first-principles recount of distinct trigrams / gram count
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
-    val grams = docs.flatMap { case (id, t) =>
-      val ts = t.split(" ", -1)
-      if (ts.length < 3) Seq.empty
-      else (0 to ts.length - 3).map(i =>
-        id -> s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}")
-    }
+    val grams = docs.flatMap(replayTrigrams.tupled)
     val (_, cDocs, nGrams, vocab) = got.last
     assert(cDocs == docs.map(_._1).max + 1)
     assert(nGrams == grams.length.toLong,
@@ -3097,10 +3103,13 @@ class QueriesSpec extends AnyFunSuite {
         expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
           .as("hr"))
       .as[(String, Long)].collect()
-    val truth = raw.groupBy(_._1).map { case (typ, rows) =>
+    val truth = raw.groupBy(_._1).flatMap { case (typ, rows) =>
       val byH = rows.groupBy(_._2).map { case (h, v) => h -> v.size }
       val (lo, hi) = (byH.keys.min, byH.keys.max)
       val xs = (lo to hi).map(h => byH.getOrElse(h, 0).toDouble)
+      // the query's domain: one full season + one step (both engines
+      // drop shorter series identically)
+      if (xs.length < 25) None else Some {
       // identical fold as the registered query and the streaming twin
       val ini = xs.take(24)
       val l0 = ini.tail.foldLeft(ini.head)(_ + _) / 24.0
@@ -3119,7 +3128,7 @@ class QueriesSpec extends AnyFunSuite {
       def r6(v: Double) = BigDecimal(v)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       typ -> ((t, r6(l), r6(b), r6(l + b + s((t % 24L).toInt))))
-    }
+    }}
     val got = SparkEntry.queries("n12_holt_winters")(spark, d)
       .as[(String, Long, Double, Double, Double)].collect()
     assert(got.length == truth.size)
@@ -3200,8 +3209,7 @@ class QueriesSpec extends AnyFunSuite {
     // session (the [start, end) exclusivity)
     val native = Tables.events(spark, d)
       .groupBy(session_window(col("ts"),
-        when(col("event_type") === "error", lit("2 minutes"))
-          .otherwise(lit("30 minutes"))), col("user_id"))
+        graft.queries.StatefulShadows.dynamicGapCol), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("session_window.start").as("start_ts"),
         unix_micros(col("session_window.end")).as("sess_end_us"),
@@ -3283,12 +3291,7 @@ class QueriesSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = Tables.documents(spark, d)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
-    val grams = docs.flatMap { case (id, t) =>
-      val ts = t.split(" ", -1)
-      if (ts.length < 3) Seq.empty
-      else (0 to ts.length - 3).map(i =>
-        id -> s"${ts(i)} ${ts(i + 1)} ${ts(i + 2)}")
-    }
+    val grams = docs.flatMap(replayTrigrams.tupled)
     val firstDoc = grams.groupBy(_._2).map { case (g, v) =>
       g -> v.map(_._1).min }
     val truth = grams.groupBy(_._1).map { case (id, v) =>

@@ -2472,6 +2472,10 @@ class StreamingSpec extends AnyFunSuite {
       .partitionBy("event_type").orderBy(col("n_hours").desc)
     val streamed = spark.table("hw")
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      // the batch twin's domain is >= 25 dense hours (one season + one
+      // step); the online operator still tracks shorter keys in state,
+      // so the differential compares only the registered domain
+      .filter(col("n_hours") >= 25)
       .select(col("event_type"), col("n_hours"),
         round(col("level"), 6).as("level"),
         round(col("trend"), 6).as("trend"),
