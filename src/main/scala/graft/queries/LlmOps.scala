@@ -525,6 +525,85 @@ object LlmOps {
       |                JOIN sh y ON y.doc_id = c.doc_b)
       |  WHERE jac >= 0.9)""".stripMargin
 
+  /** j68/j94's shared oracle CTE stack — quantized vectors, the 4×4 IMI
+    * cell assignment, the 64-probe panel, top-3 probed cells and the
+    * candidate distances (`ad`). j68's final SELECT ranks `ad`; j94 joins
+    * the same ranking against a brute-force top-3 (one definition, two
+    * oracles — the NeardupPairsSql discipline).
+    */
+  private[graft] val ImiSearchCte: String =
+    """q AS (
+         SELECT vec_id, list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+           AS qv
+         FROM embeddings),
+       h AS (
+         SELECT vec_id, qv[1:32] AS lo, qv[33:64] AS hi FROM q),
+       cl AS (
+         SELECT vec_id AS cid, lo AS cv FROM h WHERE vec_id < 4),
+       ch AS (
+         SELECT vec_id AS cid, hi AS cv FROM h WHERE vec_id < 4),
+       alo AS (
+         SELECT h.vec_id, c.cid,
+                CAST(list_sum(list_transform(generate_series(1, 32),
+                  i -> (h.lo[i] - c.cv[i]) * (h.lo[i] - c.cv[i])))
+                  AS BIGINT) AS d2
+         FROM h CROSS JOIN cl c),
+       ahi AS (
+         SELECT h.vec_id, c.cid,
+                CAST(list_sum(list_transform(generate_series(1, 32),
+                  i -> (h.hi[i] - c.cv[i]) * (h.hi[i] - c.cv[i])))
+                  AS BIGINT) AS d2
+         FROM h CROSS JOIN ch c),
+       blo AS (
+         SELECT vec_id, cid AS cell_lo FROM (
+           SELECT vec_id, cid, row_number() OVER (
+             PARTITION BY vec_id ORDER BY d2, cid) AS rk
+           FROM alo) WHERE rk = 1),
+       bhi AS (
+         SELECT vec_id, cid AS cell_hi FROM (
+           SELECT vec_id, cid, row_number() OVER (
+             PARTITION BY vec_id ORDER BY d2, cid) AS rk
+           FROM ahi) WHERE rk = 1),
+       vcells AS (
+         SELECT blo.vec_id, cell_lo * 4 + cell_hi AS cell
+         FROM blo JOIN bhi ON blo.vec_id = bhi.vec_id),
+       probes AS (
+         SELECT vec_id AS probe_id, qv AS pqv FROM q
+         WHERE vec_id % 100 = 7 ORDER BY vec_id LIMIT 64),
+       pdl AS (
+         SELECT p.probe_id, c.cid AS ci,
+                CAST(list_sum(list_transform(generate_series(1, 32),
+                  i -> (p.pqv[i] - c.cv[i]) * (p.pqv[i] - c.cv[i])))
+                  AS BIGINT) AS dl
+         FROM probes p CROSS JOIN cl c),
+       pdh AS (
+         SELECT p.probe_id, c.cid AS cj,
+                CAST(list_sum(list_transform(generate_series(1, 32),
+                  i -> (p.pqv[i + 32] - c.cv[i])
+                       * (p.pqv[i + 32] - c.cv[i])))
+                  AS BIGINT) AS dh
+         FROM probes p CROSS JOIN ch c),
+       pcells AS (
+         SELECT probe_id, pcell FROM (
+           SELECT pdl.probe_id, pdl.ci * 4 + pdh.cj AS pcell,
+                  row_number() OVER (PARTITION BY pdl.probe_id
+                    ORDER BY pdl.dl + pdh.dh,
+                             pdl.ci * 4 + pdh.cj) AS crk
+           FROM pdl JOIN pdh ON pdl.probe_id = pdh.probe_id)
+         WHERE crk <= 3),
+       cand AS (
+         SELECT p.probe_id, v.vec_id FROM vcells v
+         JOIN pcells p ON v.cell = p.pcell
+         WHERE v.vec_id <> p.probe_id),
+       ad AS (
+         SELECT cand.probe_id, cand.vec_id,
+                CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> (q.qv[i] - pr.pqv[i]) * (q.qv[i] - pr.pqv[i])))
+                  AS BIGINT) AS adist
+         FROM cand JOIN q ON q.vec_id = cand.vec_id
+         JOIN probes pr ON pr.probe_id = cand.probe_id)"""
+
   /** j53's within-cell τ-pair stage over ANY (vec_id, embedding, cell)
     * assignment — shared by the registered fixed-centroid query and the
     * learned-codebook production variant below, so the two can never
@@ -4568,131 +4647,72 @@ object LlmOps {
     // All integer-exact → cell choice, candidate set, and ranking
     // hash-match the DuckDB replay.
     Q("j68_imi_search",
-      (s, d) => {
-        graft.functions.SquaredDistance.register(s)
-        val qe = graft.operators.IvfKMeans.quantize(Tables.embeddings(s, d))
-        val d2 = graft.operators.IvfKMeans.d2Expr _
-        val cells = truncateLineage(
-          graft.operators.IvfKMeans.imiAssign(qe, kHalf = 4)
-            .select("vec_id", "cell"))
-        val probes = truncateLineage(qe.filter(col("vec_id") % 100 === 7)
-          .orderBy("vec_id").limit(64)
-          .select(col("vec_id").as("probe_id"), col("qv").as("pqv")))
-        val hp = probes.select(col("probe_id"),
-          expr("slice(pqv, 1, 32)").as("plo"),
-          expr("slice(pqv, 33, 32)").as("phi"))
-        val seeds = qe.filter(col("vec_id") < 4)
-        val cl = seeds.select(col("vec_id").as("ci"),
-          expr("slice(qv, 1, 32)").as("cvl"))
-        val ch = seeds.select(col("vec_id").as("cj"),
-          expr("slice(qv, 33, 32)").as("cvh"))
-        val dl = hp.crossJoin(broadcast(cl))
-          .withColumn("dl", expr(d2("plo", "cvl")))
-          .select("probe_id", "ci", "dl")
-        val dh = hp.crossJoin(broadcast(ch))
-          .withColumn("dh", expr(d2("phi", "cvh")))
-          .select("probe_id", "cj", "dh")
-        val wCell = Window.partitionBy("probe_id")
-          .orderBy(col("dsum").asc, col("pcell").asc)
-        val probeCells = dl.join(dh, Seq("probe_id"))
-          .withColumn("pcell", col("ci") * 4 + col("cj"))
-          .withColumn("dsum", col("dl") + col("dh"))
-          .withColumn("crk", row_number().over(wCell))
-          .filter(col("crk") <= 3)
-          .join(probes, Seq("probe_id"))
-          .select("probe_id", "pcell", "pqv")
-        // candidates FIRST (cell equi-join on the 1-row-per-vector cell
-        // table), vectors fetched per candidate after — never a
-        // collection-sized vector shuffle
-        val cand = cells.join(broadcast(probeCells),
-            col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
-          .select("probe_id", "vec_id", "pqv")
-        val w = Window.partitionBy("probe_id")
-          .orderBy(col("adist").asc, col("vec_id"))
-        cand.join(qe, Seq("vec_id"))
-          .withColumn("adist", expr(d2("qv", "pqv")))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 3)
-          .select("probe_id", "vec_id", "adist", "rk")
-          .orderBy("probe_id", "rk")
-      },
-      Some("""WITH q AS (
-                SELECT vec_id, list_transform(embedding,
-                  x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
-                  AS qv
-                FROM embeddings),
-              h AS (
-                SELECT vec_id, qv[1:32] AS lo, qv[33:64] AS hi FROM q),
-              cl AS (
-                SELECT vec_id AS cid, lo AS cv FROM h WHERE vec_id < 4),
-              ch AS (
-                SELECT vec_id AS cid, hi AS cv FROM h WHERE vec_id < 4),
-              alo AS (
-                SELECT h.vec_id, c.cid,
-                       CAST(list_sum(list_transform(generate_series(1, 32),
-                         i -> (h.lo[i] - c.cv[i]) * (h.lo[i] - c.cv[i])))
-                         AS BIGINT) AS d2
-                FROM h CROSS JOIN cl c),
-              ahi AS (
-                SELECT h.vec_id, c.cid,
-                       CAST(list_sum(list_transform(generate_series(1, 32),
-                         i -> (h.hi[i] - c.cv[i]) * (h.hi[i] - c.cv[i])))
-                         AS BIGINT) AS d2
-                FROM h CROSS JOIN ch c),
-              blo AS (
-                SELECT vec_id, cid AS cell_lo FROM (
-                  SELECT vec_id, cid, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY d2, cid) AS rk
-                  FROM alo) WHERE rk = 1),
-              bhi AS (
-                SELECT vec_id, cid AS cell_hi FROM (
-                  SELECT vec_id, cid, row_number() OVER (
-                    PARTITION BY vec_id ORDER BY d2, cid) AS rk
-                  FROM ahi) WHERE rk = 1),
-              vcells AS (
-                SELECT blo.vec_id, cell_lo * 4 + cell_hi AS cell
-                FROM blo JOIN bhi ON blo.vec_id = bhi.vec_id),
-              probes AS (
-                SELECT vec_id AS probe_id, qv AS pqv FROM q
-                WHERE vec_id % 100 = 7 ORDER BY vec_id LIMIT 64),
-              pdl AS (
-                SELECT p.probe_id, c.cid AS ci,
-                       CAST(list_sum(list_transform(generate_series(1, 32),
-                         i -> (p.pqv[i] - c.cv[i]) * (p.pqv[i] - c.cv[i])))
-                         AS BIGINT) AS dl
-                FROM probes p CROSS JOIN cl c),
-              pdh AS (
-                SELECT p.probe_id, c.cid AS cj,
-                       CAST(list_sum(list_transform(generate_series(1, 32),
-                         i -> (p.pqv[i + 32] - c.cv[i])
-                              * (p.pqv[i + 32] - c.cv[i])))
-                         AS BIGINT) AS dh
-                FROM probes p CROSS JOIN ch c),
-              pcells AS (
-                SELECT probe_id, pcell FROM (
-                  SELECT pdl.probe_id, pdl.ci * 4 + pdh.cj AS pcell,
-                         row_number() OVER (PARTITION BY pdl.probe_id
-                           ORDER BY pdl.dl + pdh.dh,
-                                    pdl.ci * 4 + pdh.cj) AS crk
-                  FROM pdl JOIN pdh ON pdl.probe_id = pdh.probe_id)
-                WHERE crk <= 3),
-              cand AS (
-                SELECT p.probe_id, v.vec_id FROM vcells v
-                JOIN pcells p ON v.cell = p.pcell
-                WHERE v.vec_id <> p.probe_id),
-              ad AS (
-                SELECT cand.probe_id, cand.vec_id,
-                       CAST(list_sum(list_transform(generate_series(1, 64),
-                         i -> (q.qv[i] - pr.pqv[i]) * (q.qv[i] - pr.pqv[i])))
-                         AS BIGINT) AS adist
-                FROM cand JOIN q ON q.vec_id = cand.vec_id
-                JOIN probes pr ON pr.probe_id = cand.probe_id)
+      (s, d) => imiSearchTop3(s, d).orderBy("probe_id", "rk"),
+      Some(s"""WITH $ImiSearchCte
               SELECT probe_id, vec_id, adist, rk FROM (
                 SELECT probe_id, vec_id, adist,
                        CAST(row_number() OVER (PARTITION BY probe_id
                          ORDER BY adist, vec_id) AS BIGINT) AS rk
                 FROM ad) t
               WHERE rk <= 3 ORDER BY probe_id, rk""")),
+
+    // IMI recall audit (round 16) — the approximation QUALITY of j68's
+    // index registered as an oracle-checked fact: per probe, how many of
+    // the EXACT top-3 neighbors (brute force over the whole collection,
+    // the j3 shape) the 3-cell IMI probe recovered, in exact basis points.
+    // Every ANN deployment quotes recall@k; here the number itself
+    // hash-matches because both rankings are integer-exact with total
+    // tie orders, so the audit can run continuously over index rebuilds
+    // (a silent recall collapse — bad codebooks, skewed cells — fails
+    // the oracle, not just a ladder). Shapes: the IMI side is j68's
+    // seam verbatim; the brute side is ONE broadcast of the 64-probe
+    // panel against the collection (probe-panel-sized × n distance
+    // evals — the audit costs one brute pass, which is exactly what an
+    // offline recall check pays at any scale; sample probes, never the
+    // collection). Recall measured REAL on this corpus: not 100% —
+    // the 3-of-16-cells probe misses true neighbors in unprobed cells.
+    Q("j94_imi_recall",
+      (s, d) => {
+        val imi = imiSearchTop3(s, d).select("probe_id", "vec_id")
+        val exact = bruteTop3(s, d)
+        val hits = exact.join(imi, Seq("probe_id", "vec_id"), "left_semi")
+          .groupBy("probe_id").agg(count(lit(1)).as("h"))
+        exact.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
+          .join(hits, Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("h"), lit(0L)).as("hits"),
+            expr("(coalesce(h, 0) * CAST(10000 AS BIGINT)) div 3")
+              .as("recall_bp"))
+          .orderBy("probe_id")
+      },
+      Some(s"""WITH $ImiSearchCte,
+              imi AS (
+                SELECT probe_id, vec_id FROM (
+                  SELECT probe_id, vec_id,
+                         row_number() OVER (PARTITION BY probe_id
+                           ORDER BY adist, vec_id) AS rk
+                  FROM ad) t WHERE rk <= 3),
+              bd AS (
+                SELECT pr.probe_id, q.vec_id,
+                       CAST(list_sum(list_transform(generate_series(1, 64),
+                         i -> (q.qv[i] - pr.pqv[i]) * (q.qv[i] - pr.pqv[i])))
+                         AS BIGINT) AS bdist
+                FROM probes pr CROSS JOIN q
+                WHERE q.vec_id <> pr.probe_id),
+              brute AS (
+                SELECT probe_id, vec_id FROM (
+                  SELECT probe_id, vec_id,
+                         row_number() OVER (PARTITION BY probe_id
+                           ORDER BY bdist, vec_id) AS rk
+                  FROM bd) t WHERE rk <= 3),
+              hits AS (
+                SELECT b.probe_id, count(i.vec_id) AS h
+                FROM brute b LEFT JOIN imi i
+                  ON i.probe_id = b.probe_id AND i.vec_id = b.vec_id
+                GROUP BY 1)
+              SELECT probe_id, CAST(h AS BIGINT) AS hits,
+                     CAST(h * 10000 // 3 AS BIGINT) AS recall_bp
+              FROM hits ORDER BY probe_id""")),
 
     // BPE ENCODE — the apply half of the tokenizer loop (j56 is train-only:
     // it learns the first K=3 merges but encodes nothing). Applies the
@@ -6401,6 +6421,85 @@ object LlmOps {
                 ON a.v = b.v AND a.source < b.source
               GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
+
+  /** j68/j94's Spark-side seam — the IMI 3-cell probe search returning
+    * (probe_id, vec_id, adist, rk ≤ 3) for the 64-probe panel. One
+    * definition, two surfaces: j68 registers it; j94 audits its recall
+    * against [[bruteTop3]].
+    */
+  private[graft] def imiSearchTop3(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.SquaredDistance.register(s)
+    val qe = graft.operators.IvfKMeans.quantize(Tables.embeddings(s, d))
+    val d2 = graft.operators.IvfKMeans.d2Expr _
+    val cells = truncateLineage(
+      graft.operators.IvfKMeans.imiAssign(qe, kHalf = 4)
+        .select("vec_id", "cell"))
+    val probes = imiProbes(qe)
+    val hp = probes.select(col("probe_id"),
+      expr("slice(pqv, 1, 32)").as("plo"),
+      expr("slice(pqv, 33, 32)").as("phi"))
+    val seeds = qe.filter(col("vec_id") < 4)
+    val cl = seeds.select(col("vec_id").as("ci"),
+      expr("slice(qv, 1, 32)").as("cvl"))
+    val ch = seeds.select(col("vec_id").as("cj"),
+      expr("slice(qv, 33, 32)").as("cvh"))
+    val dl = hp.crossJoin(broadcast(cl))
+      .withColumn("dl", expr(d2("plo", "cvl")))
+      .select("probe_id", "ci", "dl")
+    val dh = hp.crossJoin(broadcast(ch))
+      .withColumn("dh", expr(d2("phi", "cvh")))
+      .select("probe_id", "cj", "dh")
+    val wCell = Window.partitionBy("probe_id")
+      .orderBy(col("dsum").asc, col("pcell").asc)
+    val probeCells = dl.join(dh, Seq("probe_id"))
+      .withColumn("pcell", col("ci") * 4 + col("cj"))
+      .withColumn("dsum", col("dl") + col("dh"))
+      .withColumn("crk", row_number().over(wCell))
+      .filter(col("crk") <= 3)
+      .join(probes, Seq("probe_id"))
+      .select("probe_id", "pcell", "pqv")
+    // candidates FIRST (cell equi-join on the 1-row-per-vector cell
+    // table), vectors fetched per candidate after — never a
+    // collection-sized vector shuffle
+    val cand = cells.join(broadcast(probeCells),
+        col("cell") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id", "pqv")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("adist").asc, col("vec_id"))
+    cand.join(qe, Seq("vec_id"))
+      .withColumn("adist", expr(d2("qv", "pqv")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("probe_id", "vec_id", "adist", "rk")
+  }
+
+  /** The shared 64-probe panel (every 100th vector, plan-capped). */
+  private def imiProbes(qe: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    truncateLineage(qe.filter(col("vec_id") % 100 === 7)
+      .orderBy("vec_id").limit(64)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pqv")))
+
+  /** j94's exact side: brute-force integer-distance top-3 per probe —
+    * the probe panel broadcast once against the whole collection (the
+    * offline recall-audit cost at any scale: one brute pass over sampled
+    * probes, never probes × probes).
+    */
+  private[graft] def bruteTop3(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    graft.functions.SquaredDistance.register(s)
+    val qe = graft.operators.IvfKMeans.quantize(Tables.embeddings(s, d))
+    val d2 = graft.operators.IvfKMeans.d2Expr _
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("bdist").asc, col("vec_id"))
+    qe.crossJoin(broadcast(imiProbes(qe)))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("bdist", expr(d2("qv", "pqv")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("probe_id", "vec_id", "bdist", "rk")
+  }
 
   /** j87/j88's core seam — deletion-neighborhood candidate generation +
     * exact verification over a (tok, cnt) vocabulary table, shared by the

@@ -3076,6 +3076,34 @@ class QueriesSpec extends AnyFunSuite {
       "vocabulary saturated — the diagnostic is flat")
   }
 
+  test("j94 recall audit: hits equal the set intersection; the audit separates") {
+    import spark.implicits._
+    // first principles: intersect j68's registered output with the brute
+    // top-3 computed via the same seam, per probe
+    val imi = SparkEntry.queries("j68_imi_search")(spark, d)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (p, v) => p -> v.map(_._2).toSet }
+    val exact = graft.queries.LlmOps.bruteTop3(spark, d)
+      .select("probe_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (p, v) => p -> v.map(_._2).toSet }
+    val got = SparkEntry.queries("j94_imi_recall")(spark, d)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == exact.size)
+    got.foreach { case (p, hits, bp) =>
+      val want = exact(p).intersect(imi.getOrElse(p, Set.empty)).size
+      assert(hits == want.toLong, s"probe $p: $hits != $want")
+      assert(bp == hits * 10000 / 3)
+      assert(exact(p).size == 3, s"probe $p: brute side must be top-3")
+    }
+    // the audit must be non-vacuous in BOTH directions on this corpus:
+    // some probe recovers a true neighbor, some probe misses one (3-of-16
+    // cells probed ⇒ true neighbors in unprobed cells exist; at sf0.001
+    // the fixed 4-seed codebooks recover at most 2 of 3 — exactly the
+    // degradation the audit exists to expose)
+    assert(got.exists(_._2 > 0L), "no probe recovered any true neighbor")
+    assert(got.exists(_._2 < 3L), "recall is trivially 100% — audit vacuous")
+  }
+
   test("k5 SQL UDF inlines: result equals the expression twin, no ScalaUDF node") {
     import spark.implicits._
     val got = SparkEntry.queries("k5_sql_udf")(spark, d)
