@@ -45,6 +45,110 @@ object EventAnalytics {
     buckets.join(per, Seq("event_type", "m"), "left")
   }
 
+  /** n12/n13's shared input: per event_type the DENSE ≥ 25-hour series
+    * (n5's calendar discipline at hour grain, gaps = 0) collected in
+    * time order with the l₀ init column — one definition, two queries
+    * (the qiTuples discipline), so the smoothing and the anomaly audit
+    * cannot drift in series or init semantics.
+    */
+  private def hwSeries(s: SparkSession, d: String): DataFrame = {
+    val perT = truncateLineage(Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n")))
+    val cal = perT.groupBy("event_type")
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(col("event_type"),
+        explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    cal.join(perT, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).cast("double").as("x"))
+      .groupBy("event_type")
+      .agg(expr("transform(sort_array(collect_list(struct(h, x))), r -> r.x)")
+        .as("xs"))
+      .where(size(col("xs")) >= 25)
+      .withColumn("l0",
+        expr("""aggregate(slice(xs, 2, 23), element_at(xs, 1),
+                  (a, v) -> a + v) / CAST(24 AS DOUBLE)"""))
+  }
+
+  // The Holt–Winters step, as SQL-text fragments — ONE definition of the
+  // three coupled recurrences for n12's fold AND n13's residual-carrying
+  // fold (l_t re-derived textually inside b_t and s_t, the n9 discipline,
+  // so every IEEE op runs in the same order everywhere, including the
+  // DuckDB recursion which states the same expressions).
+  private val HwPos = "CAST(acc.t % 24 + 1 AS INT)"
+  private val HwL =
+    s"""CAST(0.25 AS DOUBLE) * (x - element_at(acc.s, $HwPos))
+        + CAST(0.75 AS DOUBLE) * (acc.l + acc.b)"""
+  private val HwB =
+    s"""CAST(0.25 AS DOUBLE) * ($HwL - acc.l)
+        + CAST(0.75 AS DOUBLE) * acc.b"""
+  private val HwS =
+    s"""concat(
+          slice(acc.s, 1, CAST(acc.t % 24 AS INT)),
+          array(CAST(0.25 AS DOUBLE) * (x - ($HwL))
+            + CAST(0.75 AS DOUBLE) * element_at(acc.s, $HwPos)),
+          slice(acc.s, CAST(acc.t % 24 + 2 AS INT),
+            CAST(24 - (acc.t % 24 + 1) AS INT)))"""
+  private val HwInit =
+    """'l', l0,
+       'b', (element_at(xs, 24) - element_at(xs, 1)) / CAST(23 AS DOUBLE),
+       's', transform(slice(xs, 1, 24), v -> v - l0),
+       't', CAST(24 AS BIGINT)"""
+
+  /** The per…hw recursive CTE stack both n12 and n13 oracles share. */
+  private val HwSql =
+    """per AS (
+         SELECT event_type, date_trunc('hour', ts) AS h,
+                count(*) AS n
+         FROM events GROUP BY 1, 2),
+       span AS (SELECT event_type, min(h) AS lo, max(h) AS hi
+                FROM per GROUP BY 1),
+       cal AS (SELECT event_type,
+                      unnest(generate_series(lo, hi,
+                        INTERVAL 1 HOUR)) AS h
+               FROM span),
+       dense AS (
+         SELECT c.event_type, c.h,
+                CAST(coalesce(p.n, 0) AS DOUBLE) AS x,
+                row_number() OVER (PARTITION BY c.event_type
+                  ORDER BY c.h) AS t
+         FROM cal c LEFT JOIN per p
+           ON p.event_type = c.event_type AND p.h = c.h),
+       nh AS (SELECT event_type, max(t) AS tn
+              FROM dense GROUP BY 1),
+       f24 AS (SELECT de.event_type, list(de.x ORDER BY de.t) AS xs
+               FROM dense de JOIN nh
+                 ON nh.event_type = de.event_type AND nh.tn >= 25
+               WHERE de.t <= 24 GROUP BY de.event_type),
+       lvl AS (SELECT event_type,
+                      list_reduce(xs, (a, v) -> a + v) / 24.0 AS l0,
+                      (xs[24] - xs[1]) / 23.0 AS b0, xs
+               FROM f24),
+       i2 AS (SELECT event_type, l0, b0,
+                     list_transform(xs, v -> v - l0) AS s0
+              FROM lvl),
+       hw AS (
+         SELECT event_type, CAST(24 AS BIGINT) AS t,
+                l0 AS l, b0 AS b, s0 AS s
+         FROM i2
+         UNION ALL
+         SELECT h.event_type, d.t,
+                0.25 * (d.x - h.s[CAST((d.t - 1) % 24 + 1 AS INT)])
+                  + 0.75 * (h.l + h.b),
+                0.25 * (0.25 * (d.x
+                         - h.s[CAST((d.t - 1) % 24 + 1 AS INT)])
+                       + 0.75 * (h.l + h.b) - h.l)
+                  + 0.75 * h.b,
+                h.s[1:CAST((d.t - 1) % 24 AS INT)]
+                  || [0.25 * (d.x - (0.25 * (d.x
+                         - h.s[CAST((d.t - 1) % 24 + 1 AS INT)])
+                       + 0.75 * (h.l + h.b)))
+                      + 0.75 * h.s[CAST((d.t - 1) % 24 + 1 AS INT)]]
+                  || h.s[CAST((d.t - 1) % 24 + 2 AS INT):24]
+         FROM hw h JOIN dense d
+           ON d.event_type = h.event_type AND d.t = h.t + 1)"""
+
   /** The dense-series CTE both oracle queries share (n5/n8), verbatim. */
   private val DenseSql =
     """per AS (
@@ -691,58 +795,14 @@ object EventAnalytics {
     // drops from both rather than hash-diverging.
     Q("n12_holt_winters",
       (s, d) => {
-        val per = Tables.events(s, d)
-          .groupBy(col("event_type"),
-            date_trunc("hour", col("ts")).as("h"))
-          .agg(count(lit(1)).as("n"))
-        val perT = truncateLineage(per)
-        val cal = perT.groupBy("event_type")
-          .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
-          .select(col("event_type"),
-            explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
-        val dense = cal.join(perT, Seq("event_type", "h"), "left")
-          .select(col("event_type"), col("h"),
-            coalesce(col("n"), lit(0L)).cast("double").as("x"))
-        dense.groupBy("event_type")
-          .agg(expr("transform(sort_array(collect_list(struct(h, x))), r -> r.x)")
-            .as("xs"))
-          .where(size(col("xs")) >= 25)
-          .withColumn("l0",
-            expr("""aggregate(slice(xs, 2, 23), element_at(xs, 1),
-                      (a, v) -> a + v) / CAST(24 AS DOUBLE)"""))
-          .withColumn("st0", expr(
-            """named_struct(
-                 'l', l0,
-                 'b', (element_at(xs, 24) - element_at(xs, 1))
-                      / CAST(23 AS DOUBLE),
-                 's', transform(slice(xs, 1, 24), v -> v - l0),
-                 't', CAST(24 AS BIGINT))"""))
+        hwSeries(s, d)
+          .withColumn("st0", expr(s"named_struct($HwInit)"))
           .withColumn("fin", expr(
-            """aggregate(slice(xs, 25, size(xs) - 24), st0,
+            s"""aggregate(slice(xs, 25, size(xs) - 24), st0,
                  (acc, x) -> named_struct(
-                   'l', CAST(0.25 AS DOUBLE)
-                          * (x - element_at(acc.s,
-                               CAST(acc.t % 24 + 1 AS INT)))
-                        + CAST(0.75 AS DOUBLE) * (acc.l + acc.b),
-                   'b', CAST(0.25 AS DOUBLE)
-                          * (CAST(0.25 AS DOUBLE)
-                               * (x - element_at(acc.s,
-                                    CAST(acc.t % 24 + 1 AS INT)))
-                             + CAST(0.75 AS DOUBLE) * (acc.l + acc.b)
-                             - acc.l)
-                        + CAST(0.75 AS DOUBLE) * acc.b,
-                   's', concat(
-                          slice(acc.s, 1, CAST(acc.t % 24 AS INT)),
-                          array(CAST(0.25 AS DOUBLE)
-                              * (x - (CAST(0.25 AS DOUBLE)
-                                   * (x - element_at(acc.s,
-                                        CAST(acc.t % 24 + 1 AS INT)))
-                                 + CAST(0.75 AS DOUBLE) * (acc.l + acc.b)))
-                            + CAST(0.75 AS DOUBLE)
-                              * element_at(acc.s,
-                                  CAST(acc.t % 24 + 1 AS INT))),
-                          slice(acc.s, CAST(acc.t % 24 + 2 AS INT),
-                            CAST(24 - (acc.t % 24 + 1) AS INT))),
+                   'l', $HwL,
+                   'b', $HwB,
+                   's', $HwS,
                    't', acc.t + CAST(1 AS BIGINT)))"""))
           .select(col("event_type"),
             col("fin.t").as("n_hours"),
@@ -753,56 +813,7 @@ object EventAnalytics {
                    CAST(fin.t % 24 + 1 AS INT))"""), 6).as("forecast"))
           .orderBy("event_type")
       },
-      Some("""WITH RECURSIVE per AS (
-                SELECT event_type, date_trunc('hour', ts) AS h,
-                       count(*) AS n
-                FROM events GROUP BY 1, 2),
-              span AS (SELECT event_type, min(h) AS lo, max(h) AS hi
-                       FROM per GROUP BY 1),
-              cal AS (SELECT event_type,
-                             unnest(generate_series(lo, hi,
-                               INTERVAL 1 HOUR)) AS h
-                      FROM span),
-              dense AS (
-                SELECT c.event_type, c.h,
-                       CAST(coalesce(p.n, 0) AS DOUBLE) AS x,
-                       row_number() OVER (PARTITION BY c.event_type
-                         ORDER BY c.h) AS t
-                FROM cal c LEFT JOIN per p
-                  ON p.event_type = c.event_type AND p.h = c.h),
-              nh AS (SELECT event_type, max(t) AS tn
-                     FROM dense GROUP BY 1),
-              f24 AS (SELECT de.event_type, list(de.x ORDER BY de.t) AS xs
-                      FROM dense de JOIN nh
-                        ON nh.event_type = de.event_type AND nh.tn >= 25
-                      WHERE de.t <= 24 GROUP BY de.event_type),
-              lvl AS (SELECT event_type,
-                             list_reduce(xs, (a, v) -> a + v) / 24.0 AS l0,
-                             (xs[24] - xs[1]) / 23.0 AS b0, xs
-                      FROM f24),
-              i2 AS (SELECT event_type, l0, b0,
-                            list_transform(xs, v -> v - l0) AS s0
-                     FROM lvl),
-              hw AS (
-                SELECT event_type, CAST(24 AS BIGINT) AS t,
-                       l0 AS l, b0 AS b, s0 AS s
-                FROM i2
-                UNION ALL
-                SELECT h.event_type, d.t,
-                       0.25 * (d.x - h.s[CAST((d.t - 1) % 24 + 1 AS INT)])
-                         + 0.75 * (h.l + h.b),
-                       0.25 * (0.25 * (d.x
-                                - h.s[CAST((d.t - 1) % 24 + 1 AS INT)])
-                              + 0.75 * (h.l + h.b) - h.l)
-                         + 0.75 * h.b,
-                       h.s[1:CAST((d.t - 1) % 24 AS INT)]
-                         || [0.25 * (d.x - (0.25 * (d.x
-                                - h.s[CAST((d.t - 1) % 24 + 1 AS INT)])
-                              + 0.75 * (h.l + h.b)))
-                             + 0.75 * h.s[CAST((d.t - 1) % 24 + 1 AS INT)]]
-                         || h.s[CAST((d.t - 1) % 24 + 2 AS INT):24]
-                FROM hw h JOIN dense d
-                  ON d.event_type = h.event_type AND d.t = h.t + 1)
+      Some(s"""WITH RECURSIVE $HwSql
               SELECT h.event_type, t AS n_hours,
                      round(l, 6) AS level, round(b, 6) AS trend,
                      round(l + b + s[CAST(t % 24 + 1 AS INT)], 6)
@@ -810,6 +821,66 @@ object EventAnalytics {
               FROM hw h JOIN (SELECT event_type, max(t) mt FROM hw
                               GROUP BY 1) m
                 ON m.event_type = h.event_type AND h.t = m.mt
-              ORDER BY h.event_type"""))
+              ORDER BY h.event_type""")),
+
+    // Seasonal-residual anomaly detection — n12 composed with n3's
+    // question (the monitoring deployment of a forecaster: alert on what
+    // the model did NOT expect): per event_type, the 5 hours whose
+    // observed count deviates most from the ONE-STEP-AHEAD Holt–Winters
+    // forecast l_{t−1} + b_{t−1} + s_{t−24}. Unlike n3's daily z-scores
+    // (which flag any busy day), the HW residual is seasonality- and
+    // trend-adjusted — a busy Monday 09:00 is expected, a busy Sunday
+    // 03:00 is not. The Spark fold is n12's EXACT step (shared HwL/HwB/
+    // HwS fragments — one definition) with a residual log carried in the
+    // accumulator (calendar-bounded, ~700 structs/type); the oracle
+    // reuses the shared hw recursion, whose per-step rows ARE the
+    // forecast history, joined to the next observation. Both sides rank
+    // on the bit-identical raw |x − pred| with the hour as tiebreak, so
+    // the top-5 per type hash-matches; outputs round at 6 dp.
+    Q("n13_hw_anomaly",
+      (s, d) => {
+        hwSeries(s, d)
+          .withColumn("st0", expr(s"""named_struct($HwInit,
+            'res', CAST(array() AS
+              ARRAY<STRUCT<t: BIGINT, x: DOUBLE, pred: DOUBLE>>))"""))
+          .withColumn("fin", expr(
+            s"""aggregate(slice(xs, 25, size(xs) - 24), st0,
+                 (acc, x) -> named_struct(
+                   'l', $HwL,
+                   'b', $HwB,
+                   's', $HwS,
+                   't', acc.t + CAST(1 AS BIGINT),
+                   'res', concat(acc.res, array(named_struct(
+                     't', acc.t + CAST(1 AS BIGINT),
+                     'x', x,
+                     'pred', acc.l + acc.b
+                             + element_at(acc.s, $HwPos))))))"""))
+          .select(col("event_type"), explode(col("fin.res")).as("r"))
+          .select(col("event_type"), col("r.t").as("t"),
+            col("r.x").as("x"), col("r.pred").as("pred"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("event_type")
+              .orderBy(abs(col("x") - col("pred")).desc, col("t"))))
+          .filter(col("rk") <= 5)
+          .select(col("event_type"), col("t"),
+            col("x").cast("long").as("n"),
+            round(col("pred"), 6).as("pred"),
+            round(col("x") - col("pred"), 6).as("resid"))
+          .orderBy("event_type", "t")
+      },
+      Some(s"""WITH RECURSIVE $HwSql,
+              resid AS (
+                SELECT h.event_type, d.t, d.x,
+                       h.l + h.b + h.s[CAST((d.t - 1) % 24 + 1 AS INT)]
+                         AS pred
+                FROM hw h JOIN dense d
+                  ON d.event_type = h.event_type AND d.t = h.t + 1)
+              SELECT event_type, t, CAST(x AS BIGINT) AS n,
+                     round(pred, 6) AS pred,
+                     round(x - pred, 6) AS resid
+              FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY abs(x - pred) DESC, t) AS rk
+                    FROM resid) z
+              WHERE rk <= 5 ORDER BY event_type, t"""))
   )
 }

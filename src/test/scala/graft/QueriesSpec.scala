@@ -3171,6 +3171,59 @@ class QueriesSpec extends AnyFunSuite {
       math.abs(f - (l + b)) > 1e-4 })
   }
 
+  test("n13 HW anomalies equal a first-principles replay; the baseline matters") {
+    import spark.implicits._
+    val raw = Tables.events(spark, d)
+      .select(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+          .as("hr"))
+      .as[(String, Long)].collect()
+    val truth = raw.groupBy(_._1).flatMap { case (typ, rows) =>
+      val byH = rows.groupBy(_._2).map { case (h, v) => h -> v.size }
+      val (lo, hi) = (byH.keys.min, byH.keys.max)
+      val xs = (lo to hi).map(h => byH.getOrElse(h, 0).toDouble)
+      if (xs.length < 25) Seq.empty else {
+        val ini = xs.take(24)
+        val l0 = ini.tail.foldLeft(ini.head)(_ + _) / 24.0
+        var (l, b, t) = (l0, (ini(23) - ini(0)) / 23.0, 24L)
+        val s = ini.map(_ - l0).toArray
+        val res = xs.drop(24).map { x =>
+          val pos = (t % 24L).toInt
+          val pred = l + b + s(pos)
+          val sOld = s(pos)
+          val nl = 0.25 * (x - sOld) + 0.75 * (l + b)
+          val nb = 0.25 * (0.25 * (x - sOld) + 0.75 * (l + b) - l) +
+            0.75 * b
+          s(pos) = 0.25 * (x - (0.25 * (x - sOld) + 0.75 * (l + b))) +
+            0.75 * sOld
+          l = nl; b = nb; t += 1
+          (t, x, pred)
+        }
+        def r6(v: Double) = BigDecimal(v)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        res.sortBy { case (ti, x, p) => (-math.abs(x - p), ti) }.take(5)
+          .map { case (ti, x, p) =>
+            (typ, ti, x.toLong, r6(p), r6(x - p)) }
+      }
+    }.toSet
+    val got = SparkEntry.queries("n13_hw_anomaly")(spark, d)
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(got == truth, s"anomaly rows diverge:\n got=$got\n want=$truth")
+    // the forecast baseline is load-bearing: for some type a flagged
+    // hour's count is BELOW that type's 5th-busiest count — i.e. n13 is
+    // not a max-count report (a quiet hour the model expected busy is
+    // anomalous too)
+    val flaggedNs = got.groupBy(_._1).map { case (typ, v) =>
+      typ -> v.map(_._3) }
+    val top5ns = raw.groupBy(_._1).map { case (typ, rows) =>
+      typ -> rows.groupBy(_._2).values.map(_.size.toLong).toSeq
+        .sorted(Ordering[Long].reverse).take(5).min
+    }
+    assert(flaggedNs.exists { case (typ, ns) =>
+      ns.exists(_ < top5ns(typ)) },
+      "every flagged hour is a top-5 busiest hour — the baseline is inert")
+  }
+
   test("d18 weighted median equals a first-principles replay; weights matter") {
     import spark.implicits._
     val rows = Tables.lineitem(spark, d)
