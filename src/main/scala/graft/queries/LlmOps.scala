@@ -479,6 +479,68 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b"), col("jac"))
   }
 
+  /** Degree-ordered orientation of an undirected pair table
+    * `(u, v, jac)` (u < v by doc_id, one row per edge): every edge
+    * re-oriented from its LOWER-degree endpoint to its higher, doc_id
+    * breaking ties — the Suri & Vassilvitskii (WWW'11) orientation that
+    * makes triangle enumeration skew-safe. Why degree and not doc_id:
+    * under id-order a hub vertex with a mid-range id keeps up to deg²/4
+    * wedges centered on itself (one boilerplate template duplicated 10⁶
+    * times at 100 TB = 10¹² wedges from ONE vertex); under degree-order
+    * the hub is ≺-maximal, so every hub edge points INTO it and the hub
+    * centers zero wedges — out-degrees are bounded by O(√m) (arboricity),
+    * so Σ outdeg² is bounded by m^1.5 REGARDLESS of skew. Emits
+    * `(u, v, dv, jac)` with (deg_u, u) ≺ (deg_v, v); dv (= v's degree)
+    * rides along because the wedge join must order arms by the same
+    * (deg, id) rank it oriented with. Cost: one vertex-sized degree
+    * aggregate + two id-keyed equi-joins — linear in the edge set.
+    */
+  private[graft] def orientEdges(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val deg = pairs.select(col("u").as("id"))
+      .unionAll(pairs.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    pairs
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+      // input has u < v by id, so a degree TIE keeps the id order
+      .withColumn("fwd", col("du") < col("dv") || col("du") === col("dv"))
+      .select(
+        when(col("fwd"), col("u")).otherwise(col("v")).as("u"),
+        when(col("fwd"), col("v")).otherwise(col("u")).as("v"),
+        when(col("fwd"), col("dv")).otherwise(col("du")).as("dv"),
+        col("jac"))
+  }
+
+  /** Triangle enumeration over an undirected near-dup pair table (the
+    * j89 body, factored so QueriesSpec can run it on planted fixtures):
+    * orient by degree ([[orientEdges]]), build each wedge at its
+    * ≺-minimum vertex (arms ordered by the same (deg, id) rank, so every
+    * triangle forms exactly one wedge), close with one equi-join against
+    * the oriented table — the closing edge of a wedge (v₁ ≺ v₂) is
+    * stored exactly as (u = v₁, v = v₂). Output is canonical id order
+    * via array_sort, identical to the previous id-oriented enumeration
+    * (the oracle and the brute-force spec pin that).
+    */
+  private[graft] def triangleEnum(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val o = truncateLineage(orientEdges(pairs))
+    val wedges = o.alias("e1")
+      .join(o.alias("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dv") < col("e2.dv") ||
+            (col("e1.dv") === col("e2.dv") && col("e1.v") < col("e2.v"))))
+    wedges.join(o.alias("e3"),
+        col("e1.v") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .select(
+        array_sort(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("ids"),
+        floor(least(col("e1.jac"), col("e2.jac"), col("e3.jac")) * 10000)
+          .cast("long").as("cohesion_bp"))
+      .select(col("ids")(0).as("doc_a"), col("ids")(1).as("doc_b"),
+        col("ids")(2).as("doc_c"), col("cohesion_bp"))
+      .orderBy("doc_a", "doc_b", "doc_c")
+  }
+
   /** Shared DuckDB CTE block producing the exact J ≥ 0.9 near-dup pair set
     * `pairs(doc_a, doc_b, jac)` — the oracle for j2 and the edge set for the
     * j13/j30 cluster oracles. NOT a mirror of the Spark MinHash banding: it
@@ -4677,11 +4739,14 @@ object LlmOps {
         val exact = bruteTop3(s, d)
         val hits = exact.join(imi, Seq("probe_id", "vec_id"), "left_semi")
           .groupBy("probe_id").agg(count(lit(1)).as("h"))
+        // recall divides by the COMPUTED exact-neighbor count, not a
+        // literal k: on a collection where some probe has fewer than 3
+        // other vectors, a hard-coded 3 would silently understate
         exact.groupBy("probe_id").agg(count(lit(1)).as("n_exact"))
           .join(hits, Seq("probe_id"), "left")
           .select(col("probe_id"),
             coalesce(col("h"), lit(0L)).as("hits"),
-            expr("(coalesce(h, 0) * CAST(10000 AS BIGINT)) div 3")
+            expr("(coalesce(h, 0) * CAST(10000 AS BIGINT)) div n_exact")
               .as("recall_bp"))
           .orderBy("probe_id")
       },
@@ -4706,12 +4771,13 @@ object LlmOps {
                            ORDER BY bdist, vec_id) AS rk
                   FROM bd) t WHERE rk <= 3),
               hits AS (
-                SELECT b.probe_id, count(i.vec_id) AS h
+                SELECT b.probe_id, count(*) AS n_exact,
+                       count(i.vec_id) AS h
                 FROM brute b LEFT JOIN imi i
                   ON i.probe_id = b.probe_id AND i.vec_id = b.vec_id
                 GROUP BY 1)
               SELECT probe_id, CAST(h AS BIGINT) AS hits,
-                     CAST(h * 10000 // 3 AS BIGINT) AS recall_bp
+                     CAST(h * 10000 // n_exact AS BIGINT) AS recall_bp
               FROM hits ORDER BY probe_id""")),
 
     // BPE ENCODE — the apply half of the tokenizer loop (j56 is train-only:
@@ -5889,10 +5955,18 @@ object LlmOps {
             col("n2").as("n2ab")), Seq("a", "b"), "left")
           .join(c2.select(col("x").as("b"), col("y").as("c"),
             col("n2").as("n2bc")), Seq("b", "c"), "left")
-          .join(broadcast(c1.select(col("w").as("b"),
-            col("n1").as("n1b"))), Seq("b"), "left")
-          .join(broadcast(c1.select(col("w").as("c"),
-            col("n1").as("n1c"))), Seq("c"), "left")
+          // the unigram lookups deliberately carry NO broadcast hint: the
+          // build side is the corpus VOCABULARY, which Heaps' law puts at
+          // 10^8-10^9 types (tens of GB) on 100 TB of text — a pinned
+          // broadcast there is a driver OOM waiting for scale. Left as
+          // shuffle joins, AQE re-broadcasts at runtime when the MEASURED
+          // size is small (it does at every shipped SF), which is the
+          // only safe way to get the broadcast win. ScaleLadder measured
+          // the trade (SURVEY §6): identical runtime at sf0.01 under AQE.
+          .join(c1.select(col("w").as("b"),
+            col("n1").as("n1b")), Seq("b"), "left")
+          .join(c1.select(col("w").as("c"),
+            col("n1").as("n1c")), Seq("c"), "left")
           .groupBy("doc_id")
           .agg(sort_array(collect_list(struct(col("pos"),
             coalesce(col("n3"), lit(0L)).as("n3"),
@@ -6124,28 +6198,17 @@ object LlmOps {
     // borderline pairs (transitive chaining is dedup's classic false-merge
     // mode; j13's clusters connect by ANY path, triangles certify mutual
     // similarity). Standard distributed shape (Suri & Vassilvitskii,
-    // WWW'11): orient every edge low→high, build wedges by joining edges
-    // on the shared middle vertex, close each wedge with one more
-    // equi-join — per-vertex work bounded by degree² on the ORIENTED
-    // graph (the high-degree hub contributes only its higher-id
-    // neighbors), never all-pairs. The edge set is j2's banded pair table
-    // (linear, truncated once, reused for all three join roles).
+    // WWW'11): orient every edge by DEGREE (low→high, doc_id tiebreak),
+    // build wedges at each edge pair's ≺-minimum vertex, close each wedge
+    // with one more equi-join — see [[triangleEnum]] for why degree (not
+    // doc_id) is the load-bearing choice at 100 TB. The edge set is j2's
+    // banded pair table (linear, truncated once; the ORIENTED table is
+    // truncated again and reused for all three join roles).
     // Cohesion = the triangle's weakest pairwise Jaccard in basis points
     // (floor of the exact division both engines compute identically).
     Q("j89_dup_triangles",
-      (s, d) => {
-        val e = truncateLineage(neardupPairs(s, d)
-          .select(col("doc_a").as("u"), col("doc_b").as("v"), col("jac")))
-        val tri = e.alias("ab")
-          .join(e.alias("bc"), col("ab.v") === col("bc.u"))
-          .join(e.alias("ac"),
-            col("ab.u") === col("ac.u") && col("bc.v") === col("ac.v"))
-        tri.select(col("ab.u").as("doc_a"), col("ab.v").as("doc_b"),
-            col("bc.v").as("doc_c"),
-            expr("""CAST(floor(least(ab.jac, bc.jac, ac.jac) * 10000)
-                    AS BIGINT)""").as("cohesion_bp"))
-          .orderBy("doc_a", "doc_b", "doc_c")
-      },
+      (s, d) => triangleEnum(truncateLineage(neardupPairs(s, d)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"), col("jac")))),
       Some(s"""WITH $NeardupPairsSql,
               e AS (SELECT doc_a AS u, doc_b AS v, jac FROM pairs)
               SELECT ab.u AS doc_a, ab.v AS doc_b, bc.v AS doc_c,

@@ -112,6 +112,11 @@ final case class TypeHw(
 final case class ChunkIn(doc_id: Long, idx: Long, ck: String)
 final case class ChunkDecision(
     doc_id: Long, idx: Long, ck: String, kept: Boolean)
+// Streaming novelty input/output — one row per (doc, distinct trigram)
+// with its in-doc count (j92's map-side pre-aggregation, as rows)
+final case class GramIn(doc_id: Long, g: String, cnt: Long)
+final case class GramDecision(
+    doc_id: Long, g: String, cnt: Long, novel: Boolean)
 final case class BucketTok(bucket: Long, btok: Long)
 final case class BudgetCut(
     batch_id: Long, total_toks: Long, budget: Long,
@@ -851,8 +856,14 @@ object StreamOps {
     * correctly-rounded IEEE ops in the identical order as the batch
     * struct accumulator, so after the same buckets the state is
     * BIT-identical (the differential compares at n12's own 6-dp round).
-    * In-order contract on the hour index with the usual n_ooo guard —
-    * a seasonal slot folded out of order corrupts the profile silently.
+    * In-order contract on the hour index with the n_ooo guard made
+    * STRICT: unlike the event streams (where equal timestamps are
+    * legitimate concurrent events), each hour bucket must be strictly
+    * newer than every bucket already folded — an at-least-once
+    * redelivery of the last hour (EQUAL index) would advance t and
+    * rotate the seasonal slot just as silently as a stale one, so
+    * equality counts as a violation too, against the RUNNING max (not
+    * the batch-start snapshot), catching intra-batch duplicates as well.
     * DOMAIN NOTE: the batch twin registers only series with ≥ 25 hours
     * (one season + one step); this online form also emits rows for
     * still-initializing keys (t ≤ 24, forecast 0.0) — consumers and the
@@ -866,9 +877,8 @@ object StreamOps {
          state: GroupState[HwState]) =>
           var st = state.getOption.getOrElse(
             HwState(0.0, 0.0, Nil, 0L, Nil, -1L, 0L))
-          val prevMax = st.maxH
           rows.toSeq.sortBy(_.epoch_hour).foreach { r =>
-            if (prevMax != -1L && r.epoch_hour < prevMax)
+            if (st.maxH != -1L && r.epoch_hour <= st.maxH)
               st = st.copy(nOoo = st.nOoo + 1)
             if (r.epoch_hour > st.maxH) st = st.copy(maxH = r.epoch_hour)
             if (st.t < 24L) {
@@ -1573,6 +1583,42 @@ object StreamOps {
     chunks.groupByKey(_.ck)
       .transformWithState(new ChunkDedupProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming per-doc n-gram novelty — j92's twin on an unbounded
+    * corpus, the one corpus-diagnostic family that still lacked an
+    * online form: per-(doc, trigram) count rows arrive with their
+    * documents (pre-aggregated per doc by the SAME `LlmOps.docTrigrams`
+    * seam the batch query shuffles, so gram boundaries cannot fork);
+    * keyed state per gram records whether the gram was ever seen, the
+    * FIRST document to carry it gets the gram's full in-doc count
+    * credited as novel, every later one zero. Intra-batch occurrences
+    * are ordered by doc_id before deciding, so when ingestion respects
+    * corpus order the decisions equal batch j92's min-struct
+    * first-occurrence credit ROW FOR ROW (the differential asserts the
+    * aggregated per-doc scores match exactly); under out-of-order
+    * arrival they are the streaming-correct first-ARRIVAL semantics —
+    * the batch argmin is unknowable online. State is one boolean per
+    * distinct gram, [[chunkDedupStream]]'s seen-set shape: partitioned
+    * by the gram key across executors, RocksDB spills it off-heap at
+    * 100 TB. Per-doc novelty_bp is one stateless downstream aggregation
+    * of the emitted decisions (Σ novel·cnt / Σ cnt).
+    */
+  def ngramNoveltyStream(grams: Dataset[GramIn]): Dataset[GramDecision] = {
+    import grams.sparkSession.implicits._
+    grams.groupByKey(_.g)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[GramIn], state: GroupState[Boolean]) =>
+          var seen = state.getOption.getOrElse(false)
+          val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+            val novel = !seen
+            seen = true
+            GramDecision(r.doc_id, g, r.cnt, novel)
+          }
+          state.update(seen)
+          out.iterator
+      }
   }
 
   /** Streaming point-in-time enrichment — j79's twin and the engine's

@@ -1237,4 +1237,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD"),
       "count tables stopped entering via checkpoint — diamond risk")
   }
+
+  test("j85 FORCES exactly one broadcast: the 1-row totals, never the vocabulary") {
+    // the unigram-count table c1 is corpus-VOCABULARY-sized — 10^8-10^9
+    // types on 100 TB of text by Heaps' law, unbroadcastable. A pinned
+    // broadcast() HINT there forces the build regardless of size — the
+    // scale-killer the r14 verdict flagged. Size-ESTIMATED broadcasts
+    // (static stats or AQE runtime) are fine: they shrink away as the
+    // corpus grows. So the pin is on hints, not exchanges: the analyzed
+    // plan must carry exactly one ResolvedHint, and its child must be
+    // the 1-row totals scalar — nothing vocabulary-shaped.
+    val analyzed = SparkEntry.queries("j85_trigram_backoff")(spark, d)
+      .queryExecution.analyzed
+    val hints = analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.length == 1,
+      s"expected exactly 1 broadcast hint (totals), got ${hints.length}")
+    assert(hints.head.child.output.map(_.name).toSet == Set("n_tok", "v"),
+      s"the forced broadcast is not the totals scalar: " +
+        hints.head.child.output.map(_.name).mkString(","))
+  }
 }

@@ -2893,6 +2893,37 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("j89 degree orientation collapses a planted hub's wedge count") {
+    import spark.implicits._
+    // A mid-id hub (the id-orientation worst case): 50 lower-id and 50
+    // higher-id neighbors, plus one disjoint triangle. Under id order the
+    // hub centers 50×50 wedges (every low→hub edge pairs with every
+    // hub→high edge); under degree order the hub is ≺-maximal, every hub
+    // edge points INTO it, and the graph's only wedge is the triangle's.
+    val hub = 50L
+    val edges = ((0L until 50L).map(i => (i, hub, 0.9375)) ++
+      (51L to 100L).map(i => (hub, i, 0.9375)) ++
+      Seq((101L, 102L, 0.9375), (102L, 103L, 0.9375),
+        (101L, 103L, 0.9375))).toDF("u", "v", "jac")
+    val idWedges = edges.alias("ab")
+      .join(edges.alias("bc"), col("ab.v") === col("bc.u")).count()
+    val o = graft.queries.LlmOps.orientEdges(edges)
+    val degWedges = o.alias("e1")
+      .join(o.alias("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dv") < col("e2.dv") ||
+            (col("e1.dv") === col("e2.dv") &&
+              col("e1.v") < col("e2.v")))).count()
+    assert(idWedges == 2501L, s"fixture drifted: id wedges $idWedges")
+    assert(degWedges == 1L,
+      s"degree orientation stopped suppressing the hub: $degWedges wedges")
+    // and the enumeration still finds exactly the planted triangle
+    val tris = graft.queries.LlmOps.triangleEnum(edges)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(tris == Seq((101L, 102L, 103L, 9375L)),
+      s"triangles drifted on the fixture: ${tris.mkString(", ")}")
+  }
+
   test("n9 Holt equals a first-principles Scala replay; forecast = level + trend") {
     import spark.implicits._
     val truth = Tables.events(spark, d)

@@ -1640,6 +1640,94 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming n-gram novelty matches the batch j92 per-doc scores") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the corpus trigrammed + per-doc pre-aggregated by the SAME
+    // LlmOps.docTrigrams seam j92 uses, streamed in doc_id order across
+    // three micro-batches — the order under which streaming first-ARRIVAL
+    // must equal the batch min-doc first occurrence credit exactly
+    val grams = graft.queries.LlmOps.docTrigrams(
+        Tables.documents(spark, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ts")))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+      .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2))
+      .map(t => GramIn(t._1, t._2, t._3)).toSeq
+    val in = MemoryStream[GramIn]
+    val q = StreamOps.ngramNoveltyStream(in.toDS()).writeStream
+      .format("memory").queryName("novelty_stream")
+      .outputMode("append").start()
+    grams.grouped((grams.size + 2) / 3).foreach { b =>
+      in.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("novelty_stream")
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_grams"),
+        sum(when(col("novel"), col("cnt")).otherwise(0L)).as("novel"))
+      .select(col("doc_id"), col("n_grams"), col("novel"),
+        expr("(novel * CAST(10000 AS BIGINT)) div n_grams")
+          .as("novelty_bp"))
+    val batch = SparkEntry.queries("j92_ngram_novelty")(spark, d)
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "streaming novelty diverges from batch j92")
+    // non-vacuous: the corpus repeats trigrams across documents, so some
+    // decision must be a non-novel one
+    assert(spark.table("novelty_stream").filter(!col("novel")).count() > 0,
+      "no repeated trigram at this sf — differential is vacuous")
+  }
+
+  test("n-gram novelty seen-set survives kill/restart under RocksDB") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDB {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-nov-ck").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-nov-out").toString
+      val grams = graft.queries.LlmOps.docTrigrams(
+          Tables.documents(spark, d)
+            .select(col("doc_id"), split(col("text"), " ").as("ts")))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2))
+        .map(t => GramIn(t._1, t._2, t._3)).toSeq
+      val half = grams.count(_.doc_id < 50L)
+      val (pre, post) = grams.splitAt(half)
+      // the recovery is only evidenced if some gram STRADDLES the kill:
+      // first seen before it, repeated after — a lost seen-set would
+      // re-credit it as novel and inflate the post-restart doc's score
+      val straddle = pre.map(_.g).toSet intersect post.map(_.g).toSet
+      assert(straddle.nonEmpty, "no gram straddles the restart — vacuous")
+      val in = MemoryStream[GramIn]
+      // memory sinks cannot recover from a checkpoint — emit through
+      // foreachBatch to parquet (the Markov restart test's pattern)
+      def start() = StreamOps.ngramNoveltyStream(in.toDS()).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[GramDecision],
+            _: Long) => df.write.mode("append").parquet(out) }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      in.addData(pre); q1.processAllAvailable()
+      q1.stop() // kill: the seen-set lives only in checkpointed state
+      val q2 = start()
+      in.addData(post); q2.processAllAvailable()
+      assertRocksDbServed(q2)
+      q2.stop()
+      val streamed = spark.read.parquet(out)
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_grams"),
+          sum(when(col("novel"), col("cnt")).otherwise(0L)).as("novel"))
+        .select(col("doc_id"), col("n_grams"), col("novel"),
+          expr("(novel * CAST(10000 AS BIGINT)) div n_grams")
+            .as("novelty_bp"))
+      val batch = SparkEntry.queries("j92_ngram_novelty")(spark, d)
+      assert(streamed.except(batch).isEmpty &&
+        batch.except(streamed).isEmpty,
+        "recovered novelty stream diverges from batch j92 — " +
+          "the seen-set did not survive the restart")
+    }
+  }
+
   test("batch observe: metrics ride the SAME single job and match direct aggregates") {
     import graft.operators.PipelineMetrics
     val docs = Tables.documents(spark, d)
@@ -2538,6 +2626,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("Holt-Winters counts a redelivered EQUAL hour bucket, never folds it silently") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // at-least-once upstreams redeliver the LAST bucket with an equal
+    // hour index — for the hour-indexed recurrence that is just as
+    // corrupting as a stale one (it advances t and rotates the seasonal
+    // slot), so the guard must be strict: equality increments n_ooo
+    val in = MemoryStream[HourCount]
+    val q = holtWintersStream(in.toDS()).writeStream
+      .format("memory").queryName("hw_dup").outputMode("update").start()
+    in.addData((0 until 26).map(i => HourCount("t", 2000L + i, i.toDouble)))
+    q.processAllAvailable()
+    val clean = spark.table("hw_dup").agg(max("n_ooo")).head().getLong(0)
+    in.addData(Seq(HourCount("t", 2025L, 25.0))) // redelivery, equal hour
+    q.processAllAvailable()
+    val dup = spark.table("hw_dup").agg(max("n_ooo")).head().getLong(0)
+    // intra-batch duplicates must count too (running-max guard)
+    in.addData(Seq(HourCount("t", 2026L, 1.0), HourCount("t", 2026L, 1.0)))
+    q.processAllAvailable()
+    val intra = spark.table("hw_dup").agg(max("n_ooo")).head().getLong(0)
+    q.stop()
+    assert(clean == 0L, s"in-order feed flagged: $clean")
+    assert(dup == 1L, s"equal-hour redelivery not counted: $dup")
+    assert(intra == 2L, s"intra-batch duplicate not counted: $intra")
+  }
+
   test("CUSUM transformWithState port matches the MGWS implementation (dual API)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -2559,6 +2673,90 @@ class StreamingSpec extends AnyFunSuite {
       val batch = SparkEntry.queries("n10_cusum_alarm")(spark, d)
       assert(tws.except(batch).isEmpty && batch.except(tws).isEmpty)
     }
+  }
+
+  test("CUSUM TWS state survives kill/restart under RocksDB + changelog") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // the chaos pass extended to the monitoring family: the cumulative
+    // sum + alarm counters live ONLY in checkpointed state; recovery must
+    // resume the recurrence mid-series through changelog replay and land
+    // on exactly the batch twin's final rows
+    withRocksDB { withChangelog {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-cusum-ck").toString
+      val seen = new java.util.concurrent.ConcurrentHashMap[
+        Long, (Long, Long, Double)]()
+      val in = MemoryStream[Event]
+      def start() = cusumStreamTws(in.toDS()).writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[UserCusum],
+            _: Long) =>
+          df.collect().foreach { u =>
+            seen.merge(u.user_id, (u.n_events, u.alarms, u.cusum),
+              (a, b) => if (a._1 >= b._1) a else b)
+          }
+        }.start()
+      val q1 = start()
+      chunks.take(2).foreach { c => in.addData(c); q1.processAllAvailable() }
+      q1.stop() // kill mid-series
+      val q2 = start()
+      chunks.drop(2).foreach { c => in.addData(c); q2.processAllAvailable() }
+      assertRocksDbServed(q2)
+      q2.stop()
+      import scala.jdk.CollectionConverters._
+      val streamed = seen.asScala.toSeq
+        .map { case (uid, (n, a, s)) => (uid, n, a, s) }
+        .toDF("user_id", "n_events", "alarms", "cusum")
+        .select(col("user_id"), col("n_events"), col("alarms"),
+          round(col("cusum"), 6).as("cusum_final"))
+      val batch = SparkEntry.queries("n10_cusum_alarm")(spark, d)
+      assert(streamed.except(batch).isEmpty &&
+        batch.except(streamed).isEmpty,
+        "recovered CUSUM state diverges from the batch fold")
+    } }
+  }
+
+  test("k-anonymity monitor state survives kill/restart under RocksDB + changelog") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // every QI group's population count lives only in checkpointed state;
+    // a lost count would re-emit the k=1 entry transition after restart
+    // and the folded deltas would inflate past batch j86 — fold equality
+    // IS the recovery proof
+    withRocksDB { withChangelog {
+      val qi = graft.queries.LlmOps.qiTuples(Tables.documents(spark, d))
+        .as[(String, String, Long)].collect()
+        .map(t => QiIn(t._1, t._2, t._3)).toSeq
+      val parts = qi.grouped((qi.size + 2) / 3).toSeq
+      // recovery is only evidenced if QI groups STRADDLE the kill
+      val straddle = parts.take(2).flatten
+        .map(r => (r.lang, r.source, r.len_bucket)).toSet intersect
+        parts.last.map(r => (r.lang, r.source, r.len_bucket)).toSet
+      assert(straddle.nonEmpty, "no QI group straddles the restart — vacuous")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-anon-rck").toString
+      val in = MemoryStream[QiIn]
+      val deltas = scala.collection.mutable.Buffer.empty[Seq[AnonDelta]]
+      val q1 = StreamOps.kAnonymityStream(in.toDS(), deltas += _, Some(ckpt))
+      parts.take(2).foreach { b => in.addData(b); q1.processAllAvailable() }
+      q1.stop() // kill with every group count mid-accumulation
+      val q2 = StreamOps.kAnonymityStream(in.toDS(), deltas += _, Some(ckpt))
+      in.addData(parts.last); q2.processAllAvailable()
+      q2.stop()
+      val folded = deltas.filter(_.nonEmpty)
+        .map(s => s.head.batch_id -> s).toMap.values.flatten.toSeq
+        .groupBy(_.source).view.mapValues { ds =>
+          (ds.map(_.groups_k1).sum, ds.map(_.groups_k2_4).sum,
+            ds.map(_.groups_k5).sum, ds.map(_.docs_at_risk).sum)
+        }.toMap
+      val batch = SparkEntry.queries("j86_k_anonymity")(spark, d)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+      assert(folded == batch,
+        s"cross-restart fold diverges from batch j86:\n$folded\nvs\n$batch")
+    } }
   }
 
   test("CUSUM stream flags cross-batch out-of-order arrivals via n_ooo") {
