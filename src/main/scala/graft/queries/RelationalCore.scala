@@ -1,6 +1,9 @@
 package graft.queries
 
+import java.nio.file.Files
+
 import graft.{Q, Tables}
+import graft.sources.VersionedTable
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2 categories A (scans), B (projection/filter), F (sort/limit),
@@ -140,6 +143,61 @@ object RelationalCore {
                      CAST(max(i) AS BIGINT) AS max_id,
                      CAST(sum(i) AS BIGINT) AS sum_id
               FROM generate_series(12345, 89999999) s(i)""")),
+
+    // Snapshot-versioned table with time travel (graft.sources
+    // .VersionedTable — the MVCC commit-log format): the query BUILDS a
+    // versioned table from `documents` (v0 = append of the doc_id%3≠0
+    // subset, v1 = copy-on-write MERGE upserting every doc_id%5=0 row
+    // with n_chars+1000 — replacing matched keys, inserting the rest —
+    // v2 = copy-on-write DELETE of lang='de'), then TIME-TRAVEL-reads all
+    // three snapshots and emits one integer-exact summary row per
+    // version. The oracle recomputes each snapshot's contents from the
+    // same relational algebra over raw `documents` — so the hash match
+    // proves the log replay, the merge/delete file algebra, and the
+    // historical reads reconstruct exactly the right row sets. Scale:
+    // the log is metadata-sized and checkpoint-bounded; reads prune to
+    // the snapshot's file list; see VersionedTable's scaladoc for the
+    // partition-scoped COW note. Sums are BIGINT-cast on the oracle side
+    // (DuckDB sum→HUGEINT would fail the type gate).
+    Q("a7_time_travel",
+      (s, d) => {
+        val dir = Files.createTempDirectory("graft-vlog-a7").toString
+        val docs = Tables.documents(s, d)
+          .select("doc_id", "lang", "source", "n_chars")
+        VersionedTable.append(docs.filter(col("doc_id") % 3 =!= 0), dir)
+        VersionedTable.merge(s,
+          docs.filter(col("doc_id") % 5 === 0)
+            .withColumn("n_chars", col("n_chars") + 1000L), dir, "doc_id")
+        VersionedTable.delete(s, dir, col("lang") === "de")
+        (0L to 2L).map { v =>
+          VersionedTable.read(s, dir, Some(v))
+            .agg(count(lit(1)).as("n_docs"),
+              sum("n_chars").as("sum_chars"),
+              sum("doc_id").as("id_sum"))
+            .select(lit(v).as("version"), col("n_docs"),
+              col("sum_chars"), col("id_sum"))
+        }.reduce(_ unionByName _).orderBy("version")
+      },
+      Some("""WITH v0 AS (
+                SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id % 3 <> 0),
+              v1 AS (
+                SELECT doc_id, lang, n_chars FROM v0 WHERE doc_id % 5 <> 0
+                UNION ALL
+                SELECT doc_id, lang, n_chars + 1000 FROM documents
+                WHERE doc_id % 5 = 0),
+              v2 AS (SELECT * FROM v1 WHERE lang <> 'de'),
+              s0 AS (SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_docs,
+                            CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                            CAST(sum(doc_id) AS BIGINT) AS id_sum FROM v0),
+              s1 AS (SELECT CAST(1 AS BIGINT), count(*),
+                            CAST(sum(n_chars) AS BIGINT),
+                            CAST(sum(doc_id) AS BIGINT) FROM v1),
+              s2 AS (SELECT CAST(2 AS BIGINT), count(*),
+                            CAST(sum(n_chars) AS BIGINT),
+                            CAST(sum(doc_id) AS BIGINT) FROM v2)
+              SELECT * FROM s0 UNION ALL SELECT * FROM s1
+              UNION ALL SELECT * FROM s2 ORDER BY version""")),
 
     // ---- B. projection / filter / predicates ------------------------------
     Q("b1_filter_pred",
