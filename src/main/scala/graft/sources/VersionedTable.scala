@@ -82,28 +82,9 @@ object VersionedTable {
     * the race for exactly this version (any other failure throws).
     */
   private[graft] def tryCommit(dir: String, v: Long, op: String,
-      added: Seq[String], removed: Seq[String]): Boolean = {
-    Files.createDirectories(logDir(dir))
-    val tmp = Files.createTempFile(logDir(dir), f"$v%020d.commit.tmp", "")
-    val lines = (s"op:$op" +: (added.map("add:" + _) ++
-      removed.map("remove:" + _))).mkString("", "\n", "\n")
-    Files.write(tmp, lines.getBytes("UTF-8"),
-      StandardOpenOption.TRUNCATE_EXISTING)
-    try {
-      // createLink, NOT ATOMIC_MOVE: on POSIX a rename silently REPLACES
-      // an existing target (two racers would both "win" and one commit
-      // would vanish — measured in the spec before this line changed);
-      // link(2) is the local-FS atomic create-if-absent, the same
-      // conditional-put contract object stores offer
-      Files.createLink(commitFile(dir, v), tmp)
-      Files.deleteIfExists(tmp)
-      maybeCheckpoint(dir, v)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp); false
-    }
-  }
+      added: Seq[String], removed: Seq[String]): Boolean =
+    tryCommitLines(dir, v, s"op:$op" +:
+      (added.map("add:" + _) ++ removed.map("remove:" + _)))
 
   /** Publish the next version, retrying past optimistic-concurrency losses.
     * NOTE: append-only commits are always safe to retry; merge/delete
@@ -239,6 +220,70 @@ object VersionedTable {
       attempt += 1
     }
     sys.error(s"could not delete from $dir after $MaxCommitRetries races")
+  }
+
+  /** Idempotent streaming append — the exactly-once sink contract on top
+    * of the commit log (Delta's `txn` action re-derived): each micro-batch
+    * commits with a `txn:<streamId>/<batchId>` line; a foreachBatch replay
+    * after a crash-between-sink-and-checkpoint re-runs the SAME batchId,
+    * finds its txn already in the log, and commits nothing — so the table
+    * converges to exactly the unbroken run's contents while a naive
+    * append sink double-writes (StreamingSpec forces the replay window
+    * and asserts both halves). Returns Some(version) on a fresh commit,
+    * None when the batch was already applied. The txn scan walks the
+    * metadata log (commit files only, newest first with early exit); a
+    * cluster deployment folds the latest-txn-per-stream map into the
+    * checkpoint files exactly like the live-file list, keeping the probe
+    * O(1) — same mechanism, elided here where logs are short.
+    */
+  def appendStreamBatch(df: DataFrame, dir: String, streamId: String,
+      batchId: Long): Option[Long] = {
+    val txn = s"$streamId/$batchId"
+    val applied = listLog(dir, ".commit").reverse.exists { v =>
+      readLines(commitFile(dir, v)).exists(_ == s"txn:$txn")
+    }
+    if (applied) None
+    else {
+      val added = stage(df, dir)
+      var attempt = 0
+      while (attempt < MaxCommitRetries) {
+        val v = currentVersion(dir) + 1
+        // another racer may have been a replay of the SAME txn (two
+        // restarts): re-probe before every attempt so the loser of the
+        // race cannot double-apply it
+        if (listLog(dir, ".commit").reverse.exists { cv =>
+              readLines(commitFile(dir, cv)).exists(_ == s"txn:$txn")
+            }) return None
+        if (tryCommitLines(dir, v,
+            Seq("op:stream-append", s"txn:$txn") ++
+              added.map("add:" + _))) return Some(v)
+        attempt += 1
+      }
+      sys.error(s"could not stream-append to $dir " +
+        s"after $MaxCommitRetries races")
+    }
+  }
+
+  private def tryCommitLines(dir: String, v: Long,
+      lines: Seq[String]): Boolean = {
+    Files.createDirectories(logDir(dir))
+    val tmp = Files.createTempFile(logDir(dir), f"$v%020d.commit.tmp", "")
+    Files.write(tmp, lines.mkString("", "\n", "\n").getBytes("UTF-8"),
+      StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      // createLink, NOT ATOMIC_MOVE: on POSIX a rename silently REPLACES
+      // an existing target (two racers would both "win" and one commit
+      // would vanish — measured in the spec before this line changed);
+      // link(2) is the local-FS atomic create-if-absent, the same
+      // conditional-put contract object stores offer
+      Files.createLink(commitFile(dir, v), tmp)
+      Files.deleteIfExists(tmp)
+      maybeCheckpoint(dir, v)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); false
+    }
   }
 
   /** Reclaim every data DIRECTORY unreachable from the CURRENT version

@@ -810,6 +810,64 @@ class StreamingSpec extends AnyFunSuite {
     } }
   }
 
+  test("versioned-table sink absorbs a forced foreachBatch replay (exactly-once)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.sources.VersionedTable
+    // the txn-logged table sink crossed with the forced-replay window:
+    // foreachBatch is at-least-once, so after a crash between sink write
+    // and checkpoint commit the SAME batchId re-runs — the versioned
+    // table's txn probe must skip it (no new version, no duplicate rows)
+    // while the naive append twin, driven through the identical replay,
+    // must show the duplicates (proving the window re-delivered)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vt-ck")
+    val table = java.nio.file.Files
+      .createTempDirectory("graft-vt-table").toString
+    val naive = java.nio.file.Files
+      .createTempDirectory("graft-vt-naive").toString
+    val in = MemoryStream[Event]
+    def start() = in.toDS().writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[Event],
+          id: Long) =>
+        val out = df.select(col("event_id"), col("user_id"))
+        VersionedTable.appendStreamBatch(out, table, "vt-stream", id)
+        out.write.mode("append").parquet(naive)
+      }.start()
+    val q1 = start()
+    in.addData(Seq(ev(1, "2024-01-01 10:00:00", 1),
+      ev(2, "2024-01-01 10:01:00", 2)))
+    q1.processAllAvailable()
+    in.addData(Seq(ev(3, "2024-01-01 10:02:00", 1)))
+    q1.processAllAvailable()
+    q1.stop()
+    // force the replay: drop the newest commit marker; offsets remain
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    assert(commits.length >= 2, "expected one commit marker per batch")
+    val crc = new java.io.File(commits.last.getParent,
+      s".${commits.last.getName}.crc")
+    assert(commits.last.delete(), "could not remove the commit marker")
+    if (crc.exists()) assert(crc.delete(), "could not remove the crc")
+    val q2 = start() // replays batch 1, then continues
+    q2.processAllAvailable()
+    in.addData(Seq(ev(4, "2024-01-01 10:03:00", 2)))
+    q2.processAllAvailable()
+    q2.stop()
+    // exactly one version per DISTINCT batch (0, 1, 2) — the replayed
+    // batchId committed nothing
+    assert(VersionedTable.currentVersion(table) == 2L,
+      s"replay minted a new version: ${VersionedTable.currentVersion(table)}")
+    val ids = VersionedTable.read(spark, table)
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L),
+      s"versioned table diverged from the unbroken run: $ids")
+    // the naive twin must carry the one replayed batch's extra row —
+    // otherwise the window never re-delivered and this test is vacuous
+    val nv = spark.read.parquet(naive).count()
+    assert(nv == 5L, s"naive append should hold the duplicate: $nv rows")
+  }
+
   test("exactly-once sink: forced replay converges under RocksDB + changelog") {
     // the at-least-once replay window crossed with INCREMENTAL state
     // recovery: the re-run batch's counts must regenerate identically
