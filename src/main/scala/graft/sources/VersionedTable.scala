@@ -104,9 +104,12 @@ object VersionedTable {
 
   private def maybeCheckpoint(dir: String, v: Long): Unit =
     if (v > 0 && v % CheckpointEvery == 0) {
-      val files = liveFiles(dir, Some(v))
+      val (entries, _) = liveEntriesReplaying(dir, Some(v))
+      val lines = entries.map("live:" + _._1) ++ entries.collect {
+        case (f, Some(st)) => s"lstat:$f|${st.key}|${st.min}|${st.max}"
+      }
       val tmp = Files.createTempFile(logDir(dir), "ckpt.tmp", "")
-      Files.write(tmp, files.map("live:" + _)
+      Files.write(tmp, lines
         .mkString("", "\n", "\n").getBytes("UTF-8"),
         StandardOpenOption.TRUNCATE_EXISTING)
       try {
@@ -121,33 +124,67 @@ object VersionedTable {
   private def readLines(p: Path): Seq[String] =
     Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
 
-  /** Table-relative live data files at `asOf` (default: current), replaying
-    * from the newest checkpoint at-or-before it. Exposed with the commit
-    * count actually replayed so the spec can pin checkpoint effectiveness.
+  /** Per-file data-skipping statistics: min/max of one clustering key,
+    * carried as `stats:<file>|<key>|<min>|<max>` log lines next to the
+    * file's `add:` and replayed into every snapshot (checkpoints persist
+    * them as `lstat:` lines). Files without stats are always read — stats
+    * only ever SHRINK a scan, never change results.
     */
-  private[graft] def liveFilesReplaying(dir: String,
-      asOf: Option[Long]): (Seq[String], Int) = {
+  final case class FileStats(key: String, min: Long, max: Long)
+
+  private def parseStats(s: String): Option[(String, FileStats)] =
+    s.split('|') match {
+      case Array(f, k, lo, hi) =>
+        Some((f, FileStats(k, lo.toLong, hi.toLong)))
+      case _ => None
+    }
+
+  /** Table-relative live data files (+ optional key stats) at `asOf`
+    * (default: current), replaying from the newest checkpoint at-or-before
+    * it. Exposed with the commit count actually replayed so the spec can
+    * pin checkpoint effectiveness.
+    */
+  private[graft] def liveEntriesReplaying(dir: String, asOf: Option[Long])
+      : (Seq[(String, Option[FileStats])], Int) = {
     val head = asOf.getOrElse(currentVersion(dir))
     require(head >= 0, s"$dir has no committed version")
     require(Files.exists(commitFile(dir, head)),
       s"version $head does not exist in $dir")
     val ckpt = listLog(dir, ".checkpoint").filter(_ <= head).lastOption
-    val base = scala.collection.mutable.LinkedHashSet.empty[String]
+    val base = scala.collection.mutable
+      .LinkedHashMap.empty[String, Option[FileStats]]
     ckpt.foreach { cv =>
-      readLines(checkpointFile(dir, cv))
-        .filter(_.startsWith("live:")).foreach(l => base += l.substring(5))
+      readLines(checkpointFile(dir, cv)).foreach {
+        case l if l.startsWith("live:") =>
+          base += l.substring(5) -> None
+        case l if l.startsWith("lstat:") =>
+          parseStats(l.substring(6)).foreach { case (f, st) =>
+            if (base.contains(f)) base(f) = Some(st)
+          }
+        case _ => ()
+      }
     }
     val from = ckpt.map(_ + 1).getOrElse(0L)
     var replayed = 0
     (from to head).foreach { v =>
       replayed += 1
       readLines(commitFile(dir, v)).foreach {
-        case l if l.startsWith("add:") => base += l.substring(4)
+        case l if l.startsWith("add:") => base += l.substring(4) -> None
         case l if l.startsWith("remove:") => base -= l.substring(7)
+        case l if l.startsWith("stats:") =>
+          parseStats(l.substring(6)).foreach { case (f, st) =>
+            if (base.contains(f)) base(f) = Some(st)
+          }
         case _ => ()
       }
     }
     (base.toSeq, replayed)
+  }
+
+  private[graft] def liveFilesReplaying(dir: String,
+      asOf: Option[Long]): (Seq[String], Int) = {
+    val (entries, replayed) = liveEntriesReplaying(dir, asOf)
+    (entries.map(_._1), replayed)
   }
 
   def liveFiles(dir: String, asOf: Option[Long] = None): Seq[String] =
@@ -180,6 +217,122 @@ object VersionedTable {
   /** Append `df` as a new version; returns the committed version. */
   def append(df: DataFrame, dir: String): Long =
     commitNext(dir, "append", stage(df, dir), Seq.empty)
+
+  /** Min/max of an INT64 column straight from a parquet file's FOOTER —
+    * block-level statistics the writer already paid for, so harvesting
+    * them costs metadata reads only, never a data scan (the reason
+    * data-skipping stats are free at 100 TB: each task reports its own
+    * footer stats at write time; here we read them back once per staged
+    * file). None when the column is absent, not INT64-stat-backed, or
+    * any block lacks stats — an unstatted file is simply never skipped.
+    */
+  private def footerKeyStats(abs: Path, key: String): Option[FileStats] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(abs.toUri),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val stats = r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          b.getColumns.asScala
+            .find(_.getPath.toDotString == key).map(_.getStatistics)
+        }
+        if (stats.isEmpty || stats.exists(s =>
+            s.isEmpty || s.get == null || !s.get.hasNonNullValue)) None
+        else {
+          val lo = stats.map(_.get.genericGetMin).collect {
+            case l: java.lang.Long => l.longValue }
+          val hi = stats.map(_.get.genericGetMax).collect {
+            case l: java.lang.Long => l.longValue }
+          if (lo.size != stats.size || hi.size != stats.size) None
+          else Some(FileStats(key, lo.min, hi.max))
+        }
+      } finally r.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def stageClustered(df: DataFrame, dir: String, key: String,
+      buckets: Int): Seq[String] = {
+    val clustered = df.repartitionByRange(buckets, col(key))
+      .sortWithinPartitions(key)
+    val added = stage(clustered, dir)
+    added.map("add:" + _) ++ added.flatMap { f =>
+      footerKeyStats(Paths.get(dir, f), key)
+        .map(st => s"stats:$f|$key|${st.min}|${st.max}")
+    }
+  }
+
+  /** Append `df` range-clustered on `key` with per-file min/max stats in
+    * the log — the layout half of data skipping: range partitioning makes
+    * each file own a narrow key interval, so a later [[readPruned]] scans
+    * only the files whose interval overlaps the predicate. This is the
+    * OPTIMIZE ZORDER shape reduced to one dimension (the common case;
+    * multi-column clustering changes only the repartition expression).
+    */
+  def appendClustered(df: DataFrame, dir: String, key: String,
+      buckets: Int = 8): Long = {
+    val lines = stageClustered(df, dir, key, buckets)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val v = currentVersion(dir) + 1
+      if (tryCommitLines(dir, v, "op:append-clustered" +: lines)) return v
+      attempt += 1
+    }
+    sys.error(s"could not commit to $dir after $MaxCommitRetries races")
+  }
+
+  /** The file lists a key-range predicate partitions the snapshot into:
+    * (files to scan, files skipped by stats). A file with no stats for
+    * `key` is always scanned — skipping is an optimization, never a
+    * semantics change.
+    */
+  private[graft] def pruneFiles(dir: String, key: String, lo: Long,
+      hi: Long, asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
+    val (entries, _) = liveEntriesReplaying(dir, asOf)
+    val (keep, skip) = entries.partition {
+      case (_, Some(st)) if st.key == key => st.max >= lo && st.min <= hi
+      case _ => true
+    }
+    (keep.map(_._1), skip.map(_._1))
+  }
+
+  /** Read only the files whose key interval overlaps [lo, hi], then apply
+    * the exact predicate — identical results to a full-scan filter, minus
+    * the skipped files' IO (VersionedTableSpec pins both halves).
+    */
+  def readPruned(spark: SparkSession, dir: String, key: String, lo: Long,
+      hi: Long, asOf: Option[Long] = None): DataFrame = {
+    val (keep, _) = pruneFiles(dir, key, lo, hi, asOf)
+    // a predicate overlapping NO file still needs a schema-correct empty
+    // result: fall back to one arbitrary live file, which the exact
+    // predicate then empties (one footer of IO, zero matching row groups)
+    val files = if (keep.nonEmpty) keep else liveFiles(dir, asOf).take(1)
+    require(files.nonEmpty, s"snapshot of $dir holds no files")
+    spark.read.parquet(files.map(f => Paths.get(dir, f).toString): _*)
+      .filter(col(key) >= lo && col(key) <= hi)
+  }
+
+  /** Compaction (OPTIMIZE): rewrite the current snapshot as `buckets`
+    * range-clustered, stats-carrying files in ONE commit — the small-file
+    * cure for streaming ingest (every micro-batch commit is its own tiny
+    * file set) that simultaneously installs the data-skipping layout.
+    * MVCC as ever: older versions keep reading the pre-compaction files
+    * until vacuum. Same optimistic-retry discipline as merge.
+    */
+  def compact(spark: SparkSession, dir: String, key: String,
+      buckets: Int = 8): Long = {
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val head = currentVersion(dir)
+      val removed = liveFiles(dir, Some(head))
+      val lines = stageClustered(
+        read(spark, dir, Some(head)), dir, key, buckets)
+      if (tryCommitLines(dir, head + 1,
+          "op:compact" +: (lines ++ removed.map("remove:" + _))))
+        return head + 1
+      attempt += 1
+    }
+    sys.error(s"could not compact $dir after $MaxCommitRetries races")
+  }
 
   /** Replace the whole table contents with `df` (one commit). */
   def overwrite(df: DataFrame, dir: String): Long = {

@@ -100,6 +100,65 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, dir, Some(3L)).count() == 4L)
   }
 
+  test("clustered writes carry footer stats; pruned reads skip non-overlapping files") {
+    val dir = freshDir()
+    val big = spark.range(0L, 10000L)
+      .select(col("id"), (col("id") % 7).as("v"))
+    VersionedTable.appendClustered(big, dir, "id", buckets = 8)
+    val total = VersionedTable.liveFiles(dir).size
+    assert(total >= 4, s"range clustering produced too few files: $total")
+    // a 1000-id predicate over ~1250-id buckets overlaps at most 2 files
+    val (keep, skip) = VersionedTable.pruneFiles(dir, "id", 2000L, 2999L)
+    assert(keep.nonEmpty && skip.nonEmpty && keep.size <= 2,
+      s"stats did not prune: kept ${keep.size} of $total")
+    assert(keep.size + skip.size == total)
+    // identical results to the full-scan filter, minus the skipped IO
+    val pruned = VersionedTable.readPruned(spark, dir, "id", 2000L, 2999L)
+    val full = VersionedTable.read(spark, dir)
+      .filter(col("id") >= 2000L && col("id") <= 2999L)
+    assert(pruned.count() == 1000L)
+    assert(pruned.except(full).isEmpty && full.except(pruned).isEmpty,
+      "pruned read changed results")
+    // a predicate overlapping NOTHING returns a schema-correct empty df
+    assert(VersionedTable.readPruned(spark, dir, "id",
+      50000L, 60000L).count() == 0L)
+    // files without stats are never skipped: a plain (unstatted) append
+    // must always be scanned even when its keys overlap the predicate
+    import spark.implicits._
+    VersionedTable.append(Seq((2500L, 99L)).toDF("id", "v"), dir)
+    val (keep2, _) = VersionedTable.pruneFiles(dir, "id", 2000L, 2999L)
+    assert(keep2.size == keep.size + 1, "unstatted file was skipped")
+    assert(VersionedTable.readPruned(spark, dir, "id", 2000L, 2999L)
+      .count() == 1001L)
+  }
+
+  test("compaction collapses small-file commits and installs the skip layout") {
+    val dir = freshDir()
+    // streaming-shaped ingest: many tiny txn-logged commits
+    (0 until 6).foreach { i =>
+      val batch = spark.range(i * 100L, i * 100L + 100L).toDF("id")
+      assert(VersionedTable.appendStreamBatch(batch, dir, "s", i.toLong)
+        .nonEmpty)
+    }
+    // replaying an already-applied batch commits nothing
+    assert(VersionedTable.appendStreamBatch(
+      spark.range(0L, 100L).toDF("id"), dir, "s", 3L).isEmpty)
+    val before = VersionedTable.liveFiles(dir).size
+    val preVersion = VersionedTable.currentVersion(dir)
+    VersionedTable.compact(spark, dir, "id", buckets = 2)
+    val after = VersionedTable.liveFiles(dir).size
+    assert(after < before, s"compaction did not shrink: $before -> $after")
+    // contents identical, and the rewrite installed prunable stats
+    assert(VersionedTable.read(spark, dir).count() == 600L)
+    val (keep, skip) = VersionedTable.pruneFiles(dir, "id", 0L, 299L)
+    assert(skip.nonEmpty, "compacted files carry no usable stats")
+    assert(VersionedTable.readPruned(spark, dir, "id", 0L, 299L)
+      .count() == 300L)
+    // MVCC: the pre-compaction snapshot still reads until vacuum
+    assert(VersionedTable.read(spark, dir, Some(preVersion))
+      .count() == 600L)
+  }
+
   test("time travel reads every snapshot; vacuum trades history for space") {
     val dir = freshDir()
     VersionedTable.append(df(1L, 2L, 3L), dir)                 // v0
