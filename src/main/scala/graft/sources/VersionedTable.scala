@@ -190,13 +190,22 @@ object VersionedTable {
   def liveFiles(dir: String, asOf: Option[Long] = None): Seq[String] =
     liveFilesReplaying(dir, asOf)._1
 
-  /** Read the table as of a version (time travel) or at the current head. */
+  /** Read the table as of a version (time travel) or at the current head.
+    * Reads with `mergeSchema` on: ADDITIVE schema evolution is free —
+    * a snapshot spanning files written before and after a column was
+    * added unions the schemas, older files supplying NULL for the new
+    * column (the parquet-native evolution contract; the spec pins it and
+    * pins that COW merge then back-fills physically). At 100 TB the
+    * schema union is footer-metadata work, one footer per distinct
+    * staged write, not a data scan.
+    */
   def read(spark: SparkSession, dir: String,
       asOf: Option[Long] = None): DataFrame = {
     val files = liveFiles(dir, asOf)
     require(files.nonEmpty,
       s"snapshot at $asOf of $dir holds no files (fully deleted or vacuumed)")
-    spark.read.parquet(files.map(f => Paths.get(dir, f).toString): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => Paths.get(dir, f).toString): _*)
   }
 
   /** Stage `df` as immutable parquet under a fresh data/<token>/ dir and
@@ -353,7 +362,11 @@ object VersionedTable {
       val removed = liveFiles(dir, Some(head))
       val survivors = read(spark, dir, Some(head))
         .join(updates, Seq(key), "left_anti")
-      val added = stage(survivors.unionByName(updates), dir)
+      // allowMissingColumns: an EVOLVED updates side (new column) merges
+      // against pre-evolution survivors, who supply NULL — the additive
+      // write-path half of schema evolution (read() is the other half)
+      val added = stage(
+        survivors.unionByName(updates, allowMissingColumns = true), dir)
       if (tryCommit(dir, head + 1, "merge", added, removed))
         return head + 1
       attempt += 1 // lost the race: new head has new files — re-derive

@@ -159,6 +159,32 @@ class VersionedTableSpec extends AnyFunSuite {
       .count() == 600L)
   }
 
+  test("additive schema evolution: new columns union in, NULL-backfilled") {
+    import spark.implicits._
+    val dir = freshDir()
+    VersionedTable.append(df(1L, 2L), dir) // (id, payload)
+    VersionedTable.append(
+      Seq((3L, "v3", "x")).toDF("id", "payload", "extra"), dir)
+    val cur = VersionedTable.read(spark, dir)
+    assert(cur.columns.toSet == Set("id", "payload", "extra"),
+      s"schemas did not union: ${cur.columns.toSeq}")
+    val byId = cur.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("extra"))).toMap
+    assert(byId == Map(1L -> None, 2L -> None, 3L -> Some("x")),
+      s"old files must supply NULL for the new column: $byId")
+    // time travel to BEFORE the evolution keeps the old schema exactly
+    assert(VersionedTable.read(spark, dir, Some(0L)).columns.toSeq ==
+      Seq("id", "payload"))
+    // COW merge with an evolved updates side back-fills physically
+    VersionedTable.merge(spark,
+      Seq((1L, "v1b", "y")).toDF("id", "payload", "extra"), dir, "id")
+    val after = VersionedTable.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[String]("payload"),
+        Option(r.getAs[String]("extra")))).toSet
+    assert(after == Set((1L, "v1b", Some("y")), (2L, "v2", None),
+      (3L, "v3", Some("x"))), s"evolved merge diverged: $after")
+  }
+
   test("time travel reads every snapshot; vacuum trades history for space") {
     val dir = freshDir()
     VersionedTable.append(df(1L, 2L, 3L), dir)                 // v0
