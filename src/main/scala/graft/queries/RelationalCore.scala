@@ -14,6 +14,38 @@ import org.apache.spark.sql.functions._
   */
 object RelationalCore {
 
+  /** The a7 versioned table, built ONCE per (JVM, sf dir) and memoized:
+    * query construction is invoked by every Verify pass, every Bench
+    * sweep, and plan-only inspections — rebuilding three COW versions of
+    * `documents` each time would re-pay three full write jobs and leak a
+    * temp dir per call (r15 review finding). The build is deterministic,
+    * so reuse cannot change results; the temp tree is removed on JVM
+    * exit.
+    */
+  private val a7Tables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def a7Table(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    a7Tables.computeIfAbsent(d, _ => {
+      val dir = Files.createTempDirectory("graft-vlog-a7")
+      sys.addShutdownHook {
+        val w = java.nio.file.Files.walk(dir)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally w.close()
+      }
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+      VersionedTable.append(
+        docs.filter(col("doc_id") % 3 =!= 0), dir.toString)
+      VersionedTable.merge(s,
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L),
+        dir.toString, "doc_id")
+      VersionedTable.delete(s, dir.toString, col("lang") === "de")
+      dir.toString
+    })
+
   val queries: Seq[Q] = Seq(
     // ---- A. scans ---------------------------------------------------------
     Q("a1_scan_project",
@@ -161,14 +193,7 @@ object RelationalCore {
     // (DuckDB sum→HUGEINT would fail the type gate).
     Q("a7_time_travel",
       (s, d) => {
-        val dir = Files.createTempDirectory("graft-vlog-a7").toString
-        val docs = Tables.documents(s, d)
-          .select("doc_id", "lang", "source", "n_chars")
-        VersionedTable.append(docs.filter(col("doc_id") % 3 =!= 0), dir)
-        VersionedTable.merge(s,
-          docs.filter(col("doc_id") % 5 === 0)
-            .withColumn("n_chars", col("n_chars") + 1000L), dir, "doc_id")
-        VersionedTable.delete(s, dir, col("lang") === "de")
+        val dir = a7Table(s, d)
         (0L to 2L).map { v =>
           VersionedTable.read(s, dir, Some(v))
             .agg(count(lit(1)).as("n_docs"),

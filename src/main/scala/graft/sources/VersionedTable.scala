@@ -56,6 +56,12 @@ object VersionedTable {
   private[graft] val CheckpointEvery = 10
   private val MaxCommitRetries = 50
 
+  /** Default vacuum retention: a staging directory younger than this is
+    * never reclaimed even when unreachable, because it may belong to a
+    * writer that has staged but not yet committed (see [[vacuum]]).
+    */
+  private[graft] val DefaultRetentionMs: Long = 20L * 60 * 1000
+
   private def logDir(dir: String): Path = Paths.get(dir, "_vlog")
   private def commitFile(dir: String, v: Long): Path =
     logDir(dir).resolve(f"$v%020d.commit")
@@ -86,21 +92,29 @@ object VersionedTable {
     tryCommitLines(dir, v, s"op:$op" +:
       (added.map("add:" + _) ++ removed.map("remove:" + _)))
 
-  /** Publish the next version, retrying past optimistic-concurrency losses.
-    * NOTE: append-only commits are always safe to retry; merge/delete
-    * callers re-derive their file sets against the new head before retrying
-    * (see [[merge]]) — retrying a stale remove-set would be lost-update.
+  /** The one optimistic-retry loop every writer shares: `mkLines` is
+    * re-invoked with the head it must commit AGAINST on every attempt, so
+    * a remove-carrying writer (merge/delete/overwrite/compact) re-derives
+    * its file sets from the new head after losing a race — retrying a
+    * stale remove-set would be lost-update (a concurrent append's files
+    * would survive an "overwrite"). Append-shaped writers just return
+    * their pre-staged lines.
     */
-  private def commitNext(dir: String, op: String, added: Seq[String],
-      removed: Seq[String]): Long = {
+  private def commitRetrying(dir: String, what: String)(
+      mkLines: Long => Seq[String]): Long = {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
-      val v = currentVersion(dir) + 1
-      if (tryCommit(dir, v, op, added, removed)) return v
+      val head = currentVersion(dir)
+      if (tryCommitLines(dir, head + 1, mkLines(head))) return head + 1
       attempt += 1
     }
-    sys.error(s"could not commit to $dir after $MaxCommitRetries races")
+    sys.error(s"could not $what $dir after $MaxCommitRetries races")
   }
+
+  private def commitNext(dir: String, op: String, added: Seq[String],
+      removed: Seq[String]): Long =
+    commitRetrying(dir, s"$op-commit to")(_ => s"op:$op" +:
+      (added.map("add:" + _) ++ removed.map("remove:" + _)))
 
   private def maybeCheckpoint(dir: String, v: Long): Unit =
     if (v > 0 && v % CheckpointEvery == 0) {
@@ -280,13 +294,7 @@ object VersionedTable {
   def appendClustered(df: DataFrame, dir: String, key: String,
       buckets: Int = 8): Long = {
     val lines = stageClustered(df, dir, key, buckets)
-    var attempt = 0
-    while (attempt < MaxCommitRetries) {
-      val v = currentVersion(dir) + 1
-      if (tryCommitLines(dir, v, "op:append-clustered" +: lines)) return v
-      attempt += 1
-    }
-    sys.error(s"could not commit to $dir after $MaxCommitRetries races")
+    commitRetrying(dir, "commit to")(_ => "op:append-clustered" +: lines)
   }
 
   /** The file lists a key-range predicate partitions the snapshot into:
@@ -316,7 +324,12 @@ object VersionedTable {
     // predicate then empties (one footer of IO, zero matching row groups)
     val files = if (keep.nonEmpty) keep else liveFiles(dir, asOf).take(1)
     require(files.nonEmpty, s"snapshot of $dir holds no files")
-    spark.read.parquet(files.map(f => Paths.get(dir, f).toString): _*)
+    // mergeSchema here too: without it a pruned keep-set spanning pre-
+    // and post-evolution files would infer one arbitrary file's schema
+    // and silently drop the evolved column that read() returns — the
+    // "identical to a full-scan filter" contract must survive evolution
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => Paths.get(dir, f).toString): _*)
       .filter(col(key) >= lo && col(key) <= hi)
   }
 
@@ -328,25 +341,27 @@ object VersionedTable {
     * until vacuum. Same optimistic-retry discipline as merge.
     */
   def compact(spark: SparkSession, dir: String, key: String,
-      buckets: Int = 8): Long = {
-    var attempt = 0
-    while (attempt < MaxCommitRetries) {
-      val head = currentVersion(dir)
+      buckets: Int = 8): Long =
+    commitRetrying(dir, "compact") { head =>
       val removed = liveFiles(dir, Some(head))
       val lines = stageClustered(
         read(spark, dir, Some(head)), dir, key, buckets)
-      if (tryCommitLines(dir, head + 1,
-          "op:compact" +: (lines ++ removed.map("remove:" + _))))
-        return head + 1
-      attempt += 1
+      "op:compact" +: (lines ++ removed.map("remove:" + _))
     }
-    sys.error(s"could not compact $dir after $MaxCommitRetries races")
-  }
 
-  /** Replace the whole table contents with `df` (one commit). */
+  /** Replace the whole table contents with `df` (one commit). The staged
+    * files are reused across retry attempts (they don't depend on the
+    * head) but the REMOVE set is re-derived per attempt: a concurrent
+    * append landing between attempts must also be overwritten away, or
+    * "replace the whole table" silently keeps its rows (lost-update —
+    * the r15 review caught this using a snapshotted remove list).
+    */
   def overwrite(df: DataFrame, dir: String): Long = {
-    val removed = if (currentVersion(dir) >= 0) liveFiles(dir) else Seq.empty
-    commitNext(dir, "overwrite", stage(df, dir), removed)
+    val added = stage(df, dir)
+    commitRetrying(dir, "overwrite") { head =>
+      val removed = if (head >= 0) liveFiles(dir, Some(head)) else Seq.empty
+      "op:overwrite" +: (added.map("add:" + _) ++ removed.map("remove:" + _))
+    }
   }
 
   /** Copy-on-write upsert (j54's SCD1 algebra as a table op): rows of
@@ -355,10 +370,8 @@ object VersionedTable {
     * race re-derives from the new head rather than retrying stale files.
     */
   def merge(spark: SparkSession, updates: DataFrame, dir: String,
-      key: String): Long = {
-    var attempt = 0
-    while (attempt < MaxCommitRetries) {
-      val head = currentVersion(dir)
+      key: String): Long =
+    commitRetrying(dir, "merge into") { head =>
       val removed = liveFiles(dir, Some(head))
       val survivors = read(spark, dir, Some(head))
         .join(updates, Seq(key), "left_anti")
@@ -367,26 +380,16 @@ object VersionedTable {
       // write-path half of schema evolution (read() is the other half)
       val added = stage(
         survivors.unionByName(updates, allowMissingColumns = true), dir)
-      if (tryCommit(dir, head + 1, "merge", added, removed))
-        return head + 1
-      attempt += 1 // lost the race: new head has new files — re-derive
+      "op:merge" +: (added.map("add:" + _) ++ removed.map("remove:" + _))
     }
-    sys.error(s"could not merge into $dir after $MaxCommitRetries races")
-  }
 
   /** Copy-on-write delete of rows matching `cond` (same race discipline). */
-  def delete(spark: SparkSession, dir: String, cond: Column): Long = {
-    var attempt = 0
-    while (attempt < MaxCommitRetries) {
-      val head = currentVersion(dir)
+  def delete(spark: SparkSession, dir: String, cond: Column): Long =
+    commitRetrying(dir, "delete from") { head =>
       val removed = liveFiles(dir, Some(head))
       val added = stage(read(spark, dir, Some(head)).filter(!cond), dir)
-      if (tryCommit(dir, head + 1, "delete", added, removed))
-        return head + 1
-      attempt += 1
+      "op:delete" +: (added.map("add:" + _) ++ removed.map("remove:" + _))
     }
-    sys.error(s"could not delete from $dir after $MaxCommitRetries races")
-  }
 
   /** Idempotent streaming append — the exactly-once sink contract on top
     * of the commit log (Delta's `txn` action re-derived): each micro-batch
@@ -458,20 +461,30 @@ object VersionedTable {
     * `data/<token>/` is added whole by one commit and removed whole by the
     * COW commit that rewrites it, so a directory with no live parquet is
     * dead in its entirety — including its `_SUCCESS`/checksum sidecars —
-    * while sidecars next to live files are never touched. Returns the
-    * deleted table-relative file paths.
+    * while sidecars next to live files are never touched. Unreachable
+    * directories younger than `retentionMs` are kept: an in-flight writer
+    * stages BEFORE committing, and vacuum cannot tell a dead writer from
+    * a slow one except by age (Delta's deletedFileRetentionDuration, same
+    * reasoning) — reclaiming a fresh staging dir would let its commit
+    * publish add-lines to deleted files. A table with no committed
+    * version yet vacuums only aged orphans (the died-before-v0 case).
+    * Returns the deleted table-relative file paths.
     */
-  def vacuum(dir: String): Seq[String] = {
-    val liveDirs = liveFiles(dir)
-      .map(f => Paths.get(f).getParent.toString).toSet
+  def vacuum(dir: String,
+      retentionMs: Long = DefaultRetentionMs): Seq[String] = {
+    val liveDirs =
+      if (currentVersion(dir) < 0) Set.empty[String]
+      else liveFiles(dir).map(f => Paths.get(f).getParent.toString).toSet
     val dataRoot = Paths.get(dir, "data")
     if (!Files.isDirectory(dataRoot)) return Seq.empty
     val s = Files.list(dataRoot)
     val subdirs = try s.iterator().asScala.filter(Files.isDirectory(_))
       .toSeq
     finally s.close()
+    val cutoff = System.currentTimeMillis() - retentionMs
     val deadDirs = subdirs.filterNot(p =>
       liveDirs.contains(Paths.get(dir).relativize(p).toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
     val deleted = deadDirs.flatMap { dd =>
       val w = Files.walk(dd)
       val files = try w.iterator().asScala.filter(Files.isRegularFile(_))

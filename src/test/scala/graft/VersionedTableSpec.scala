@@ -35,11 +35,28 @@ class VersionedTableSpec extends AnyFunSuite {
     df(99L).write.parquet(Paths.get(dir, "data/orphan-died").toString)
     assert(idSet(VersionedTable.read(spark, dir)).map(_._1) == Set(1L, 2L),
       "uncommitted files leaked into a read")
-    // and vacuum reclaims exactly the orphan, never a live file
-    val dead = VersionedTable.vacuum(dir)
+    // the retention window: a FRESH unreachable dir may be an in-flight
+    // writer mid-stage, so the default vacuum must leave it alone —
+    // reclaiming it would let that writer commit add-lines to deleted
+    // files
+    assert(VersionedTable.vacuum(dir).isEmpty,
+      "default vacuum reclaimed a staging dir inside the retention window")
+    // past the window (retention 0), vacuum reclaims exactly the orphan,
+    // never a live file
+    val dead = VersionedTable.vacuum(dir, retentionMs = 0L)
     assert(dead.nonEmpty && dead.forall(_.startsWith("data/orphan-died")),
       s"vacuum removed the wrong files: $dead")
     assert(idSet(VersionedTable.read(spark, dir)).map(_._1) == Set(1L, 2L))
+  }
+
+  test("vacuum on a table that died before v0 reclaims the aged orphan") {
+    val dir = freshDir()
+    // first-ever writer staged parquet, never committed: no version exists
+    df(7L).write.parquet(Paths.get(dir, "data/orphan-no-v0").toString)
+    assert(VersionedTable.currentVersion(dir) == -1L)
+    val dead = VersionedTable.vacuum(dir, retentionMs = 0L)
+    assert(dead.nonEmpty && dead.forall(_.startsWith("data/orphan-no-v0")),
+      s"pre-v0 orphan not reclaimed: $dead")
   }
 
   test("commit races resolve to exactly one winner per version") {
@@ -86,6 +103,18 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(idSet(VersionedTable.read(spark, dir)) ==
       Set((1L, "A"), (2L, "B"), (3L, "v3"), (4L, "v4")),
       "a merge was lost or applied against a stale snapshot")
+  }
+
+  test("overwrite removes EVERY live file at its commit head") {
+    val dir = freshDir()
+    VersionedTable.append(df(1L), dir)
+    VersionedTable.append(df(2L), dir) // a second live file set
+    VersionedTable.overwrite(df(9L), dir)
+    assert(idSet(VersionedTable.read(spark, dir)) == Set((9L, "v9")),
+      "overwrite kept rows from a pre-existing commit")
+    // MVCC: the pre-overwrite snapshot is still whole
+    assert(idSet(VersionedTable.read(spark, dir, Some(1L))).map(_._1) ==
+      Set(1L, 2L))
   }
 
   test("checkpoints bound log replay; every historical version stays exact") {
@@ -200,7 +229,7 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { // a version that never existed
       VersionedTable.read(spark, dir, Some(7L))
     }
-    val dead = VersionedTable.vacuum(dir)
+    val dead = VersionedTable.vacuum(dir, retentionMs = 0L)
     assert(dead.nonEmpty, "COW left nothing to vacuum — not MVCC")
     // current head still reads; the pre-vacuum snapshot is gone (retention)
     assert(idSet(VersionedTable.read(spark, dir)) ==
