@@ -46,6 +46,28 @@ object RelationalCore {
       dir.toString
     })
 
+  /** The a8 clustered table (same memoization discipline as [[a7Table]]):
+    * documents range-clustered on doc_id with footer-harvested file
+    * stats, built once per (JVM, sf dir).
+    */
+  private val a8Tables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def a8Table(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    a8Tables.computeIfAbsent(d, _ => {
+      val dir = Files.createTempDirectory("graft-vlog-a8")
+      sys.addShutdownHook {
+        val w = java.nio.file.Files.walk(dir)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally w.close()
+      }
+      VersionedTable.appendClustered(
+        Tables.documents(s, d).select("doc_id", "n_chars"),
+        dir.toString, "doc_id", buckets = 8)
+      dir.toString
+    })
+
   val queries: Seq[Q] = Seq(
     // ---- A. scans ---------------------------------------------------------
     Q("a1_scan_project",
@@ -223,6 +245,30 @@ object RelationalCore {
                             CAST(sum(doc_id) AS BIGINT) FROM v2)
               SELECT * FROM s0 UNION ALL SELECT * FROM s1
               UNION ALL SELECT * FROM s2 ORDER BY version""")),
+
+    // Data skipping under the oracle gate: documents written ONCE as a
+    // range-clustered versioned table with per-file min/max footer stats
+    // (VersionedTable.appendClustered), then a key-range query answered
+    // through readPruned — which scans ONLY the files whose stats
+    // interval overlaps [100, 299] (≤2 of 8 at every SF; the spec pins
+    // the file counts, this row pins that the PRUNED answer is the
+    // exact answer: DuckDB computes the same range over raw documents).
+    // The 100 TB point: the predicate never touches most of the table's
+    // bytes, and the decision comes from metadata the writer already
+    // paid for.
+    Q("a8_data_skipping",
+      (s, d) => {
+        val dir = a8Table(s, d)
+        VersionedTable.readPruned(s, dir, "doc_id", 100L, 299L)
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("sum_chars"),
+            sum("doc_id").as("id_sum"))
+          .select(col("n_docs"), col("sum_chars"), col("id_sum"))
+      },
+      Some("""SELECT count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                     CAST(sum(doc_id) AS BIGINT) AS id_sum
+              FROM documents WHERE doc_id BETWEEN 100 AND 299""")),
 
     // ---- B. projection / filter / predicates ------------------------------
     Q("b1_filter_pred",

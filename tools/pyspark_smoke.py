@@ -15,10 +15,12 @@ Usage:
   python3 tools/pyspark_smoke.py [sfDir] [query ...]
 defaults: /root/testdata/sf0.001 and the FULL m-tranche (every m*_tpch_*
 key in the catalog, discovered through py4j — 21 workloads), plus
-eight non-SQL/dialect checks: j1_exact_dedup, j73_random_projection,
+nine non-SQL/dialect checks: j1_exact_dedup, j73_random_projection,
 j78_scd2_history, a4 DSv2 pushdown, b6 recursive SQL, a6 aggregate
-pushdown, n6_ewma (round 15 — the order-pinned HOF fold), and
-n10_cusum_alarm (round 16 — the struct-accumulator alarm fold), each
+pushdown, n6_ewma (round 15 — the order-pinned HOF fold),
+n10_cusum_alarm (round 16 — the struct-accumulator alarm fold), and
+a7_time_travel (round 15 — the MVCC versioned table's three
+time-travel snapshots vs a native SQL recomputation), each
 invoked through py4j AND re-composed natively in the PySpark
 DataFrame API / SQL, compared row-for-row (non-SQL operators reach
 the Python surface both ways, including the vector/HOF family, the
@@ -294,7 +296,39 @@ def main() -> int:
     print(f"[pyspark-smoke] {n10}: py4j rows={len(via_jvmn10)} "
           f"native-pyspark rows={len(via_pyn10)} "
           f"{'MATCH' if n10_ok else 'MISMATCH'}")
-    n_total = len(names) + 8
+    # Round-15 versioned table from Python: the a7 time-travel entry
+    # (MVCC commit log + COW merge/delete, built and time-travel-read
+    # through py4j) vs a native python-sql recomputation of the three
+    # snapshots' contents from the raw documents view — the Python
+    # client sees the same table history the Scala client wrote.
+    a7 = "a7_time_travel"
+    jdfa7 = queries.apply(a7).apply(spark._jsparkSession, sf_dir)
+    via_jvma7 = sorted(map(tuple, DataFrame(jdfa7, spark).collect()))
+    via_pya7 = sorted(map(tuple, spark.sql("""
+        WITH v0 AS (SELECT doc_id, lang, n_chars FROM documents
+                    WHERE doc_id % 3 <> 0),
+             v1 AS (SELECT doc_id, lang, n_chars FROM v0
+                    WHERE doc_id % 5 <> 0
+                    UNION ALL
+                    SELECT doc_id, lang, n_chars + 1000 FROM documents
+                    WHERE doc_id % 5 = 0),
+             v2 AS (SELECT * FROM v1 WHERE lang <> 'de')
+        SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(sum(doc_id) AS BIGINT) AS id_sum FROM v0
+        UNION ALL
+        SELECT CAST(1 AS BIGINT), count(*), CAST(sum(n_chars) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT) FROM v1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), count(*), CAST(sum(n_chars) AS BIGINT),
+               CAST(sum(doc_id) AS BIGINT) FROM v2
+        ORDER BY version""").collect()))
+    a7_ok = via_jvma7 == via_pya7 and len(via_jvma7) == 3
+    failures += 0 if a7_ok else 1
+    print(f"[pyspark-smoke] {a7}: py4j rows={len(via_jvma7)} "
+          f"python-sql rows={len(via_pya7)} "
+          f"{'MATCH' if a7_ok else 'MISMATCH'}")
+    n_total = len(names) + 9
     spark.stop()
     print(f"[pyspark-smoke] {n_total - failures}/{n_total} matched")
     return 1 if failures else 0
