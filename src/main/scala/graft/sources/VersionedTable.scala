@@ -455,6 +455,75 @@ object VersionedTable {
     }
   }
 
+  /** The change feed (CDF): rows ADDED by the commits in (fromV, toV] —
+    * read from exactly those commits' added files, never a snapshot scan,
+    * so following a growing table costs IO proportional to the NEW data
+    * (the property that makes incremental pipelines viable at 100 TB).
+    * Only append-shaped commits (append / append-clustered /
+    * stream-append) qualify: a copy-on-write commit in the range rewrites
+    * survivors, and serving its added files as "changes" would re-emit
+    * the whole table — the caller gets a loud error instead of silent
+    * duplication (Delta's streaming source draws the same line). An
+    * empty range yields None (no schema to give).
+    */
+  def readChanges(spark: SparkSession, dir: String, fromV: Long,
+      toV: Long): Option[DataFrame] = {
+    require(fromV <= toV, s"empty change range ($fromV, $toV]")
+    val added = (fromV + 1 to toV).flatMap { v =>
+      val lines = readLines(commitFile(dir, v))
+      val op = lines.collectFirst {
+        case l if l.startsWith("op:") => l.substring(3) }.getOrElse("?")
+      if (!Set("append", "append-clustered", "stream-append").contains(op))
+        sys.error(s"version $v of $dir is a '$op' commit — the change " +
+          "feed serves append-shaped commits only (a COW rewrite's added " +
+          "files are not row-level changes); replicate from a snapshot " +
+          "read instead")
+      lines.filter(_.startsWith("add:")).map(_.substring(4))
+    }
+    if (added.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true")
+      .parquet(added.map(f => Paths.get(dir, f).toString): _*))
+  }
+
+  /** The source version `dst` has already replicated up to under
+    * `streamId` (the txn probe, exposed so a replicator resumes from its
+    * own TARGET's log — the offset lives in the destination table, which
+    * is what makes replication transactional rather than paired with an
+    * external checkpoint that can fall out of sync).
+    */
+  private def lastReplicated(dst: String, streamId: String): Long =
+    listLog(dst, ".commit").flatMap { v =>
+      readLines(commitFile(dst, v)).collectFirst {
+        case l if l.startsWith(s"txn:$streamId/") =>
+          l.substring(s"txn:$streamId/".length).toLong
+      }
+    }.foldLeft(-1L)(math.max)
+
+  /** One incremental replication pull: read the source's change feed
+    * past the destination's recorded high-water mark and commit it to
+    * the destination with the source version reached as the txn id — so
+    * a crash ANYWHERE replays idempotently: the txn probe skips a pull
+    * the destination already absorbed. Returns the (fromV, toV] range
+    * applied, or None when the destination was already caught up.
+    * Repeated calls are the pull-model streaming loop (Delta's
+    * Trigger.Once shape); each pays IO for the new files only.
+    * CONTRACT: one replicator per (streamId, dst) at a time — the txn
+    * probe makes a RE-RUN of the same pull idempotent (crash replay);
+    * two concurrent pulls that observed different source heads overlap
+    * in range and carry different txn ids, which no per-version log can
+    * reconcile (Delta's txn/appId carries the same single-writer rule).
+    */
+  def replicateOnce(spark: SparkSession, srcDir: String, dstDir: String,
+      streamId: String = "replicate"): Option[(Long, Long)] = {
+    val from = lastReplicated(dstDir, streamId)
+    val to = currentVersion(srcDir)
+    if (to <= from) return None
+    readChanges(spark, srcDir, from, to).foreach { changes =>
+      appendStreamBatch(changes, dstDir, streamId, to)
+    }
+    Some((from, to))
+  }
+
   /** Reclaim every data DIRECTORY unreachable from the CURRENT version
     * (older snapshots stop being readable — the retention trade every MVCC
     * store makes explicit). Granularity is the staging directory: each

@@ -188,6 +188,53 @@ class VersionedTableSpec extends AnyFunSuite {
       .count() == 600L)
   }
 
+  test("change feed serves exactly the appended rows; COW in range errors loudly") {
+    val dir = freshDir()
+    VersionedTable.append(df(1L, 2L), dir)          // v0
+    VersionedTable.append(df(3L), dir)              // v1
+    VersionedTable.append(df(4L, 5L), dir)          // v2
+    // the feed reads ONLY the range's added files, not a snapshot
+    val ch = VersionedTable.readChanges(spark, dir, 0L, 2L).get
+    assert(idSet(ch).map(_._1) == Set(3L, 4L, 5L),
+      s"change feed diverged: ${idSet(ch)}")
+    // an empty range has no schema to give
+    assert(VersionedTable.readChanges(spark, dir, 2L, 2L).isEmpty)
+    // a COW commit inside the range must fail loudly, never re-emit the
+    // rewritten table as "changes"
+    VersionedTable.delete(spark, dir, col("id") === 1L) // v3, COW
+    val err = intercept[RuntimeException] {
+      VersionedTable.readChanges(spark, dir, 2L, 3L)
+    }
+    assert(err.getMessage.contains("append-shaped"),
+      s"wrong error: ${err.getMessage}")
+  }
+
+  test("incremental replication is idempotent and pays only for new files") {
+    val src = freshDir()
+    val dst = freshDir()
+    VersionedTable.append(df(1L, 2L), src)
+    VersionedTable.append(df(3L), src)
+    // first pull: catches dst up to src v1
+    assert(VersionedTable.replicateOnce(spark, src, dst) ==
+      Some((-1L, 1L)))
+    assert(idSet(VersionedTable.read(spark, dst)) ==
+      idSet(VersionedTable.read(spark, src)))
+    // caught up: the pull is a no-op
+    assert(VersionedTable.replicateOnce(spark, src, dst).isEmpty)
+    // source grows; the next pull moves ONLY the delta and re-running
+    // the same pull (crash replay) double-applies nothing
+    VersionedTable.append(df(4L, 5L), src)
+    assert(VersionedTable.replicateOnce(spark, src, dst) ==
+      Some((1L, 2L)))
+    assert(VersionedTable.replicateOnce(spark, src, dst).isEmpty)
+    assert(idSet(VersionedTable.read(spark, dst)) ==
+      idSet(VersionedTable.read(spark, src)),
+      "replica diverged from source after incremental pulls")
+    // the destination holds one stream-append commit per pull, keyed by
+    // the source version it reached — the offset lives IN the table
+    assert(VersionedTable.currentVersion(dst) == 1L)
+  }
+
   test("additive schema evolution: new columns union in, NULL-backfilled") {
     import spark.implicits._
     val dir = freshDir()
