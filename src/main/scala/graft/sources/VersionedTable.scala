@@ -119,8 +119,9 @@ object VersionedTable {
   private def maybeCheckpoint(dir: String, v: Long): Unit =
     if (v > 0 && v % CheckpointEvery == 0) {
       val (entries, _) = liveEntriesReplaying(dir, Some(v))
-      val lines = entries.map("live:" + _._1) ++ entries.collect {
-        case (f, Some(st)) => s"lstat:$f|${st.key}|${st.min}|${st.max}"
+      val lines = entries.map("live:" + _._1) ++ entries.flatMap {
+        case (f, sts) =>
+          sts.values.map(st => s"lstat:$f|${st.key}|${st.min}|${st.max}")
       }
       val tmp = Files.createTempFile(logDir(dir), "ckpt.tmp", "")
       Files.write(tmp, lines
@@ -141,8 +142,10 @@ object VersionedTable {
   /** Per-file data-skipping statistics: min/max of one clustering key,
     * carried as `stats:<file>|<key>|<min>|<max>` log lines next to the
     * file's `add:` and replayed into every snapshot (checkpoints persist
-    * them as `lstat:` lines). Files without stats are always read — stats
-    * only ever SHRINK a scan, never change results.
+    * them as `lstat:` lines). A file may carry stats for SEVERAL keys
+    * (the Z-order layout stats every clustering dimension). Files
+    * without stats for the queried key are always read — stats only
+    * ever SHRINK a scan, never change results.
     */
   final case class FileStats(key: String, min: Long, max: Long)
 
@@ -153,28 +156,29 @@ object VersionedTable {
       case _ => None
     }
 
-  /** Table-relative live data files (+ optional key stats) at `asOf`
-    * (default: current), replaying from the newest checkpoint at-or-before
-    * it. Exposed with the commit count actually replayed so the spec can
-    * pin checkpoint effectiveness.
+  /** Table-relative live data files (+ per-key stats) at `asOf`
+    * (default: current), replaying from the newest checkpoint
+    * at-or-before it. Exposed with the commit count actually replayed so
+    * the spec can pin checkpoint effectiveness.
     */
   private[graft] def liveEntriesReplaying(dir: String, asOf: Option[Long])
-      : (Seq[(String, Option[FileStats])], Int) = {
+      : (Seq[(String, Map[String, FileStats])], Int) = {
     val head = asOf.getOrElse(currentVersion(dir))
     require(head >= 0, s"$dir has no committed version")
     require(Files.exists(commitFile(dir, head)),
       s"version $head does not exist in $dir")
     val ckpt = listLog(dir, ".checkpoint").filter(_ <= head).lastOption
     val base = scala.collection.mutable
-      .LinkedHashMap.empty[String, Option[FileStats]]
+      .LinkedHashMap.empty[String, Map[String, FileStats]]
+    def addStats(payload: String): Unit =
+      parseStats(payload).foreach { case (f, st) =>
+        if (base.contains(f)) base(f) = base(f) + (st.key -> st)
+      }
     ckpt.foreach { cv =>
       readLines(checkpointFile(dir, cv)).foreach {
         case l if l.startsWith("live:") =>
-          base += l.substring(5) -> None
-        case l if l.startsWith("lstat:") =>
-          parseStats(l.substring(6)).foreach { case (f, st) =>
-            if (base.contains(f)) base(f) = Some(st)
-          }
+          base += l.substring(5) -> Map.empty
+        case l if l.startsWith("lstat:") => addStats(l.substring(6))
         case _ => ()
       }
     }
@@ -183,12 +187,10 @@ object VersionedTable {
     (from to head).foreach { v =>
       replayed += 1
       readLines(commitFile(dir, v)).foreach {
-        case l if l.startsWith("add:") => base += l.substring(4) -> None
+        case l if l.startsWith("add:") =>
+          base += l.substring(4) -> Map.empty
         case l if l.startsWith("remove:") => base -= l.substring(7)
-        case l if l.startsWith("stats:") =>
-          parseStats(l.substring(6)).foreach { case (f, st) =>
-            if (base.contains(f)) base(f) = Some(st)
-          }
+        case l if l.startsWith("stats:") => addStats(l.substring(6))
         case _ => ()
       }
     }
@@ -273,15 +275,59 @@ object VersionedTable {
       } finally r.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def stageClustered(df: DataFrame, dir: String, key: String,
-      buckets: Int): Seq[String] = {
-    val clustered = df.repartitionByRange(buckets, col(key))
-      .sortWithinPartitions(key)
-    val added = stage(clustered, dir)
+  private def stageWithStats(df: DataFrame, dir: String,
+      statKeys: Seq[String]): Seq[String] = {
+    val added = stage(df, dir)
     added.map("add:" + _) ++ added.flatMap { f =>
-      footerKeyStats(Paths.get(dir, f), key)
-        .map(st => s"stats:$f|$key|${st.min}|${st.max}")
+      statKeys.flatMap(k => footerKeyStats(Paths.get(dir, f), k)
+        .map(st => s"stats:$f|$k|${st.min}|${st.max}"))
     }
+  }
+
+  private def stageClustered(df: DataFrame, dir: String, key: String,
+      buckets: Int): Seq[String] =
+    stageWithStats(df.repartitionByRange(buckets, col(key))
+      .sortWithinPartitions(key), dir, Seq(key))
+
+  /** Bit-spread the low 32 bits of `c` so bit i lands at position 2i —
+    * half of the 64-bit Morton (Z-order) interleave, as pure codegen'd
+    * bitwise column ops (no UDF).
+    */
+  private def spreadBits(c: Column): Column = {
+    var x = c.bitwiseAND(lit(0xFFFFFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  /** The 64-bit Morton code of two keys in [0, 2³¹): bits interleave so
+    * z-contiguous ranges are axis-ALIGNED blocks of the (a, b) plane —
+    * the reason a z-sorted file owns a narrow min/max interval on BOTH
+    * dimensions at once.
+    */
+  private[graft] def zValue(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** Z-ORDERED append: range-partition and sort by the Morton code of
+    * (keyA, keyB), then harvest footer stats for BOTH keys into the log —
+    * multi-dimensional data skipping, the layout `appendClustered` can't
+    * give (linear clustering on one key leaves the other key's values
+    * spread uniformly across every file, so its predicates prune
+    * nothing; the spec measures exactly that contrast). Keys must be
+    * non-negative and < 2³¹ (the interleave's domain). Works through the
+    * SAME stats/prune machinery — `readPruned` on EITHER key skips
+    * non-overlapping files.
+    */
+  def appendZOrdered(df: DataFrame, dir: String, keyA: String,
+      keyB: String, buckets: Int = 16): Long = {
+    val clustered = df.withColumn("__z", zValue(col(keyA), col(keyB)))
+      .repartitionByRange(buckets, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+    val lines = stageWithStats(clustered, dir, Seq(keyA, keyB))
+    commitRetrying(dir, "commit to")(_ => "op:append-clustered" +: lines)
   }
 
   /** Append `df` range-clustered on `key` with per-file min/max stats in
@@ -305,9 +351,11 @@ object VersionedTable {
   private[graft] def pruneFiles(dir: String, key: String, lo: Long,
       hi: Long, asOf: Option[Long] = None): (Seq[String], Seq[String]) = {
     val (entries, _) = liveEntriesReplaying(dir, asOf)
-    val (keep, skip) = entries.partition {
-      case (_, Some(st)) if st.key == key => st.max >= lo && st.min <= hi
-      case _ => true
+    val (keep, skip) = entries.partition { case (_, sts) =>
+      sts.get(key) match {
+        case Some(st) => st.max >= lo && st.min <= hi
+        case None => true
+      }
     }
     (keep.map(_._1), skip.map(_._1))
   }

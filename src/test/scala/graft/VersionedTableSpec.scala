@@ -188,6 +188,34 @@ class VersionedTableSpec extends AnyFunSuite {
       .count() == 600L)
   }
 
+  test("Z-order clusters BOTH dimensions; linear clustering only one") {
+    // 16,384 points on a 128×128 grid. Z-ordered into 16 files ≈ 16
+    // axis-aligned 32×32 blocks, so a 16-wide band on EITHER axis
+    // overlaps only the blocks that touch it; linearly clustering on x
+    // leaves y uniform in every file — y-predicates prune nothing.
+    val pts = spark.range(16384L)
+      .select((col("id") % 128).as("x"), expr("id DIV 128").as("y"))
+    val zdir = freshDir()
+    VersionedTable.appendZOrdered(pts, zdir, "x", "y", buckets = 16)
+    val total = VersionedTable.liveFiles(zdir).size
+    val (kx, sx) = VersionedTable.pruneFiles(zdir, "x", 0L, 15L)
+    val (ky, sy) = VersionedTable.pruneFiles(zdir, "y", 0L, 15L)
+    assert(sx.size * 2 >= total && sy.size * 2 >= total,
+      s"z-order pruned too little: x keeps ${kx.size}, y keeps " +
+        s"${ky.size} of $total")
+    // both pruned reads are exact (2,048 grid points per 16-wide band)
+    assert(VersionedTable.readPruned(spark, zdir, "x", 0L, 15L)
+      .count() == 2048L)
+    assert(VersionedTable.readPruned(spark, zdir, "y", 0L, 15L)
+      .count() == 2048L)
+    // the contrast: linear clustering on x cannot prune y at all
+    val ldir = freshDir()
+    VersionedTable.appendClustered(pts, ldir, "x", buckets = 16)
+    val (kly, sly) = VersionedTable.pruneFiles(ldir, "y", 0L, 15L)
+    assert(sly.isEmpty && kly.size == VersionedTable.liveFiles(ldir).size,
+      "a linear-x layout should carry no y stats to prune with")
+  }
+
   test("change feed serves exactly the appended rows; COW in range errors loudly") {
     val dir = freshDir()
     VersionedTable.append(df(1L, 2L), dir)          // v0
