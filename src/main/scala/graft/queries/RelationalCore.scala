@@ -22,51 +22,49 @@ object RelationalCore {
     * so reuse cannot change results; the temp tree is removed on JVM
     * exit.
     */
-  private val a7Tables =
+  /** One memoization for both demo tables: build under a fresh temp dir
+    * exactly once per (JVM, sf dir, prefix), register a recursive-delete
+    * shutdown hook, return the path. The cache key carries the prefix so
+    * a7 and a8 memoize independently per sf dir.
+    */
+  private val vlogTables =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def a7Table(s: org.apache.spark.sql.SparkSession,
-      d: String): String =
-    a7Tables.computeIfAbsent(d, _ => {
-      val dir = Files.createTempDirectory("graft-vlog-a7")
+  private def memoizedVlogTable(prefix: String, d: String)(
+      build: String => Unit): String =
+    vlogTables.computeIfAbsent(s"$prefix|$d", _ => {
+      val dir = Files.createTempDirectory(prefix)
       sys.addShutdownHook {
         val w = java.nio.file.Files.walk(dir)
         try w.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
         finally w.close()
       }
-      val docs = Tables.documents(s, d)
-        .select("doc_id", "lang", "source", "n_chars")
-      VersionedTable.append(
-        docs.filter(col("doc_id") % 3 =!= 0), dir.toString)
-      VersionedTable.merge(s,
-        docs.filter(col("doc_id") % 5 === 0)
-          .withColumn("n_chars", col("n_chars") + 1000L),
-        dir.toString, "doc_id")
-      VersionedTable.delete(s, dir.toString, col("lang") === "de")
+      build(dir.toString)
       dir.toString
     })
 
-  /** The a8 clustered table (same memoization discipline as [[a7Table]]):
-    * documents range-clustered on doc_id with footer-harvested file
-    * stats, built once per (JVM, sf dir).
+  private def a7Table(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    memoizedVlogTable("graft-vlog-a7", d) { dir =>
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+      VersionedTable.append(docs.filter(col("doc_id") % 3 =!= 0), dir)
+      VersionedTable.merge(s,
+        docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L), dir, "doc_id")
+      VersionedTable.delete(s, dir, col("lang") === "de")
+    }
+
+  /** The a8 clustered table: documents range-clustered on doc_id with
+    * footer-harvested file stats, built once per (JVM, sf dir).
     */
-  private val a8Tables =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def a8Table(s: org.apache.spark.sql.SparkSession,
       d: String): String =
-    a8Tables.computeIfAbsent(d, _ => {
-      val dir = Files.createTempDirectory("graft-vlog-a8")
-      sys.addShutdownHook {
-        val w = java.nio.file.Files.walk(dir)
-        try w.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        finally w.close()
-      }
+    memoizedVlogTable("graft-vlog-a8", d) { dir =>
       VersionedTable.appendClustered(
         Tables.documents(s, d).select("doc_id", "n_chars"),
-        dir.toString, "doc_id", buckets = 8)
-      dir.toString
-    })
+        dir, "doc_id", buckets = 8)
+    }
 
   val queries: Seq[Q] = Seq(
     // ---- A. scans ---------------------------------------------------------

@@ -322,11 +322,32 @@ object VersionedTable {
     */
   def appendZOrdered(df: DataFrame, dir: String, keyA: String,
       keyB: String, buckets: Int = 16): Long = {
+    require(!df.columns.contains("__z"),
+      "appendZOrdered stages through a temporary __z column — rename " +
+        "the input's __z first (it would be silently destroyed)")
     val clustered = df.withColumn("__z", zValue(col(keyA), col(keyB)))
       .repartitionByRange(buckets, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
     val lines = stageWithStats(clustered, dir, Seq(keyA, keyB))
+    // the interleave's domain is [0, 2^31) per key: out-of-range values
+    // wrap through the 32-bit mask (and keyB's bit 31 lands in the Long
+    // sign bit), silently scrambling the curve so every file spans the
+    // full key range and pruning is defeated with EXACT results — no
+    // symptom. The staged footers are already in hand, so the guard is
+    // free; enforced BEFORE the commit publishes (a failed stage is
+    // vacuumable garbage, never a torn table).
+    val stats = lines.filter(_.startsWith("stats:"))
+      .flatMap(l => parseStats(l.substring(6))).map(_._2)
+    val adds = lines.count(_.startsWith("add:"))
+    require(stats.size == 2 * adds,
+      s"z-order needs INT64 footer stats on both $keyA and $keyB " +
+        s"(got ${stats.size} stats for $adds files) — non-INT64 or " +
+        "all-null keys cannot drive the interleave")
+    require(stats.forall(st => st.min >= 0L && st.max < (1L << 31)),
+      s"z-order keys must lie in [0, 2^31): " +
+        stats.filterNot(st => st.min >= 0L && st.max < (1L << 31))
+          .map(st => s"${st.key}∈[${st.min},${st.max}]").mkString(", "))
     commitRetrying(dir, "commit to")(_ => "op:append-clustered" +: lines)
   }
 
@@ -455,30 +476,37 @@ object VersionedTable {
     */
   def appendStreamBatch(df: DataFrame, dir: String, streamId: String,
       batchId: Long): Option[Long] = {
-    val txn = s"$streamId/$batchId"
-    val applied = listLog(dir, ".commit").reverse.exists { v =>
-      readLines(commitFile(dir, v)).exists(_ == s"txn:$txn")
-    }
+    val applied = txnApplied(dir, streamId, batchId)
     if (applied) None
-    else {
-      val added = stage(df, dir)
-      var attempt = 0
-      while (attempt < MaxCommitRetries) {
-        val v = currentVersion(dir) + 1
-        // another racer may have been a replay of the SAME txn (two
-        // restarts): re-probe before every attempt so the loser of the
-        // race cannot double-apply it
-        if (listLog(dir, ".commit").reverse.exists { cv =>
-              readLines(commitFile(dir, cv)).exists(_ == s"txn:$txn")
-            }) return None
-        if (tryCommitLines(dir, v,
-            Seq("op:stream-append", s"txn:$txn") ++
-              added.map("add:" + _))) return Some(v)
-        attempt += 1
-      }
-      sys.error(s"could not stream-append to $dir " +
-        s"after $MaxCommitRetries races")
+    else commitTxn(dir, streamId, batchId, stage(df, dir).map("add:" + _))
+  }
+
+  private def txnApplied(dir: String, streamId: String,
+      batchId: Long): Boolean = {
+    val txn = s"txn:$streamId/$batchId"
+    listLog(dir, ".commit").reverse.exists { v =>
+      readLines(commitFile(dir, v)).exists(_ == txn)
     }
+  }
+
+  /** Publish a txn-carrying commit (with or without data files),
+    * re-probing before every optimistic retry so a racing replay of the
+    * SAME txn cannot double-apply it. None = the txn was already in the
+    * log.
+    */
+  private def commitTxn(dir: String, streamId: String, batchId: Long,
+      addLines: Seq[String]): Option[Long] = {
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val v = currentVersion(dir) + 1
+      if (txnApplied(dir, streamId, batchId)) return None
+      if (tryCommitLines(dir, v,
+          Seq("op:stream-append", s"txn:$streamId/$batchId") ++ addLines))
+        return Some(v)
+      attempt += 1
+    }
+    sys.error(s"could not stream-append to $dir " +
+      s"after $MaxCommitRetries races")
   }
 
   private def tryCommitLines(dir: String, v: Long,
@@ -540,12 +568,19 @@ object VersionedTable {
     * external checkpoint that can fall out of sync).
     */
   private def lastReplicated(dst: String, streamId: String): Long =
-    listLog(dst, ".commit").flatMap { v =>
+    // newest-first with early exit: a stream's txn ids are monotone in
+    // commit order, so the first hit from the tail IS the max — the
+    // full-log fold was O(commits) metadata reads per pull (r15 review).
+    // The parse is defensive (toLongOption): another stream whose id
+    // extends this one past a '/' ("replicate/shardA") would otherwise
+    // throw on "shardA/7".toLong and wedge replication forever.
+    listLog(dst, ".commit").reverse.iterator.flatMap { v =>
       readLines(commitFile(dst, v)).collectFirst {
-        case l if l.startsWith(s"txn:$streamId/") =>
+        case l if l.startsWith(s"txn:$streamId/") &&
+            l.substring(s"txn:$streamId/".length).toLongOption.isDefined =>
           l.substring(s"txn:$streamId/".length).toLong
       }
-    }.foldLeft(-1L)(math.max)
+    }.nextOption().getOrElse(-1L)
 
   /** One incremental replication pull: read the source's change feed
     * past the destination's recorded high-water mark and commit it to
@@ -562,13 +597,21 @@ object VersionedTable {
     * reconcile (Delta's txn/appId carries the same single-writer rule).
     */
   def replicateOnce(spark: SparkSession, srcDir: String, dstDir: String,
-      streamId: String = "replicate"): Option[(Long, Long)] = {
+      streamId: String): Option[(Long, Long)] = {
+    // streamId is REQUIRED, not defaulted: two sources fanned into one
+    // destination under a shared default would mix their source-valued
+    // high-water marks and one source's pulls would no-op forever
+    // (r15 review) — callers key the stream by source.
     val from = lastReplicated(dstDir, streamId)
     val to = currentVersion(srcDir)
     if (to <= from) return None
-    readChanges(spark, srcDir, from, to).foreach { changes =>
-      appendStreamBatch(changes, dstDir, streamId, to)
-    }
+    // even an all-empty change range must advance the high-water mark
+    // with a data-less txn commit, or every later pull would rescan the
+    // same commits and never reach the caught-up None
+    val addLines = readChanges(spark, srcDir, from, to)
+      .map(changes => stage(changes, dstDir).map("add:" + _))
+      .getOrElse(Seq.empty)
+    commitTxn(dstDir, streamId, to, addLines)
     Some((from, to))
   }
 

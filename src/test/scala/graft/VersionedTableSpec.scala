@@ -243,18 +243,18 @@ class VersionedTableSpec extends AnyFunSuite {
     VersionedTable.append(df(1L, 2L), src)
     VersionedTable.append(df(3L), src)
     // first pull: catches dst up to src v1
-    assert(VersionedTable.replicateOnce(spark, src, dst) ==
+    assert(VersionedTable.replicateOnce(spark, src, dst, "repl-src") ==
       Some((-1L, 1L)))
     assert(idSet(VersionedTable.read(spark, dst)) ==
       idSet(VersionedTable.read(spark, src)))
     // caught up: the pull is a no-op
-    assert(VersionedTable.replicateOnce(spark, src, dst).isEmpty)
+    assert(VersionedTable.replicateOnce(spark, src, dst, "repl-src").isEmpty)
     // source grows; the next pull moves ONLY the delta and re-running
     // the same pull (crash replay) double-applies nothing
     VersionedTable.append(df(4L, 5L), src)
-    assert(VersionedTable.replicateOnce(spark, src, dst) ==
+    assert(VersionedTable.replicateOnce(spark, src, dst, "repl-src") ==
       Some((1L, 2L)))
-    assert(VersionedTable.replicateOnce(spark, src, dst).isEmpty)
+    assert(VersionedTable.replicateOnce(spark, src, dst, "repl-src").isEmpty)
     assert(idSet(VersionedTable.read(spark, dst)) ==
       idSet(VersionedTable.read(spark, src)),
       "replica diverged from source after incremental pulls")
