@@ -56,6 +56,25 @@ object VersionedTable {
   private[graft] val CheckpointEvery = 10
   private val MaxCommitRetries = 50
 
+  /** The commit log as data (DESCRIBE HISTORY): one row per version with
+    * its operation, add/remove file counts, and txn id if any — the audit
+    * surface every table format owes its operators (what changed, when,
+    * by which stream). Pure metadata: reads commit files only, never a
+    * data byte.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    listLog(dir, ".commit").map { v =>
+      val lines = readLines(commitFile(dir, v))
+      val op = lines.collectFirst {
+        case l if l.startsWith("op:") => l.substring(3) }.getOrElse("?")
+      val txn = lines.collectFirst {
+        case l if l.startsWith("txn:") => l.substring(4) }
+      (v, op, lines.count(_.startsWith("add:")).toLong,
+        lines.count(_.startsWith("remove:")).toLong, txn)
+    }.toDF("version", "op", "n_added", "n_removed", "txn")
+  }
+
   /** Default vacuum retention: a staging directory younger than this is
     * never reclaimed even when unreachable, because it may belong to a
     * writer that has staged but not yet committed (see [[vacuum]]).

@@ -289,6 +289,25 @@ class VersionedTableSpec extends AnyFunSuite {
       (3L, "v3", Some("x"))), s"evolved merge diverged: $after")
   }
 
+  test("history reports every commit's op, file deltas, and txn id") {
+    import spark.implicits._
+    val dir = freshDir()
+    VersionedTable.append(df(1L, 2L), dir)
+    VersionedTable.merge(spark,
+      df(1L).withColumn("payload", lit("u")), dir, "id")
+    VersionedTable.appendStreamBatch(df(3L), dir, "s", 7L)
+    val h = VersionedTable.history(spark, dir)
+      .as[(Long, String, Long, Long, Option[String])]
+      .collect().sortBy(_._1)
+    assert(h.map(r => (r._1, r._2)).toSeq ==
+      Seq((0L, "append"), (1L, "merge"), (2L, "stream-append")),
+      s"history ops diverged: ${h.toSeq}")
+    assert(h.forall(_._3 > 0L), "every commit here added files")
+    assert(h(1)._4 > 0L && h(0)._4 == 0L,
+      "only the COW merge removes files")
+    assert(h(2)._5.contains("s/7"), s"txn id missing: ${h(2)._5}")
+  }
+
   test("time travel reads every snapshot; vacuum trades history for space") {
     val dir = freshDir()
     VersionedTable.append(df(1L, 2L, 3L), dir)                 // v0
