@@ -1621,6 +1621,48 @@ object StreamOps {
       }
   }
 
+  /** [[ngramNoveltyStream]] on the MODERN state API (the dual-API
+    * discipline every seen-set operator here follows): one
+    * ValueState[Boolean] per gram under the RocksDB provider, identical
+    * first-arrival credit — the spec runs both forms and asserts they
+    * fold to the same batch j92 scores.
+    */
+  final class NgramNoveltyProcessor
+      extends StatefulProcessor[String, GramIn, GramDecision] {
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean](
+        "seen", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[GramIn],
+        timerValues: TimerValues): Iterator[GramDecision] = {
+      var s = seen.exists() && seen.get()
+      val out = rows.toSeq.sortBy(_.doc_id).map { r =>
+        val novel = !s
+        s = true
+        GramDecision(r.doc_id, key, r.cnt, novel)
+      }
+      seen.update(s)
+      out.iterator
+    }
+  }
+
+  /** [[ngramNoveltyStream]] via transformWithState (see
+    * [[NgramNoveltyProcessor]]).
+    */
+  def ngramNoveltyStreamTws(
+      grams: Dataset[GramIn]): Dataset[GramDecision] = {
+    import grams.sparkSession.implicits._
+    grams.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    grams.groupByKey(_.g)
+      .transformWithState(new NgramNoveltyProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Streaming point-in-time enrichment — j79's twin and the engine's
     * stream–TABLE join (the Kafka-Streams KTable shape): ONE keyed
     * operator consumes the UNION of the dimension-change stream and the

@@ -1735,6 +1735,39 @@ class StreamingSpec extends AnyFunSuite {
       "no repeated trigram at this sf — differential is vacuous")
   }
 
+  test("n-gram novelty TWS port folds to batch j92 identically (dual API)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDB {
+      val grams = graft.queries.LlmOps.docTrigrams(
+          Tables.documents(spark, d)
+            .select(col("doc_id"), split(col("text"), " ").as("ts")))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        .as[(Long, String, Long)].collect().sortBy(t => (t._1, t._2))
+        .map(t => GramIn(t._1, t._2, t._3)).toSeq
+      val in = MemoryStream[GramIn]
+      val q = StreamOps.ngramNoveltyStreamTws(in.toDS()).writeStream
+        .format("memory").queryName("novelty_tws")
+        .outputMode("append").start()
+      grams.grouped((grams.size + 1) / 2).foreach { b =>
+        in.addData(b); q.processAllAvailable()
+      }
+      assertRocksDbServed(q)
+      q.stop()
+      val streamed = spark.table("novelty_tws")
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_grams"),
+          sum(when(col("novel"), col("cnt")).otherwise(0L)).as("novel"))
+        .select(col("doc_id"), col("n_grams"), col("novel"),
+          expr("(novel * CAST(10000 AS BIGINT)) div n_grams")
+            .as("novelty_bp"))
+      val batch = SparkEntry.queries("j92_ngram_novelty")(spark, d)
+      assert(streamed.except(batch).isEmpty &&
+        batch.except(streamed).isEmpty,
+        "TWS novelty diverges from batch j92")
+    }
+  }
+
   test("n-gram novelty seen-set survives kill/restart under RocksDB") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
