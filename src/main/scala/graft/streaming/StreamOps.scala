@@ -857,13 +857,20 @@ object StreamOps {
     * struct accumulator, so after the same buckets the state is
     * BIT-identical (the differential compares at n12's own 6-dp round).
     * In-order contract on the hour index with the n_ooo guard made
-    * STRICT: unlike the event streams (where equal timestamps are
-    * legitimate concurrent events), each hour bucket must be strictly
+    * STRICT and REJECTING: unlike the event streams (where equal
+    * timestamps are legitimate concurrent events and a late fold is
+    * still a fold of real data), each hour bucket must be strictly
     * newer than every bucket already folded — an at-least-once
     * redelivery of the last hour (EQUAL index) would advance t and
-    * rotate the seasonal slot just as silently as a stale one, so
-    * equality counts as a violation too, against the RUNNING max (not
-    * the batch-start snapshot), catching intra-batch duplicates as well.
+    * rotate the seasonal slot just as silently as a stale one. A
+    * violating bucket is therefore counted in n_ooo AND NOT FOLDED
+    * (r15 advice: counting alone still corrupted the profile): the
+    * recurrence is hour-INDEXED, so folding a duplicate is never "late
+    * but true data", it is a slot rotation that no reordering makes
+    * right — rejection is what keeps the state bit-identical to the
+    * batch fold over the true series. The guard compares against the
+    * RUNNING max (not the batch-start snapshot), catching intra-batch
+    * duplicates as well.
     * DOMAIN NOTE: the batch twin registers only series with ≥ 25 hours
     * (one season + one step); this online form also emits rows for
     * still-initializing keys (t ≤ 24, forecast 0.0) — consumers and the
@@ -878,27 +885,29 @@ object StreamOps {
           var st = state.getOption.getOrElse(
             HwState(0.0, 0.0, Nil, 0L, Nil, -1L, 0L))
           rows.toSeq.sortBy(_.epoch_hour).foreach { r =>
-            if (st.maxH != -1L && r.epoch_hour <= st.maxH)
-              st = st.copy(nOoo = st.nOoo + 1)
-            if (r.epoch_hour > st.maxH) st = st.copy(maxH = r.epoch_hour)
-            if (st.t < 24L) {
-              val ini = st.init :+ r.x
-              if (ini.length == 24) {
-                val l0 = ini.tail.foldLeft(ini.head)(_ + _) / 24.0
-                val b0 = (ini(23) - ini(0)) / 23.0
-                st = st.copy(l = l0, b = b0, s = ini.map(_ - l0),
-                  t = 24L, init = Nil)
-              } else st = st.copy(init = ini, t = st.t + 1)
+            if (st.maxH != -1L && r.epoch_hour <= st.maxH) {
+              st = st.copy(nOoo = st.nOoo + 1) // counted, NOT folded
             } else {
-              val pos = (st.t % 24L).toInt // 0-based slot of this hour
-              val sOld = st.s(pos)
-              val nl = 0.25 * (r.x - sOld) + 0.75 * (st.l + st.b)
-              val nb = 0.25 * (0.25 * (r.x - sOld) + 0.75 * (st.l + st.b)
-                - st.l) + 0.75 * st.b
-              val ns = 0.25 * (r.x - (0.25 * (r.x - sOld)
-                + 0.75 * (st.l + st.b))) + 0.75 * sOld
-              st = st.copy(l = nl, b = nb, s = st.s.updated(pos, ns),
-                t = st.t + 1)
+              st = st.copy(maxH = r.epoch_hour)
+              if (st.t < 24L) {
+                val ini = st.init :+ r.x
+                if (ini.length == 24) {
+                  val l0 = ini.tail.foldLeft(ini.head)(_ + _) / 24.0
+                  val b0 = (ini(23) - ini(0)) / 23.0
+                  st = st.copy(l = l0, b = b0, s = ini.map(_ - l0),
+                    t = 24L, init = Nil)
+                } else st = st.copy(init = ini, t = st.t + 1)
+              } else {
+                val pos = (st.t % 24L).toInt // 0-based slot of this hour
+                val sOld = st.s(pos)
+                val nl = 0.25 * (r.x - sOld) + 0.75 * (st.l + st.b)
+                val nb = 0.25 * (0.25 * (r.x - sOld) + 0.75 * (st.l + st.b)
+                  - st.l) + 0.75 * st.b
+                val ns = 0.25 * (r.x - (0.25 * (r.x - sOld)
+                  + 0.75 * (st.l + st.b))) + 0.75 * sOld
+                st = st.copy(l = nl, b = nb, s = st.s.updated(pos, ns),
+                  t = st.t + 1)
+              }
             }
           }
           state.update(st)

@@ -2498,6 +2498,78 @@ class StreamingSpec extends AnyFunSuite {
       "no version-0 facts streamed — the unversioned path is untested")
   }
 
+  test("PIT enrichment recovers as-of state across kill/restart (RocksDB+changelog)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // r16 chaos slice: the open dimension version per key lives ONLY in
+    // checkpointed state — a post-restart fact must be attributed to a
+    // version OPENED BEFORE the kill, or the PIT server silently serves
+    // "(none)" / a reset version chain after every failover
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd")
+    val dims = Tables.orders(spark, d)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+      .collect()
+      .map(r => PitIn(r.getLong(0), 0,
+        r.getAs[java.time.LocalDateTime](1).format(fmt),
+        r.getLong(2), r.getString(3), 0L))
+    val facts = Tables.lineitem(spark, d)
+      .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("o_custkey", "l_shipdate", "l_orderkey", "l_extendedprice",
+        "l_discount")
+      .collect()
+      .map(r => PitIn(r.getLong(0), 1,
+        r.getAs[java.time.LocalDateTime](1).format(fmt),
+        r.getLong(2), "",
+        math.round(r.getDouble(3) * (1.0 - r.getDouble(4)) * 100)))
+    val feed = (dims ++ facts).sortBy(r => (r.dt, r.kind, r.ok)).toSeq
+    withRocksDB { withChangelog {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-pit-rck").toString
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-pit-rout").toString
+      val in = MemoryStream[PitIn]
+      def start() = StreamOps.pitEnrichStream(in.toDS()).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[PitFact],
+            _: Long) => df.write.mode("append").parquet(out) }
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      val q1 = start()
+      val (pre, post) = feed.splitAt(feed.size * 2 / 3)
+      in.addData(pre); q1.processAllAvailable()
+      assertRocksDbServed(q1)
+      q1.stop() // kill: every key's open version lives only in state
+      val q2 = start()
+      in.addData(post); q2.processAllAvailable()
+      q2.stop()
+      // full recovered run ≡ the registered batch attribution, row for row
+      val got = spark.read.parquet(out).as[PitFact]
+        .groupBy("custkey", "version", "status")
+        .agg(count(lit(1)).as("n_ship"), sum("rev_c").as("rev_cents"))
+        .orderBy("custkey", "version")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      val batch = SparkEntry.queries("j79_pit_dimension_join")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSeq
+      assert(got.size == batch.size,
+        s"attribution rows ${got.size} != batch ${batch.size} after restart")
+      got.zip(batch).foreach { case (g, b) =>
+        assert(g == b, s"post-restart PIT row $g != batch $b") }
+      // the cross-restart path must be genuinely exercised: a POST-kill
+      // fact attributed to a real version whose key saw NO dim change
+      // after the kill — that version number can only come from state
+      val cut = post.head.dt
+      val dimsAfter = post.filter(_.kind == 0).map(_.custkey).toSet
+      val evidence = spark.read.parquet(out).as[PitFact].collect()
+        .exists(f => f.version >= 1L && f.sd >= cut &&
+          !dimsAfter.contains(f.custkey))
+      assert(evidence,
+        "no post-restart fact was served from recovered state — vacuous")
+    } }
+  }
+
   test("transformWithState SCD2 emits the same closed versions as batch j78") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
@@ -2664,10 +2736,13 @@ class StreamingSpec extends AnyFunSuite {
       "streaming Holt-Winters diverges from the batch fold")
   }
 
-  test("Holt-Winters 24-slot profile survives kill/restart under RocksDB") {
+  test("Holt-Winters 24-slot profile survives kill/restart under RocksDB + changelog") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
-    withRocksDB {
+    // r16 chaos slice: the HIGHEST-state-value forecasting twin joins the
+    // changelog restart matrix — recovery must rebuild level/trend AND
+    // the 24-slot seasonal array from snapshot + changelog replay
+    withRocksDB { withChangelog {
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-hw-ck").toString
       val out = java.nio.file.Files
@@ -2714,33 +2789,55 @@ class StreamingSpec extends AnyFunSuite {
       assert(last.getDouble(1) == l && last.getDouble(2) == b &&
         last.getDouble(3) == l + b + s((t % 24L).toInt),
         s"recovered state diverged: $last vs ($l, $b)")
-    }
+      // the recovery above must actually have gone THROUGH changelogs
+      val stream = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(ckpt, "state"))
+      val names = try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.map(_.getFileName.toString).toVector
+      } finally stream.close()
+      assert(names.count(_.endsWith(".changelog")) >= 2,
+        "changelog checkpointing did not take for the HW restart")
+    } }
   }
 
-  test("Holt-Winters counts a redelivered EQUAL hour bucket, never folds it silently") {
+  test("Holt-Winters counts AND rejects a redelivered EQUAL hour bucket") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
     // at-least-once upstreams redeliver the LAST bucket with an equal
     // hour index — for the hour-indexed recurrence that is just as
     // corrupting as a stale one (it advances t and rotates the seasonal
-    // slot), so the guard must be strict: equality increments n_ooo
+    // slot), so the strict guard must REJECT the bucket, not merely
+    // count it: counting alone still folded the duplicate and corrupted
+    // the profile (r15 advice). The pin is on BOTH halves: n_ooo
+    // increments and n_hours does NOT advance.
     val in = MemoryStream[HourCount]
     val q = holtWintersStream(in.toDS()).writeStream
       .format("memory").queryName("hw_dup").outputMode("update").start()
     in.addData((0 until 26).map(i => HourCount("t", 2000L + i, i.toDouble)))
     q.processAllAvailable()
     val clean = spark.table("hw_dup").agg(max("n_ooo")).head().getLong(0)
-    in.addData(Seq(HourCount("t", 2025L, 25.0))) // redelivery, equal hour
+    val tClean = spark.table("hw_dup").agg(max("n_hours")).head().getLong(0)
+    in.addData(Seq(HourCount("t", 2025L, 999.0))) // redelivery, equal hour
     q.processAllAvailable()
-    val dup = spark.table("hw_dup").agg(max("n_ooo")).head().getLong(0)
-    // intra-batch duplicates must count too (running-max guard)
+    val dup = spark.table("hw_dup")
+      .agg(max("n_ooo"), max("n_hours"), max("level")).head()
+    // intra-batch duplicates must count too (running-max guard); the
+    // FIRST hour-2026 row is new and folds, the second is rejected
     in.addData(Seq(HourCount("t", 2026L, 1.0), HourCount("t", 2026L, 1.0)))
     q.processAllAvailable()
-    val intra = spark.table("hw_dup").agg(max("n_ooo")).head().getLong(0)
+    val intra = spark.table("hw_dup")
+      .agg(max("n_ooo"), max("n_hours")).head()
     q.stop()
     assert(clean == 0L, s"in-order feed flagged: $clean")
-    assert(dup == 1L, s"equal-hour redelivery not counted: $dup")
-    assert(intra == 2L, s"intra-batch duplicate not counted: $intra")
+    assert(tClean == 26L)
+    assert(dup.getLong(0) == 1L, s"equal-hour redelivery not counted: $dup")
+    assert(dup.getLong(1) == 26L,
+      s"rejected redelivery still advanced the hour counter: $dup")
+    assert(intra.getLong(0) == 2L,
+      s"intra-batch duplicate not counted: $intra")
+    assert(intra.getLong(1) == 27L,
+      s"the one genuine hour-2026 bucket must fold exactly once: $intra")
   }
 
   test("CUSUM transformWithState port matches the MGWS implementation (dual API)") {
