@@ -28,6 +28,9 @@ object LocalSession {
       // the docgen TableCatalog: SQL text reaches the custom DSv2 source
       // as graft.docgen_<rows>[_<parts>] with full pushdown (a5)
       .config("spark.sql.catalog.graft", "graft.sources.DocGenCatalog")
+      // the versioned-table catalog: any VersionedTable directory is
+      // addressable as graft_vlog.`/its/dir` with VERSION AS OF (a9)
+      .config("spark.sql.catalog.graft_vlog", "graft.sources.VlogCatalog")
       // both events.ts layouts must read (ns-long pre-regen, µs current) —
       // set once at session build, not mutated at query-build time
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

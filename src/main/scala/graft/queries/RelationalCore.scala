@@ -268,6 +268,39 @@ object RelationalCore {
                      CAST(sum(doc_id) AS BIGINT) AS id_sum
               FROM documents WHERE doc_id BETWEEN 100 AND 299""")),
 
+    // The SQL/catalog surface for the versioned table (round 16 —
+    // graft.sources.VlogCatalog + VlogSource): the SAME a7 table, reached
+    // as plain SQL TEXT with time travel — the identifier IS the table
+    // directory (backtick-quoted) and `VERSION AS OF 1` routes through
+    // the public DSv2 loadTable(ident, version) hook to the mid-history
+    // MERGE snapshot. The scan is the engine's own DSv2 reader over the
+    // commit log (column pruning reaches the per-file parquet projection;
+    // here only lang + n_chars are ever decoded), so the oracle's
+    // relational recomputation of v1 hash-checks log replay + snapshot
+    // resolution + the custom reader's decode in one row set. The conf
+    // set is idempotent (same catalog LocalSession mounts).
+    Q("a9_sql_time_travel",
+      (s, d) => {
+        val dir = a7Table(s, d)
+        s.conf.set("spark.sql.catalog.graft_vlog",
+          "graft.sources.VlogCatalog")
+        s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+                         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+                  FROM graft_vlog.`$dir` VERSION AS OF 1
+                  GROUP BY lang ORDER BY lang""")
+      },
+      Some("""WITH v0 AS (
+                SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id % 3 <> 0),
+              v1 AS (
+                SELECT doc_id, lang, n_chars FROM v0 WHERE doc_id % 5 <> 0
+                UNION ALL
+                SELECT doc_id, lang, n_chars + 1000 FROM documents
+                WHERE doc_id % 5 = 0)
+              SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              FROM v1 GROUP BY lang ORDER BY lang""")),
+
     // ---- B. projection / filter / predicates ------------------------------
     Q("b1_filter_pred",
       (s, d) => Tables.lineitem(s, d)

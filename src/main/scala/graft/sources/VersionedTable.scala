@@ -778,20 +778,28 @@ object VersionedTable {
     * duplication (Delta's streaming source draws the same line). An
     * empty range yields None (no schema to give).
     */
+  /** The files version `v` APPENDED, with the append-shaped-only guard
+    * every change-feed consumer shares (readChanges, readChangeFeed, and
+    * the DSv2 streaming source in [[VlogSource]]): a COW commit in a
+    * change range errors loudly rather than re-emitting the rewritten
+    * table as "changes".
+    */
+  private[sources] def appendCommitAdds(dir: String, v: Long): Seq[String] = {
+    val lines = readLines(commitFile(dir, v))
+    val op = lines.collectFirst {
+      case l if l.startsWith("op:") => l.substring(3) }.getOrElse("?")
+    if (!Set("append", "append-clustered", "stream-append").contains(op))
+      sys.error(s"version $v of $dir is a '$op' commit — the change " +
+        "feed serves append-shaped commits only (a COW rewrite's added " +
+        "files are not row-level changes); replicate from a snapshot " +
+        "read instead")
+    lines.filter(_.startsWith("add:")).map(_.substring(4))
+  }
+
   def readChanges(spark: SparkSession, dir: String, fromV: Long,
       toV: Long): Option[DataFrame] = {
     require(fromV <= toV, s"empty change range ($fromV, $toV]")
-    val added = (fromV + 1 to toV).flatMap { v =>
-      val lines = readLines(commitFile(dir, v))
-      val op = lines.collectFirst {
-        case l if l.startsWith("op:") => l.substring(3) }.getOrElse("?")
-      if (!Set("append", "append-clustered", "stream-append").contains(op))
-        sys.error(s"version $v of $dir is a '$op' commit — the change " +
-          "feed serves append-shaped commits only (a COW rewrite's added " +
-          "files are not row-level changes); replicate from a snapshot " +
-          "read instead")
-      lines.filter(_.startsWith("add:")).map(_.substring(4))
-    }
+    val added = (fromV + 1 to toV).flatMap(v => appendCommitAdds(dir, v))
     if (added.isEmpty) None
     else Some(spark.read.option("mergeSchema", "true")
       .parquet(added.map(f => Paths.get(dir, f).toString): _*))
@@ -813,15 +821,7 @@ object VersionedTable {
       toV: Long): Option[DataFrame] = {
     require(fromV <= toV, s"empty change range ($fromV, $toV]")
     val perVersion = (fromV + 1 to toV).flatMap { v =>
-      val lines = readLines(commitFile(dir, v))
-      val op = lines.collectFirst {
-        case l if l.startsWith("op:") => l.substring(3) }.getOrElse("?")
-      if (!Set("append", "append-clustered", "stream-append").contains(op))
-        sys.error(s"version $v of $dir is a '$op' commit — the change " +
-          "feed serves append-shaped commits only (a COW rewrite's added " +
-          "files are not row-level changes); replicate from a snapshot " +
-          "read instead")
-      val files = lines.filter(_.startsWith("add:")).map(_.substring(4))
+      val files = appendCommitAdds(dir, v)
       if (files.isEmpty) None
       else Some(readFiles(spark, dir, files)
         .withColumn("_commit_version", lit(v))

@@ -1,0 +1,511 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type => PqType}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, IntLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation, TimeUnit}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The SQL/catalog + streaming surface over [[VersionedTable]] (r15
+  * verdict tasks #2/#3): the same MVCC commit-log table, reachable as
+  *
+  *  - plain SQL text with TIME TRAVEL through a `TableCatalog` plugin —
+  *    `SELECT … FROM graft_vlog.`/path/to/table` VERSION AS OF 1` (the
+  *    identifier IS the table directory; `loadTable(ident, version)` is
+  *    the public DSv2 time-travel hook the parser routes `VERSION AS OF`
+  *    to), and
+  *  - a streaming SOURCE whose offsets are COMMIT VERSIONS: the
+  *    micro-batch for offsets (s, e] reads exactly the files commits
+  *    s+1..e appended (IO ∝ new data, the change-feed property), with
+  *    `SupportsAdmissionControl` capping each batch by FILE count — the
+  *    discipline [[DocGenSource]]'s stream proved, carried to a real
+  *    storage-backed table. Offsets replay exactly because commits are
+  *    immutable: the checkpointed (s, e] names the same files forever.
+  *    A COW commit in range fails LOUDLY (same line `readChanges` draws
+  *    — a rewrite's added files are not row-level changes).
+  *
+  * The batch `Scan` implements both pushdown surfaces: column pruning
+  * reaches the parquet readers as a per-file requested projection
+  * (columns never decoded — and a projection the file cannot serve at
+  * all, e.g. `count(*)` or an all-evolved projection over a
+  * pre-evolution file, reads NO data pages: the row count comes from the
+  * footer), and range predicates on integral columns prune whole FILES
+  * through the commit log's footer-harvested stats before any reader
+  * opens (`PushedFileRanges` in explain; the filters stay residual
+  * above the scan, so skipping precision is a performance property,
+  * never a correctness one — the same contract `readPruned` pins).
+  *
+  * Scale shape: planning reads the metadata log only (checkpoint +
+  * tail); one input partition per data file, each opened independently
+  * on its executor; snapshot resolution is pinned once per scan so a
+  * concurrent commit cannot tear a query across two versions.
+  *
+  * Column-type support is the primitive parquet subset the row
+  * materializer handles (bool/int8/16/32/64/float/double/string/binary/
+  * date/timestamp-micros); an unsupported physical type fails schema
+  * derivation with a clear message rather than mis-decoding.
+  */
+object VlogSchema {
+
+  private[sources] def footer(abs: Path): (MessageType, Long) = {
+    val in = HadoopInputFile.fromPath(
+      new HPath(abs.toUri), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try {
+      val md = r.getFooter
+      (md.getFileMetaData.getSchema,
+        md.getBlocks.asScala.map(_.getRowCount).sum)
+    } finally r.close()
+  }
+
+  private def unsupported(f: PqType, why: String): Nothing =
+    sys.error(s"graft-vlog cannot serve column '${f.getName}': $why " +
+      "(the SQL/stream surface decodes the primitive parquet subset — " +
+      "read this table through VersionedTable.read instead)")
+
+  private[sources] def toCatalyst(f: PqType): StructField = {
+    if (!f.isPrimitive || f.isRepetition(PqType.Repetition.REPEATED))
+      unsupported(f, "nested/repeated types are not supported")
+    val p = f.asPrimitiveType()
+    val lt = p.getLogicalTypeAnnotation
+    val dt: DataType = p.getPrimitiveTypeName match {
+      case PrimitiveTypeName.BOOLEAN => BooleanType
+      case PrimitiveTypeName.FLOAT => FloatType
+      case PrimitiveTypeName.DOUBLE => DoubleType
+      case PrimitiveTypeName.INT32 => lt match {
+        case null => IntegerType
+        case _: DateLogicalTypeAnnotation => DateType
+        case i: IntLogicalTypeAnnotation if i.isSigned =>
+          i.getBitWidth match {
+            case 8 => ByteType
+            case 16 => ShortType
+            case _ => IntegerType
+          }
+        case other => unsupported(f, s"INT32 with $other")
+      }
+      case PrimitiveTypeName.INT64 => lt match {
+        case null => LongType
+        case i: IntLogicalTypeAnnotation if i.isSigned => LongType
+        case t: TimestampLogicalTypeAnnotation
+            if t.getUnit == TimeUnit.MICROS =>
+          // micros are Catalyst's own internal representation for both
+          // timestamp flavors — the value passes through untouched
+          if (t.isAdjustedToUTC) TimestampType else TimestampNTZType
+        case other => unsupported(f, s"INT64 with $other")
+      }
+      case PrimitiveTypeName.BINARY => lt match {
+        case _: StringLogicalTypeAnnotation => StringType
+        case null => BinaryType
+        case other => unsupported(f, s"BINARY with $other")
+      }
+      case other =>
+        unsupported(f, s"physical type $other (INT96 timestamps need " +
+          "spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS at " +
+          "write time)")
+    }
+    // nullable across the board: in a multi-file snapshot another file
+    // may lack the column entirely (additive evolution), so requiredness
+    // of one file's footer proves nothing table-wide
+    StructField(f.getName, dt, nullable = true)
+  }
+
+  /** The snapshot's merged schema: the union of the live files' footer
+    * schemas by name, first occurrence fixing the type (additive
+    * evolution appends columns; a TYPE change across files is refused
+    * loudly). Footer metadata reads only — one per distinct staged
+    * write at 100 TB, never a data scan.
+    */
+  private[sources] def mergedSchema(dir: String, asOf: Option[Long])
+      : StructType = {
+    val files = VersionedTable.liveFiles(dir, asOf)
+    require(files.nonEmpty, s"snapshot of $dir holds no files")
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    files.foreach { f =>
+      footer(Paths.get(dir, f))._1.getFields.asScala.foreach { pf =>
+        val sf = toCatalyst(pf)
+        out.get(sf.name) match {
+          case None => out += sf.name -> sf
+          case Some(prev) if prev.dataType == sf.dataType => ()
+          case Some(prev) =>
+            sys.error(s"column '${sf.name}' changes type across the " +
+              s"snapshot's files (${prev.dataType} vs ${sf.dataType}) — " +
+              "only ADDITIVE evolution is supported")
+        }
+      }
+    }
+    StructType(out.values.toSeq)
+  }
+}
+
+class VlogSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-vlog"
+
+  private def dirOf(opts: CaseInsensitiveStringMap): String = {
+    val d = Option(opts.get("path")).orElse(Option(opts.get("dir")))
+    require(d.nonEmpty, "graft-vlog needs .option(\"path\", <table dir>) " +
+      "or .load(<table dir>)")
+    d.get
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VlogSchema.mergedSchema(dirOf(options),
+      Option(options.get("version")).map(_.toLong))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new VlogTable(dirOf(opts),
+      Option(opts.get("version")).map(_.toLong),
+      Option(opts.get("maxFilesPerBatch")).map(_.toInt)
+        .getOrElse(VlogTable.DefaultMaxFilesPerBatch),
+      Option(opts.get("startingVersion")).map(_.toLong).getOrElse(-1L))
+  }
+}
+
+object VlogTable {
+  /** Streaming admission default: files per micro-batch. */
+  val DefaultMaxFilesPerBatch = 16
+}
+
+final class VlogTable(dir: String, asOf: Option[Long],
+    maxFilesPerBatch: Int, startingVersion: Long)
+    extends Table with SupportsRead {
+  override def name(): String =
+    s"graft-vlog($dir${asOf.map(v => s"@v$v").getOrElse("")})"
+  override def schema(): StructType = VlogSchema.mergedSchema(dir, asOf)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new VlogScanBuilder(dir, asOf, schema(), maxFilesPerBatch,
+      startingVersion)
+}
+
+final class VlogScanBuilder(dir: String, asOf: Option[Long],
+    full: StructType, maxFilesPerBatch: Int, startingVersion: Long)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = full
+  private var accepted: Array[Filter] = Array.empty
+  // per-column conservative [lo, hi] envelopes for FILE skipping
+  private var ranges: Map[String, (Long, Long)] = Map.empty
+
+  private def long(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** EVERY filter stays residual (Spark re-evaluates above the scan);
+    * integral range predicates are ADDITIONALLY recorded as conservative
+    * per-column envelopes that prune whole files through the log stats —
+    * sound by construction because a recorded envelope always CONTAINS
+    * the filter's matching set (GreaterThan keeps the closed bound: one
+    * extra boundary file beats an overflow bug), and stats-less files
+    * are never skipped.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def note(col: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = ranges.getOrElse(col, (Long.MinValue, Long.MaxValue))
+      ranges += col -> (math.max(l0, lo), math.min(h0, hi))
+    }
+    accepted = filters.filter {
+      case EqualTo(c, v) =>
+        long(v).exists { l => note(c, l, l); true }
+      case GreaterThan(c, v) =>
+        long(v).exists { l => note(c, l, Long.MaxValue); true }
+      case GreaterThanOrEqual(c, v) =>
+        long(v).exists { l => note(c, l, Long.MaxValue); true }
+      case LessThan(c, v) =>
+        long(v).exists { l => note(c, Long.MinValue, l); true }
+      case LessThanOrEqual(c, v) =>
+        long(v).exists { l => note(c, Long.MinValue, l); true }
+      case _ => false
+    }
+    filters // all residual — skipping is an optimization, never semantics
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new VlogScan(dir, asOf, required, ranges, maxFilesPerBatch,
+      startingVersion)
+}
+
+final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
+    ranges: Map[String, (Long, Long)], maxFilesPerBatch: Int,
+    startingVersion: Long) extends Scan with Batch {
+
+  // snapshot pinned ONCE per scan: a concurrent commit between explain,
+  // planInputPartitions, and a re-plan must not tear the query across
+  // two versions (batch path only; the stream pins per micro-batch)
+  private lazy val pinned: Long =
+    asOf.getOrElse(VersionedTable.currentVersion(dir))
+
+  private lazy val keptFiles: Seq[String] =
+    ranges.foldLeft(VersionedTable.liveFiles(dir, Some(pinned))) {
+      case (files, (key, (lo, hi))) =>
+        val keep = VersionedTable
+          .pruneFiles(dir, key, lo, hi, Some(pinned))._1.toSet
+        files.filter(keep)
+    }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val rs = ranges.toSeq.sortBy(_._1)
+      .map { case (k, (lo, hi)) => s"$k∈[$lo,$hi]" }.mkString(", ")
+    s"graft-vlog $dir version=$pinned files=${keptFiles.size} " +
+      s"cols=[${required.fieldNames.mkString(",")}] " +
+      s"PushedFileRanges: [$rs]"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    keptFiles.map(f =>
+      VlogInputPartition(Paths.get(dir, f).toString): InputPartition)
+      .toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VlogReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream = {
+    require(asOf.isEmpty,
+      "cannot stream FROM a time-travel snapshot — use " +
+        "startingVersion to begin the stream at an old commit instead")
+    new VlogMicroBatchStream(dir, startingVersion, maxFilesPerBatch,
+      required)
+  }
+}
+
+final case class VlogInputPartition(absPath: String) extends InputPartition
+
+/** One reader per data file. The requested projection is intersected
+  * with the FILE's own footer schema, so a pre-evolution file serves
+  * NULL for evolved columns; a projection the file cannot serve at all
+  * (empty intersection — `count(*)`, or all-evolved columns) never opens
+  * a record reader: the footer's row count drives `rowsOnly` emission of
+  * all-null/zero-width rows, zero data pages read.
+  */
+final class VlogReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val abs = Paths.get(partition.asInstanceOf[VlogInputPartition].absPath)
+    new PartitionReader[InternalRow] {
+      private val (fileSchema, rowCount) = VlogSchema.footer(abs)
+      private val present: Array[Boolean] =
+        required.fields.map(f => fileSchema.containsField(f.name))
+      private val reader: ParquetReader[Group] =
+        if (!present.exists(identity)) null
+        else {
+          val wanted: Array[PqType] = required.fields.zip(present).collect {
+            case (f, true) => fileSchema.getType(Seq(f.name): _*)
+          }
+          val projection = new MessageType(fileSchema.getName, wanted: _*)
+          val conf = new Configuration()
+          conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+          ParquetReader.builder(new GroupReadSupport(), new HPath(abs.toUri))
+            .withConf(conf).build()
+        }
+      private var rowsOnly = 0L
+      private var cur: Group = _
+
+      override def next(): Boolean =
+        if (reader == null) { rowsOnly += 1; rowsOnly <= rowCount }
+        else { cur = reader.read(); cur != null }
+
+      override def get(): InternalRow =
+        new GenericInternalRow(required.fields.zipWithIndex.map {
+          case (f, i) =>
+            if (!present(i) || cur.getFieldRepetitionCount(f.name) == 0)
+              null
+            else value(cur, f.name, f.dataType)
+        }.asInstanceOf[Array[Any]])
+
+      private def value(g: Group, n: String, dt: DataType): Any =
+        dt match {
+          case LongType => java.lang.Long.valueOf(g.getLong(n, 0))
+          case IntegerType => Integer.valueOf(g.getInteger(n, 0))
+          case ShortType =>
+            java.lang.Short.valueOf(g.getInteger(n, 0).toShort)
+          case ByteType => java.lang.Byte.valueOf(g.getInteger(n, 0).toByte)
+          case BooleanType => java.lang.Boolean.valueOf(g.getBoolean(n, 0))
+          case DoubleType => java.lang.Double.valueOf(g.getDouble(n, 0))
+          case FloatType => java.lang.Float.valueOf(g.getFloat(n, 0))
+          case StringType => UTF8String.fromBytes(g.getBinary(n, 0).getBytes)
+          case BinaryType => g.getBinary(n, 0).getBytes
+          case TimestampType | TimestampNTZType =>
+            java.lang.Long.valueOf(g.getLong(n, 0)) // micros pass through
+          case DateType => Integer.valueOf(g.getInteger(n, 0)) // days
+          case other => sys.error(s"unreachable: $other survived " +
+            "schema derivation")
+        }
+
+      override def close(): Unit = if (reader != null) reader.close()
+    }
+  }
+}
+
+/** Commit-version offsets: monotone and replayable — commits are
+  * immutable, so a checkpointed (start, end] names the same file set
+  * forever (the determinism end-to-end exactly-once needs).
+  */
+final case class VlogOffset(v: Long) extends Offset {
+  override def json(): String = v.toString
+}
+
+final class VlogMicroBatchStream(dir: String, startingVersion: Long,
+    maxFilesPerBatch: Int, required: StructType)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = VlogOffset(startingVersion)
+
+  /** Admission by FILE count over the engine-supplied TRUE start (the
+    * checkpointed position on recovery — never instance state): admit
+    * whole commits until the next would push the batch past the cap,
+    * always at least one. The walk validates the append-shaped contract
+    * as it counts, so a COW commit fails the stream at the offset
+    * boundary — loudly, before any reader serves wrong "changes".
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VlogOffset].v
+    val head = VersionedTable.currentVersion(dir)
+    if (head <= s) return VlogOffset(s)
+    val cap = limit match {
+      case _: ReadAllAvailable => Int.MaxValue
+      case m: ReadMaxFiles => math.max(1, m.maxFiles())
+      case _ => math.max(1, maxFilesPerBatch)
+    }
+    var v = s
+    var files = 0
+    var full = false
+    while (v < head && !full) {
+      val n = VersionedTable.appendCommitAdds(dir, v + 1).size
+      if (files > 0 && files + n > cap) full = true
+      else { files += n; v += 1 }
+    }
+    VlogOffset(v)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxFiles(math.max(1, maxFilesPerBatch))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  override def deserializeOffset(json: String): Offset =
+    VlogOffset(json.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[VlogOffset].v,
+      end.asInstanceOf[VlogOffset].v)
+    (s + 1 to e).flatMap(v => VersionedTable.appendCommitAdds(dir, v))
+      .map(f =>
+        VlogInputPartition(Paths.get(dir, f).toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VlogReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** The catalog plugin: table identifiers ARE table directories
+  * (backtick-quoted in SQL), so no mount configuration is needed —
+  * `spark.sql.catalog.graft_vlog = graft.sources.VlogCatalog` once, then
+  * any versioned table on the filesystem is addressable as
+  * `graft_vlog.`/its/dir`` with `VERSION AS OF <v>` time travel routed
+  * through the public `loadTable(ident, version)` hook. DDL is rejected:
+  * the table format's write surface is [[VersionedTable]]'s commit
+  * protocol, not catalog DDL.
+  */
+class VlogCatalog
+    extends org.apache.spark.sql.connector.catalog.TableCatalog {
+
+  private var catalogName = "graft_vlog"
+  private var maxFilesPerBatch = VlogTable.DefaultMaxFilesPerBatch
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    maxFilesPerBatch = Option(options.get("maxFilesPerBatch"))
+      .map(_.toInt).getOrElse(VlogTable.DefaultMaxFilesPerBatch)
+  }
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): String = {
+    val ok = ident.namespace().isEmpty &&
+      ident.name().startsWith("/") &&
+      Files.isDirectory(Paths.get(ident.name(), "_vlog"))
+    if (!ok)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    ident.name()
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchNamespaceException(namespace)
+    Array.empty // tables are directories; there is no registry to list
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    new VlogTable(dirOf(ident), None, maxFilesPerBatch, -1L)
+
+  /** The DSv2 time-travel hook — `VERSION AS OF <v>` arrives here. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.toLongOption.getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident))
+    new VlogTable(dirOf(ident), Some(v), maxFilesPerBatch, -1L)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "write through VersionedTable's commit protocol, not DDL")
+  override def alterTable(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "schema evolves through VersionedTable writes, not DDL")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "vlog tables are directories; drop is a filesystem operation")
+  override def renameTable(ident: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "vlog tables are directories; rename is a filesystem operation")
+}

@@ -810,6 +810,100 @@ class StreamingSpec extends AnyFunSuite {
     } }
   }
 
+  test("vlog streaming SOURCE: commit-version offsets, admission by files, growing table") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vlogsrc").toString
+    def append(ids: Long*): Unit = VersionedTable.append(
+      ids.map(i => (i, s"p$i")).toDF("id", "payload").coalesce(1), dir)
+    append(1L, 2L); append(3L) // two commits of backlog
+    val seen = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, String)]()
+    val nonEmptyBatches = new java.util.concurrent.atomic.AtomicInteger
+    val q = spark.readStream.format("graft-vlog").option("path", dir)
+      .option("maxFilesPerBatch", "1").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = df.select("id", "payload").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        if (rows.nonEmpty) nonEmptyBatches.incrementAndGet()
+        rows.foreach(seen.add)
+      }.start()
+    q.processAllAvailable()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala == Set((1L, "p1"), (2L, "p2"), (3L, "p3")),
+      s"backlog diverged: ${seen.asScala}")
+    // admission control: at 1 file per batch the 2-commit backlog cannot
+    // drain in a single micro-batch
+    assert(nonEmptyBatches.get >= 2,
+      s"maxFilesPerBatch=1 drained in ${nonEmptyBatches.get} batch(es)")
+    // a GROWING table streams without restart — the offset walk follows
+    // new commits, reading only their files
+    append(4L, 5L)
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.asScala ==
+      Set((1L, "p1"), (2L, "p2"), (3L, "p3"), (4L, "p4"), (5L, "p5")),
+      s"post-growth stream diverged: ${seen.asScala}")
+  }
+
+  test("vlog streaming source resumes from a killed checkpoint with zero dups") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vlogsrc-r").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-vlogsrc-rck").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-vlogsrc-rout").toString
+    def append(ids: Long*): Unit = VersionedTable.append(
+      ids.map(i => (i, s"p$i")).toDF("id", "payload").coalesce(1), dir)
+    def start() = spark.readStream.format("graft-vlog")
+      .option("path", dir).load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out) }
+      .option("checkpointLocation", ckpt)
+      .start()
+    append(1L, 2L); append(3L)
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop() // kill between deliveries
+    append(4L)
+    val q2 = start() // the checkpointed VERSION offset resumes the walk
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("payload"))).toSeq
+    assert(got.sorted ==
+      Seq((1L, "p1"), (2L, "p2"), (3L, "p3"), (4L, "p4")),
+      s"resume duplicated or dropped rows: ${got.sorted}")
+  }
+
+  test("vlog streaming source fails LOUDLY on a COW commit in range") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vlogsrc-cow").toString
+    VersionedTable.append(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload").coalesce(1), dir)
+    val q = spark.readStream.format("graft-vlog").option("path", dir)
+      .load().writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    q.processAllAvailable() // caught up through v0
+    // a COW rewrite lands: its added files are NOT row-level changes —
+    // serving them would re-emit the table, so the stream must die with
+    // the explicit contract error, not deliver silently-wrong data
+    VersionedTable.delete(spark, dir, col("id") === 1L)
+    val err = intercept[Exception] { q.processAllAvailable() }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("append-shaped"),
+      s"wrong failure: ${err.getMessage}")
+    q.stop()
+  }
+
   test("versioned-table sink absorbs a forced foreachBatch replay (exactly-once)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

@@ -372,6 +372,74 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(out.count() == 0L)
   }
 
+  test("DSv2 batch scan serves the snapshot: schema union, count(*) from footers, file skipping") {
+    import spark.implicits._
+    import graft.sources.{VersionedTable => VT}
+    val dir = freshDir()
+    VT.appendClustered(spark.range(0L, 2000L)
+      .select(col("id"), (col("id") % 7).as("v")), dir, "id", buckets = 4)
+    VT.append(Seq((5000L, 1L, "x")).toDF("id", "v", "extra").coalesce(1),
+      dir)
+    val dsv2 = spark.read.format("graft-vlog").option("path", dir).load()
+    // merged schema includes the evolved column; the custom per-file
+    // reader NULL-backfills it for pre-evolution files
+    assert(dsv2.columns.toSet == Set("id", "v", "extra"))
+    val a = dsv2.select("id", "v", "extra")
+    val b = VT.read(spark, dir).select("id", "v", "extra")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty,
+      "DSv2 scan diverged from VersionedTable.read")
+    assert(dsv2.filter(col("extra").isNotNull).count() == 1L)
+    // count(*) prunes the projection to zero columns: the reader answers
+    // from footer row counts without opening a record reader
+    assert(dsv2.count() == 2001L)
+    // an integral range predicate prunes whole FILES through the log
+    // stats at planning time (visible as files= in the scan description)
+    val pruned = dsv2.filter(col("id") >= 100L && col("id") <= 299L)
+    val desc = pruned.queryExecution.executedPlan.toString
+    assert(pruned.count() == 200L)
+    val filesShown = "files=(\\d+)".r.findFirstMatchIn(desc).map(_.group(1))
+    assert(filesShown.exists(_.toInt <= 2),
+      s"range scan did not skip files: $filesShown in\n$desc")
+    // time travel through the provider option
+    assert(spark.read.format("graft-vlog").option("path", dir)
+      .option("version", "0").load().count() == 2000L)
+    // a non-primitive column fails schema derivation loudly, never
+    // mis-decodes
+    val arrDir = freshDir()
+    VT.append(Seq((1L, Seq(1, 2))).toDF("id", "xs"), arrDir)
+    val err = intercept[RuntimeException] {
+      spark.read.format("graft-vlog").option("path", arrDir).load()
+    }
+    assert(err.getMessage.contains("graft-vlog cannot serve column"),
+      s"wrong error: ${err.getMessage}")
+  }
+
+  test("catalog SQL time travel: VERSION AS OF serves every retained snapshot") {
+    val dir = freshDir()
+    VersionedTable.append(df(1L, 2L), dir)                     // v0
+    VersionedTable.append(df(3L), dir)                         // v1
+    VersionedTable.merge(spark,
+      df(2L).withColumn("payload", lit("upd")), dir, "id")     // v2
+    spark.conf.set("spark.sql.catalog.graft_vlog",
+      "graft.sources.VlogCatalog")
+    def q(at: String) = spark.sql(
+      s"SELECT id, payload FROM graft_vlog.`$dir` $at ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(q("VERSION AS OF 0") == Seq((1L, "v1"), (2L, "v2")))
+    assert(q("VERSION AS OF 1") == Seq((1L, "v1"), (2L, "v2"), (3L, "v3")))
+    assert(q("VERSION AS OF 2") == Seq((1L, "v1"), (2L, "upd"), (3L, "v3")))
+    assert(q("") == q("VERSION AS OF 2"), "head read != newest snapshot")
+    // the scan must SAY which snapshot it serves (the PlanSpec-style pin)
+    val plan = spark.sql(
+      s"SELECT id FROM graft_vlog.`$dir` VERSION AS OF 1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("version=1"), s"snapshot not pinned in scan:\n$plan")
+    // unknown identifiers are the standard missing-table error
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM graft_vlog.`/no/such/table`").collect()
+    }
+  }
+
   test("change feed serves exactly the appended rows; COW in range errors loudly") {
     val dir = freshDir()
     VersionedTable.append(df(1L, 2L), dir)          // v0
