@@ -121,7 +121,7 @@ object VersionedTable {
     * would survive an "overwrite"). Append-shaped writers just return
     * their pre-staged lines.
     */
-  private def commitRetrying(dir: String, what: String)(
+  private[sources] def commitRetrying(dir: String, what: String)(
       mkLines: Long => Seq[String]): Long = {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
@@ -132,7 +132,7 @@ object VersionedTable {
     sys.error(s"could not $what $dir after $MaxCommitRetries races")
   }
 
-  private def commitNext(dir: String, op: String, added: Seq[String],
+  private[sources] def commitNext(dir: String, op: String, added: Seq[String],
       removed: Seq[String]): Long =
     commitRetrying(dir, s"$op-commit to")(_ => s"op:$op" +:
       (added.map("add:" + _) ++ removed.map("remove:" + _)))
@@ -728,7 +728,7 @@ object VersionedTable {
     * SAME txn cannot double-apply it. None = the txn was already in the
     * log.
     */
-  private def commitTxn(dir: String, streamId: String, batchId: Long,
+  private[sources] def commitTxn(dir: String, streamId: String, batchId: Long,
       addLines: Seq[String]): Option[Long] = {
     var attempt = 0
     while (attempt < MaxCommitRetries) {

@@ -189,17 +189,28 @@ object VlogTable {
 
 final class VlogTable(dir: String, asOf: Option[Long],
     maxFilesPerBatch: Int, startingVersion: Long)
-    extends Table with SupportsRead {
+    extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"graft-vlog($dir${asOf.map(v => s"@v$v").getOrElse("")})"
   override def schema(): StructType = VlogSchema.mergedSchema(dir, asOf)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
-      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+      TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new VlogScanBuilder(dir, asOf, schema(), maxFilesPerBatch,
       startingVersion)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(asOf.isEmpty,
+      "cannot write INTO a time-travel snapshot — writes go to the head")
+    new VlogWriteBuilder(dir, info)
+  }
 }
 
 final class VlogScanBuilder(dir: String, asOf: Option[Long],

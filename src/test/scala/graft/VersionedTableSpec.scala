@@ -414,6 +414,47 @@ class VersionedTableSpec extends AnyFunSuite {
       s"wrong error: ${err.getMessage}")
   }
 
+  test("DSv2 batch WRITE appends and overwrites through the commit protocol") {
+    import spark.implicits._
+    val dir = freshDir()
+    // writes target an EXISTING table (creation is VersionedTable.append's
+    // job — the catalog rejects DDL by design)
+    VersionedTable.append(df(1L, 2L), dir)                          // v0
+    Seq((3L, "v3"), (4L, "v4")).toDF("id", "payload")
+      .write.format("graft-vlog").option("path", dir)
+      .mode("append").save()                                       // v1
+    assert(VersionedTable.currentVersion(dir) == 1L,
+      "a DSv2 append must publish exactly ONE version")
+    assert(idSet(VersionedTable.read(spark, dir)) ==
+      Set((1L, "v1"), (2L, "v2"), (3L, "v3"), (4L, "v4")))
+    assert(VersionedTable.history(spark, dir)
+      .filter(col("version") === 1L).select("op")
+      .as[String].head() == "append")
+    // the engine's own reader round-trips the engine's own writer
+    assert(spark.read.format("graft-vlog").option("path", dir)
+      .load().count() == 4L)
+    // SQL INSERT INTO through the catalog (one more atomic version)
+    spark.conf.set("spark.sql.catalog.graft_vlog",
+      "graft.sources.VlogCatalog")
+    spark.sql(s"INSERT INTO graft_vlog.`$dir` VALUES (5, 'v5')")   // v2
+    assert(idSet(VersionedTable.read(spark, dir))
+      .contains((5L, "v5")), "INSERT INTO row missing")
+    // overwrite routes through SupportsTruncate: one commit replaces the
+    // whole live set, and MVCC keeps the pre-overwrite snapshot readable
+    Seq((9L, "v9")).toDF("id", "payload")
+      .write.format("graft-vlog").option("path", dir)
+      .mode("overwrite").save()                                    // v3
+    assert(idSet(VersionedTable.read(spark, dir)) == Set((9L, "v9")))
+    assert(idSet(VersionedTable.read(spark, dir, Some(2L))).map(_._1) ==
+      Set(1L, 2L, 3L, 4L, 5L), "pre-overwrite snapshot lost")
+    // a time-travel snapshot is not a write target
+    intercept[Exception] {
+      Seq((7L, "x")).toDF("id", "payload").write.format("graft-vlog")
+        .option("path", dir).option("version", "0")
+        .mode("append").save()
+    }
+  }
+
   test("catalog SQL time travel: VERSION AS OF serves every retained snapshot") {
     val dir = freshDir()
     VersionedTable.append(df(1L, 2L), dir)                     // v0
