@@ -105,6 +105,22 @@ object VersionedTable {
   def currentVersion(dir: String): Long =
     listLog(dir, ".commit").lastOption.getOrElse(-1L)
 
+  /** The newest version whose commit was PUBLISHED at or before
+    * `epochMicros` — `TIMESTAMP AS OF` resolution, keyed off the commit
+    * files' own modification times (the Delta recipe: the log file's
+    * storage timestamp IS the commit time; no clock line in the format).
+    * Errors when the timestamp predates the table. Metadata reads only.
+    */
+  def versionAtTimestamp(dir: String, epochMicros: Long): Long = {
+    val at = listLog(dir, ".commit").reverse.find { v =>
+      Files.getLastModifiedTime(commitFile(dir, v)).toMillis * 1000L <=
+        epochMicros
+    }
+    at.getOrElse(sys.error(
+      s"no version of $dir existed at epoch-micros $epochMicros " +
+        "(timestamp predates the first commit)"))
+  }
+
   /** Attempt to publish version `v`. Returns false iff another writer won
     * the race for exactly this version (any other failure throws).
     */

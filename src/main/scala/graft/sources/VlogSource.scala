@@ -182,16 +182,12 @@ class VlogSource extends TableProvider
   }
 }
 
-object VlogTable {
-  /** Streaming admission default: files per micro-batch. */
-  val DefaultMaxFilesPerBatch = 16
-}
-
 final class VlogTable(dir: String, asOf: Option[Long],
     maxFilesPerBatch: Int, startingVersion: Long)
     extends Table
     with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"graft-vlog($dir${asOf.map(v => s"@v$v").getOrElse("")})"
   override def schema(): StructType = VlogSchema.mergedSchema(dir, asOf)
@@ -210,6 +206,58 @@ final class VlogTable(dir: String, asOf: Option[Long],
     require(asOf.isEmpty,
       "cannot write INTO a time-travel snapshot — writes go to the head")
     new VlogWriteBuilder(dir, info)
+  }
+
+  /** `DELETE FROM graft_vlog.`/dir`` WHERE …` — the filters translate to
+    * one Column predicate and route through [[VersionedTable.delete]]'s
+    * file-granular COW (probe finds the touched files, only those
+    * rewrite, one atomic version). `canDeleteWhere` declines any filter
+    * outside the translatable set, so Spark reports "cannot delete"
+    * instead of this table guessing at semantics.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    asOf.isEmpty && filters.forall(f => VlogTable.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    // no filters = DELETE FROM t (delete everything): lit(true)
+    val cond = filters.flatMap(VlogTable.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    VersionedTable.delete(spark, dir, cond)
+  }
+}
+
+object VlogTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+
+  /** Streaming admission default: files per micro-batch. */
+  val DefaultMaxFilesPerBatch = 16
+
+  /** DSv2 Filter → Column, for the translatable subset (None = decline
+    * the whole DELETE — never approximate a predicate that rewrites
+    * data). NULL-semantics note: [[VersionedTable.delete]] treats a
+    * NULL-valued predicate as matched, which coincides with SQL DELETE
+    * for these filters because IsNull/IsNotNull are the only NULL-aware
+    * members and both are two-valued.
+    */
+  private[sources] def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(c, v) => Some(col(c) === lit(v))
+    case GreaterThan(c, v) => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v) => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case org.apache.spark.sql.sources.In(c, vs) =>
+      Some(col(c).isin(vs.toIndexedSeq: _*))
+    case org.apache.spark.sql.sources.IsNull(c) => Some(col(c).isNull)
+    case org.apache.spark.sql.sources.IsNotNull(c) => Some(col(c).isNotNull)
+    case org.apache.spark.sql.sources.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case org.apache.spark.sql.sources.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case org.apache.spark.sql.sources.Not(x) => toColumn(x).map(not)
+    case _ => None
   }
 }
 
@@ -502,6 +550,17 @@ class VlogCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident))
     new VlogTable(dirOf(ident), Some(v), maxFilesPerBatch, -1L)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROS; resolution is the
+    * newest commit published at or before it (commit-file mtimes, the
+    * Delta recipe).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    new VlogTable(dir,
+      Some(VersionedTable.versionAtTimestamp(dir, timestamp)),
+      maxFilesPerBatch, -1L)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -481,6 +481,41 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL DELETE and TIMESTAMP AS OF complete the catalog surface") {
+    import spark.implicits._
+    val dir = freshDir()
+    VersionedTable.append(df(1L, 2L, 3L), dir)                     // v0
+    Thread.sleep(40) // commit mtimes must straddle the probe instant
+    val betweenMicros = System.currentTimeMillis() * 1000L
+    Thread.sleep(40)
+    VersionedTable.append(df(4L), dir)                             // v1
+    spark.conf.set("spark.sql.catalog.graft_vlog",
+      "graft.sources.VlogCatalog")
+    // DELETE routes through SupportsDelete into the file-granular COW
+    spark.sql(s"DELETE FROM graft_vlog.`$dir` WHERE id <= 1 OR id = 4")
+    assert(idSet(VersionedTable.read(spark, dir)) ==
+      Set((2L, "v2"), (3L, "v3")), "SQL DELETE diverged")
+    assert(VersionedTable.history(spark, dir)
+      .filter(col("version") === 2L).select("op")
+      .as[String].head() == "delete")
+    // TIMESTAMP AS OF between v0 and v1 serves exactly v0 (resolution by
+    // commit-file publish times)
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(betweenMicros / 1000L))
+    val rows = spark.sql(
+      s"SELECT id FROM graft_vlog.`$dir` TIMESTAMP AS OF '$lit'")
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == Set(1L, 2L, 3L),
+      s"timestamp travel served the wrong snapshot: $rows")
+    // a timestamp predating the table is a loud error, not an empty read
+    intercept[Exception] {
+      spark.sql(s"SELECT id FROM graft_vlog.`$dir` " +
+        "TIMESTAMP AS OF '1990-01-01 00:00:00'").collect()
+    }
+  }
+
   test("change feed serves exactly the appended rows; COW in range errors loudly") {
     val dir = freshDir()
     VersionedTable.append(df(1L, 2L), dir)          // v0
