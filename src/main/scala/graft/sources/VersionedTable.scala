@@ -410,11 +410,17 @@ object VersionedTable {
     x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
   }
 
-  /** Per-key bit budget of a k-way 64-bit interleave: 64/k bits each
-    * (k=2 → 32, k=3 → 21, k=4 → 16), so every key must lie in
-    * [0, 2^(64/k)).
+  /** Per-key bit budget of a k-way interleave into a SIGNED 64-bit code:
+    * 63/k bits each (k=2 → 31, k=3 → 21, k=4 → 15), so every key must
+    * lie in [0, 2^(63/k)). 63, not 64: the highest used position is
+    * k·bits − 1, and at 64/k bits the LAST key's top bit would land in
+    * the Long sign bit — half the domain goes negative and the signed
+    * repartitionByRange breaks z-contiguity with EXACT results, the
+    * no-symptom scramble the domain guard exists to reject (r16 review:
+    * the k-way generalization briefly loosened the original 2-key 2^31
+    * guard to 2^32; this restores it and fixes k=4/k=8 the same way).
     */
-  private[graft] def zBitsPerKey(k: Int): Int = 64 / k
+  private[graft] def zBitsPerKey(k: Int): Int = 63 / k
 
   /** Bit-spread the low `bits` bits of `c` with stride `k` (bit i lands
     * at position k·i) — the k-way generalization of [[spreadBits]]. k=2
@@ -697,12 +703,33 @@ object VersionedTable {
     * would depend on which file it shares with a matching row.
     */
   def delete(spark: SparkSession, dir: String, cond: Column): Long =
+    delete(spark, dir, cond, Map.empty)
+
+  /** delete with PROBE-PRUNE hints (r16 review): `statHints` maps column
+    * names to [lo, hi] envelopes that must CONTAIN every row the
+    * predicate matches (an over-approximation, exactly what a conjunct's
+    * range bounds give — the SQL DELETE path derives them from its
+    * pushed filters). Files whose logged stats for a hinted key miss the
+    * envelope cannot hold matched rows, so the probe scan never opens
+    * them — merge's stats-prune step, available to delete when the
+    * caller can vouch for the envelope. Unhinted (or unstatted) files
+    * are always probed; hints never change results, only probe IO.
+    */
+  def delete(spark: SparkSession, dir: String, cond: Column,
+      statHints: Map[String, (Long, Long)]): Long =
     commitRetrying(dir, "delete from") { head =>
-      val files = liveFiles(dir, Some(head))
-      val hitUris = readFiles(spark, dir, files)
-        .filter(coalesce(cond, lit(true)))
-        .select(input_file_name().as("__vt_file"))
-        .distinct().collect().map(_.getString(0)).toSeq
+      val entries = replayState(dir, Some(head)).entries
+      val files = entries.filter { case (_, sts) =>
+        statHints.forall { case (k, (lo, hi)) =>
+          sts.get(k).forall(st => st.max >= lo && st.min <= hi)
+        }
+      }.map(_._1)
+      val hitUris =
+        if (files.isEmpty) Seq.empty
+        else readFiles(spark, dir, files)
+          .filter(coalesce(cond, lit(true)))
+          .select(input_file_name().as("__vt_file"))
+          .distinct().collect().map(_.getString(0)).toSeq
       val touched = relFromUris(hitUris, files)
       if (touched.isEmpty) Seq("op:delete")
       else {

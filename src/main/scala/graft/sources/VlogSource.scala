@@ -178,7 +178,7 @@ class VlogSource extends TableProvider
       Option(opts.get("version")).map(_.toLong),
       Option(opts.get("maxFilesPerBatch")).map(_.toInt)
         .getOrElse(VlogTable.DefaultMaxFilesPerBatch),
-      Option(opts.get("startingVersion")).map(_.toLong).getOrElse(-1L))
+      Option(opts.get("startingVersion")).map(_.toLong).getOrElse(0L))
   }
 }
 
@@ -190,7 +190,12 @@ final class VlogTable(dir: String, asOf: Option[Long],
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"graft-vlog($dir${asOf.map(v => s"@v$v").getOrElse("")})"
-  override def schema(): StructType = VlogSchema.mergedSchema(dir, asOf)
+  // computed once per Table instance (Spark loads a fresh Table per
+  // query): analysis calls schema() several times, and each merge pass
+  // reads every live file's footer — r16 review
+  private lazy val mergedOnce: StructType =
+    VlogSchema.mergedSchema(dir, asOf)
+  override def schema(): StructType = mergedOnce
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
@@ -211,9 +216,15 @@ final class VlogTable(dir: String, asOf: Option[Long],
   /** `DELETE FROM graft_vlog.`/dir`` WHERE …` — the filters translate to
     * one Column predicate and route through [[VersionedTable.delete]]'s
     * file-granular COW (probe finds the touched files, only those
-    * rewrite, one atomic version). `canDeleteWhere` declines any filter
+    * rewrite, one atomic version), with the filters' range envelopes
+    * passed as probe-prune hints so a clustered-key DELETE never even
+    * probes non-overlapping files. `canDeleteWhere` declines any filter
     * outside the translatable set, so Spark reports "cannot delete"
-    * instead of this table guessing at semantics.
+    * instead of this table guessing at semantics. SQL three-valued
+    * logic: DELETE removes only rows where the condition is TRUE, while
+    * the Column API's delete counts NULL as matched — so the translated
+    * predicate is wrapped `coalesce(cond, false)` (r16 review: the
+    * unwrapped routing silently deleted NULL-evaluating rows).
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     asOf.isEmpty && filters.forall(f => VlogTable.toColumn(f).isDefined)
@@ -224,7 +235,10 @@ final class VlogTable(dir: String, asOf: Option[Long],
     val cond = filters.flatMap(VlogTable.toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    VersionedTable.delete(spark, dir, cond)
+    VersionedTable.delete(spark, dir,
+      org.apache.spark.sql.functions.coalesce(cond,
+        org.apache.spark.sql.functions.lit(false)),
+      VlogTable.filterRanges(filters))
   }
 }
 
@@ -258,6 +272,41 @@ object VlogTable {
       for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
     case org.apache.spark.sql.sources.Not(x) => toColumn(x).map(not)
     case _ => None
+  }
+
+  /** Conservative per-column [lo, hi] envelopes from a CONJUNCTION of
+    * filters (deleteWhere's array is implicitly ANDed): each simple
+    * integral comparison narrows its column's envelope; Or/Not/complex
+    * members contribute nothing (no constraint). Sound as probe-prune
+    * hints because every envelope CONTAINS its filter's matching set and
+    * intersecting over-approximations over-approximates the
+    * intersection.
+    */
+  private[sources] def filterRanges(
+      filters: Array[Filter]): Map[String, (Long, Long)] = {
+    def long(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case s: Short => Some(s.toLong)
+      case b: Byte => Some(b.toLong)
+      case _ => None
+    }
+    var ranges = Map.empty[String, (Long, Long)]
+    def note(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = ranges.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      ranges += c -> (math.max(l0, lo), math.min(h0, hi))
+    }
+    filters.foreach {
+      case EqualTo(c, v) => long(v).foreach(l => note(c, l, l))
+      case GreaterThan(c, v) => long(v).foreach(l => note(c, l, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) =>
+        long(v).foreach(l => note(c, l, Long.MaxValue))
+      case LessThan(c, v) => long(v).foreach(l => note(c, Long.MinValue, l))
+      case LessThanOrEqual(c, v) =>
+        long(v).foreach(l => note(c, Long.MinValue, l))
+      case _ => ()
+    }
+    ranges
   }
 }
 
@@ -328,13 +377,16 @@ final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
   private lazy val pinned: Long =
     asOf.getOrElse(VersionedTable.currentVersion(dir))
 
+  // ONE log replay serves every envelope check (each pruneFiles call
+  // replays the log itself — r16 review); a file survives iff every
+  // hinted key's stats overlap, unstatted keys never skip
   private lazy val keptFiles: Seq[String] =
-    ranges.foldLeft(VersionedTable.liveFiles(dir, Some(pinned))) {
-      case (files, (key, (lo, hi))) =>
-        val keep = VersionedTable
-          .pruneFiles(dir, key, lo, hi, Some(pinned))._1.toSet
-        files.filter(keep)
-    }
+    VersionedTable.liveEntriesReplaying(dir, Some(pinned))._1
+      .filter { case (_, sts) =>
+        ranges.forall { case (key, (lo, hi)) =>
+          sts.get(key).forall(st => st.max >= lo && st.min <= hi)
+        }
+      }.map(_._1)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -445,7 +497,13 @@ final class VlogMicroBatchStream(dir: String, startingVersion: Long,
     maxFilesPerBatch: Int, required: StructType)
     extends MicroBatchStream with SupportsAdmissionControl {
 
-  override def initialOffset(): Offset = VlogOffset(startingVersion)
+  /** startingVersion is INCLUSIVE (the Delta convention — "begin the
+    * stream AT this commit"), so the exclusive low offset is one below
+    * it; the default 0 streams the table from its first commit. (r16
+    * review: the first cut used the option value as the exclusive
+    * offset directly, silently dropping the named commit's rows.)
+    */
+  override def initialOffset(): Offset = VlogOffset(startingVersion - 1)
 
   /** Admission by FILE count over the engine-supplied TRUE start (the
     * checkpointed position on recovery — never instance state): admit
@@ -542,14 +600,14 @@ class VlogCatalog
   }
 
   override def loadTable(ident: Identifier): Table =
-    new VlogTable(dirOf(ident), None, maxFilesPerBatch, -1L)
+    new VlogTable(dirOf(ident), None, maxFilesPerBatch, 0L)
 
   /** The DSv2 time-travel hook — `VERSION AS OF <v>` arrives here. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = version.toLongOption.getOrElse(
       throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchTableException(ident))
-    new VlogTable(dirOf(ident), Some(v), maxFilesPerBatch, -1L)
+    new VlogTable(dirOf(ident), Some(v), maxFilesPerBatch, 0L)
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROS; resolution is the
@@ -560,7 +618,7 @@ class VlogCatalog
     val dir = dirOf(ident)
     new VlogTable(dir,
       Some(VersionedTable.versionAtTimestamp(dir, timestamp)),
-      maxFilesPerBatch, -1L)
+      maxFilesPerBatch, 0L)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

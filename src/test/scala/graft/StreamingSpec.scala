@@ -846,6 +846,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.asScala ==
       Set((1L, "p1"), (2L, "p2"), (3L, "p3"), (4L, "p4"), (5L, "p5")),
       s"post-growth stream diverged: ${seen.asScala}")
+    // startingVersion is INCLUSIVE (the Delta convention): beginning at
+    // commit 1 serves commits 1 and 2 only — commit 0's rows never
+    // appear, commit 1's are not dropped (r16 review: the first cut
+    // used the option as the exclusive offset and lost commit 1)
+    val seenFrom1 = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, String)]()
+    val q2 = spark.readStream.format("graft-vlog").option("path", dir)
+      .option("startingVersion", "1").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id", "payload").collect()
+          .foreach(r => seenFrom1.add((r.getLong(0), r.getString(1))))
+      }.start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seenFrom1.asScala ==
+      Set((3L, "p3"), (4L, "p4"), (5L, "p5")),
+      s"startingVersion=1 diverged: ${seenFrom1.asScala}")
   }
 
   test("vlog streaming source resumes from a killed checkpoint with zero dups") {

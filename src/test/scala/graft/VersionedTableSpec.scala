@@ -354,6 +354,17 @@ class VersionedTableSpec extends AnyFunSuite {
       VersionedTable.appendZOrdered(bad, freshDir(), Seq("x", "y", "z"))
     }
     assert(err.getMessage.contains("2^21"), s"wrong guard: ${err.getMessage}")
+    // the 2-key budget is 31 bits, NOT 32: at 2^31 the second key's top
+    // bit would spread into the Long sign bit and the signed range
+    // partitioner would scramble the curve (r16 review caught the k-way
+    // generalization briefly loosening exactly this guard)
+    val bad2 = spark.range(4L).select(col("id").as("x"),
+      (col("id") + (1L << 31)).as("y"))
+    val err2 = intercept[IllegalArgumentException] {
+      VersionedTable.appendZOrdered(bad2, freshDir(), "x", "y")
+    }
+    assert(err2.getMessage.contains("2^31"),
+      s"2-key guard regressed: ${err2.getMessage}")
   }
 
   test("no-overlap pruned read keeps the full evolved schema") {
@@ -489,14 +500,21 @@ class VersionedTableSpec extends AnyFunSuite {
     val betweenMicros = System.currentTimeMillis() * 1000L
     Thread.sleep(40)
     VersionedTable.append(df(4L), dir)                             // v1
+    // a NULL-keyed row: SQL three-valued logic says `id <= 1` is UNKNOWN
+    // for it, and DELETE removes only TRUE rows — it must survive
+    // (r16 review: the unwrapped Column routing deleted it)
+    VersionedTable.append(Seq[(java.lang.Long, String)]((null, "vnull"))
+      .toDF("id", "payload").coalesce(1), dir)                     // v2
     spark.conf.set("spark.sql.catalog.graft_vlog",
       "graft.sources.VlogCatalog")
     // DELETE routes through SupportsDelete into the file-granular COW
     spark.sql(s"DELETE FROM graft_vlog.`$dir` WHERE id <= 1 OR id = 4")
-    assert(idSet(VersionedTable.read(spark, dir)) ==
-      Set((2L, "v2"), (3L, "v3")), "SQL DELETE diverged")
+    val survivors = VersionedTable.read(spark, dir)
+      .select("payload").collect().map(_.getString(0)).toSet
+    assert(survivors == Set("v2", "v3", "vnull"),
+      s"SQL DELETE diverged (NULL row must survive): $survivors")
     assert(VersionedTable.history(spark, dir)
-      .filter(col("version") === 2L).select("op")
+      .filter(col("version") === 3L).select("op")
       .as[String].head() == "delete")
     // TIMESTAMP AS OF between v0 and v1 serves exactly v0 (resolution by
     // commit-file publish times)
