@@ -15,12 +15,14 @@ Usage:
   python3 tools/pyspark_smoke.py [sfDir] [query ...]
 defaults: /root/testdata/sf0.001 and the FULL m-tranche (every m*_tpch_*
 key in the catalog, discovered through py4j — 21 workloads), plus
-nine non-SQL/dialect checks: j1_exact_dedup, j73_random_projection,
+ten non-SQL/dialect checks: j1_exact_dedup, j73_random_projection,
 j78_scd2_history, a4 DSv2 pushdown, b6 recursive SQL, a6 aggregate
 pushdown, n6_ewma (round 15 — the order-pinned HOF fold),
 n10_cusum_alarm (round 16 — the struct-accumulator alarm fold), and
 a7_time_travel (round 15 — the MVCC versioned table's three
-time-travel snapshots vs a native SQL recomputation), each
+time-travel snapshots vs a native SQL recomputation), and
+a9_sql_time_travel (round 16 — the graft_vlog catalog's VERSION AS OF
+read through the engine's own DSv2 parquet reader), each
 invoked through py4j AND re-composed natively in the PySpark
 DataFrame API / SQL, compared row-for-row (non-SQL operators reach
 the Python surface both ways, including the vector/HOF family, the
@@ -328,7 +330,32 @@ def main() -> int:
     print(f"[pyspark-smoke] {a7}: py4j rows={len(via_jvma7)} "
           f"python-sql rows={len(via_pya7)} "
           f"{'MATCH' if a7_ok else 'MISMATCH'}")
-    n_total = len(names) + 9
+
+    # a9 (round 16): the VERSION AS OF catalog surface — the py4j query
+    # runs the engine's own DSv2 reader over graft_vlog.`dir`; python
+    # recomputes the v1 snapshot natively from raw documents. Proves the
+    # catalog + time-travel + custom parquet reader reach the Python
+    # client unchanged.
+    a9 = "a9_sql_time_travel"
+    jdfa9 = queries.apply(a9).apply(spark._jsparkSession, sf_dir)
+    via_jvma9 = sorted(map(tuple, DataFrame(jdfa9, spark).collect()))
+    via_pya9 = sorted(map(tuple, spark.sql("""
+        WITH v0 AS (SELECT doc_id, lang, n_chars FROM documents
+                    WHERE doc_id % 3 <> 0),
+             v1 AS (SELECT doc_id, lang, n_chars FROM v0
+                    WHERE doc_id % 5 <> 0
+                    UNION ALL
+                    SELECT doc_id, lang, n_chars + 1000 FROM documents
+                    WHERE doc_id % 5 = 0)
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM v1 GROUP BY lang ORDER BY lang""").collect()))
+    a9_ok = via_jvma9 == via_pya9 and len(via_jvma9) > 0
+    failures += 0 if a9_ok else 1
+    print(f"[pyspark-smoke] {a9}: py4j rows={len(via_jvma9)} "
+          f"python-sql rows={len(via_pya9)} "
+          f"{'MATCH' if a9_ok else 'MISMATCH'}")
+    n_total = len(names) + 10
     spark.stop()
     print(f"[pyspark-smoke] {n_total - failures}/{n_total} matched")
     return 1 if failures else 0
