@@ -66,6 +66,15 @@ object VersionedTable {
     */
   def history(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    historyRows(dir).toDF("version", "op", "n_added", "n_removed", "txn")
+  }
+
+  /** The history rows themselves (shared by [[history]] and the catalog's
+    * `@history` table in [[VlogSource]]): commit-count-bounded metadata,
+    * never a data byte.
+    */
+  private[sources] def historyRows(dir: String)
+      : Seq[(Long, String, Long, Long, Option[String])] =
     listLog(dir, ".commit").map { v =>
       val lines = readLines(commitFile(dir, v))
       val op = lines.collectFirst {
@@ -74,8 +83,7 @@ object VersionedTable {
         case l if l.startsWith("txn:") => l.substring(4) }
       (v, op, lines.count(_.startsWith("add:")).toLong,
         lines.count(_.startsWith("remove:")).toLong, txn)
-    }.toDF("version", "op", "n_added", "n_removed", "txn")
-  }
+    }
 
   /** Default vacuum retention: a staging directory younger than this is
     * never reclaimed even when unreachable, because it may belong to a

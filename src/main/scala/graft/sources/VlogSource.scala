@@ -559,6 +559,61 @@ final class VlogMicroBatchStream(dir: String, startingVersion: Long,
   override def stop(): Unit = ()
 }
 
+/** `DESCRIBE HISTORY` as a queryable TABLE (the Delta `DESCRIBE HISTORY`
+  * surface through plain SQL): `graft_vlog.`/dir@history`` serves one row
+  * per commit — (version, op, n_added, n_removed, txn). The rows are
+  * commit-count-bounded METADATA materialized at planning time on the
+  * driver (exactly what [[VersionedTable.history]] reads; at 100 TB the
+  * log is still bytes-per-commit), shipped as one input partition.
+  */
+final class VlogHistoryTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-vlog($dir@history)"
+  override def schema(): StructType = VlogHistoryTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan with Batch {
+      override def readSchema(): StructType = VlogHistoryTable.Schema
+      override def toBatch: Batch = this
+      override def description(): String = s"graft-vlog-history $dir"
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(VlogHistoryPartition(VersionedTable.historyRows(dir)
+          .map { case (v, op, a, r, txn) => (v, op, a, r, txn.orNull) }))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(partition: InputPartition)
+              : PartitionReader[InternalRow] =
+            new PartitionReader[InternalRow] {
+              private val rows = partition
+                .asInstanceOf[VlogHistoryPartition].rows
+              private var i = -1
+              override def next(): Boolean = { i += 1; i < rows.size }
+              override def get(): InternalRow = {
+                val (v, op, a, r, txn) = rows(i)
+                new GenericInternalRow(Array[Any](v,
+                  UTF8String.fromString(op), a, r,
+                  if (txn == null) null else UTF8String.fromString(txn)))
+              }
+              override def close(): Unit = ()
+            }
+        }
+    }
+  }
+}
+
+object VlogHistoryTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("n_added", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false),
+    StructField("txn", StringType, nullable = true)))
+}
+
+final case class VlogHistoryPartition(
+    rows: Seq[(Long, String, Long, Long, String)]) extends InputPartition
+
 /** The catalog plugin: table identifiers ARE table directories
   * (backtick-quoted in SQL), so no mount configuration is needed —
   * `spark.sql.catalog.graft_vlog = graft.sources.VlogCatalog` once, then
@@ -600,7 +655,13 @@ class VlogCatalog
   }
 
   override def loadTable(ident: Identifier): Table =
-    new VlogTable(dirOf(ident), None, maxFilesPerBatch, 0L)
+    // the `@history` suffix mounts the commit log itself as a table
+    // (DESCRIBE HISTORY through plain SQL)
+    if (ident.name().endsWith("@history")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("@history"))
+      new VlogHistoryTable(dirOf(base))
+    } else new VlogTable(dirOf(ident), None, maxFilesPerBatch, 0L)
 
   /** The DSv2 time-travel hook — `VERSION AS OF <v>` arrives here. */
   override def loadTable(ident: Identifier, version: String): Table = {

@@ -516,6 +516,15 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.history(spark, dir)
       .filter(col("version") === 3L).select("op")
       .as[String].head() == "delete")
+    // DESCRIBE HISTORY through SQL: the @history suffix mounts the
+    // commit log itself as a queryable table
+    val hist = spark.sql(s"SELECT version, op, n_removed " +
+      s"FROM graft_vlog.`$dir@history` ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(hist.map(_._2).toSeq ==
+      Seq("append", "append", "append", "delete"),
+      s"@history table diverged: ${hist.toSeq}")
+    assert(hist.last._3 > 0L, "the COW delete must report removed files")
     // TIMESTAMP AS OF between v0 and v1 serves exactly v0 (resolution by
     // commit-file publish times)
     val lit = java.time.format.DateTimeFormatter
