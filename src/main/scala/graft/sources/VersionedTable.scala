@@ -368,28 +368,48 @@ object VersionedTable {
     * any block lacks stats — an unstatted file is simply never skipped.
     */
   private def footerKeyStats(abs: Path, key: String): Option[FileStats] =
+    footerStatsAll(abs).get(key)
+
+  /** EVERY INT64 column's min/max from one footer open (the DSv2 write
+    * path harvests all of them — stats only ever SHRINK scans, so there
+    * is no reason to harvest selectively when the footer is already in
+    * hand). A column qualifies only when every block carries non-null
+    * Long stats; anything else is simply never skipped.
+    */
+  private[sources] def footerStatsAll(abs: Path): Map[String, FileStats] =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(abs.toUri),
         new org.apache.hadoop.conf.Configuration())
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
-        val stats = r.getFooter.getBlocks.asScala.toSeq.map { b =>
-          b.getColumns.asScala
-            .find(_.getPath.toDotString == key).map(_.getStatistics)
-        }
-        if (stats.isEmpty || stats.exists(s =>
-            s.isEmpty || s.get == null || !s.get.hasNonNullValue)) None
-        else {
-          val lo = stats.map(_.get.genericGetMin).collect {
-            case l: java.lang.Long => l.longValue }
-          val hi = stats.map(_.get.genericGetMax).collect {
-            case l: java.lang.Long => l.longValue }
-          if (lo.size != stats.size || hi.size != stats.size) None
-          else Some(FileStats(key, lo.min, hi.max))
-        }
+        val blocks = r.getFooter.getBlocks.asScala.toSeq
+        if (blocks.isEmpty) Map.empty
+        else blocks.head.getColumns.asScala
+          .map(_.getPath.toDotString).flatMap { key =>
+            val stats = blocks.map(_.getColumns.asScala
+              .find(_.getPath.toDotString == key).map(_.getStatistics))
+            if (stats.exists(s =>
+                s.isEmpty || s.get == null || !s.get.hasNonNullValue)) None
+            else {
+              val lo = stats.map(_.get.genericGetMin).collect {
+                case l: java.lang.Long => l.longValue }
+              val hi = stats.map(_.get.genericGetMax).collect {
+                case l: java.lang.Long => l.longValue }
+              if (lo.size != stats.size || hi.size != stats.size) None
+              else Some(key -> FileStats(key, lo.min, hi.max))
+            }
+          }.toMap
       } finally r.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** `stats:` log lines for one staged file, every eligible column —
+    * what [[VlogWrite]]'s driver-side commit appends so DSv2-written
+    * files skip exactly like `appendClustered`'s.
+    */
+  private[sources] def statsLines(dir: String, rel: String): Seq[String] =
+    footerStatsAll(Paths.get(dir, rel)).values.toSeq.sortBy(_.key)
+      .map(st => s"stats:$rel|${st.key}|${st.min}|${st.max}")
 
   private def stageWithStats(df: DataFrame, dir: String,
       statKeys: Seq[String]): Seq[String] = {

@@ -87,11 +87,18 @@ object VlogWrite {
       case _ => ()
     }
 
-  private[sources] def addLines(
-      messages: Array[WriterCommitMessage]): Seq[String] =
-    messages.collect {
-      case VlogWriteMessage(rel) if rel != null => "add:" + rel
+  /** add: lines plus footer-harvested stats: lines for every committed
+    * file — one footer read per file at commit time (metadata the writer
+    * already paid for), so DSv2-written files data-skip exactly like
+    * `appendClustered`'s.
+    */
+  private[sources] def addLines(dir: String,
+      messages: Array[WriterCommitMessage]): Seq[String] = {
+    val rels = messages.collect {
+      case VlogWriteMessage(rel) if rel != null => rel
     }.toSeq.sorted
+    rels.map("add:" + _) ++ rels.flatMap(VersionedTable.statsLines(dir, _))
+  }
 }
 
 final case class VlogWriteMessage(relPath: String)
@@ -122,7 +129,7 @@ final class VlogBatchWrite(dir: String, schema: StructType,
       : DataWriterFactory = new VlogWriterFactory(dir, token, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val adds = VlogWrite.addLines(messages)
+    val adds = VlogWrite.addLines(dir, messages)
     if (truncateFirst)
       // remove-set re-derived per retry attempt: a concurrent append
       // landing between attempts must also be overwritten away
@@ -149,7 +156,7 @@ final class VlogStreamingWrite(dir: String, schema: StructType,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     VersionedTable.commitTxn(dir, s"vlogw-$queryId", epochId,
-      VlogWrite.addLines(messages)) match {
+      VlogWrite.addLines(dir, messages)) match {
       case Some(_) => ()
       case None =>
         // replayed epoch: the txn is already folded — publish nothing and

@@ -464,6 +464,21 @@ class VersionedTableSpec extends AnyFunSuite {
         .option("path", dir).option("version", "0")
         .mode("append").save()
     }
+    // DSv2 writes harvest footer stats for every INT64 column at commit
+    // time: a range-clustered INSERT is immediately data-skippable, just
+    // like appendClustered's files
+    val sdir = freshDir()
+    VersionedTable.append(spark.range(0L, 1L).toDF("id"), sdir)
+    spark.range(0L, 4000L).toDF("id").repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id")
+      .write.format("graft-vlog").option("path", sdir)
+      .mode("append").save()
+    val (keep, skip) = VersionedTable.pruneFiles(sdir, "id", 3000L, 3999L)
+    assert(skip.size >= 2,
+      s"DSv2-written files carry no stats: kept ${keep.size}, " +
+        s"skipped ${skip.size}")
+    assert(VersionedTable.readPruned(spark, sdir, "id", 3000L, 3999L)
+      .count() == 1000L, "stats-pruned read of DSv2 files lost rows")
   }
 
   test("catalog SQL time travel: VERSION AS OF serves every retained snapshot") {
