@@ -367,8 +367,15 @@ object VersionedTable {
     * file). None when the column is absent, not INT64-stat-backed, or
     * any block lacks stats — an unstatted file is simply never skipped.
     */
-  private def footerKeyStats(abs: Path, key: String): Option[FileStats] =
-    footerStatsAll(abs).get(key)
+  /** A column name is log-safe iff it cannot break the line/pipe-framed
+    * commit log: a newline in an interpolated stats: line would SPLIT
+    * into two log lines (a crafted name could inject a remove: line —
+    * silent data loss; r16 review), a '|' would corrupt the stats parse.
+    * Unsafe names simply carry no stats — skipping is optional, log
+    * integrity is not.
+    */
+  private[sources] def statSafe(key: String): Boolean =
+    !key.exists(c => c == '\n' || c == '\r' || c == '|')
 
   /** EVERY INT64 column's min/max from one footer open (the DSv2 write
     * path harvests all of them — stats only ever SHRINK scans, so there
@@ -403,20 +410,25 @@ object VersionedTable {
       } finally r.close()
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
-  /** `stats:` log lines for one staged file, every eligible column —
-    * what [[VlogWrite]]'s driver-side commit appends so DSv2-written
-    * files skip exactly like `appendClustered`'s.
+  /** `stats:` log lines from already-harvested (key, min, max) triples —
+    * shared by the staged-write path and [[VlogWrite]]'s commit (whose
+    * executor `DataWriter`s harvest their own file's footer and ship the
+    * triples in the commit message, so the driver never re-opens files).
     */
-  private[sources] def statsLines(dir: String, rel: String): Seq[String] =
-    footerStatsAll(Paths.get(dir, rel)).values.toSeq.sortBy(_.key)
-      .map(st => s"stats:$rel|${st.key}|${st.min}|${st.max}")
+  private[sources] def statsLinesOf(rel: String,
+      stats: Seq[(String, Long, Long)]): Seq[String] =
+    stats.filter(s => statSafe(s._1)).sortBy(_._1)
+      .map { case (k, lo, hi) => s"stats:$rel|$k|$lo|$hi" }
 
   private def stageWithStats(df: DataFrame, dir: String,
       statKeys: Seq[String]): Seq[String] = {
     val added = stage(df, dir)
+    // ONE footer open per staged file serves every requested key (the
+    // per-(file, key) reopen was O(keys) footer reads — r16 review)
     added.map("add:" + _) ++ added.flatMap { f =>
-      statKeys.flatMap(k => footerKeyStats(Paths.get(dir, f), k)
-        .map(st => s"stats:$f|$k|${st.min}|${st.max}"))
+      val all = footerStatsAll(Paths.get(dir, f))
+      statsLinesOf(f, statKeys.flatMap(k =>
+        all.get(k).map(st => (k, st.min, st.max))))
     }
   }
 

@@ -654,10 +654,19 @@ class VlogCatalog
     Array.empty // tables are directories; there is no registry to list
   }
 
+  private def isVlogDir(name: String): Boolean =
+    name.startsWith("/") &&
+      Files.isDirectory(Paths.get(name, "_vlog"))
+
   override def loadTable(ident: Identifier): Table =
-    // the `@history` suffix mounts the commit log itself as a table
-    // (DESCRIBE HISTORY through plain SQL)
-    if (ident.name().endsWith("@history")) {
+    // a REAL table directory always wins (r16 review: a data table whose
+    // path literally ends in "@history" must stay readable and must not
+    // silently alias to another table's history); only when no such
+    // table exists does the `@history` suffix mount the base table's
+    // commit log (DESCRIBE HISTORY through plain SQL)
+    if (isVlogDir(ident.name()))
+      new VlogTable(dirOf(ident), None, maxFilesPerBatch, 0L)
+    else if (ident.name().endsWith("@history")) {
       val base = Identifier.of(ident.namespace(),
         ident.name().stripSuffix("@history"))
       new VlogHistoryTable(dirOf(base))

@@ -82,27 +82,30 @@ object VlogWrite {
   private[sources] def deleteStaged(dir: String,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case VlogWriteMessage(rel) if rel != null =>
-        Files.deleteIfExists(Paths.get(dir, rel))
+      case m: VlogWriteMessage if m.relPath != null =>
+        Files.deleteIfExists(Paths.get(dir, m.relPath))
       case _ => ()
     }
 
-  /** add: lines plus footer-harvested stats: lines for every committed
-    * file — one footer read per file at commit time (metadata the writer
-    * already paid for), so DSv2-written files data-skip exactly like
-    * `appendClustered`'s.
+  /** add: lines plus stats: lines for every committed file. The
+    * (column, min, max) triples ride the commit MESSAGES — each executor
+    * DataWriter harvests its own just-written file's footer at task
+    * commit (local, parallel), so the driver never re-opens files and a
+    * replayed streaming epoch discards plain values, not I/O
+    * (r16 review).
     */
-  private[sources] def addLines(dir: String,
+  private[sources] def addLines(
       messages: Array[WriterCommitMessage]): Seq[String] = {
-    val rels = messages.collect {
-      case VlogWriteMessage(rel) if rel != null => rel
-    }.toSeq.sorted
-    rels.map("add:" + _) ++ rels.flatMap(VersionedTable.statsLines(dir, _))
+    val msgs = messages.collect {
+      case m: VlogWriteMessage if m.relPath != null => m
+    }.sortBy(_.relPath)
+    msgs.map("add:" + _.relPath).toSeq ++
+      msgs.flatMap(m => VersionedTable.statsLinesOf(m.relPath, m.stats))
   }
 }
 
-final case class VlogWriteMessage(relPath: String)
-    extends WriterCommitMessage
+final case class VlogWriteMessage(relPath: String,
+    stats: Seq[(String, Long, Long)]) extends WriterCommitMessage
 
 final class VlogWriteBuilder(dir: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
@@ -129,7 +132,7 @@ final class VlogBatchWrite(dir: String, schema: StructType,
       : DataWriterFactory = new VlogWriterFactory(dir, token, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val adds = VlogWrite.addLines(dir, messages)
+    val adds = VlogWrite.addLines(messages)
     if (truncateFirst)
       // remove-set re-derived per retry attempt: a concurrent append
       // landing between attempts must also be overwritten away
@@ -156,7 +159,7 @@ final class VlogStreamingWrite(dir: String, schema: StructType,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     VersionedTable.commitTxn(dir, s"vlogw-$queryId", epochId,
-      VlogWrite.addLines(dir, messages)) match {
+      VlogWrite.addLines(messages)) match {
       case Some(_) => ()
       case None =>
         // replayed epoch: the txn is already folded — publish nothing and
@@ -224,7 +227,10 @@ final class VlogWriterFactory(dir: String, token: String,
 
     override def commit(): WriterCommitMessage = {
       if (out != null) out.close()
-      VlogWriteMessage(if (out == null) null else rel)
+      if (out == null) VlogWriteMessage(null, Seq.empty)
+      else VlogWriteMessage(rel,
+        VersionedTable.footerStatsAll(Paths.get(dir, rel)).values.toSeq
+          .map(st => (st.key, st.min, st.max)))
     }
 
     override def abort(): Unit = {
