@@ -369,7 +369,8 @@ final class VlogScanBuilder(dir: String, asOf: Option[Long],
 
 final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
     ranges: Map[String, (Long, Long)], maxFilesPerBatch: Int,
-    startingVersion: Long) extends Scan with Batch {
+    startingVersion: Long) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   // snapshot pinned ONCE per scan: a concurrent commit between explain,
   // planInputPartitions, and a re-plan must not tear the query across
@@ -405,6 +406,25 @@ final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new VlogReaderFactory(required)
+
+  /** POST-pruning statistics from filesystem metadata (Files.size of the
+    * kept files — no footer opens, no data reads): without this a DSv2
+    * scan defaults to "unknown = huge" and a small vlog dimension table
+    * could NEVER be broadcast in a join, forcing a shuffle the optimizer
+    * had every right to avoid (PlanSpec-shape test pins the BHJ).
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes = keptFiles.map { f =>
+        try Files.size(Paths.get(dir, f)) catch {
+          case scala.util.control.NonFatal(_) => 0L }
+      }.sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream = {

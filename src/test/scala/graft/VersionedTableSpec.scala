@@ -481,6 +481,24 @@ class VersionedTableSpec extends AnyFunSuite {
       .count() == 1000L, "stats-pruned read of DSv2 files lost rows")
   }
 
+  test("post-pruning statistics make a small vlog table broadcast-eligible") {
+    val dir = freshDir()
+    VersionedTable.append(spark.range(0L, 25L)
+      .select(col("id").as("k"), (col("id") % 5).as("grp")), dir)
+    val dim = spark.read.format("graft-vlog").option("path", dir).load()
+    val fact = spark.range(0L, 100000L)
+      .select((col("id") % 25L).as("k"), col("id").as("v"))
+    val joined = fact.join(dim, "k")
+    // the STATIC plan must already pick BHJ from estimateStatistics —
+    // without reported stats a DSv2 scan defaults to "unknown = huge"
+    // and the planner would shuffle both sides (AQE might rescue it at
+    // runtime, but the 100 TB story wants the right plan up front)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small vlog side not broadcast:\n$plan")
+    assert(joined.count() == 100000L)
+  }
+
   test("catalog SQL time travel: VERSION AS OF serves every retained snapshot") {
     val dir = freshDir()
     VersionedTable.append(df(1L, 2L), dir)                     // v0
