@@ -195,15 +195,37 @@ object StatefulShadows {
     // "late" (dropped by the streaming form) iff its event time is below
     // that. The streaming twin is differential-tested in StreamingSpec; this
     // query makes the drop rule itself oracle-checkable. The global running
-    // max is a semantics shadow only — the engine tracks the watermark in
-    // the driver from per-partition maxima, it never single-partitions data.
+    // max is computed as a PARTITION-PARALLEL two-pass prefix scan (r16
+    // verdict task #1 — the naive `Window.orderBy(event_id)` moved every
+    // event to one task): bucket by event_id (PrefixScan.tagEquiWidth, a
+    // value-deterministic order-preserving tag — see its scaladoc for why
+    // the sampled range exchange can't serve), per-bucket running max
+    // (window keyed by the tag, parallel), then fold in the broadcast
+    // prefix-max of LOWER buckets — ≤32 rows, the only global-order
+    // window left, bounded by the bucket count, never the data.
+    // `greatest` null-skips, so the result is null only for the
+    // globally-first arrival, exactly as before.
     Q("i7_late_data",
       (s, d) => {
-        val wArr = Window.orderBy("event_id")
+        import graft.operators.PrefixScan
+        val tagged = PrefixScan.tagEquiWidth(
+          Tables.events(s, d)
+            .select(col("event_id"), col("event_type"),
+              unix_micros(col("ts")).as("ts_us")),
+          32, col("event_id"))
+        val wLoc = Window.partitionBy(PrefixScan.PidCol).orderBy("event_id")
           .rowsBetween(Window.unboundedPreceding, -1)
-        Tables.events(s, d)
-          .withColumn("ts_us", unix_micros(col("ts")))
-          .withColumn("wm_us", max("ts_us").over(wArr) - lit(600000000L))
+        val wPrior = Window.orderBy(PrefixScan.PidCol)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prefix = tagged.groupBy(PrefixScan.PidCol)
+          .agg(max("ts_us").as("pmax"))
+          .select(col(PrefixScan.PidCol),
+            max("pmax").over(wPrior).as("prior"))
+        tagged
+          .withColumn("lmax", max("ts_us").over(wLoc))
+          .join(broadcast(prefix), Seq(PrefixScan.PidCol))
+          .withColumn("wm_us",
+            greatest(col("lmax"), col("prior")) - lit(600000000L))
           .groupBy("event_type")
           .agg(
             sum(when(col("wm_us").isNotNull && col("ts_us") < col("wm_us"),

@@ -820,17 +820,32 @@ class PlanSpec extends AnyFunSuite {
         s"${pushed.mkString(" | ")}")
   }
 
-  /** Window lines in a plan string, split global (no partition spec —
-    * `Window [fns], [order]`) vs keyed (`Window [fns], [part], [order]`):
-    * the partitioned form carries one more top-level bracket list, i.e.
-    * two `], [` separators instead of one. AQE wraps the tree in
-    * AdaptiveSparkPlanExec (which `collect` does not descend through),
-    * so the string is the robust observable here.
+  /** Window lines in a plan string, split UNPARTITIONED (the
+    * single-task shape) vs keyed. WindowExec prints up to three
+    * top-level bracket lists — `Window [fns], [part], [order]` — and
+    * omits empty ones, so the classes are:
+    *   `Window [fns], [part], [order]`  → keyed (3 lists)
+    *   `Window [fns], [part]`           → keyed, unordered
+    *                                      (whole-partition aggregate)
+    *   `Window [fns], [order]`          → UNPARTITIONED, ordered
+    *   `Window [fns]`                   → UNPARTITIONED, unordered
+    * A 2-list line is ordered (not a partition spec) iff its SECOND list
+    * carries sort directions — the fns list also contains ASC/DESC text
+    * inside windowspecdefinition, so only the second list is inspected.
+    * AQE wraps the tree in AdaptiveSparkPlanExec (which `collect` does
+    * not descend through), so the string is the robust observable here.
     */
   private def windowLines(plan: String): (Seq[String], Seq[String]) = {
     val lines = plan.split("\n").filter(_.contains("Window ["))
-    def seps(l: String): Int = "\\], \\[".r.findAllIn(l).length
-    (lines.filter(seps(_) == 1).toSeq, lines.filter(seps(_) >= 2).toSeq)
+    def isGlobal(l: String): Boolean = {
+      val parts = l.substring(l.indexOf("Window [")).split("\\], \\[")
+      parts.length match {
+        case 1 => true // no partition, no order
+        case 2 => parts(1).contains(" ASC") || parts(1).contains(" DESC")
+        case _ => false
+      }
+    }
+    (lines.filter(isGlobal).toSeq, lines.filterNot(isGlobal).toSeq)
   }
 
   test("j71 budget-select: no unpartitioned window anywhere near the corpus") {
@@ -1257,5 +1272,78 @@ class PlanSpec extends AnyFunSuite {
     assert(hints.head.child.output.map(_.name).toSet == Set("n_tok", "v"),
       s"the forced broadcast is not the totals scalar: " +
         hints.head.child.output.map(_.name).mkString(","))
+  }
+
+  test("i7 prefix scan: per-bucket window keyed, the only global window is the ≤32-row summary") {
+    // the r16 verdict's one `weak`: the late-data running max must never
+    // single-partition the events table. Two-pass shape: the per-event
+    // window keys on the bucket tag; exactly one global window survives
+    // and it consumes the per-bucket HashAggregate (≤32 rows), which the
+    // broadcast then ships back.
+    val plan = staticPlan("i7_late_data")
+    val (global, keyed) = windowLines(plan)
+    assert(keyed.nonEmpty && keyed.forall(_.contains("__pid")),
+      s"per-event window must key on the bucket tag:\n${keyed.mkString("\n")}")
+    assert(global.size == 1,
+      s"expected exactly 1 global window (the bucket summary):\n$plan")
+    val lines = plan.split("\n")
+    val gIdx = lines.indexWhere(l => l.contains("Window [") &&
+      "\\], \\[".r.findAllIn(l).length == 1)
+    assert(lines.slice(gIdx + 1, gIdx + 6).exists(_.contains("HashAggregate")),
+      s"global window must consume the per-bucket aggregate:\n" +
+        lines.slice(gIdx, gIdx + 6).mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket summary must return via a broadcast join")
+  }
+
+  test("e5 prefix scan: rank assembly windows key on the bucket tag") {
+    val plan = staticPlan("e5_ntile_pctl")
+    val (global, keyed) = windowLines(plan)
+    assert(keyed.nonEmpty && keyed.forall(_.contains("__pid")),
+      s"local rank must key on the bucket tag:\n${keyed.mkString("\n")}")
+    // offset + total ride ONE global pass over the ≤32-row count table
+    // (two window functions, same spec ⇒ may print as 1 or 2 lines; all
+    // of them must sit over the per-bucket aggregate)
+    assert(global.nonEmpty, s"expected the bucket-count global window:\n$plan")
+    val lines = plan.split("\n")
+    val gIdx = lines.indexWhere(l => l.contains("Window [") &&
+      "\\], \\[".r.findAllIn(l).length == 1)
+    assert(lines.slice(gIdx + 1, gIdx + 8).exists(_.contains("HashAggregate")),
+      s"global window must consume the per-bucket count table:\n" +
+        lines.slice(gIdx, gIdx + 8).mkString("\n"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "bucket offsets must return via a broadcast join")
+  }
+
+  test("NO registered plan carries an unpartitioned window outside the bounded allowlist") {
+    // The r16 verdict's generalization ask: a global-order window is the
+    // one plan shape that silently serializes a 100 TB input onto a
+    // single task, so EVERY registered query is swept, not just the ones
+    // with dedicated shape tests. The allowlist names each sanctioned
+    // global window and why its input is bounded by something other than
+    // the data size (bucket counts / value spaces / the ≤32-row prefix
+    // summaries) — every allowlisted entry also has its own dedicated
+    // test above pinning that the bounded input is what the window
+    // actually consumes.
+    val bounded = Map(
+      "e5_ntile_pctl" -> "≤32-row per-bucket count table (prefix scan)",
+      "i7_late_data" -> "≤32-row per-bucket max table (prefix scan)",
+      "j33_seqlen_hist" -> "≤value-space-bucket histogram rows",
+      "j72_curriculum_interleave" -> "distinct source list")
+    val offenders = SparkEntry.all.flatMap { q =>
+      val (global, _) = windowLines(staticPlan(q.name))
+      if (global.nonEmpty && !bounded.contains(q.name))
+        Some(q.name -> global.mkString(" | "))
+      else None
+    }
+    assert(offenders.isEmpty,
+      offenders.map { case (n, w) => s"$n: $w" }
+        .mkString("unpartitioned windows outside the allowlist:\n", "\n", ""))
+    // and the allowlist can only shrink: an entry whose query stopped
+    // planning a global window is stale documentation
+    bounded.keys.foreach { n =>
+      assert(windowLines(staticPlan(n))._1.nonEmpty,
+        s"$n no longer plans a global window — drop it from the allowlist")
+    }
   }
 }

@@ -3424,4 +3424,41 @@ class QueriesSpec extends AnyFunSuite {
     got.find(_._1 == docs.map(_._1).min).foreach { r =>
       assert(r._4 == 10000L, "the first doc must be 100% novel") }
   }
+
+  test("e5 prefix-scan rank arithmetic ≡ the engine's own global window functions") {
+    // The partition-parallel form replays ntile/percent_rank/cume_dist as
+    // integer math in (rank, n) — this differential pins it row-for-row
+    // against WindowExec's own single-partition evaluation (the naive
+    // form the prefix scan replaced; fine at test scale, the very thing
+    // being avoided at 100 TB), including ntile's uneven-bucket split.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    val naive = Tables.customer(spark, d)
+      .select(col("c_custkey"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+    val got = SparkEntry.queries("e5_ntile_pctl")(spark, d)
+    assert(got.count() == naive.count())
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "prefix-scan e5 diverged from the engine's window functions")
+  }
+
+  test("i7 prefix-scan watermark ≡ the naive global running max") {
+    import org.apache.spark.sql.expressions.Window
+    val wArr = Window.orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = Tables.events(spark, d)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("wm_us", max("ts_us").over(wArr) - lit(600000000L))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("wm_us").isNotNull && col("ts_us") < col("wm_us"),
+          1L).otherwise(0L)).as("late_events"),
+        sum(when(col("wm_us").isNull || col("ts_us") >= col("wm_us"),
+          1L).otherwise(0L)).as("ontime_events"))
+    val got = SparkEntry.queries("i7_late_data")(spark, d)
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+      "prefix-scan i7 diverged from the naive single-partition form")
+  }
 }
