@@ -66,6 +66,62 @@ object RelationalCore {
         dir, "doc_id", buckets = 8)
     }
 
+  private def mountVlogCatalog(s: org.apache.spark.sql.SparkSession): Unit =
+    s.conf.set("spark.sql.catalog.graft_vlog", "graft.sources.VlogCatalog")
+
+  /** The a10 table: a7's v0/v1 algebra driven entirely through SQL TEXT —
+    * the table starts as the doc_id%3≠0 subset (clustered, so the merge
+    * has files to skip) and then ONE `MERGE INTO` upserts every
+    * doc_id%5=0 row with n_chars+1000: matched keys UPDATE, missing keys
+    * INSERT, exactly VersionedTable.merge's contract but through Spark's
+    * SupportsRowLevelOperations route (group-based COW + runtime group
+    * filtering). Built once per (JVM, sf dir).
+    */
+  private def a10Table(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    memoizedVlogTable("graft-vlog-a10", d) { dir =>
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+      VersionedTable.appendClustered(docs.filter(col("doc_id") % 3 =!= 0),
+        dir, "doc_id", buckets = 8)
+      mountVlogCatalog(s)
+      docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+        .createOrReplaceTempView("a10_updates")
+      s.sql(s"""MERGE INTO graft_vlog.`$dir` t
+                USING a10_updates u ON t.doc_id = u.doc_id
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *""")
+    }
+
+  /** The a12 table: two plain appends — even doc_ids at v0, odd at v1 —
+    * so the change range (0, 1] is exactly the odd half, with commit
+    * attribution. Built once per (JVM, sf dir).
+    */
+  private def a12Table(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    memoizedVlogTable("graft-vlog-a12", d) { dir =>
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      VersionedTable.append(docs.filter(col("doc_id") % 2 === 0), dir)
+      VersionedTable.append(docs.filter(col("doc_id") % 2 === 1), dir)
+    }
+
+  /** The a11 table: SQL `UPDATE` through the same row-level COW route —
+    * German docs get n_chars += 7; the WHERE pushes as a residual filter
+    * AND the runtime group filter bounds the rewrite to the files that
+    * hold 'de' rows. Built once per (JVM, sf dir).
+    */
+  private def a11Table(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    memoizedVlogTable("graft-vlog-a11", d) { dir =>
+      VersionedTable.appendClustered(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        dir, "doc_id", buckets = 8)
+      mountVlogCatalog(s)
+      s.sql(s"""UPDATE graft_vlog.`$dir`
+                SET n_chars = n_chars + 7 WHERE lang = 'de'""")
+    }
+
   val queries: Seq[Q] = Seq(
     // ---- A. scans ---------------------------------------------------------
     Q("a1_scan_project",
@@ -300,6 +356,91 @@ object RelationalCore {
               SELECT lang, COUNT(*) AS n_docs,
                      CAST(SUM(n_chars) AS BIGINT) AS sum_chars
               FROM v1 GROUP BY lang ORDER BY lang""")),
+
+    // SQL MERGE INTO (round 17 — the r16 verdict's task #3): the same
+    // upsert algebra as a7's v1, driven as plain MERGE TEXT through
+    // Spark's SupportsRowLevelOperations — group-based copy-on-write over
+    // the commit log, with runtime group filtering (the `_file` metadata
+    // column) bounding the rewrite to files that actually hold matched
+    // keys (VersionedTableSpec pins the ≤2-of-8 touched-file bound
+    // through this exact SQL path). The oracle recomputes the post-merge
+    // snapshot relationally from raw documents, so the hash proves the
+    // MERGE rewrite (matched UPDATE + unmatched INSERT + untouched
+    // passthrough), the COW file swap, and the snapshot read end-to-end.
+    // The summary splits per lang AND per upserted-vs-untouched row class
+    // so a lost/duplicated insert or a misapplied update cannot cancel out.
+    Q("a10_sql_merge",
+      (s, d) => {
+        val dir = a10Table(s, d)
+        mountVlogCatalog(s)
+        s.sql(s"""SELECT lang,
+                         CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_upserted,
+                         COUNT(*) AS n_docs,
+                         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                         CAST(SUM(doc_id) AS BIGINT) AS id_sum
+                  FROM graft_vlog.`$dir`
+                  GROUP BY lang ORDER BY lang""")
+      },
+      Some("""WITH v0 AS (
+                SELECT doc_id, lang, n_chars FROM documents
+                WHERE doc_id % 3 <> 0),
+              v1 AS (
+                SELECT doc_id, lang, n_chars FROM v0 WHERE doc_id % 5 <> 0
+                UNION ALL
+                SELECT doc_id, lang, n_chars + 1000 FROM documents
+                WHERE doc_id % 5 = 0)
+              SELECT lang,
+                     CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_upserted,
+                     COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                     CAST(SUM(doc_id) AS BIGINT) AS id_sum
+              FROM v1 GROUP BY lang ORDER BY lang""")),
+
+    // SQL UPDATE through the same row-level route (RewriteUpdateTable →
+    // group-based ReplaceData): German docs get n_chars += 7 — the
+    // oracle recomputes the conditional bump relationally; the per-lang
+    // split makes a misrouted update (wrong rows bumped) unmissable.
+    Q("a11_sql_update",
+      (s, d) => {
+        val dir = a11Table(s, d)
+        mountVlogCatalog(s)
+        s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+                         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+                  FROM graft_vlog.`$dir`
+                  GROUP BY lang ORDER BY lang""")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars +
+                       CASE WHEN lang = 'de' THEN 7 ELSE 0 END) AS BIGINT)
+                       AS sum_chars
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // The change feed through SQL under the oracle gate (round 17, task
+    // #6): even doc_ids land at v0, odd at v1, and the query reads ONLY
+    // the range (0, 1] through `@changes(0,1)` — IO ∝ commit 1's files,
+    // never a snapshot scan — with the Delta-CDF metadata columns folded
+    // into the output (min/max(_commit_version) pin the attribution to
+    // exactly version 1; a snapshot leak would drag version 0 rows in
+    // and break n_docs AND the version bounds at once). The oracle
+    // recomputes the odd half relationally.
+    Q("a12_sql_changes",
+      (s, d) => {
+        val dir = a12Table(s, d)
+        mountVlogCatalog(s)
+        s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+                         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                         CAST(MIN(_commit_version) AS BIGINT) AS v_lo,
+                         CAST(MAX(_commit_version) AS BIGINT) AS v_hi
+                  FROM graft_vlog.`$dir@changes(0,1)`
+                  GROUP BY lang ORDER BY lang""")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                     CAST(1 AS BIGINT) AS v_lo, CAST(1 AS BIGINT) AS v_hi
+              FROM documents WHERE doc_id % 2 = 1
+              GROUP BY lang ORDER BY lang""")),
 
     // ---- B. projection / filter / predicates ------------------------------
     Q("b1_filter_pred",

@@ -377,11 +377,16 @@ object VersionedTable {
   private[sources] def statSafe(key: String): Boolean =
     !key.exists(c => c == '\n' || c == '\r' || c == '|')
 
-  /** EVERY INT64 column's min/max from one footer open (the DSv2 write
-    * path harvests all of them — stats only ever SHRINK scans, so there
-    * is no reason to harvest selectively when the footer is already in
-    * hand). A column qualifies only when every block carries non-null
-    * Long stats; anything else is simply never skipped.
+  /** EVERY integer-physical column's min/max from one footer open (the
+    * DSv2 write path harvests all of them — stats only ever SHRINK scans,
+    * so there is no reason to harvest selectively when the footer is
+    * already in hand). INT64 covers bigints AND timestamp-micros (the
+    * micros value IS the stat — r16 verdict task #2: a time-clustered
+    * table prunes on time exactly like an id-clustered one on ids);
+    * INT32 covers ints/shorts/bytes AND dates (days). Both are exact
+    * integer envelopes, so the same [lo, hi] overlap logic applies
+    * unchanged. A column qualifies only when every block carries
+    * non-null integer stats; anything else is simply never skipped.
     */
   private[sources] def footerStatsAll(abs: Path): Map[String, FileStats] =
     try {
@@ -391,6 +396,10 @@ object VersionedTable {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = r.getFooter.getBlocks.asScala.toSeq
+        val asLong: PartialFunction[Any, Long] = {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+        }
         if (blocks.isEmpty) Map.empty
         else blocks.head.getColumns.asScala
           .map(_.getPath.toDotString).flatMap { key =>
@@ -399,10 +408,8 @@ object VersionedTable {
             if (stats.exists(s =>
                 s.isEmpty || s.get == null || !s.get.hasNonNullValue)) None
             else {
-              val lo = stats.map(_.get.genericGetMin).collect {
-                case l: java.lang.Long => l.longValue }
-              val hi = stats.map(_.get.genericGetMax).collect {
-                case l: java.lang.Long => l.longValue }
+              val lo = stats.map(_.get.genericGetMin).collect(asLong)
+              val hi = stats.map(_.get.genericGetMax).collect(asLong)
               if (lo.size != stats.size || hi.size != stats.size) None
               else Some(key -> FileStats(key, lo.min, hi.max))
             }
@@ -475,7 +482,8 @@ object VersionedTable {
       shiftleft(c.bitwiseAND(lit(1L << i)), i * (k - 1))
     }.reduce(_.bitwiseOR(_))
 
-  /** The 64-bit Morton code of k keys, each in [0, 2^(64/k)): bit i of
+  /** The 64-bit Morton code of k keys, each in [0, 2^(63/k)) — 63, not
+    * 64: see [[zBitsPerKey]] for the sign-bit trap. Bit i of
     * key j lands at position k·i + j, so z-contiguous ranges are
     * axis-ALIGNED blocks of the k-dimensional key space — the reason a
     * z-sorted file owns a narrow min/max interval on EVERY dimension at
@@ -515,7 +523,8 @@ object VersionedTable {
 
   /** k-dimensional Z-ordered append (r16 generalization of the 2-key
     * form): interleave 2..8 keys into one 64-bit Morton code, each key
-    * owning 64/k bit positions — so EVERY clustering dimension gets a
+    * owning 63/k bit positions (the top bit stays clear of the Long
+    * sign — [[zBitsPerKey]]) — so EVERY clustering dimension gets a
     * narrow per-file min/max and `readPruned` on any of them skips.
     */
   def appendZOrdered(df: DataFrame, dir: String, keys: Seq[String],
@@ -581,9 +590,32 @@ object VersionedTable {
     (keep.map(_._1), skip.map(_._1))
   }
 
+  /** The [lo, hi] stat envelope as a literal of the COLUMN's own type, so
+    * the residual exact filter type-checks on temporal keys (r17 — the
+    * footer stats for timestamps are epoch micros and for dates epoch
+    * days, so callers pass those integers; the literal converts back
+    * exactly: java.time literals carry micro/day precision losslessly).
+    */
+  private def typedBound(dt: org.apache.spark.sql.types.DataType,
+      v: Long): Column = dt match {
+    case org.apache.spark.sql.types.TimestampType =>
+      lit(java.time.Instant.ofEpochSecond(Math.floorDiv(v, 1000000L),
+        Math.floorMod(v, 1000000L) * 1000L))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      lit(java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(v, 1000000L),
+        (Math.floorMod(v, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC))
+    case org.apache.spark.sql.types.DateType =>
+      lit(java.time.LocalDate.ofEpochDay(v))
+    case _ => lit(v)
+  }
+
   /** Read only the files whose key interval overlaps [lo, hi], then apply
     * the exact predicate — identical results to a full-scan filter, minus
-    * the skipped files' IO (VersionedTableSpec pins both halves).
+    * the skipped files' IO (VersionedTableSpec pins both halves). For
+    * timestamp/date keys, [lo, hi] is in epoch micros/days — the same
+    * integers the footer stats carry.
     */
   def readPruned(spark: SparkSession, dir: String, key: String, lo: Long,
       hi: Long, asOf: Option[Long] = None): DataFrame = {
@@ -596,15 +628,21 @@ object VersionedTable {
     // statted and non-overlapping, so the full-snapshot filter is
     // provably empty: parquet row-group stats exclude exactly what the
     // log stats excluded, and the read costs footers only.
-    if (keep.isEmpty)
-      return read(spark, dir, asOf).filter(col(key) >= lo && col(key) <= hi)
+    if (keep.isEmpty) {
+      val all = read(spark, dir, asOf)
+      val dt = all.schema(key).dataType
+      return all.filter(col(key) >= typedBound(dt, lo) &&
+        col(key) <= typedBound(dt, hi))
+    }
     // mergeSchema here too: without it a pruned keep-set spanning pre-
     // and post-evolution files would infer one arbitrary file's schema
     // and silently drop the evolved column that read() returns — the
     // "identical to a full-scan filter" contract must survive evolution
-    spark.read.option("mergeSchema", "true")
+    val df = spark.read.option("mergeSchema", "true")
       .parquet(keep.map(f => Paths.get(dir, f).toString): _*)
-      .filter(col(key) >= lo && col(key) <= hi)
+    val dt = df.schema(key).dataType
+    df.filter(col(key) >= typedBound(dt, lo) &&
+      col(key) <= typedBound(dt, hi))
   }
 
   /** Compaction (OPTIMIZE): rewrite the current snapshot as `buckets`
@@ -622,6 +660,46 @@ object VersionedTable {
         read(spark, dir, Some(head)), dir, key, buckets)
       "op:compact" +: (lines ++ removed.map("remove:" + _))
     }
+
+  /** Bin-packing compaction of SMALL files only (the auto-compaction
+    * primitive — r16 verdict task #5): live files under `smallBytes`
+    * rewrite into ≤ `target` files in ONE commit; files already at size
+    * are left untouched, so the cost is ∝ the small tail a streaming
+    * ingest leaves (one file set per epoch), never the table — the
+    * difference from [[compact]], which rewrites the whole snapshot to
+    * install a clustering. The rewritten files carry footer-harvested
+    * stats for EVERY integer-physical column (skipping survives
+    * compaction). Returns None when fewer than two small files exist
+    * (nothing to pack — no empty commit spam); MVCC as ever: pre-compact
+    * snapshots stay readable until vacuum. NOTE for change-feed
+    * consumers: a compact commit is copy-on-write, so a vlog STREAM
+    * following this table fails loudly if compaction lands in its range
+    * — the same line Delta draws; feed followers from a non-compacting
+    * table or replicate first.
+    */
+  def compactSmallFiles(spark: SparkSession, dir: String,
+      smallBytes: Long = 32L * 1024 * 1024, target: Int = 1)
+      : Option[Long] = {
+    def smallOf(head: Long): Seq[String] =
+      liveFiles(dir, Some(head)).filter { f =>
+        try Files.size(Paths.get(dir, f)) < smallBytes
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+    if (smallOf(currentVersion(dir)).size < 2) return None
+    Some(commitRetrying(dir, "compact small files in") { head =>
+      // re-derived per attempt, the remove-set discipline every
+      // COW writer shares
+      val small = smallOf(head)
+      val packed = readFiles(spark, dir, small)
+        .coalesce(math.max(1, target))
+      val added = stage(packed, dir)
+      val lines = added.map("add:" + _) ++ added.flatMap { f =>
+        statsLinesOf(f, footerStatsAll(Paths.get(dir, f)).values.toSeq
+          .map(st => (st.key, st.min, st.max)))
+      }
+      "op:compact" +: (lines ++ small.map("remove:" + _))
+    })
+  }
 
   /** Replace the whole table contents with `df` (one commit). The staged
     * files are reused across retry attempts (they don't depend on the
@@ -642,6 +720,27 @@ object VersionedTable {
       files: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => Paths.get(dir, f).toString): _*)
+
+  /** Read a PRUNED file subset through the FULL snapshot schema: on an
+    * additively-evolved table, stats/hint pruning can exclude every file
+    * that carries an evolved column, and a probe predicate referencing it
+    * would then throw AnalysisException instead of completing (r16
+    * advice — a valid `DELETE WHERE id < 50 AND extra = 'x'` died on a
+    * clustered evolved table). Columns the subset lacks are NULL-backfilled
+    * — exactly the value `read()`'s mergeSchema serves for them — so
+    * predicates resolve and evaluate to the same three-valued result the
+    * full snapshot would give.
+    */
+  private def readFilesAs(spark: SparkSession, dir: String,
+      files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val df = readFiles(spark, dir, files)
+    val have = df.columns.toSet
+    schema.fields.foldLeft(df) { (acc, f) =>
+      if (have(f.name)) acc
+      else acc.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+  }
 
   /** Map `input_file_name()` URIs back to table-relative paths by suffix:
     * every relative path embeds a UUID staging token
@@ -687,7 +786,11 @@ object VersionedTable {
       }
     }
     if (candidates.isEmpty) return (Seq.empty, pruned.map(_._1))
-    val hitUris = readFiles(spark, dir, candidates.map(_._1))
+    // through the FULL snapshot schema: a pruned candidate set may lack
+    // `key` entirely on an evolved table — backfilled NULL keys match
+    // nothing, so those files are correctly left untouched (r16 advice)
+    val hitUris = readFilesAs(spark, dir, candidates.map(_._1),
+        read(spark, dir, Some(head)).schema)
       .select(col(key), input_file_name().as("__vt_file"))
       .join(updates.select(col(key)).distinct(), Seq(key), "left_semi")
       .select("__vt_file").distinct()
@@ -764,16 +867,24 @@ object VersionedTable {
           sts.get(k).forall(st => st.max >= lo && st.min <= hi)
         }
       }.map(_._1)
+      // probe AND rewrite read through the FULL snapshot schema: hint
+      // pruning (or the touched subset itself) may exclude every file
+      // carrying an evolved predicate column — NULL-backfill keeps the
+      // predicate resolvable with the same three-valued result (r16
+      // advice); the rewrite physically widens touched files, same
+      // observable contents mergeSchema already served
+      lazy val snapSchema = read(spark, dir, Some(head)).schema
       val hitUris =
         if (files.isEmpty) Seq.empty
-        else readFiles(spark, dir, files)
+        else readFilesAs(spark, dir, files, snapSchema)
           .filter(coalesce(cond, lit(true)))
           .select(input_file_name().as("__vt_file"))
           .distinct().collect().map(_.getString(0)).toSeq
       val touched = relFromUris(hitUris, files)
       if (touched.isEmpty) Seq("op:delete")
       else {
-        val added = stage(readFiles(spark, dir, touched).filter(!cond), dir)
+        val added = stage(
+          readFilesAs(spark, dir, touched, snapSchema).filter(!cond), dir)
         "op:delete" +: (added.map("add:" + _) ++ touched.map("remove:" + _))
       }
     }

@@ -135,9 +135,18 @@ object VlogSchema {
     * write at 100 TB, never a data scan.
     */
   private[sources] def mergedSchema(dir: String, asOf: Option[Long])
-      : StructType = {
-    val files = VersionedTable.liveFiles(dir, asOf)
-    require(files.nonEmpty, s"snapshot of $dir holds no files")
+      : StructType =
+    mergedSchemaOf(dir, VersionedTable.liveFiles(dir, asOf),
+      s"snapshot of $dir")
+
+  /** The by-name footer-schema union of an explicit file list (shared by
+    * the snapshot schema above and the `@changes` table, whose schema is
+    * the union of the RANGE's files only — matching `readChangeFeed`'s
+    * mergeSchema read exactly).
+    */
+  private[sources] def mergedSchemaOf(dir: String, files: Seq[String],
+      what: String): StructType = {
+    require(files.nonEmpty, s"$what holds no files")
     val out = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
     files.foreach { f =>
       footer(Paths.get(dir, f))._1.getFields.asScala.foreach { pf =>
@@ -187,7 +196,9 @@ final class VlogTable(dir: String, asOf: Option[Long],
     extends Table
     with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   override def name(): String =
     s"graft-vlog($dir${asOf.map(v => s"@v$v").getOrElse("")})"
   // computed once per Table instance (Spark loads a fresh Table per
@@ -212,6 +223,27 @@ final class VlogTable(dir: String, asOf: Option[Long],
       "cannot write INTO a time-travel snapshot — writes go to the head")
     new VlogWriteBuilder(dir, info)
   }
+
+  /** SQL MERGE INTO / UPDATE (and DELETEs whose predicates the metadata
+    * path declines) — group-based copy-on-write through the commit
+    * protocol, with runtime group filtering bounding the rewrite to the
+    * files that actually hold matched rows. See [[VlogRowLevelOperation]].
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty,
+      "cannot run row-level SQL against a time-travel snapshot")
+    new VlogRowLevelBuilder(dir, info)
+  }
+
+  /** `_file` — the data file a row lives in: the group identity the
+    * runtime group filter prunes row-level rewrites by (and a useful
+    * audit column in its own right, the Iceberg convention).
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    VlogTable.MetaCols
 
   /** `DELETE FROM graft_vlog.`/dir`` WHERE …` — the filters translate to
     * one Column predicate and route through [[VersionedTable.delete]]'s
@@ -249,6 +281,53 @@ object VlogTable {
   /** Streaming admission default: files per micro-batch. */
   val DefaultMaxFilesPerBatch = 16
 
+  /** The `_file` metadata column: absolute path of the row's data file. */
+  val FileCol = "_file"
+
+  /** Change-feed metadata columns (Delta CDF's contract), served as
+    * per-partition constants by the readers when the partition carries a
+    * commit version (the `@changes` table).
+    */
+  val CommitVersionCol = "_commit_version"
+  val ChangeTypeCol = "_change_type"
+
+  /** The constant columns a partition's reader serves itself (never
+    * decoded from parquet): `_file` always; the CDF pair when the
+    * partition is a change-feed member.
+    */
+  private[sources] def metaConstants(
+      p: VlogInputPartition): Map[String, Any] =
+    if (p.commitVersion >= 0)
+      Map(FileCol -> p.absPath, CommitVersionCol -> p.commitVersion,
+        ChangeTypeCol -> "insert")
+    else Map(FileCol -> p.absPath)
+
+  private[sources] val MetaCols
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "absolute path of the data file the row lives in"
+    })
+
+  /** Intersect an existing envelope map with the constraints of more
+    * filters — the incremental form of [[filterRanges]] (sound for the
+    * same reason: intersecting over-approximations over-approximates
+    * the intersection).
+    */
+  private[sources] def mergeRanges(base: Map[String, (Long, Long)],
+      filters: Array[Filter]): Map[String, (Long, Long)] = {
+    val add = filterRanges(filters)
+    (base.keySet ++ add.keySet).map { k =>
+      val (l0, h0) = base.getOrElse(k, (Long.MinValue, Long.MaxValue))
+      val (l1, h1) = add.getOrElse(k, (Long.MinValue, Long.MaxValue))
+      k -> (math.max(l0, l1), math.min(h0, h1))
+    }.toMap
+  }
+
   /** DSv2 Filter → Column, for the translatable subset (None = decline
     * the whole DELETE — never approximate a predicate that rewrites
     * data). NULL-semantics note: [[VersionedTable.delete]] treats a
@@ -274,23 +353,42 @@ object VlogTable {
     case _ => None
   }
 
-  /** Conservative per-column [lo, hi] envelopes from a CONJUNCTION of
-    * filters (deleteWhere's array is implicitly ANDed): each simple
-    * integral comparison narrows its column's envelope; Or/Not/complex
-    * members contribute nothing (no constraint). Sound as probe-prune
-    * hints because every envelope CONTAINS its filter's matching set and
-    * intersecting over-approximations over-approximates the
-    * intersection.
+  /** A filter value as the exact integer the footer stats envelope is in
+    * (r16 verdict task #2 — time-typed skipping): integrals pass through;
+    * timestamps map to their epoch-MICROS (exactly the INT64 value
+    * parquet stores for both timestamp flavors — Instant/Timestamp for
+    * TIMESTAMP, LocalDateTime for TIMESTAMP_NTZ, which is TZ-free by
+    * definition), dates to epoch DAYS (the INT32 value). All conversions
+    * are exact, so the envelope stays a sound over-approximation.
     */
-  private[sources] def filterRanges(
-      filters: Array[Filter]): Map[String, (Long, Long)] = {
-    def long(v: Any): Option[Long] = v match {
+  private[sources] def statLong(v: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
       case s: Short => Some(s.toLong)
       case b: Byte => Some(b.toLong)
+      case t: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+      case dt: java.time.LocalDateTime =>
+        Some(DateTimeUtils.localDateTimeToMicros(dt))
+      case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d).toLong)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
       case _ => None
     }
+  }
+
+  /** Conservative per-column [lo, hi] envelopes from a CONJUNCTION of
+    * filters (deleteWhere's array is implicitly ANDed): each simple
+    * integral/temporal comparison narrows its column's envelope; Or/Not/
+    * complex members contribute nothing (no constraint). Sound as
+    * probe-prune hints because every envelope CONTAINS its filter's
+    * matching set and intersecting over-approximations
+    * over-approximates the intersection.
+    */
+  private[sources] def filterRanges(
+      filters: Array[Filter]): Map[String, (Long, Long)] = {
+    def long(v: Any): Option[Long] = statLong(v)
     var ranges = Map.empty[String, (Long, Long)]
     def note(c: String, lo: Long, hi: Long): Unit = {
       val (l0, h0) = ranges.getOrElse(c, (Long.MinValue, Long.MaxValue))
@@ -321,17 +419,13 @@ final class VlogScanBuilder(dir: String, asOf: Option[Long],
   // per-column conservative [lo, hi] envelopes for FILE skipping
   private var ranges: Map[String, (Long, Long)] = Map.empty
 
-  private def long(v: Any): Option[Long] = v match {
-    case l: Long => Some(l)
-    case i: Int => Some(i.toLong)
-    case s: Short => Some(s.toLong)
-    case b: Byte => Some(b.toLong)
-    case _ => None
-  }
+  // integrals pass through; timestamps/dates map to the exact
+  // micros/days integers the footer stats are in (VlogTable.statLong)
+  private def long(v: Any): Option[Long] = VlogTable.statLong(v)
 
   /** EVERY filter stays residual (Spark re-evaluates above the scan);
-    * integral range predicates are ADDITIONALLY recorded as conservative
-    * per-column envelopes that prune whole files through the log stats —
+    * integral AND temporal range predicates are ADDITIONALLY recorded as
+    * conservative per-column envelopes that prune whole files through the log stats —
     * sound by construction because a recorded envelope always CONTAINS
     * the filter's matching set (GreaterThan keeps the closed bound: one
     * extra boundary file beats an overflow bug), and stats-less files
@@ -363,11 +457,12 @@ final class VlogScanBuilder(dir: String, asOf: Option[Long],
     required = requiredSchema
 
   override def build(): Scan =
-    new VlogScan(dir, asOf, required, ranges, maxFilesPerBatch,
+    new VlogScan(dir, asOf, required, full, ranges, maxFilesPerBatch,
       startingVersion)
 }
 
 final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
+    full: StructType,
     ranges: Map[String, (Long, Long)], maxFilesPerBatch: Int,
     startingVersion: Long) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -412,14 +507,20 @@ final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
     * scan defaults to "unknown = huge" and a small vlog dimension table
     * could NEVER be broadcast in a join, forcing a shuffle the optimizer
     * had every right to avoid (PlanSpec-shape test pins the BHJ).
+    * Raw parquet bytes are scaled by `spark.sql.sources.fileCompressionFactor`
+    * — exactly the expansion Spark's own FileScan applies — so a table
+    * several times the broadcast threshold IN MEMORY cannot masquerade
+    * as broadcast-sized through compression (r16 advice).
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val bytes = keptFiles.map { f =>
+      private val factor = org.apache.spark.sql.internal.SQLConf.get
+        .fileCompressionFactor
+      private val bytes = (keptFiles.map { f =>
         try Files.size(Paths.get(dir, f)) catch {
           case scala.util.control.NonFatal(_) => 0L }
-      }.sum
+      }.sum * factor).toLong
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong =
@@ -432,11 +533,17 @@ final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
       "cannot stream FROM a time-travel snapshot — use " +
         "startingVersion to begin the stream at an old commit instead")
     new VlogMicroBatchStream(dir, startingVersion, maxFilesPerBatch,
-      required)
+      required, full)
   }
 }
 
-final case class VlogInputPartition(absPath: String) extends InputPartition
+/** `commitVersion` ≥ 0 marks a CHANGE-FEED partition: the reader then
+  * serves the `_commit_version`/`_change_type` metadata columns as
+  * per-partition constants (the version that added this file; the only
+  * row-level change an append-shaped commit carries is "insert").
+  */
+final case class VlogInputPartition(absPath: String,
+    commitVersion: Long = -1L) extends InputPartition
 
 /** One reader per data file. The requested projection is intersected
   * with the FILE's own footer schema, so a pre-evolution file serves
@@ -447,13 +554,39 @@ final case class VlogInputPartition(absPath: String) extends InputPartition
   */
 final class VlogReaderFactory(required: StructType)
     extends PartitionReaderFactory {
+
+  /** Every type that survives schema derivation decodes columnar, so
+    * batch scans always take the vectorized path ([[VlogColumnarReader]]
+    * — r16 verdict task #4); the row reader below stays as the
+    * engine-driven fallback for row-based exec paths and as the
+    * differential twin the spec pins the columnar decode against.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    VlogColumnarReader.open(
+      partition.asInstanceOf[VlogInputPartition], required)
+
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
-    val abs = Paths.get(partition.asInstanceOf[VlogInputPartition].absPath)
+    val p = partition.asInstanceOf[VlogInputPartition]
+    val abs = Paths.get(p.absPath)
     new PartitionReader[InternalRow] {
       private val (fileSchema, rowCount) = VlogSchema.footer(abs)
+      // metadata columns are served by the reader itself (the partition
+      // IS the file / the commit), never decoded from parquet — so they
+      // are "absent" for projection purposes and constant per row
+      private val metaValue: Map[String, Any] =
+        VlogTable.metaConstants(p).map { case (k, v) => k ->
+          (v match { case s: String => UTF8String.fromString(s)
+                     case x => x })
+        }
+      private def isMeta(name: String): Boolean = metaValue.contains(name)
       private val present: Array[Boolean] =
-        required.fields.map(f => fileSchema.containsField(f.name))
+        required.fields.map(f =>
+          !isMeta(f.name) && fileSchema.containsField(f.name))
       private val reader: ParquetReader[Group] =
         if (!present.exists(identity)) null
         else {
@@ -475,6 +608,7 @@ final class VlogReaderFactory(required: StructType)
 
       override def get(): InternalRow =
         new GenericInternalRow(required.fields.zipWithIndex.map {
+          case (f, _) if isMeta(f.name) => metaValue(f.name)
           case (f, i) =>
             if (!present(i) || cur.getFieldRepetitionCount(f.name) == 0)
               null
@@ -514,8 +648,31 @@ final case class VlogOffset(v: Long) extends Offset {
 }
 
 final class VlogMicroBatchStream(dir: String, startingVersion: Long,
-    maxFilesPerBatch: Int, required: StructType)
+    maxFilesPerBatch: Int, required: StructType, full: StructType)
     extends MicroBatchStream with SupportsAdmissionControl {
+
+  /** A stream's schema is FIXED at start (the Structured Streaming
+    * contract) — a column added by a later additive-evolution commit
+    * would be silently absent from every delivered row for the life of
+    * the query. Delta fails the stream loudly instead; so do we (r16
+    * advice): the admission walk opens the footers of exactly the files
+    * it is about to admit (IO ∝ new commits, the property the source
+    * already has) and errors on any field the start-time schema lacks.
+    */
+  private def checkNoEvolution(v: Long, files: Seq[String]): Unit = {
+    val known = full.fieldNames.toSet
+    files.foreach { f =>
+      VlogSchema.footer(Paths.get(dir, f))._1.getFields.asScala.foreach {
+        pf =>
+          if (!known.contains(pf.getName))
+            sys.error(s"graft-vlog stream over $dir: commit $v added " +
+              s"column '${pf.getName}' which the running query's schema " +
+              "does not carry — restart the stream to pick up the " +
+              "evolved schema (silently omitting the column would be " +
+              "data loss)")
+      }
+    }
+  }
 
   /** startingVersion is INCLUSIVE (the Delta convention — "begin the
     * stream AT this commit"), so the exclusive low offset is one below
@@ -543,11 +700,15 @@ final class VlogMicroBatchStream(dir: String, startingVersion: Long,
     }
     var v = s
     var files = 0
-    var full = false
-    while (v < head && !full) {
-      val n = VersionedTable.appendCommitAdds(dir, v + 1).size
-      if (files > 0 && files + n > cap) full = true
-      else { files += n; v += 1 }
+    var batchFull = false
+    while (v < head && !batchFull) {
+      val adds = VersionedTable.appendCommitAdds(dir, v + 1)
+      if (files > 0 && files + adds.size > cap) batchFull = true
+      else {
+        checkNoEvolution(v + 1, adds)
+        files += adds.size
+        v += 1
+      }
     }
     VlogOffset(v)
   }
@@ -634,6 +795,60 @@ object VlogHistoryTable {
 final case class VlogHistoryPartition(
     rows: Seq[(Long, String, Long, Long, String)]) extends InputPartition
 
+/** The CHANGE FEED as a queryable SQL table (r16 verdict task #6 —
+  * `readChangeFeed` was Scala-only): `graft_vlog.`/dir@changes(f,t)``
+  * serves exactly the rows commits (f, t] appended, each carrying
+  * `_commit_version` (the commit that added it) and `_change_type`
+  * ("insert" — the only row-level change an append-shaped commit
+  * carries), straight through the same per-file readers (columnar
+  * included; the CDF pair are per-partition constant vectors). IO is ∝
+  * the range's files, never a snapshot scan; a COW commit in range
+  * fails loudly at planning (the `appendCommitAdds` contract every feed
+  * consumer shares). Schema = union of the RANGE's file schemas + the
+  * two metadata columns — byte-identical rows to the Scala
+  * `readChangeFeed`, spec-pinned.
+  */
+final class VlogChangesTable(dir: String, fromV: Long, toV: Long)
+    extends Table with SupportsRead {
+  require(fromV <= toV, s"empty change range ($fromV, $toV]")
+
+  // (version, file) pairs of the range — resolved once per table load;
+  // commits are immutable so the list is stable
+  private lazy val versionFiles: Seq[(Long, String)] =
+    (fromV + 1 to toV).flatMap(v =>
+      VersionedTable.appendCommitAdds(dir, v).map(f => (v, f)))
+
+  override def name(): String = s"graft-vlog($dir@changes($fromV,$toV))"
+  override lazy val schema: StructType = StructType(
+    VlogSchema.mergedSchemaOf(dir, versionFiles.map(_._2),
+      s"change range ($fromV, $toV] of $dir").fields.toSeq ++ Seq(
+      StructField(VlogTable.CommitVersionCol, LongType, nullable = false),
+      StructField(VlogTable.ChangeTypeCol, StringType, nullable = false)))
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder
+      with SupportsPushDownRequiredColumns {
+    private var required: StructType = schema
+    override def pruneColumns(requiredSchema: StructType): Unit =
+      required = requiredSchema
+    override def build(): Scan = new Scan with Batch {
+      override def readSchema(): StructType = required
+      override def toBatch: Batch = this
+      override def description(): String =
+        s"graft-vlog-changes $dir ($fromV,$toV] " +
+          s"files=${versionFiles.size}"
+      override def planInputPartitions(): Array[InputPartition] =
+        versionFiles.map { case (v, f) =>
+          VlogInputPartition(Paths.get(dir, f).toString, v): InputPartition
+        }.toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new VlogReaderFactory(required)
+    }
+  }
+}
+
 /** The catalog plugin: table identifiers ARE table directories
   * (backtick-quoted in SQL), so no mount configuration is needed —
   * `spark.sql.catalog.graft_vlog = graft.sources.VlogCatalog` once, then
@@ -678,19 +893,30 @@ class VlogCatalog
     name.startsWith("/") &&
       Files.isDirectory(Paths.get(name, "_vlog"))
 
+  private val ChangesSuffix = "@changes\\((\\d+),(\\d+)\\)$".r
+
   override def loadTable(ident: Identifier): Table =
     // a REAL table directory always wins (r16 review: a data table whose
     // path literally ends in "@history" must stay readable and must not
     // silently alias to another table's history); only when no such
     // table exists does the `@history` suffix mount the base table's
-    // commit log (DESCRIBE HISTORY through plain SQL)
+    // commit log (DESCRIBE HISTORY through plain SQL) and
+    // `@changes(f,t)` the change feed for commits (f, t]
     if (isVlogDir(ident.name()))
       new VlogTable(dirOf(ident), None, maxFilesPerBatch, 0L)
     else if (ident.name().endsWith("@history")) {
       val base = Identifier.of(ident.namespace(),
         ident.name().stripSuffix("@history"))
       new VlogHistoryTable(dirOf(base))
-    } else new VlogTable(dirOf(ident), None, maxFilesPerBatch, 0L)
+    } else ChangesSuffix.findFirstMatchIn(ident.name()) match {
+      case Some(m) =>
+        val base = Identifier.of(ident.namespace(),
+          ident.name().substring(0, m.start))
+        new VlogChangesTable(dirOf(base), m.group(1).toLong,
+          m.group(2).toLong)
+      case None =>
+        new VlogTable(dirOf(ident), None, maxFilesPerBatch, 0L)
+    }
 
   /** The DSv2 time-travel hook — `VERSION AS OF <v>` arrives here. */
   override def loadTable(ident: Identifier, version: String): Table = {

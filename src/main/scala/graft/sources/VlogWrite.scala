@@ -113,16 +113,55 @@ final class VlogWriteBuilder(dir: String, info: LogicalWriteInfo)
 
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
 
+  /** Same-name/different-type writes are refused BEFORE any commit can
+    * publish (r16 advice): one mistyped append (string id into a long-id
+    * table) would otherwise become a durable commit that poisons every
+    * later read through mergedSchema's type-change check — Delta rejects
+    * at write time for the same reason. Additive columns stay free
+    * (that's the evolution contract); an overwrite replaces the whole
+    * snapshot, so its schema owes the old one nothing.
+    */
+  private def validateSchema(): Unit =
+    if (!truncateFirst && VersionedTable.currentVersion(dir) >= 0) {
+      val existing = VlogSchema.mergedSchema(dir, None)
+        .fields.map(f => f.name -> f.dataType).toMap
+      info.schema().fields.foreach { f =>
+        existing.get(f.name).foreach { dt =>
+          require(dt == f.dataType,
+            s"graft-vlog write rejected: column '${f.name}' is $dt in " +
+              s"$dir but ${f.dataType} in the incoming data — a type " +
+              "change would poison every later read (only ADDITIVE " +
+              "evolution is supported)")
+        }
+      }
+    }
+
   override def build(): Write = new Write {
+    validateSchema()
     override def toBatch: BatchWrite =
       new VlogBatchWrite(dir, info.schema(), truncateFirst)
     override def toStreaming: StreamingWrite = {
       require(!truncateFirst,
         "graft-vlog streaming writes are append-only (no complete mode)")
-      new VlogStreamingWrite(dir, info.schema(), info.queryId())
+      val opts = info.options()
+      val auto = Option(opts.get("autoCompactAt")).map { at =>
+        AutoCompact(at.toInt,
+          Option(opts.get("autoCompactTarget")).map(_.toInt).getOrElse(1),
+          Option(opts.get("autoCompactSmallBytes")).map(_.toLong)
+            .getOrElse(32L * 1024 * 1024))
+      }
+      new VlogStreamingWrite(dir, info.schema(), info.queryId(), auto)
     }
   }
 }
+
+/** Post-commit auto-compaction policy for a streaming write: when the
+  * table holds ≥ `at` small files (< `smallBytes` each), bin-pack them
+  * into ≤ `target` files as one follow-up COW commit (r16 verdict task
+  * #5 — every epoch publishes ≥1 file per task; without a policy the
+  * log grows a file per task per trigger forever).
+  */
+final case class AutoCompact(at: Int, target: Int, smallBytes: Long)
 
 final class VlogBatchWrite(dir: String, schema: StructType,
     truncateFirst: Boolean) extends BatchWrite {
@@ -150,7 +189,8 @@ final class VlogBatchWrite(dir: String, schema: StructType,
 }
 
 final class VlogStreamingWrite(dir: String, schema: StructType,
-    queryId: String) extends StreamingWrite {
+    queryId: String, autoCompact: Option[AutoCompact] = None)
+    extends StreamingWrite {
   private val token = java.util.UUID.randomUUID.toString
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
@@ -160,7 +200,23 @@ final class VlogStreamingWrite(dir: String, schema: StructType,
       messages: Array[WriterCommitMessage]): Unit =
     VersionedTable.commitTxn(dir, s"vlogw-$queryId", epochId,
       VlogWrite.addLines(messages)) match {
-      case Some(_) => ()
+      case Some(_) =>
+        // threshold-gated post-commit compaction (its own txn-safe COW
+        // commit through the shared optimistic loop; a replayed epoch
+        // never triggers it — the None arm below publishes nothing).
+        // Small-files-only, so the cost is ∝ the epoch tail, and the
+        // exactly-once probe is untouched: txn lines fold from history
+        // regardless of which files a compact commit swaps.
+        autoCompact.foreach { ac =>
+          val small = VersionedTable.liveFiles(dir).count { f =>
+            try java.nio.file.Files.size(Paths.get(dir, f)) < ac.smallBytes
+            catch { case scala.util.control.NonFatal(_) => false }
+          }
+          if (small >= ac.at)
+            VersionedTable.compactSmallFiles(
+              org.apache.spark.sql.SparkSession.active, dir,
+              ac.smallBytes, ac.target)
+        }
       case None =>
         // replayed epoch: the txn is already folded — publish nothing and
         // reclaim the re-staged bytes immediately (they are unreferenced,

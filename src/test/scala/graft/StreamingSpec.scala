@@ -899,6 +899,60 @@ class StreamingSpec extends AnyFunSuite {
       s"resume duplicated or dropped rows: ${got.sorted}")
   }
 
+  test("vlog stream killed MID-BACKLOG resumes exactly-once while a writer appends through the outage") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    // r16 verdict task #8: the crash window is INSIDE a throttled backlog
+    // drain (maxFilesPerBatch=2 over a 6-commit backlog), not at a quiet
+    // boundary — and the table keeps growing while the stream is down.
+    // The checkpointed commit-version offsets must resume the walk with
+    // zero duplicates and zero holes: resumed output ≡ a batch read.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vlogsrc-chaos").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-vlogsrc-chaos-ck").toString
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-vlogsrc-chaos-out").toString
+    def append(ids: Long*): Unit = VersionedTable.append(
+      ids.map(i => (i, s"p$i")).toDF("id", "payload").coalesce(1), dir)
+    (1L to 6L).foreach(append(_)) // 6 one-file commits of backlog
+    val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def start(chaos: Boolean) = spark.readStream.format("graft-vlog")
+      .option("path", dir).option("maxFilesPerBatch", "2").load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        // idempotent per-batch sink: a re-run of the same batch id after
+        // the crash overwrites its own output, never appends a duplicate
+        df.write.mode("overwrite").parquet(s"$out/b$id")
+        if (chaos && id == 1L && !killed.getAndSet(true))
+          sys.error("chaos: die mid-backlog")
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start(chaos = true)
+    intercept[Exception] { q1.processAllAvailable() }
+    q1.stop()
+    assert(killed.get, "the chaos kill never fired")
+    // the outage: a concurrent writer lands two MORE commits
+    append(7L); append(8L)
+    val q2 = start(chaos = false)
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(s"$out/b*")
+      .select("id", "payload").as[(Long, String)].collect().toSeq
+    val want = (1L to 8L).map(i => (i, s"p$i"))
+    assert(got.sorted == want.sorted,
+      s"resume duplicated or dropped rows: ${got.sorted}")
+    // admission pressure really throttled: ≥4 distinct batches for 8
+    // one-file commits at 2 files per batch
+    val batches = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+    val nb = try {
+      import scala.jdk.CollectionConverters._
+      batches.iterator().asScala.count(_.getFileName.toString.startsWith("b"))
+    } finally batches.close()
+    assert(nb >= 4, s"backlog drained in $nb batches — no admission pressure")
+  }
+
   test("vlog streaming source fails LOUDLY on a COW commit in range") {
     import spark.implicits._
     import graft.sources.VersionedTable
@@ -920,6 +974,114 @@ class StreamingSpec extends AnyFunSuite {
       err.getMessage.contains("append-shaped"),
       s"wrong failure: ${err.getMessage}")
     q.stop()
+  }
+
+  test("vlog streaming source fails LOUDLY on mid-stream schema evolution") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    // a stream's schema is fixed at start: a column added by a later
+    // additive commit would be silently ABSENT from every delivered row
+    // for the life of the query — data loss with no symptom. The source
+    // must fail with a restart-required error instead (r16 advice; Delta
+    // draws the same line).
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vlogsrc-evo").toString
+    VersionedTable.append(
+      Seq((1L, "a")).toDF("id", "payload").coalesce(1), dir)
+    val q = spark.readStream.format("graft-vlog").option("path", dir)
+      .load().writeStream
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    q.processAllAvailable() // caught up through v0 on the old schema
+    VersionedTable.append(
+      Seq((2L, "b", 9L)).toDF("id", "payload", "extra").coalesce(1), dir)
+    val err = intercept[Exception] { q.processAllAvailable() }
+    assert(err.getMessage != null && err.getMessage.contains("restart"),
+      s"wrong failure: ${err.getMessage}")
+    q.stop()
+  }
+
+  test("vlog streaming WRITE rejects a same-name/different-type schema up front") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.sources.VersionedTable
+    // unlike the batch path (where Spark's own byName resolution already
+    // rejects unsafe casts against the table schema), a writeStream's
+    // schema meets the table only inside the connector — without the
+    // validateSchema gate one mistyped epoch would publish a durable
+    // commit that poisons every later mergedSchema read (r16 advice)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vlogw-type").toString
+    VersionedTable.append(
+      Seq((1L, "a")).toDF("id", "payload").coalesce(1), dir) // id: LONG
+    val head = VersionedTable.currentVersion(dir)
+    val in = MemoryStream[(String, String)]
+    val q = in.toDS().toDF("id", "payload") // id: STRING — type change
+      .writeStream.format("graft-vlog").option("path", dir)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft-vlogw-type-ck").toString)
+      .outputMode("append").start()
+    in.addData(("oops", "p"))
+    val err = intercept[Exception] { q.processAllAvailable() }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(chain(err).exists(_.contains("poison")),
+      s"wrong failure: ${chain(err).mkString(" | ")}")
+    q.stop()
+    assert(VersionedTable.currentVersion(dir) == head,
+      "a mistyped streaming epoch published a commit")
+    // the table still reads cleanly — nothing was poisoned
+    assert(VersionedTable.read(spark, dir).count() == 1L)
+    assert(spark.read.format("graft-vlog").option("path", dir)
+      .load().count() == 1L)
+  }
+
+  test("streaming auto-compaction converges small epoch files while the stream runs") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.sources.VersionedTable
+    // every epoch publishes ≥1 file per task; with autoCompactAt=4 the
+    // post-commit trigger bin-packs the small tail into 1 file whenever
+    // ≥4 small files accumulate — the stream keeps running through it,
+    // contents stay exact, and MVCC history stays intact (r16 task #5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vlogw-ac").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-vlogw-ac-ck").toString
+    // streaming writes target an EXISTING table (inferSchema reads it)
+    VersionedTable.append(Seq(-1L).toDF("id").coalesce(1), dir)
+    val in = MemoryStream[Long]
+    val q = in.toDS().toDF("id").repartition(1)
+      .writeStream.format("graft-vlog").option("path", dir)
+      .option("checkpointLocation", ckpt)
+      .option("autoCompactAt", "4").option("autoCompactTarget", "1")
+      .outputMode("append").start()
+    (1 to 6).foreach { e =>
+      in.addData((e * 10L) until (e * 10L + 3L): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val live = VersionedTable.liveFiles(dir)
+    assert(live.size <= 3,
+      s"small files did not converge: ${live.size} live after 6 epochs")
+    val hist = VersionedTable.history(spark, dir)
+    assert(hist.filter(col("op") === "compact").count() >= 1L,
+      "no compact commit landed")
+    // exactness: every row exactly once, through both read paths
+    val want = (1 to 6).flatMap(e => (e * 10L) until (e * 10L + 3L))
+      .toSet + (-1L)
+    val got = VersionedTable.read(spark, dir)
+      .select("id").as[Long].collect().toSeq
+    assert(got.toSet == want && got.size == want.size,
+      s"compaction lost/duplicated rows: ${got.size}")
+    assert(spark.read.format("graft-vlog").option("path", dir)
+      .load().count() === want.size.toLong)
+    // MVCC: a pre-compaction version still reads (retention not elapsed)
+    val firstCompact = hist.filter(col("op") === "compact")
+      .agg(org.apache.spark.sql.functions.min("version")).head().getLong(0)
+    assert(VersionedTable.read(spark, dir, Some(firstCompact - 1))
+      .count() > 0L, "pre-compaction snapshot unreadable")
   }
 
   test("vlog streaming WRITE: writeStream lands txn-logged epoch commits, restart-safe") {
@@ -995,6 +1157,74 @@ class StreamingSpec extends AnyFunSuite {
     // a LATER epoch still lands
     sw.commit(8L, Array(stageRow(102L, 3L)))
     assert(VersionedTable.read(spark, dir).count() == rowsAfter + 1)
+  }
+
+  test("vlog BATCH write: a speculative duplicate attempt never publishes bytes") {
+    // r16 verdict task #7 — RowSink's two-writers-one-partition race
+    // driven against VlogBatchWrite, where the stakes are real staged
+    // files: the engine runs attempt A and speculative attempt B for the
+    // SAME partition, both task-commit, then delivers exactly ONE commit
+    // message to the driver and aborts the loser. Contract: one file set
+    // published, the loser's bytes deleted, contents = winner's rows.
+    import spark.implicits._
+    import graft.sources.{VersionedTable, VlogBatchWrite}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-vlogw-race").toString
+    VersionedTable.append(
+      Seq((1L, "base")).toDF("id", "payload").coalesce(1), dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.StringType)))
+    val bw = new VlogBatchWrite(dir, schema, truncateFirst = false)
+    val fac = bw.createBatchWriterFactory(null)
+    // partition 0, two attempts: taskId disambiguates the staged names,
+    // so the racers can never clobber each other's bytes
+    val winner = fac.createWriter(0, 1000L)
+    val loser = fac.createWriter(0, 1001L)
+    winner.write(InternalRow(2L, UTF8String.fromString("win")))
+    loser.write(InternalRow(2L, UTF8String.fromString("lose")))
+    val winMsg = winner.commit()
+    val loseMsg = loser.commit() // both task-commit (the race window)
+    // both staged files exist on disk, neither is visible
+    def staged(): Seq[String] = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.filter(p =>
+          p.toString.endsWith(".parquet")).map(_.toString).toSeq
+      } finally w.close()
+    }
+    assert(staged().size == 2 + 1, "both attempts must have staged bytes")
+    assert(VersionedTable.read(spark, dir).count() == 1L,
+      "staged attempt bytes leaked into a read")
+    // the engine: one message to the driver, abort for the loser
+    loser.abort()
+    bw.commit(Array(winMsg))
+    val got = VersionedTable.read(spark, dir)
+      .select("id", "payload").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "base"), (2L, "win")),
+      s"race published the wrong rows: $got")
+    // exactly one new file referenced; the loser's bytes are GONE
+    val lastAdds = VersionedTable.history(spark, dir)
+      .orderBy(org.apache.spark.sql.functions.col("version").desc)
+      .head().getLong(2)
+    assert(lastAdds == 1L, s"published $lastAdds files for one partition")
+    assert(staged().size == 1 + 1,
+      s"loser's staged bytes not deleted: ${staged()}")
+    // and the loser's message arriving ANYWAY (engine double-delivery
+    // would be a bug, but the format must still not corrupt): abort path
+    // already deleted the bytes, so a stale message names a missing file
+    // — the addLines builder tolerates only real staged paths, so this
+    // cannot happen silently; we simply pin the loser file is absent
+    import graft.sources.VlogWriteMessage
+    val stale = loseMsg.asInstanceOf[VlogWriteMessage]
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, stale.relPath)),
+      "loser bytes survived abort")
   }
 
   test("versioned-table sink absorbs a forced foreachBatch replay (exactly-once)") {

@@ -692,4 +692,325 @@ class VersionedTableSpec extends AnyFunSuite {
       VersionedTable.read(spark, dir, Some(0L)).collect()
     }
   }
+
+  test("time-typed file stats: a timestamp-clustered table prunes on time (r17)") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = freshDir()
+    // 4000 hourly NTZ timestamps clustered by ts: the footer's INT64
+    // micros stats land in the log exactly like an id column's, so a
+    // time predicate skips files — the single most common 100 TB layout
+    // (ingest clustered by event time) finally prunes on its own key
+    val rows = spark.range(0L, 4000L).select(col("id"),
+      expr("timestampadd(HOUR, CAST(id AS INT), " +
+        "TIMESTAMP_NTZ'2026-01-01 00:00:00')").as("ts"))
+    VersionedTable.appendClustered(rows, dir, "ts", buckets = 4)
+    val loMicros = java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+      .plusHours(3000).toInstant(java.time.ZoneOffset.UTC).toEpochMilli *
+      1000L
+    val hiMicros = java.time.LocalDateTime.of(2026, 1, 1, 0, 0)
+      .plusHours(3999).toInstant(java.time.ZoneOffset.UTC).toEpochMilli *
+      1000L
+    val (keep, skip) = VersionedTable.pruneFiles(dir, "ts",
+      loMicros, hiMicros)
+    assert(skip.size >= 2,
+      s"ts-clustered files carry no usable stats: kept ${keep.size}, " +
+        s"skipped ${skip.size}")
+    assert(VersionedTable.readPruned(spark, dir, "ts", loMicros, hiMicros)
+      .count() === 1000L, "time-pruned read lost rows")
+    // the DSv2 scan prunes the same files straight from SQL-shaped
+    // predicates: an NTZ literal arrives as LocalDateTime and converts
+    // to the exact micros envelope
+    val dsv2 = spark.read.format("graft-vlog").option("path", dir).load()
+      .filter(col("ts") >= expr("TIMESTAMP_NTZ'2026-05-06 00:00:00'"))
+    assert(dsv2.count() ===
+      rows.filter(col("ts") >= expr("TIMESTAMP_NTZ'2026-05-06 00:00:00'"))
+        .count())
+    val desc = dsv2.queryExecution.executedPlan.toString
+    val filesShown = "files=(\\d+)".r.findFirstMatchIn(desc).map(_.group(1))
+    assert(filesShown.exists(_.toInt <= 2),
+      s"ts predicate did not skip files: $filesShown in\n$desc")
+    // DATE stats (INT32 days) through the DSv2 write path, which
+    // harvests every integer-physical column
+    val ddir = freshDir()
+    VersionedTable.append(spark.range(0L, 1L).select(col("id"),
+      expr("DATE'2026-01-01'").as("dt")), ddir)
+    spark.range(0L, 2000L).select(col("id"),
+        expr("date_add(DATE'2026-01-01', CAST(id AS INT))").as("dt"))
+      .repartitionByRange(4, col("dt")).sortWithinPartitions("dt")
+      .write.format("graft-vlog").option("path", ddir)
+      .mode("append").save()
+    val d0 = java.time.LocalDate.of(2026, 1, 1).toEpochDay
+    val (dkeep, dskip) = VersionedTable.pruneFiles(ddir, "dt",
+      d0 + 1500, d0 + 1999)
+    assert(dskip.size >= 2,
+      s"date-clustered DSv2 files carry no stats: kept ${dkeep.size}, " +
+        s"skipped ${dskip.size}")
+    assert(VersionedTable.readPruned(spark, ddir, "dt", d0 + 1500,
+      d0 + 1999).count() === 500L)
+  }
+
+  test("a same-name/different-type DSv2 write is rejected before any commit") {
+    import spark.implicits._
+    val dir = freshDir()
+    VersionedTable.append(df(1L), dir) // id: LONG
+    val head = VersionedTable.currentVersion(dir)
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val err = intercept[Throwable] {
+      Seq(("oops", "p")).toDF("id", "payload").write.format("graft-vlog")
+        .option("path", dir).mode("append").save()
+    }
+    // the BATCH path is refused twice over: Spark's own byName resolution
+    // rejects the unsafe cast against the table-reported schema, and the
+    // connector's validateSchema backstops paths that skip it — either
+    // error is acceptable, publication is not
+    assert(chain(err).exists(m => m.contains("poison") ||
+      m.contains("Cannot safely cast")),
+      s"wrong failure: ${chain(err).mkString(" | ")}")
+    // nothing published: the table is not poisoned, reads still work
+    assert(VersionedTable.currentVersion(dir) == head,
+      "a mistyped write published a commit")
+    assert(spark.read.format("graft-vlog").option("path", dir)
+      .load().count() == 1L)
+    // additive evolution stays free through the NATIVE append surface
+    // (the DSv2 batch write enforces exact arity Spark-side — a column
+    // count change is refused at analysis, so evolution flows through
+    // VersionedTable.append / merge, never a silent write)
+    VersionedTable.append(
+      Seq((2L, "p2", 9L)).toDF("id", "payload", "extra").coalesce(1), dir)
+    val evolved = spark.read.format("graft-vlog").option("path", dir).load()
+    assert(evolved.count() == 2L &&
+      evolved.columns.toSet == Set("id", "payload", "extra"))
+    // a NATIVE overwrite may change types — it replaces the whole
+    // snapshot, owing the old schema nothing
+    VersionedTable.overwrite(
+      Seq(("fresh", "p")).toDF("id", "payload").coalesce(1), dir)
+    assert(spark.read.format("graft-vlog").option("path", dir)
+      .load().select("id").head().getString(0) == "fresh")
+  }
+
+  test("probes survive hint-pruning away every file carrying an evolved column") {
+    import spark.implicits._
+    // the r16 advice scenario: a valid SQL DELETE whose predicate
+    // references an evolved column, on a snapshot where the stats hints
+    // prune ALL evolved files out of the candidate set — the probe must
+    // NULL-backfill and complete (deleting nothing from those files, the
+    // SQL three-valued contract), not throw AnalysisException
+    val dir = freshDir()
+    VersionedTable.appendClustered(
+      spark.range(0L, 100L).select(col("id"),
+        concat(lit("v"), col("id")).as("payload")), dir, "id", buckets = 4)
+    VersionedTable.append(
+      Seq((200L, "v200", "x")).toDF("id", "payload", "extra").coalesce(1),
+      dir)
+    spark.conf.set("spark.sql.catalog.graft_vlog",
+      "graft.sources.VlogCatalog")
+    spark.sql(s"DELETE FROM graft_vlog.`$dir` " +
+      "WHERE id < 50 AND extra = 'x'")
+    // completes; rows in pre-evolution files have extra = NULL → the SQL
+    // path's coalesce(cond, false) keeps them, and the evolved row's id
+    // misses the envelope — so nothing is deleted
+    assert(VersionedTable.read(spark, dir).count() === 101L,
+      "the evolved-predicate DELETE removed rows it should not")
+    // the merge probe under the same pressure: merging on an evolved key
+    // whose envelope stats-prunes every key-carrying file leaves only
+    // keyless candidates — backfilled NULL keys match nothing, so the
+    // merge completes as a pure insert
+    val mdir = freshDir()
+    VersionedTable.append(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload").coalesce(1), mdir)
+    VersionedTable.appendClustered(
+      spark.range(1000L, 1100L).select(col("id").as("k"), col("id"),
+        lit("kk").as("payload")), mdir, "k", buckets = 2)
+    VersionedTable.merge(spark,
+      Seq((5L, 50L, "new")).toDF("k", "id", "payload"), mdir, "k")
+    val got = VersionedTable.read(spark, mdir)
+    assert(got.count() === 103L, "evolved-key merge lost or dropped rows")
+    assert(got.filter(col("k") === 5L).count() === 1L,
+      "the pure-insert row is missing")
+  }
+
+  test("SQL MERGE INTO rewrites only the runtime-filtered touched files") {
+    import spark.implicits._
+    // the r16 verdict's task #3 done-criterion: the touched-file bound
+    // must survive the SQL path. 800 ids range-clustered into 8 files;
+    // the MERGE matches two keys in ONE file (plus one pure insert) —
+    // runtime group filtering (`_file` metadata column + the IN-subquery
+    // Spark plans over the regular scan) must bound the COW to ≤2 files,
+    // exactly the bound touchedByKey gives the Column API.
+    val dir = freshDir()
+    VersionedTable.appendClustered(
+      spark.range(0L, 800L).select(col("id"),
+        concat(lit("v"), col("id")).as("payload")), dir, "id", buckets = 8)
+    spark.conf.set("spark.sql.catalog.graft_vlog",
+      "graft.sources.VlogCatalog")
+    Seq((10L, "upd10"), (15L, "upd15"), (9999L, "new"))
+      .toDF("id", "payload").createOrReplaceTempView("a10spec_src")
+    spark.sql(s"""MERGE INTO graft_vlog.`$dir` t
+                  USING a10spec_src u ON t.id = u.id
+                  WHEN MATCHED THEN UPDATE SET *
+                  WHEN NOT MATCHED THEN INSERT *""")
+    val got = idSet(VersionedTable.read(spark, dir))
+    val want = (0L until 800L).filterNot(i => i == 10L || i == 15L)
+      .map(i => (i, s"v$i")).toSet ++
+      Set((10L, "upd10"), (15L, "upd15"), (9999L, "new"))
+    assert(got == want, "SQL MERGE produced wrong contents")
+    val last = VersionedTable.history(spark, dir)
+      .orderBy(col("version").desc).head()
+    assert(last.getString(1) == "merge",
+      s"head commit is '${last.getString(1)}', not the SQL merge")
+    assert(last.getLong(3) <= 2L,
+      s"SQL MERGE rewrote ${last.getLong(3)} of 8 files — runtime group " +
+        "filtering did not bound the COW")
+    // MVCC intact: the pre-merge snapshot still reads exactly v0
+    assert(VersionedTable.read(spark, dir, Some(0L)).count() === 800L)
+  }
+
+  test("SQL UPDATE and subquery DELETE route through the row-level COW") {
+    import spark.implicits._
+    val dir = freshDir()
+    VersionedTable.appendClustered(
+      spark.range(0L, 400L).select(col("id"),
+        (col("id") % 4).as("grp")), dir, "id", buckets = 4)
+    spark.conf.set("spark.sql.catalog.graft_vlog",
+      "graft.sources.VlogCatalog")
+    // UPDATE: RewriteUpdateTable → group-based ReplaceData; the static
+    // id-envelope ALSO prunes through the log stats, so only the file
+    // holding [0,100) rewrites
+    spark.sql(s"UPDATE graft_vlog.`$dir` SET grp = 99 WHERE id < 50")
+    val afterUpd = VersionedTable.read(spark, dir)
+    assert(afterUpd.filter(col("grp") === 99L).count() === 50L)
+    assert(afterUpd.count() === 400L)
+    val upd = VersionedTable.history(spark, dir)
+      .orderBy(col("version").desc).head()
+    assert(upd.getString(1) == "update" && upd.getLong(3) <= 1L,
+      s"UPDATE rewrote ${upd.getLong(3)} of 4 files (op ${upd.getString(1)})")
+    // DELETE with a subquery predicate: canDeleteWhere never sees it
+    // (not a translatable Filter), so the metadata path is out and the
+    // row-level rewrite must serve it
+    Seq(5L, 6L, 7L).toDF("del_id").createOrReplaceTempView("a11spec_del")
+    spark.sql(s"""DELETE FROM graft_vlog.`$dir`
+                  WHERE id IN (SELECT del_id FROM a11spec_del)""")
+    val afterDel = VersionedTable.read(spark, dir)
+    assert(afterDel.count() === 397L)
+    assert(afterDel.filter(col("id").isin(5L, 6L, 7L)).count() === 0L)
+    val del = VersionedTable.history(spark, dir)
+      .orderBy(col("version").desc).head()
+    assert(del.getString(1) == "delete",
+      s"subquery DELETE landed as '${del.getString(1)}'")
+  }
+
+  test("columnar vlog decode ≡ the row decode on a mixed-type evolved snapshot") {
+    import spark.implicits._
+    // every type the schema derivation admits, nulls included, plus an
+    // evolved column one file lacks — the columnar reader (the batch
+    // scan's default path, r16 task #4) must produce exactly the row
+    // reader's rows, and the DSv2 read must equal the native read
+    val dir = freshDir()
+    val wide = spark.range(0L, 5000L).select(
+      col("id"),
+      when(col("id") % 7 === 0, lit(null))
+        .otherwise(col("id") % 100).cast("int").as("i32"),
+      (col("id") % 3 === 0).as("b"),
+      (col("id") * 1.5).as("d"),
+      col("id").cast("float").as("f"),
+      (col("id") % 30000L).cast("short").as("i16"),
+      (col("id") % 100L).cast("byte").as("i8"),
+      concat(lit("s"), col("id")).as("s"),
+      when(col("id") % 11 === 0, lit(null))
+        .otherwise(concat(lit("t"), col("id"))).as("snull"),
+      expr("timestampadd(HOUR, CAST(id % 100 AS INT), " +
+        "TIMESTAMP_NTZ'2026-01-01 00:00:00')").as("ts"),
+      expr("date_add(DATE'2026-01-01', CAST(id % 50 AS INT))").as("dt"),
+      encode(concat(lit("x"), col("id")), "UTF-8").as("bin"))
+    VersionedTable.append(wide, dir)
+    VersionedTable.append(
+      Seq((90000L, 42L)).toDF("id", "extra").coalesce(1), dir) // evolved
+    val dsv2 = spark.read.format("graft-vlog").option("path", dir).load()
+    val native = VersionedTable.read(spark, dir)
+      .select(dsv2.columns.map(col).toSeq: _*)
+    assert(dsv2.exceptAll(native).isEmpty &&
+      native.exceptAll(dsv2).isEmpty,
+      "columnar DSv2 read diverged from the native parquet read")
+    // count(*): the footer-only path emits constant-width batches
+    assert(dsv2.count() === 5001L)
+    // the `_file` metadata column rides the columnar path as a constant
+    // vector — one distinct value per live file
+    import scala.jdk.CollectionConverters._
+    val nFiles = VersionedTable.liveFiles(dir).size.toLong
+    assert(dsv2.select(col("_file")).distinct().count() === nFiles)
+    // READER-level differential: drive the row PartitionReader and the
+    // columnar PartitionReader over the same file and compare values
+    // field-for-field (the row reader stays the engine's fallback and
+    // the spec's independent twin)
+    val schema = dsv2.schema
+    val fac = new graft.sources.VlogReaderFactory(schema)
+    // extraction discipline: ALWAYS isNullAt before the typed get — the
+    // engine's own contract (ColumnarBatchRow.get skips the null check
+    // that GenericInternalRow.get happens to perform)
+    def norm(row: org.apache.spark.sql.catalyst.InternalRow, i: Int,
+        dt: org.apache.spark.sql.types.DataType): Any =
+      if (row.isNullAt(i)) null
+      else row.get(i, dt) match {
+        case a: Array[Byte] => a.toSeq
+        case x => x
+      }
+    VersionedTable.liveFiles(dir).foreach { f =>
+      val part = graft.sources.VlogInputPartition(
+        java.nio.file.Paths.get(dir, f).toString)
+      val viaRow = {
+        val r = fac.createReader(part)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+        while (r.next()) buf += schema.fields.zipWithIndex.map {
+          case (fld, i) => norm(r.get(), i, fld.dataType) }.toSeq
+        r.close(); buf.toSeq
+      }
+      val viaCol = {
+        assert(fac.supportColumnarReads(part))
+        val r = fac.createColumnarReader(part)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+        while (r.next()) r.get().rowIterator().asScala.foreach { row =>
+          buf += schema.fields.zipWithIndex.map {
+            case (fld, i) => norm(row, i, fld.dataType) }.toSeq
+        }
+        r.close(); buf.toSeq
+      }
+      assert(viaRow == viaCol,
+        s"file $f: columnar decode diverged from row decode " +
+          s"(${viaRow.size} vs ${viaCol.size} rows)")
+    }
+  }
+
+  test("@changes(f,t) serves the change feed through SQL ≡ the Scala path") {
+    import spark.implicits._
+    val dir = freshDir()
+    VersionedTable.append(df(1L, 2L), dir) // v0
+    VersionedTable.append(df(3L), dir) // v1
+    VersionedTable.append(
+      Seq((4L, "v4", 9L)).toDF("id", "payload", "extra").coalesce(1),
+      dir) // v2, evolved
+    spark.conf.set("spark.sql.catalog.graft_vlog",
+      "graft.sources.VlogCatalog")
+    val sql = spark.sql(s"SELECT * FROM graft_vlog.`$dir@changes(0,2)`")
+    val scala = VersionedTable.readChangeFeed(spark, dir, 0L, 2L).get
+    // identical rows INCLUDING the metadata columns (r16 task #6's
+    // done-criterion) — align column order then bag-compare
+    val sqlAligned = sql.select(scala.columns.map(col).toSeq: _*)
+    assert(sqlAligned.exceptAll(scala).isEmpty &&
+      scala.exceptAll(sqlAligned).isEmpty,
+      "SQL change feed diverged from readChangeFeed")
+    assert(sql.count() === 2L)
+    assert(sql.filter(col("_change_type") =!= "insert").count() === 0L)
+    assert(sql.filter(col("_commit_version") === 2L)
+      .select("extra").as[Long].head() === 9L)
+    // a COW commit in range fails loudly through SQL too
+    VersionedTable.delete(spark, dir, col("id") === 1L) // v3, COW
+    val err = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_vlog.`$dir@changes(0,3)`").collect()
+    }
+    assert(err.getMessage != null &&
+      err.getMessage.contains("append-shaped"),
+      s"wrong failure: ${err.getMessage}")
+  }
 }
