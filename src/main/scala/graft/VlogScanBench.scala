@@ -31,13 +31,21 @@ object VlogScanBench {
       .map(f => java.nio.file.Paths.get(dir, f).toString)
     def native = spark.read.parquet(files: _*)
     def vlog = spark.read.format("graft-vlog").option("path", dir).load()
-    def aggRow(df: org.apache.spark.sql.DataFrame) =
+    def agg(df: org.apache.spark.sql.DataFrame): Unit =
       df.agg(count(lit(1)), sum("l_quantity"), sum("l_extendedprice"),
         min("l_orderkey"), max("l_orderkey"),
+        sum(length(col("l_returnflag")))).collect()
+    // same answers before any timing (the point is a FAIR race) — the
+    // check sums EXACT integers (cents), not raw doubles: the two
+    // readers partition files differently, so double-sum addition order
+    // differs and bitwise equality would flake on ULPs (r17 review)
+    def exactRow(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)),
+        sum(round(col("l_quantity") * 100).cast("long")),
+        sum(round(col("l_extendedprice") * 100).cast("long")),
+        min("l_orderkey"), max("l_orderkey"),
         sum(length(col("l_returnflag")))).collect().toSeq
-    def agg(df: org.apache.spark.sql.DataFrame): Unit = aggRow(df)
-    // same answers before any timing (the point is a FAIR race)
-    require(aggRow(native) == aggRow(vlog),
+    require(exactRow(native) == exactRow(vlog),
       "readers disagree — no point timing")
     val n = 5
     agg(native); agg(vlog) // warm both code paths once

@@ -661,6 +661,13 @@ object VersionedTable {
       "op:compact" +: (lines ++ removed.map("remove:" + _))
     }
 
+  /** Control-flow sentinel for [[compactSmallFiles]]: a retry attempt
+    * that finds nothing left to pack (a racing compactor won) must
+    * conclude no-op, not crash on an empty read (r17 review).
+    */
+  private object NothingToCompact
+    extends Exception(null, null, false, false)
+
   /** Bin-packing compaction of SMALL files only (the auto-compaction
     * primitive — r16 verdict task #5): live files under `smallBytes`
     * rewrite into ≤ `target` files in ONE commit; files already at size
@@ -669,27 +676,37 @@ object VersionedTable {
     * difference from [[compact]], which rewrites the whole snapshot to
     * install a clustering. The rewritten files carry footer-harvested
     * stats for EVERY integer-physical column (skipping survives
-    * compaction). Returns None when fewer than two small files exist
-    * (nothing to pack — no empty commit spam); MVCC as ever: pre-compact
-    * snapshots stay readable until vacuum. NOTE for change-feed
-    * consumers: a compact commit is copy-on-write, so a vlog STREAM
-    * following this table fails loudly if compaction lands in its range
-    * — the same line Delta draws; feed followers from a non-compacting
-    * table or replicate first.
+    * compaction). Returns None when fewer than `minSmallFiles` small
+    * files exist — checked INSIDE every retry attempt, so losing the
+    * race to another compactor concludes no-op rather than reading an
+    * empty file list; MVCC as ever: pre-compact snapshots stay readable
+    * until vacuum.
+    *
+    * Write-amplification note (Delta's autoCompact makes the same
+    * trade): a packed output below `smallBytes` re-packs with later
+    * tails until it crosses the floor, so each byte rewrites at most
+    * ~smallBytes / (minSmallFiles · epoch-bytes) times — size
+    * `minSmallFiles` (the streaming option `autoCompactAt`) against the
+    * epoch volume to bound it; raising it trades file count for IO.
+    * NOTE for change-feed consumers: a compact commit is copy-on-write,
+    * so a vlog STREAM following this table fails loudly if compaction
+    * lands in its range — the same line Delta draws; feed followers
+    * from a non-compacting table or replicate first.
     */
   def compactSmallFiles(spark: SparkSession, dir: String,
-      smallBytes: Long = 32L * 1024 * 1024, target: Int = 1)
-      : Option[Long] = {
+      smallBytes: Long = 32L * 1024 * 1024, target: Int = 1,
+      minSmallFiles: Int = 2): Option[Long] = {
+    val floor = math.max(2, minSmallFiles)
     def smallOf(head: Long): Seq[String] =
       liveFiles(dir, Some(head)).filter { f =>
         try Files.size(Paths.get(dir, f)) < smallBytes
         catch { case scala.util.control.NonFatal(_) => false }
       }
-    if (smallOf(currentVersion(dir)).size < 2) return None
-    Some(commitRetrying(dir, "compact small files in") { head =>
+    try Some(commitRetrying(dir, "compact small files in") { head =>
       // re-derived per attempt, the remove-set discipline every
-      // COW writer shares
+      // COW writer shares; the floor re-checked per attempt too
       val small = smallOf(head)
+      if (small.size < floor) throw NothingToCompact
       val packed = readFiles(spark, dir, small)
         .coalesce(math.max(1, target))
       val added = stage(packed, dir)
@@ -698,7 +715,7 @@ object VersionedTable {
           .map(st => (st.key, st.min, st.max)))
       }
       "op:compact" +: (lines ++ small.map("remove:" + _))
-    })
+    }) catch { case NothingToCompact => None }
   }
 
   /** Replace the whole table contents with `df` (one commit). The staged

@@ -810,7 +810,9 @@ final case class VlogHistoryPartition(
   */
 final class VlogChangesTable(dir: String, fromV: Long, toV: Long)
     extends Table with SupportsRead {
-  require(fromV <= toV, s"empty change range ($fromV, $toV]")
+  require(fromV <= toV,
+    s"inverted change range ($fromV, $toV] — fromV is EXCLUSIVE " +
+      "(use @changes(-1,0) for the first commit's rows)")
 
   // (version, file) pairs of the range — resolved once per table load;
   // commits are immutable so the list is stable
@@ -819,11 +821,19 @@ final class VlogChangesTable(dir: String, fromV: Long, toV: Long)
       VersionedTable.appendCommitAdds(dir, v).map(f => (v, f)))
 
   override def name(): String = s"graft-vlog($dir@changes($fromV,$toV))"
-  override lazy val schema: StructType = StructType(
-    VlogSchema.mergedSchemaOf(dir, versionFiles.map(_._2),
-      s"change range ($fromV, $toV] of $dir").fields.toSeq ++ Seq(
+  override lazy val schema: StructType = StructType({
+    // an EMPTY range (a zero-changes poll: fromV == toV, or a range of
+    // data-less commits) is benign — serve the SNAPSHOT's schema with
+    // zero partitions instead of erroring (r17 review; the Scala API's
+    // None for the same range is not expressible as a SQL table)
+    val data =
+      if (versionFiles.isEmpty) VlogSchema.mergedSchema(dir, Some(toV))
+      else VlogSchema.mergedSchemaOf(dir, versionFiles.map(_._2),
+        s"change range ($fromV, $toV] of $dir")
+    data.fields.toSeq ++ Seq(
       StructField(VlogTable.CommitVersionCol, LongType, nullable = false),
-      StructField(VlogTable.ChangeTypeCol, StringType, nullable = false)))
+      StructField(VlogTable.ChangeTypeCol, StringType, nullable = false))
+  })
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
 
@@ -893,7 +903,10 @@ class VlogCatalog
     name.startsWith("/") &&
       Files.isDirectory(Paths.get(name, "_vlog"))
 
-  private val ChangesSuffix = "@changes\\((\\d+),(\\d+)\\)$".r
+  // fromV may be -1: the low bound is EXCLUSIVE, so commit 0's rows are
+  // reachable only as @changes(-1,t) (r17 review — with \d+ alone the
+  // first commit was permanently unreachable through SQL)
+  private val ChangesSuffix = "@changes\\((-1|\\d+),(\\d+)\\)$".r
 
   override def loadTable(ident: Identifier): Table =
     // a REAL table directory always wins (r16 review: a data table whose

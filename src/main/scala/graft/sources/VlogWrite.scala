@@ -206,16 +206,14 @@ final class VlogStreamingWrite(dir: String, schema: StructType,
         // never triggers it — the None arm below publishes nothing).
         // Small-files-only, so the cost is ∝ the epoch tail, and the
         // exactly-once probe is untouched: txn lines fold from history
-        // regardless of which files a compact commit swaps.
+        // regardless of which files a compact commit swaps. The `at`
+        // threshold IS compactSmallFiles' minSmallFiles floor — one
+        // walk decides and packs (r17 review: the hook's own pre-count
+        // duplicated the scan on the commit hot path).
         autoCompact.foreach { ac =>
-          val small = VersionedTable.liveFiles(dir).count { f =>
-            try java.nio.file.Files.size(Paths.get(dir, f)) < ac.smallBytes
-            catch { case scala.util.control.NonFatal(_) => false }
-          }
-          if (small >= ac.at)
-            VersionedTable.compactSmallFiles(
-              org.apache.spark.sql.SparkSession.active, dir,
-              ac.smallBytes, ac.target)
+          VersionedTable.compactSmallFiles(
+            org.apache.spark.sql.SparkSession.active, dir,
+            ac.smallBytes, ac.target, minSmallFiles = ac.at)
         }
       case None =>
         // replayed epoch: the txn is already folded — publish nothing and

@@ -1004,6 +1004,18 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(sql.filter(col("_change_type") =!= "insert").count() === 0L)
     assert(sql.filter(col("_commit_version") === 2L)
       .select("extra").as[Long].head() === 9L)
+    // commit 0 is reachable: the low bound is EXCLUSIVE, so the first
+    // commit's rows spell as @changes(-1,0) (r17 review — \d+ alone
+    // made v0 permanently unreachable through SQL)
+    val v0 = spark.sql(s"SELECT * FROM graft_vlog.`$dir@changes(-1,0)`")
+    assert(v0.count() === 2L)
+    assert(v0.select("_commit_version").distinct().as[Long].head() === 0L)
+    // an EMPTY range (a zero-changes poll) is benign: snapshot schema,
+    // zero rows — not an error (r17 review)
+    val empty = spark.sql(s"SELECT * FROM graft_vlog.`$dir@changes(2,2)`")
+    assert(empty.count() === 0L)
+    assert(empty.columns.contains("_commit_version") &&
+      empty.columns.contains("extra"))
     // a COW commit in range fails loudly through SQL too
     VersionedTable.delete(spark, dir, col("id") === 1L) // v3, COW
     val err = intercept[Exception] {
@@ -1012,5 +1024,36 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(err.getMessage != null &&
       err.getMessage.contains("append-shaped"),
       s"wrong failure: ${err.getMessage}")
+  }
+
+  test("racing small-file compactors: one packs, the loser concludes no-op") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the r17 review's lost-race scenario: both compactors pass the
+    // floor, one wins the commit; the loser's retry re-derives the
+    // small set, finds only the winner's packed output (< 2 files) and
+    // must return None — not crash on an empty read or re-pack a
+    // singleton
+    val dir = freshDir()
+    (1L to 5L).foreach(i => VersionedTable.append(df(i), dir))
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val racers = (0 until 2).map { _ =>
+      Future {
+        gate.await()
+        VersionedTable.compactSmallFiles(spark, dir, target = 1)
+      }
+    }
+    gate.countDown()
+    val results = racers.map(Await.result(_, 120.seconds))
+    // at least one packed; a loser that observed the packed head no-ops
+    assert(results.exists(_.isDefined), s"nobody packed: $results")
+    assert(VersionedTable.liveFiles(dir).size <= 2,
+      s"small files did not converge: ${VersionedTable.liveFiles(dir)}")
+    assert(idSet(VersionedTable.read(spark, dir)).map(_._1) ==
+      (1L to 5L).toSet, "racing compactors lost rows")
+    // and a table already converged concludes None outright
+    assert(VersionedTable.compactSmallFiles(spark, dir, target = 1).isEmpty
+      || VersionedTable.liveFiles(dir).size == 1)
   }
 }
