@@ -102,7 +102,14 @@ object VlogColumnarReader {
     val abs: Path = java.nio.file.Paths.get(part.absPath)
     val in = HadoopInputFile.fromPath(new HPath(abs.toUri),
       new Configuration())
-    val reader = ParquetFileReader.open(in)
+    // a row-group SPLIT reads only the groups whose midpoint falls in
+    // its byte range — parquet's own block selection, so getRowGroups
+    // (and therefore the footer-only count path) reflects the split
+    val reader =
+      if (part.rangeStart < 0) ParquetFileReader.open(in)
+      else ParquetFileReader.open(in,
+        org.apache.parquet.ParquetReadOptions.builder()
+          .withRange(part.rangeStart, part.rangeEnd).build())
     val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
     val createdBy = reader.getFooter.getFileMetaData.getCreatedBy
     val totalRows = reader.getRowGroups.asScala.map(_.getRowCount).sum

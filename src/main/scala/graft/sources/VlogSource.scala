@@ -77,6 +77,23 @@ object VlogSchema {
     } finally r.close()
   }
 
+  /** Byte MIDPOINTS of a file's row groups (startingPos + compressed/2 —
+    * exactly the coordinate parquet's own range filter selects blocks
+    * by), the split points for row-group-granular scan partitions: a
+    * multi-group file becomes one task per group instead of one task
+    * per FILE, the difference between a 1 GB file serializing on one
+    * core and scanning 8-way (r17 — the native reader splits, so must
+    * we).
+    */
+  private[graft] def rowGroupMidpoints(abs: Path): Seq[Long] = {
+    val in = HadoopInputFile.fromPath(
+      new HPath(abs.toUri), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try r.getFooter.getBlocks.asScala.toSeq
+      .map(b => b.getStartingPos + b.getCompressedSize / 2)
+    finally r.close()
+  }
+
   private def unsupported(f: PqType, why: String): Nothing =
     sys.error(s"graft-vlog cannot serve column '${f.getName}': $why " +
       "(the SQL/stream surface decodes the primitive parquet subset — " +
@@ -494,10 +511,24 @@ final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
       s"PushedFileRanges: [$rs]"
   }
 
+  /** One partition per ROW GROUP, not per file (r17): a multi-group
+    * file scans group-parallel exactly like the native reader's splits
+    * — each split selects its group by byte midpoint through parquet's
+    * own range filter, so groups partition exactly once. Single-group
+    * files (the common clustered-write case) keep the whole-file
+    * partition with zero extra footer cost at read time; the planning
+    * footers are driver-side metadata, the same class of read the
+    * schema merge already pays.
+    */
   override def planInputPartitions(): Array[InputPartition] =
-    keptFiles.map(f =>
-      VlogInputPartition(Paths.get(dir, f).toString): InputPartition)
-      .toArray
+    keptFiles.flatMap { f =>
+      val abs = Paths.get(dir, f)
+      val mids = VlogSchema.rowGroupMidpoints(abs)
+      if (mids.size <= 1)
+        Seq(VlogInputPartition(abs.toString): InputPartition)
+      else mids.map(m =>
+        VlogInputPartition(abs.toString, -1L, m, m + 1): InputPartition)
+    }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     new VlogReaderFactory(required)
@@ -541,9 +572,14 @@ final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
   * serves the `_commit_version`/`_change_type` metadata columns as
   * per-partition constants (the version that added this file; the only
   * row-level change an append-shaped commit carries is "insert").
+  * `rangeStart` ≥ 0 marks a ROW-GROUP SPLIT: the reader serves only the
+  * row groups whose byte midpoint falls in [rangeStart, rangeEnd) —
+  * parquet's own block-selection coordinate, so splits partition a
+  * file's groups exactly once with no overlap.
   */
 final case class VlogInputPartition(absPath: String,
-    commitVersion: Long = -1L) extends InputPartition
+    commitVersion: Long = -1L, rangeStart: Long = -1L,
+    rangeEnd: Long = -1L) extends InputPartition
 
 /** One reader per data file. The requested projection is intersected
   * with the FILE's own footer schema, so a pre-evolution file serves
@@ -572,6 +608,28 @@ final class VlogReaderFactory(required: StructType)
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[VlogInputPartition]
+    // a row-group split's range is expressed through ParquetFileReader's
+    // options, which the Group-based reader below cannot take — ranged
+    // partitions serve rows as a view over the columnar decode (values
+    // spec-pinned identical); whole-file partitions keep the independent
+    // Group reader, the spec's differential twin
+    if (p.rangeStart >= 0) {
+      val inner = VlogColumnarReader.open(p, required)
+      return new PartitionReader[InternalRow] {
+        private var it: java.util.Iterator[InternalRow] =
+          java.util.Collections.emptyIterator()
+        private var cur: InternalRow = _
+        override def next(): Boolean = {
+          while (!it.hasNext) {
+            if (!inner.next()) return false
+            it = inner.get().rowIterator()
+          }
+          cur = it.next(); true
+        }
+        override def get(): InternalRow = cur
+        override def close(): Unit = inner.close()
+      }
+    }
     val abs = Paths.get(p.absPath)
     new PartitionReader[InternalRow] {
       private val (fileSchema, rowCount) = VlogSchema.footer(abs)

@@ -1026,6 +1026,63 @@ class VersionedTableSpec extends AnyFunSuite {
       s"wrong failure: ${err.getMessage}")
   }
 
+  test("a multi-row-group file scans group-parallel with exact results") {
+    // r17: one task per ROW GROUP, not per file — the native reader
+    // splits large files and so must the vlog scan, or a 1 GB file
+    // serializes on one core at 100 TB. Build a single FILE with many
+    // small row groups (tiny parquet.block.size), hand-commit it, and
+    // pin: more partitions than files, exact rows, exact count(*)
+    // (the footer-only path must respect the split's group selection).
+    import spark.implicits._
+    val dir = freshDir()
+    spark.range(0L, 50000L)
+      .select(col("id"), concat(lit("s"), col("id")).as("s"))
+      .coalesce(1).write
+      .option("parquet.block.size", "65536")
+      .option("parquet.page.size", "8192")
+      .parquet(java.nio.file.Paths.get(dir, "data/manual").toString)
+    val staged = {
+      val l = java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "data/manual"))
+      try {
+        import scala.jdk.CollectionConverters._
+        l.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+          .map(n => s"data/manual/$n").toSeq
+      } finally l.close()
+    }
+    assert(staged.size == 1, s"expected one staged file, got $staged")
+    assert(VersionedTable.tryCommit(dir, 0L, "append", staged, Seq.empty))
+    val nGroups = graft.sources.VlogSchema.rowGroupMidpoints(
+      java.nio.file.Paths.get(dir, staged.head)).size
+    assert(nGroups > 1, s"test file has only $nGroups row group(s) — " +
+      "shrink parquet.block.size")
+    val dsv2 = spark.read.format("graft-vlog").option("path", dir).load()
+    assert(dsv2.rdd.getNumPartitions == nGroups,
+      s"expected $nGroups split partitions, " +
+        s"got ${dsv2.rdd.getNumPartitions}")
+    assert(dsv2.count() === 50000L)
+    assert(dsv2.agg(sum("id")).head().getLong(0) ===
+      (0L until 50000L).sum)
+    // no row lost or duplicated across split boundaries
+    assert(dsv2.select("id").distinct().count() === 50000L)
+    // the ranged ROW reader (the engine's row-exec fallback) serves the
+    // same rows as the whole-file Group reader would
+    val schema = dsv2.schema
+    val fac = new graft.sources.VlogReaderFactory(schema)
+    val mids = graft.sources.VlogSchema.rowGroupMidpoints(
+      java.nio.file.Paths.get(dir, staged.head))
+    val viaSplits = mids.flatMap { m =>
+      val r = fac.createReader(graft.sources.VlogInputPartition(
+        java.nio.file.Paths.get(dir, staged.head).toString, -1L, m, m + 1))
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.next()) buf += r.get().getLong(0)
+      r.close(); buf.toSeq
+    }
+    assert(viaSplits.sorted == (0L until 50000L),
+      s"split row reader lost rows: ${viaSplits.size}")
+  }
+
   test("racing small-file compactors: one packs, the loser concludes no-op") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
