@@ -853,6 +853,79 @@ object VlogHistoryTable {
 final case class VlogHistoryPartition(
     rows: Seq[(Long, String, Long, Long, String)]) extends InputPartition
 
+/** The live-file inventory as a queryable SQL table (the Iceberg
+  * `.files` metadata-table shape): `graft_vlog.`/dir@files`` serves one
+  * row per (live file × logged stat key) — table-relative path, size in
+  * bytes, footer row count, and the stat key's [min, max] envelope —
+  * with a single NULL-stat row for files carrying no stats. The ops
+  * queries this exists for ("which files does a ts range touch", "how
+  * big is the small-file tail", "is the z-order layout still tight")
+  * become plain SQL over metadata: snapshot replay + one footer open
+  * per live file at planning, never a data page.
+  */
+final class VlogFilesTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-vlog($dir@files)"
+  override def schema(): StructType = VlogFilesTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan with Batch {
+      override def readSchema(): StructType = VlogFilesTable.Schema
+      override def toBatch: Batch = this
+      override def description(): String = s"graft-vlog-files $dir"
+      override def planInputPartitions(): Array[InputPartition] = {
+        val rows = VersionedTable
+          .liveEntriesReplaying(dir, None)._1.flatMap { case (f, sts) =>
+            val abs = Paths.get(dir, f)
+            val bytes =
+              try Files.size(abs)
+              catch { case scala.util.control.NonFatal(_) => -1L }
+            val nRows = VlogSchema.footer(abs)._2
+            if (sts.isEmpty) Seq((f, bytes, nRows, null: String, -1L, -1L))
+            else sts.values.toSeq.sortBy(_.key).map(st =>
+              (f, bytes, nRows, st.key, st.min, st.max))
+          }
+        Array(VlogFilesPartition(rows))
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(partition: InputPartition)
+              : PartitionReader[InternalRow] =
+            new PartitionReader[InternalRow] {
+              private val rows = partition
+                .asInstanceOf[VlogFilesPartition].rows
+              private var i = -1
+              override def next(): Boolean = { i += 1; i < rows.size }
+              override def get(): InternalRow = {
+                val (f, bytes, n, key, lo, hi) = rows(i)
+                new GenericInternalRow(Array[Any](
+                  UTF8String.fromString(f), bytes, n,
+                  if (key == null) null else UTF8String.fromString(key),
+                  if (key == null) null else java.lang.Long.valueOf(lo),
+                  if (key == null) null else java.lang.Long.valueOf(hi)))
+              }
+              override def close(): Unit = ()
+            }
+        }
+    }
+  }
+}
+
+object VlogFilesTable {
+  val Schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("stat_key", StringType, nullable = true),
+    StructField("stat_min", LongType, nullable = true),
+    StructField("stat_max", LongType, nullable = true)))
+}
+
+final case class VlogFilesPartition(
+    rows: Seq[(String, Long, Long, String, Long, Long)])
+    extends InputPartition
+
 /** The CHANGE FEED as a queryable SQL table (r16 verdict task #6 —
   * `readChangeFeed` was Scala-only): `graft_vlog.`/dir@changes(f,t)``
   * serves exactly the rows commits (f, t] appended, each carrying
@@ -971,14 +1044,19 @@ class VlogCatalog
     // path literally ends in "@history" must stay readable and must not
     // silently alias to another table's history); only when no such
     // table exists does the `@history` suffix mount the base table's
-    // commit log (DESCRIBE HISTORY through plain SQL) and
-    // `@changes(f,t)` the change feed for commits (f, t]
+    // commit log (DESCRIBE HISTORY through plain SQL), `@files` the
+    // live-file inventory with stats, and `@changes(f,t)` the change
+    // feed for commits (f, t]
     if (isVlogDir(ident.name()))
       new VlogTable(dirOf(ident), None, maxFilesPerBatch, 0L)
     else if (ident.name().endsWith("@history")) {
       val base = Identifier.of(ident.namespace(),
         ident.name().stripSuffix("@history"))
       new VlogHistoryTable(dirOf(base))
+    } else if (ident.name().endsWith("@files")) {
+      val base = Identifier.of(ident.namespace(),
+        ident.name().stripSuffix("@files"))
+      new VlogFilesTable(dirOf(base))
     } else ChangesSuffix.findFirstMatchIn(ident.name()) match {
       case Some(m) =>
         val base = Identifier.of(ident.namespace(),

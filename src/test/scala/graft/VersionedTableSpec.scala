@@ -1083,6 +1083,32 @@ class VersionedTableSpec extends AnyFunSuite {
       s"split row reader lost rows: ${viaSplits.size}")
   }
 
+  test("@files serves the live inventory with stats through SQL") {
+    val dir = freshDir()
+    VersionedTable.appendClustered(
+      spark.range(0L, 400L).select(col("id"), (col("id") % 7).as("v")),
+      dir, "id", buckets = 4)
+    VersionedTable.append(df(9000L), dir) // plain append: no stats lines
+    spark.conf.set("spark.sql.catalog.graft_vlog",
+      "graft.sources.VlogCatalog")
+    val files = spark.sql(s"SELECT * FROM graft_vlog.`$dir@files`")
+    val live = VersionedTable.liveFiles(dir)
+    // every live file appears; clustered files carry an id stat row,
+    // the plain-append file a NULL-stat row
+    assert(files.select("file").distinct().count() === live.size.toLong)
+    assert(files.filter(col("stat_key") === "id").count() >= 4L)
+    assert(files.filter(col("stat_key").isNull).count() === 1L)
+    // row counts sum to the table's rows; bytes are real sizes
+    assert(files.select("file", "n_rows").distinct()
+      .agg(sum("n_rows")).head().getLong(0) === 401L)
+    assert(files.filter(col("bytes") <= 0L).count() === 0L)
+    // the ops query the table exists for: which files a range touches
+    val touch = spark.sql(
+      s"""SELECT file FROM graft_vlog.`$dir@files`
+          WHERE stat_key = 'id' AND stat_max >= 100 AND stat_min <= 150""")
+    assert(touch.count() <= 2L, "stats rows do not support range triage")
+  }
+
   test("racing small-file compactors: one packs, the loser concludes no-op") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
