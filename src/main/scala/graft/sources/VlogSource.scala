@@ -518,9 +518,11 @@ final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
     * files (the common clustered-write case) keep the whole-file
     * partition with zero extra footer cost at read time; the planning
     * footers are driver-side metadata, the same class of read the
-    * schema merge already pays.
+    * schema merge already pays — computed ONCE per scan (lazy), not per
+    * planInputPartitions call (re-planning would repeat the serial
+    * footer walk — r17 review).
     */
-  override def planInputPartitions(): Array[InputPartition] =
+  private lazy val splits: Array[InputPartition] =
     keptFiles.flatMap { f =>
       val abs = Paths.get(dir, f)
       val mids = VlogSchema.rowGroupMidpoints(abs)
@@ -529,6 +531,8 @@ final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
       else mids.map(m =>
         VlogInputPartition(abs.toString, -1L, m, m + 1): InputPartition)
     }.toArray
+
+  override def planInputPartitions(): Array[InputPartition] = splits
 
   override def createReaderFactory(): PartitionReaderFactory =
     new VlogReaderFactory(required)
@@ -798,48 +802,59 @@ final class VlogMicroBatchStream(dir: String, startingVersion: Long,
   override def stop(): Unit = ()
 }
 
-/** `DESCRIBE HISTORY` as a queryable TABLE (the Delta `DESCRIBE HISTORY`
-  * surface through plain SQL): `graft_vlog.`/dir@history`` serves one row
-  * per commit — (version, op, n_added, n_removed, txn). The rows are
-  * commit-count-bounded METADATA materialized at planning time on the
-  * driver (exactly what [[VersionedTable.history]] reads; at 100 TB the
-  * log is still bytes-per-commit), shipped as one input partition.
+/** Driver-materialized metadata table — the shared scaffolding every
+  * `@suffix` table rides (r17 review: history and files each carried a
+  * private copy of the Scan/partition/reader wiring; the next metadata
+  * table would have made a third). `rows` is evaluated once at planning
+  * on the driver (these tables are metadata-bounded by construction —
+  * commits, live files — never data-sized) and ships as one partition.
   */
-final class VlogHistoryTable(dir: String) extends Table with SupportsRead {
-  override def name(): String = s"graft-vlog($dir@history)"
-  override def schema(): StructType = VlogHistoryTable.Schema
+private[sources] class VlogMetaTable(tableName: String,
+    tableSchema: StructType, rows: () => Seq[InternalRow])
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new ScanBuilder {
     override def build(): Scan = new Scan with Batch {
-      override def readSchema(): StructType = VlogHistoryTable.Schema
+      override def readSchema(): StructType = tableSchema
       override def toBatch: Batch = this
-      override def description(): String = s"graft-vlog-history $dir"
+      override def description(): String = tableName
       override def planInputPartitions(): Array[InputPartition] =
-        Array(VlogHistoryPartition(VersionedTable.historyRows(dir)
-          .map { case (v, op, a, r, txn) => (v, op, a, r, txn.orNull) }))
+        Array(VlogMetaPartition(rows()))
       override def createReaderFactory(): PartitionReaderFactory =
         new PartitionReaderFactory {
           override def createReader(partition: InputPartition)
               : PartitionReader[InternalRow] =
             new PartitionReader[InternalRow] {
-              private val rows = partition
-                .asInstanceOf[VlogHistoryPartition].rows
+              private val rs =
+                partition.asInstanceOf[VlogMetaPartition].rows
               private var i = -1
-              override def next(): Boolean = { i += 1; i < rows.size }
-              override def get(): InternalRow = {
-                val (v, op, a, r, txn) = rows(i)
-                new GenericInternalRow(Array[Any](v,
-                  UTF8String.fromString(op), a, r,
-                  if (txn == null) null else UTF8String.fromString(txn)))
-              }
+              override def next(): Boolean = { i += 1; i < rs.size }
+              override def get(): InternalRow = rs(i)
               override def close(): Unit = ()
             }
         }
     }
   }
 }
+
+final case class VlogMetaPartition(rows: Seq[InternalRow])
+    extends InputPartition
+
+/** `DESCRIBE HISTORY` as a queryable TABLE (the Delta `DESCRIBE HISTORY`
+  * surface through plain SQL): `graft_vlog.`/dir@history`` serves one row
+  * per commit — (version, op, n_added, n_removed, txn). Commit-count-
+  * bounded metadata (exactly what [[VersionedTable.history]] reads).
+  */
+final class VlogHistoryTable(dir: String) extends VlogMetaTable(
+  s"graft-vlog($dir@history)", VlogHistoryTable.Schema,
+  () => VersionedTable.historyRows(dir).map { case (v, op, a, r, txn) =>
+    new GenericInternalRow(Array[Any](v, UTF8String.fromString(op), a, r,
+      txn.map(UTF8String.fromString).orNull))
+  })
 
 object VlogHistoryTable {
   val Schema: StructType = StructType(Seq(
@@ -850,9 +865,6 @@ object VlogHistoryTable {
     StructField("txn", StringType, nullable = true)))
 }
 
-final case class VlogHistoryPartition(
-    rows: Seq[(Long, String, Long, Long, String)]) extends InputPartition
-
 /** The live-file inventory as a queryable SQL table (the Iceberg
   * `.files` metadata-table shape): `graft_vlog.`/dir@files`` serves one
   * row per (live file × logged stat key) — table-relative path, size in
@@ -861,56 +873,30 @@ final case class VlogHistoryPartition(
   * queries this exists for ("which files does a ts range touch", "how
   * big is the small-file tail", "is the z-order layout still tight")
   * become plain SQL over metadata: snapshot replay + one footer open
-  * per live file at planning, never a data page.
+  * per live file at planning, never a data page. A file a concurrent
+  * vacuum reclaims mid-inventory reports bytes = n_rows = −1 rather
+  * than failing the query (r17 review — the ops table must survive the
+  * maintenance window it exists to observe).
   */
-final class VlogFilesTable(dir: String) extends Table with SupportsRead {
-  override def name(): String = s"graft-vlog($dir@files)"
-  override def schema(): StructType = VlogFilesTable.Schema
-  override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new ScanBuilder {
-    override def build(): Scan = new Scan with Batch {
-      override def readSchema(): StructType = VlogFilesTable.Schema
-      override def toBatch: Batch = this
-      override def description(): String = s"graft-vlog-files $dir"
-      override def planInputPartitions(): Array[InputPartition] = {
-        val rows = VersionedTable
-          .liveEntriesReplaying(dir, None)._1.flatMap { case (f, sts) =>
-            val abs = Paths.get(dir, f)
-            val bytes =
-              try Files.size(abs)
-              catch { case scala.util.control.NonFatal(_) => -1L }
-            val nRows = VlogSchema.footer(abs)._2
-            if (sts.isEmpty) Seq((f, bytes, nRows, null: String, -1L, -1L))
-            else sts.values.toSeq.sortBy(_.key).map(st =>
-              (f, bytes, nRows, st.key, st.min, st.max))
-          }
-        Array(VlogFilesPartition(rows))
-      }
-      override def createReaderFactory(): PartitionReaderFactory =
-        new PartitionReaderFactory {
-          override def createReader(partition: InputPartition)
-              : PartitionReader[InternalRow] =
-            new PartitionReader[InternalRow] {
-              private val rows = partition
-                .asInstanceOf[VlogFilesPartition].rows
-              private var i = -1
-              override def next(): Boolean = { i += 1; i < rows.size }
-              override def get(): InternalRow = {
-                val (f, bytes, n, key, lo, hi) = rows(i)
-                new GenericInternalRow(Array[Any](
-                  UTF8String.fromString(f), bytes, n,
-                  if (key == null) null else UTF8String.fromString(key),
-                  if (key == null) null else java.lang.Long.valueOf(lo),
-                  if (key == null) null else java.lang.Long.valueOf(hi)))
-              }
-              override def close(): Unit = ()
-            }
-        }
-    }
-  }
-}
+final class VlogFilesTable(dir: String) extends VlogMetaTable(
+  s"graft-vlog($dir@files)", VlogFilesTable.Schema,
+  () => VersionedTable.liveEntriesReplaying(dir, None)._1
+    .flatMap { case (f, sts) =>
+      val abs = Paths.get(dir, f)
+      val bytes =
+        try Files.size(abs)
+        catch { case scala.util.control.NonFatal(_) => -1L }
+      val nRows =
+        try VlogSchema.footer(abs)._2
+        catch { case scala.util.control.NonFatal(_) => -1L }
+      def row(key: String, lo: Any, hi: Any) =
+        new GenericInternalRow(Array[Any](UTF8String.fromString(f),
+          bytes, nRows,
+          if (key == null) null else UTF8String.fromString(key), lo, hi))
+      if (sts.isEmpty) Seq(row(null, null, null))
+      else sts.values.toSeq.sortBy(_.key)
+        .map(st => row(st.key, st.min, st.max))
+    })
 
 object VlogFilesTable {
   val Schema: StructType = StructType(Seq(
@@ -921,10 +907,6 @@ object VlogFilesTable {
     StructField("stat_min", LongType, nullable = true),
     StructField("stat_max", LongType, nullable = true)))
 }
-
-final case class VlogFilesPartition(
-    rows: Seq[(String, Long, Long, String, Long, Long)])
-    extends InputPartition
 
 /** The CHANGE FEED as a queryable SQL table (r16 verdict task #6 —
   * `readChangeFeed` was Scala-only): `graft_vlog.`/dir@changes(f,t)``
@@ -953,14 +935,20 @@ final class VlogChangesTable(dir: String, fromV: Long, toV: Long)
 
   override def name(): String = s"graft-vlog($dir@changes($fromV,$toV))"
   override lazy val schema: StructType = StructType({
-    // an EMPTY range (a zero-changes poll: fromV == toV, or a range of
-    // data-less commits) is benign — serve the SNAPSHOT's schema with
-    // zero partitions instead of erroring (r17 review; the Scala API's
-    // None for the same range is not expressible as a SQL table)
+    // an EMPTY range (a zero-changes poll: fromV == toV, a range of
+    // data-less commits, or an empty/not-yet-written table at head −1)
+    // is benign — serve the SNAPSHOT's schema (metadata columns alone
+    // when no snapshot has data files either) with zero partitions
+    // instead of erroring (r17 review ×2; the Scala API's None for the
+    // same range is not expressible as a SQL table)
     val data =
-      if (versionFiles.isEmpty) VlogSchema.mergedSchema(dir, Some(toV))
-      else VlogSchema.mergedSchemaOf(dir, versionFiles.map(_._2),
-        s"change range ($fromV, $toV] of $dir")
+      if (versionFiles.nonEmpty)
+        VlogSchema.mergedSchemaOf(dir, versionFiles.map(_._2),
+          s"change range ($fromV, $toV] of $dir")
+      else if (toV >= 0 &&
+          VersionedTable.liveFiles(dir, Some(toV)).nonEmpty)
+        VlogSchema.mergedSchema(dir, Some(toV))
+      else StructType(Nil)
     data.fields.toSeq ++ Seq(
       StructField(VlogTable.CommitVersionCol, LongType, nullable = false),
       StructField(VlogTable.ChangeTypeCol, StringType, nullable = false))
@@ -1034,10 +1022,11 @@ class VlogCatalog
     name.startsWith("/") &&
       Files.isDirectory(Paths.get(name, "_vlog"))
 
-  // fromV may be -1: the low bound is EXCLUSIVE, so commit 0's rows are
-  // reachable only as @changes(-1,t) (r17 review — with \d+ alone the
-  // first commit was permanently unreachable through SQL)
-  private val ChangesSuffix = "@changes\\((-1|\\d+),(\\d+)\\)$".r
+  // both bounds may be -1: the low bound is EXCLUSIVE, so commit 0's
+  // rows are reachable only as @changes(-1,t), and a poller that read
+  // head = currentVersion = -1 off an empty table writes @changes(-1,-1)
+  // — a benign zero-changes poll, not a parse failure (r17 review ×2)
+  private val ChangesSuffix = "@changes\\((-1|\\d+),(-1|\\d+)\\)$".r
 
   override def loadTable(ident: Identifier): Table =
     // a REAL table directory always wins (r16 review: a data table whose

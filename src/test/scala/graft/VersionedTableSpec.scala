@@ -1024,6 +1024,16 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(err.getMessage != null &&
       err.getMessage.contains("append-shaped"),
       s"wrong failure: ${err.getMessage}")
+    // the degenerate poll: a generic poller reads head = currentVersion
+    // = -1 off a table with no commits yet and writes @changes(-1,-1) —
+    // benign zero rows, metadata-only schema, not a parse failure
+    val fresh = freshDir()
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(fresh, "_vlog"))
+    val none = spark.sql(s"SELECT * FROM graft_vlog.`$fresh@changes(-1,-1)`")
+    assert(none.count() === 0L)
+    assert(none.columns.toSeq ==
+      Seq("_commit_version", "_change_type"))
   }
 
   test("a multi-row-group file scans group-parallel with exact results") {
