@@ -122,6 +122,25 @@ object RelationalCore {
                 SET n_chars = n_chars + 7 WHERE lang = 'de'""")
     }
 
+  /** The a14 table: three plain appends (each its own small-file commit,
+    * the shape streaming ingest leaves), then the MAINTENANCE pass a
+    * scheduler would run — `CALL graft_vlog.compact(...)` rewrites the
+    * snapshot range-clustered and `CALL graft_vlog.vacuum(..., 0)`
+    * reclaims the pre-compact files — all through SQL text (Spark 4's
+    * `ProcedureCatalog`). Built once per (JVM, sf dir).
+    */
+  private def a14Table(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    memoizedVlogTable("graft-vlog-a14", d) { dir =>
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      VersionedTable.append(docs.filter(col("doc_id") % 3 === 0), dir)
+      VersionedTable.append(docs.filter(col("doc_id") % 3 === 1), dir)
+      VersionedTable.append(docs.filter(col("doc_id") % 3 === 2), dir)
+      mountVlogCatalog(s)
+      s.sql(s"CALL graft_vlog.compact('$dir', 'doc_id', 4)").collect()
+      s.sql(s"CALL graft_vlog.vacuum('$dir', 0)").collect()
+    }
+
   val queries: Seq[Q] = Seq(
     // ---- A. scans ---------------------------------------------------------
     Q("a1_scan_project",
@@ -441,6 +460,51 @@ object RelationalCore {
                      CAST(1 AS BIGINT) AS v_lo, CAST(1 AS BIGINT) AS v_hi
               FROM documents WHERE doc_id % 2 = 1
               GROUP BY lang ORDER BY lang""")),
+
+    // Aggregate pushdown over the vlog table (round 17): every value in
+    // this row is answered from parquet FOOTERS — block row counts, null
+    // counts and exact int64 min/max statistics — through per-bundle
+    // PARTIAL rows folded by Spark's final aggregate, zero data pages
+    // read (PlanSpec pins `PushedAggregates` in the scan and the spec
+    // pins the partial-row reader against a decode of the same files).
+    // At 100 TB this is the difference between a full-table scan and a
+    // footer walk fanned across executors.
+    Q("a13_vlog_agg_push",
+      (s, d) => {
+        val dir = a8Table(s, d)
+        mountVlogCatalog(s)
+        s.sql(s"""SELECT COUNT(*) AS n_rows, COUNT(n_chars) AS n_vals,
+                         MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+                         MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+                  FROM graft_vlog.`$dir`""")
+      },
+      Some("""SELECT COUNT(*) AS n_rows, COUNT(n_chars) AS n_vals,
+                     MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+                     MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+              FROM documents""")),
+
+    // SQL-driven table maintenance (round 17): the a14 builder ingests
+    // three small-file commits, then runs `CALL graft_vlog.compact` and
+    // `CALL graft_vlog.vacuum` — the scheduler surface — before this
+    // query reads the result. The oracle proves the maintenance cycle
+    // preserved contents exactly, and the @history count proves the
+    // compact COMMITTED (4 = three appends + one compact; vacuum adds no
+    // version) and vacuum left the log intact.
+    Q("a14_sql_maintenance",
+      (s, d) => {
+        val dir = a14Table(s, d)
+        s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+                         CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                         v.n_versions
+                  FROM graft_vlog.`$dir`
+                  CROSS JOIN (SELECT COUNT(*) AS n_versions
+                              FROM graft_vlog.`$dir@history`) v
+                  GROUP BY lang, v.n_versions ORDER BY lang""")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                     CAST(4 AS BIGINT) AS n_versions
+              FROM documents GROUP BY lang ORDER BY lang""")),
 
     // ---- B. projection / filter / predicates ------------------------------
     Q("b1_filter_pred",

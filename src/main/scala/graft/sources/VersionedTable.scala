@@ -529,6 +529,30 @@ object VersionedTable {
     */
   def appendZOrdered(df: DataFrame, dir: String, keys: Seq[String],
       buckets: Int = 16): Long = {
+    val lines = stageZOrdered(df, dir, keys, buckets)
+    commitRetrying(dir, "commit to")(_ => "op:append-clustered" +: lines)
+  }
+
+  /** OPTIMIZE ZORDER as a REWRITE: replace the current snapshot with a
+    * z-ordered layout in one COW commit — [[compact]]'s shape with the
+    * k-dimensional Morton clustering instead of single-key ranges, so an
+    * already-loaded table gains multi-dimensional skipping without
+    * re-ingesting. Staging re-runs per retry attempt (the snapshot to
+    * rewrite may have moved) and the remove set is re-derived per
+    * attempt, the discipline every COW writer here shares. MVCC as ever:
+    * pre-rewrite versions keep reading the old files until vacuum.
+    */
+  def rewriteZOrdered(spark: SparkSession, dir: String,
+      keys: Seq[String], buckets: Int = 16): Long =
+    commitRetrying(dir, "zorder") { head =>
+      val removed = liveFiles(dir, Some(head))
+      val lines = stageZOrdered(
+        read(spark, dir, Some(head)), dir, keys, buckets)
+      "op:compact" +: (lines ++ removed.map("remove:" + _))
+    }
+
+  private def stageZOrdered(df: DataFrame, dir: String, keys: Seq[String],
+      buckets: Int): Seq[String] = {
     require(!df.columns.contains("__z"),
       "appendZOrdered stages through a temporary __z column — rename " +
         "the input's __z first (it would be silently destroyed)")
@@ -557,7 +581,7 @@ object VersionedTable {
         "interleave: " +
         stats.filterNot(st => st.min >= 0L && st.max < (1L << bits))
           .map(st => s"${st.key}∈[${st.min},${st.max}]").mkString(", "))
-    commitRetrying(dir, "commit to")(_ => "op:append-clustered" +: lines)
+    lines
   }
 
   /** Append `df` range-clustered on `key` with per-file min/max stats in

@@ -429,12 +429,16 @@ final class VlogScanBuilder(dir: String, asOf: Option[Long],
     full: StructType, maxFilesPerBatch: Int, startingVersion: Long)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var accepted: Array[Filter] = Array.empty
   // per-column conservative [lo, hi] envelopes for FILE skipping
   private var ranges: Map[String, (Long, Long)] = Map.empty
+  private var pushedAgg
+      : Option[org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation] = None
 
   // integrals pass through; timestamps/dates map to the exact
   // micros/days integers the footer stats are in (VlogTable.statLong)
@@ -473,9 +477,37 @@ final class VlogScanBuilder(dir: String, asOf: Option[Long],
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new VlogScan(dir, asOf, required, full, ranges, maxFilesPerBatch,
-      startingVersion)
+  /** Footer-answered aggregates ([[VlogAggScanImpl]]): accepted only for
+    * ungrouped count/count(col)/min/max requests — and, defensively,
+    * only when NO filter reached this builder (vlog filters are all
+    * residual, so Spark's own postScanFilters gate already blocks the
+    * filtered case; a future engine that pushed both would silently
+    * over-count without this guard). `supportCompletePushDown` stays
+    * false on purpose: the scan returns per-bundle PARTIAL rows so the
+    * footer walk fans across executors and Spark's final aggregate
+    * folds them — complete pushdown would serialize 100k footer opens
+    * on the driver.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = false
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    val ok = accepted.isEmpty && ranges.isEmpty &&
+      VlogAggScan.supported(agg, full)
+    if (ok) pushedAgg = Some(agg)
+    ok
+  }
+
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) =>
+      new VlogAggScanImpl(dir, asOf, agg.aggregateExpressions, full)
+    case None =>
+      new VlogScan(dir, asOf, required, full, ranges, maxFilesPerBatch,
+        startingVersion)
+  }
 }
 
 final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
@@ -988,7 +1020,8 @@ final class VlogChangesTable(dir: String, fromV: Long, toV: Long)
   * protocol, not catalog DDL.
   */
 class VlogCatalog
-    extends org.apache.spark.sql.connector.catalog.TableCatalog {
+    extends org.apache.spark.sql.connector.catalog.TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName = "graft_vlog"
   private var maxFilesPerBatch = VlogTable.DefaultMaxFilesPerBatch
@@ -1074,6 +1107,27 @@ class VlogCatalog
       Some(VersionedTable.versionAtTimestamp(dir, timestamp)),
       maxFilesPerBatch, 0L)
   }
+
+  /** SQL `CALL graft_vlog.<proc>(...)` — the maintenance surface
+    * ([[VlogProcedures]]): compact / compact_small_files / vacuum /
+    * zorder as schedulable SQL text, each routed through the same
+    * optimistic commit protocol every writer shares.
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    if (ident.namespace().nonEmpty) throw noSuchProcedure(ident)
+    else VlogProcedures.load(ident.name())
+      .getOrElse(throw noSuchProcedure(ident))
+
+  private def noSuchProcedure(ident: Identifier): Exception =
+    new RuntimeException(
+      s"no such procedure ${ident.name()} — the $catalogName catalog " +
+        s"serves: ${VlogProcedures.names.mkString(", ")}")
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty) Array.empty
+    else VlogProcedures.names
+      .map(n => Identifier.of(Array.empty[String], n)).toArray
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],

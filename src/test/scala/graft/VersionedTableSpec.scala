@@ -1149,4 +1149,156 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.compactSmallFiles(spark, dir, target = 1).isEmpty
       || VersionedTable.liveFiles(dir).size == 1)
   }
+
+  private def mountCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graft_vlog",
+      "graft.sources.VlogCatalog")
+
+  test("CALL procedures drive compact, small-file packing and vacuum") {
+    val dir = freshDir()
+    // three small-file commits — the shape streaming ingest leaves
+    VersionedTable.append(df(1L, 2L), dir)
+    VersionedTable.append(df(3L, 4L), dir)
+    VersionedTable.append(df(5L, 6L), dir)
+    mountCatalog()
+    val before = idSet(VersionedTable.read(spark, dir))
+
+    // OPTIMIZE through SQL text: one COW commit; the result row is what
+    // a scheduler would log
+    val c = spark.sql(s"CALL graft_vlog.compact('$dir', 'id', 2)").collect()
+    assert(c.length === 1)
+    assert(c(0).getLong(0) === 3L, "compact = the fourth commit")
+    assert(c(0).getInt(1) === 3, "one file per append before")
+    assert(c(0).getInt(2) <= 2, "clustered into <= buckets files")
+    assert(idSet(VersionedTable.read(spark, dir)) === before,
+      "CALL compact changed table contents")
+
+    // named arguments + parameter defaults both route: a fresh-file
+    // vacuum under the DEFAULT retention window reclaims nothing…
+    val v0 = spark.sql(s"CALL graft_vlog.vacuum(table => '$dir')").collect()
+    assert(v0(0).getInt(0) === 0,
+      "default-retention vacuum reclaimed in-window files")
+    // …and retention 0 reclaims exactly the three pre-compact files
+    val v = spark.sql(
+      s"CALL graft_vlog.vacuum(table => '$dir', retention_ms => 0)")
+      .collect()
+    // ≥ 3: the three pre-compact data files, plus their staging dirs'
+    // _SUCCESS/checksum sidecars (vacuum reports every path it deletes)
+    assert(v(0).getInt(0) >= 3, s"expected >= 3 reclaimed, got ${v(0)}")
+    assert(idSet(VersionedTable.read(spark, dir)) === before)
+
+    // small-file packing through SQL on a separate ingest tail
+    val dir2 = freshDir()
+    VersionedTable.append(df(1L), dir2)
+    VersionedTable.append(df(2L), dir2)
+    VersionedTable.append(df(3L), dir2)
+    val p = spark.sql(
+      s"CALL graft_vlog.compact_small_files('$dir2', 33554432, 1, 2)")
+      .collect()
+    assert(!p(0).isNullAt(0) && p(0).getLong(0) === 3L)
+    assert(p(0).getInt(2) === 1, "three small files packed into one")
+    // converged table → NULL version (no-op), file count unchanged
+    val p2 = spark.sql(
+      s"CALL graft_vlog.compact_small_files('$dir2', 33554432, 1, 2)")
+      .collect()
+    assert(p2(0).isNullAt(0), "no-op pack must report NULL version")
+    assert(p2(0).getInt(2) === 1)
+
+    // a procedure the catalog does not serve fails loudly, naming the
+    // ones it does
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft_vlog.nope('$dir')").collect()
+    }
+    assert(e.getMessage.contains("no such procedure") ||
+      Option(e.getCause).exists(_.getMessage.contains("no such procedure")))
+  }
+
+  test("CALL zorder rewrites the snapshot multi-dimensionally clustered") {
+    val dir = freshDir()
+    // unclustered ingest: every file spans both key domains
+    VersionedTable.append(
+      spark.range(0L, 512L).select(
+        (col("id") % 64).as("a"), expr("id div 64").as("b"),
+        col("id").as("payload_id")).repartition(4), dir)
+    mountCatalog()
+    val before = VersionedTable.read(spark, dir)
+      .select("a", "b", "payload_id").collect().map(_.toSeq).toSet
+
+    val z = spark.sql(s"CALL graft_vlog.zorder('$dir', 'a,b', 4)").collect()
+    assert(z(0).getLong(0) === 1L, "zorder = the second commit")
+    assert(z(0).getInt(2) <= 4)
+    assert(VersionedTable.read(spark, dir)
+      .select("a", "b", "payload_id").collect().map(_.toSeq).toSet
+      === before, "CALL zorder changed table contents")
+    // the rewrite installed BOTH dimensions' stats: pruning on either
+    // key now skips files (the @files inventory shows the envelopes)
+    val stats = spark.sql(s"SELECT DISTINCT stat_key FROM " +
+      s"graft_vlog.`$dir@files` WHERE stat_key IS NOT NULL")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("a", "b").subsetOf(stats),
+      s"zorder rewrite must stat both keys, got $stats")
+  }
+
+  test("aggregate pushdown answers count/min/max from footers") {
+    val dir = freshDir()
+    // v0: nullable v (every 5th id NULL); v1 evolves the schema with w,
+    // so the v0 file must contribute all-NULL partials for w
+    VersionedTable.append(
+      spark.range(0L, 400L).select(col("id"),
+        when(col("id") % 5 === 0, lit(null))
+          .otherwise(col("id") % 7).as("v")).coalesce(1), dir)
+    VersionedTable.append(
+      spark.range(400L, 500L).select(col("id"), (col("id") % 7).as("v"),
+        (col("id") * 2).as("w")).coalesce(1), dir)
+    mountCatalog()
+
+    val q = spark.sql(
+      s"""SELECT COUNT(*) AS n, COUNT(v) AS nv, COUNT(w) AS nw,
+                 MIN(id) AS lo, MAX(id) AS hi,
+                 MIN(w) AS wlo, MAX(w) AS whi
+          FROM graft_vlog.`$dir`""")
+    // the plan carries the pushed aggregate (the scan IS the agg source)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates"),
+      s"aggregate did not push into the vlog scan:\n$plan")
+    val r = q.collect()(0)
+    assert(r.getLong(0) === 500L)
+    assert(r.getLong(1) === 420L, "count(v) must subtract footer nulls")
+    assert(r.getLong(2) === 100L, "count(w) over the evolved column")
+    assert(r.getLong(3) === 0L && r.getLong(4) === 499L)
+    assert(r.getLong(5) === 800L && r.getLong(6) === 998L,
+      "min/max(w) must ignore the pre-evolution file")
+
+    // a FILTERED aggregate must NOT push (vlog filters are residual) and
+    // must still be exact
+    val f = spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft_vlog.`$dir` WHERE id >= 450")
+    assert(!f.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"),
+      "a filtered aggregate must not push past residual filters")
+    assert(f.collect()(0).getLong(0) === 50L)
+
+    // temporal min/max ride the same exact integer stats (micros/days)
+    val dirT = freshDir()
+    VersionedTable.append(
+      spark.range(0L, 100L).select(col("id"),
+        expr("timestampadd(SECOND, CAST(id AS INT), " +
+          "TIMESTAMP_NTZ'2024-01-01 00:00:00')").as("ts"),
+        expr("date_add(DATE'2024-01-01', CAST(id AS INT))").as("d"))
+        .coalesce(1), dirT)
+    val t = spark.sql(
+      s"""SELECT MIN(ts) AS tlo, MAX(ts) AS thi, MIN(d) AS dlo,
+                 MAX(d) AS dhi, COUNT(*) AS n
+          FROM graft_vlog.`$dirT`""")
+    assert(t.queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+    val tr = t.collect()(0)
+    assert(tr.getAs[java.time.LocalDateTime](0) ===
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0))
+    assert(tr.getAs[java.time.LocalDateTime](1) ===
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 1, 39))
+    assert(tr.getDate(2).toString === "2024-01-01")
+    assert(tr.getDate(3).toString === "2024-04-09")
+    assert(tr.getLong(4) === 100L)
+  }
 }

@@ -355,7 +355,36 @@ def main() -> int:
     print(f"[pyspark-smoke] {a9}: py4j rows={len(via_jvma9)} "
           f"python-sql rows={len(via_pya9)} "
           f"{'MATCH' if a9_ok else 'MISMATCH'}")
-    n_total = len(names) + 10
+    # a14/a13 (round 17): maintenance procedures + aggregate pushdown
+    # through the Python client — stage a vlog table via the JVM writer,
+    # run CALL compact + CALL vacuum as PYTHON SQL text, then read it
+    # back with a filterless aggregate (which pushes into the footer
+    # scan) and prove the maintenance cycle preserved contents exactly.
+    import tempfile
+    vdir = tempfile.mkdtemp(prefix="graft-vlog-smoke")
+    vt = spark._jvm.graft.sources.VersionedTable
+    docs = spark.sql("SELECT doc_id, lang, n_chars FROM documents")
+    vt.append(docs.filter("doc_id % 2 = 0")._jdf, vdir)
+    vt.append(docs.filter("doc_id % 2 = 1")._jdf, vdir)
+    spark.conf.set("spark.sql.catalog.graft_vlog",
+                   "graft.sources.VlogCatalog")
+    crow = spark.sql(
+        f"CALL graft_vlog.compact('{vdir}', 'doc_id', 2)").collect()[0]
+    vrow = spark.sql(
+        f"CALL graft_vlog.vacuum(table => '{vdir}', retention_ms => 0)"
+    ).collect()[0]
+    agg = ("SELECT COUNT(*) AS n, MIN(doc_id) AS lo, MAX(doc_id) AS hi, "
+           "CAST(SUM(n_chars) AS BIGINT) AS sc FROM ")
+    got = spark.sql(agg + f"graft_vlog.`{vdir}`").collect()[0]
+    want = spark.sql(agg + "documents").collect()[0]
+    proc_ok = (tuple(got) == tuple(want) and crow["version"] == 2
+               and crow["files_after"] <= 2 and vrow["files_reclaimed"] >= 2)
+    failures += 0 if proc_ok else 1
+    print(f"[pyspark-smoke] a14_sql_maintenance+a13_agg_push: "
+          f"call=(v{crow['version']}, {crow['files_after']} files, "
+          f"{vrow['files_reclaimed']} reclaimed) agg={tuple(got)} "
+          f"{'MATCH' if proc_ok else 'MISMATCH'}")
+    n_total = len(names) + 11
     spark.stop()
     print(f"[pyspark-smoke] {n_total - failures}/{n_total} matched")
     return 1 if failures else 0
