@@ -141,6 +141,20 @@ object RelationalCore {
       s.sql(s"CALL graft_vlog.vacuum('$dir', 0)").collect()
     }
 
+  /** The a15 table: documents clustered on doc_id with parquet BLOOM
+    * filters written for the unclustered n_chars and source columns —
+    * the write-side half of point-lookup group skipping. Built once per
+    * (JVM, sf dir).
+    */
+  private def a15Table(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    memoizedVlogTable("graft-vlog-a15", d) { dir =>
+      VersionedTable.appendClustered(
+        Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars"),
+        dir, "doc_id", buckets = 8,
+        bloomCols = Seq("n_chars", "source"))
+    }
+
   val queries: Seq[Q] = Seq(
     // ---- A. scans ---------------------------------------------------------
     Q("a1_scan_project",
@@ -505,6 +519,29 @@ object RelationalCore {
                      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                      CAST(4 AS BIGINT) AS n_versions
               FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Point lookups through the vlog scan (round 17): `IN` and string
+    // `=` conjuncts push as group-skip hints — the doc_id IN set prunes
+    // FILES through log stats (its envelope) and ROW GROUPS through
+    // parquet stats, while the source probe engages the written bloom /
+    // dictionary filtering (the a15 table writes parquet blooms for its
+    // unclustered columns). All filters stay residual, so the oracle
+    // proves the skip machinery is pure optimization — the 100-TB
+    // needle-in-haystack query shape (spec pins the skipping itself).
+    Q("a15_point_lookup",
+      (s, d) => {
+        val dir = a15Table(s, d)
+        mountVlogCatalog(s)
+        s.sql(s"""SELECT doc_id, lang, source, n_chars
+                  FROM graft_vlog.`$dir`
+                  WHERE source IN ('src3', 'src7')
+                    AND doc_id IN (2,3,5,8,13,21,34,55,89,144,233,377)
+                  ORDER BY doc_id""")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+              WHERE source IN ('src3', 'src7')
+                AND doc_id IN (2,3,5,8,13,21,34,55,89,144,233,377)
+              ORDER BY doc_id""")),
 
     // ---- B. projection / filter / predicates ------------------------------
     Q("b1_filter_pred",

@@ -342,12 +342,20 @@ object VersionedTable {
 
   /** Stage `df` as immutable parquet under a fresh data/<token>/ dir and
     * return the staged table-relative file paths. Nothing is visible until
-    * a commit references them.
+    * a commit references them. `bloomCols` turns on parquet's NATIVE
+    * per-row-group bloom filters for those columns (the writer-side half
+    * of point-lookup skipping: blooms live IN the files, read back by
+    * parquet's own row-group filtering when an `=`/`IN` predicate is
+    * pushed — no log bloat, ~1 MB per enabled column per group).
     */
-  private def stage(df: DataFrame, dir: String): Seq[String] = {
+  private def stage(df: DataFrame, dir: String,
+      bloomCols: Seq[String] = Seq.empty): Seq[String] = {
     val token = java.util.UUID.randomUUID.toString
     val sub = s"data/$token"
-    df.write.parquet(Paths.get(dir, sub).toString)
+    val w = df.write
+    bloomCols.foreach(c =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+    w.parquet(Paths.get(dir, sub).toString)
     val s = Files.list(Paths.get(dir, sub))
     try s.iterator().asScala.map(_.getFileName.toString)
       .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
@@ -428,8 +436,9 @@ object VersionedTable {
       .map { case (k, lo, hi) => s"stats:$rel|$k|$lo|$hi" }
 
   private def stageWithStats(df: DataFrame, dir: String,
-      statKeys: Seq[String]): Seq[String] = {
-    val added = stage(df, dir)
+      statKeys: Seq[String],
+      bloomCols: Seq[String] = Seq.empty): Seq[String] = {
+    val added = stage(df, dir, bloomCols)
     // ONE footer open per staged file serves every requested key (the
     // per-(file, key) reopen was O(keys) footer reads — r16 review)
     added.map("add:" + _) ++ added.flatMap { f =>
@@ -440,9 +449,9 @@ object VersionedTable {
   }
 
   private def stageClustered(df: DataFrame, dir: String, key: String,
-      buckets: Int): Seq[String] =
+      buckets: Int, bloomCols: Seq[String] = Seq.empty): Seq[String] =
     stageWithStats(df.repartitionByRange(buckets, col(key))
-      .sortWithinPartitions(key), dir, Seq(key))
+      .sortWithinPartitions(key), dir, Seq(key), bloomCols)
 
   /** Bit-spread the low 32 bits of `c` so bit i lands at position 2i —
     * half of the 64-bit Morton (Z-order) interleave, as pure codegen'd
@@ -592,8 +601,8 @@ object VersionedTable {
     * multi-column clustering changes only the repartition expression).
     */
   def appendClustered(df: DataFrame, dir: String, key: String,
-      buckets: Int = 8): Long = {
-    val lines = stageClustered(df, dir, key, buckets)
+      buckets: Int = 8, bloomCols: Seq[String] = Seq.empty): Long = {
+    val lines = stageClustered(df, dir, key, buckets, bloomCols)
     commitRetrying(dir, "commit to")(_ => "op:append-clustered" +: lines)
   }
 
@@ -677,11 +686,11 @@ object VersionedTable {
     * until vacuum. Same optimistic-retry discipline as merge.
     */
   def compact(spark: SparkSession, dir: String, key: String,
-      buckets: Int = 8): Long =
+      buckets: Int = 8, bloomCols: Seq[String] = Seq.empty): Long =
     commitRetrying(dir, "compact") { head =>
       val removed = liveFiles(dir, Some(head))
       val lines = stageClustered(
-        read(spark, dir, Some(head)), dir, key, buckets)
+        read(spark, dir, Some(head)), dir, key, buckets, bloomCols)
       "op:compact" +: (lines ++ removed.map("remove:" + _))
     }
 

@@ -97,19 +97,30 @@ object VlogColumnarReader {
     }
   }
 
-  def open(part: VlogInputPartition, required: StructType)
+  def open(part: VlogInputPartition, required: StructType,
+      ranges: Map[String, (Long, Long)] = Map.empty,
+      points: Seq[VlogPointPred] = Seq.empty)
       : PartitionReader[ColumnarBatch] = {
     val abs: Path = java.nio.file.Paths.get(part.absPath)
     val in = HadoopInputFile.fromPath(new HPath(abs.toUri),
       new Configuration())
     // a row-group SPLIT reads only the groups whose midpoint falls in
     // its byte range — parquet's own block selection, so getRowGroups
-    // (and therefore the footer-only count path) reflects the split
-    val reader =
-      if (part.rangeStart < 0) ParquetFileReader.open(in)
-      else ParquetFileReader.open(in,
-        org.apache.parquet.ParquetReadOptions.builder()
-          .withRange(part.rangeStart, part.rangeEnd).build())
+    // (and therefore the footer-only count path) reflects the split.
+    // Pushed point/range hints additionally become parquet's row-group
+    // filtering (stats + dictionary + BLOOM): a group that provably
+    // cannot match is dropped before any page read. Sound for the
+    // footer-only count path too: predicates imply their columns are in
+    // `required` (residual re-evaluation needs them), so a file serving
+    // the footer-only path has no applicable conjuncts — forFile drops
+    // conjuncts on absent columns. The filter costs ONE extra footer
+    // open per (file, predicated scan); predicate-free scans pay nothing.
+    val optsB = org.apache.parquet.ParquetReadOptions.builder()
+    if (part.rangeStart >= 0) optsB.withRange(part.rangeStart, part.rangeEnd)
+    if (ranges.nonEmpty || points.nonEmpty)
+      VlogFilters.forFile(VlogSchema.footer(abs)._1, ranges, points)
+        .foreach(optsB.withRecordFilter)
+    val reader = ParquetFileReader.open(in, optsB.build())
     val fileSchema: MessageType = reader.getFooter.getFileMetaData.getSchema
     val createdBy = reader.getFooter.getFileMetaData.getCreatedBy
     val totalRows = reader.getRowGroups.asScala.map(_.getRowCount).sum

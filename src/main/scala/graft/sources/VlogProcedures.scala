@@ -90,7 +90,10 @@ object VlogProcedures {
       P("key", StringType).comment("clustering column (integral/temporal)")
         .build(),
       P("buckets", IntegerType).defaultValue("8")
-        .comment("target file count").build()),
+        .comment("target file count").build(),
+      P("bloom_cols", StringType).defaultValue("''")
+        .comment("comma-separated columns to write parquet bloom " +
+          "filters for (point-lookup group skipping)").build()),
     StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("files_before", IntegerType, nullable = false),
@@ -99,8 +102,10 @@ object VlogProcedures {
         in: InternalRow): Seq[Any] = {
       val dir = tableDir(in, 0)
       val before = VersionedTable.liveFiles(dir).size
+      val blooms = in.getUTF8String(3).toString.split(",").toSeq
+        .map(_.trim).filter(_.nonEmpty)
       val v = VersionedTable.compact(spark, dir,
-        in.getUTF8String(1).toString, in.getInt(2))
+        in.getUTF8String(1).toString, in.getInt(2), blooms)
       // Seq[Any], NOT Seq(...): a Long head makes Scala infer
       // Seq[Long] and silently WIDEN the Int file counts, which
       // then fail the IntegerType unboxing in the result projection

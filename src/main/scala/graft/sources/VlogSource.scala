@@ -20,7 +20,7 @@ import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, 
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -436,6 +436,9 @@ final class VlogScanBuilder(dir: String, asOf: Option[Long],
   private var accepted: Array[Filter] = Array.empty
   // per-column conservative [lo, hi] envelopes for FILE skipping
   private var ranges: Map[String, (Long, Long)] = Map.empty
+  // point-lookup conjuncts (=, IN) for executor-side ROW-GROUP skipping
+  // through parquet's stats/dictionary/bloom filtering
+  private var points: Seq[VlogPointPred] = Seq.empty
   private var pushedAgg
       : Option[org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation] = None
@@ -459,7 +462,14 @@ final class VlogScanBuilder(dir: String, asOf: Option[Long],
     }
     accepted = filters.filter {
       case EqualTo(c, v) =>
-        long(v).exists { l => note(c, l, l); true }
+        long(v).exists { l => note(c, l, l); true } || (v match {
+          // string equality has no integer envelope, but parquet's
+          // dictionary/bloom row-group filtering can serve it
+          // executor-side — record it as a point conjunct
+          case s: String =>
+            points :+= VlogPointPred(c, Seq.empty, Seq(s)); true
+          case _ => false
+        })
       case GreaterThan(c, v) =>
         long(v).exists { l => note(c, l, Long.MaxValue); true }
       case GreaterThanOrEqual(c, v) =>
@@ -468,6 +478,29 @@ final class VlogScanBuilder(dir: String, asOf: Option[Long],
         long(v).exists { l => note(c, Long.MinValue, l); true }
       case LessThanOrEqual(c, v) =>
         long(v).exists { l => note(c, Long.MinValue, l); true }
+      case In(c, vs) if vs.nonEmpty =>
+        // NULL members can never equal — dropping them only shrinks the
+        // OR toward the true matching set
+        val nn = vs.filter(_ != null)
+        val ls = nn.flatMap(long(_))
+        if (nn.nonEmpty && ls.length == nn.length) {
+          // integral/temporal IN: the value-set envelope prunes FILES
+          // through the log stats, the exact point set prunes ROW
+          // GROUPS through parquet stats + blooms
+          note(c, ls.min, ls.max)
+          points :+= VlogPointPred(c, ls.toSeq, Seq.empty)
+          true
+        } else if (nn.nonEmpty && nn.forall(_.isInstanceOf[String])) {
+          points :+= VlogPointPred(c, Seq.empty,
+            nn.toSeq.map(_.asInstanceOf[String]))
+          true
+        } else false
+      case IsNull(c) =>
+        // exact from per-group NULL COUNTS: skips every fully-populated
+        // group (the "which rows still lack the evolved column" audit)
+        points :+= VlogPointPred.isNull(c, test = true); true
+      case IsNotNull(c) =>
+        points :+= VlogPointPred.isNull(c, test = false); true
       case _ => false
     }
     filters // all residual — skipping is an optimization, never semantics
@@ -495,7 +528,7 @@ final class VlogScanBuilder(dir: String, asOf: Option[Long],
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
-    val ok = accepted.isEmpty && ranges.isEmpty &&
+    val ok = accepted.isEmpty && ranges.isEmpty && points.isEmpty &&
       VlogAggScan.supported(agg, full)
     if (ok) pushedAgg = Some(agg)
     ok
@@ -505,14 +538,15 @@ final class VlogScanBuilder(dir: String, asOf: Option[Long],
     case Some(agg) =>
       new VlogAggScanImpl(dir, asOf, agg.aggregateExpressions, full)
     case None =>
-      new VlogScan(dir, asOf, required, full, ranges, maxFilesPerBatch,
-        startingVersion)
+      new VlogScan(dir, asOf, required, full, ranges, points,
+        maxFilesPerBatch, startingVersion)
   }
 }
 
 final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
     full: StructType,
-    ranges: Map[String, (Long, Long)], maxFilesPerBatch: Int,
+    ranges: Map[String, (Long, Long)], points: Seq[VlogPointPred],
+    maxFilesPerBatch: Int,
     startingVersion: Long) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -538,9 +572,16 @@ final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
   override def description(): String = {
     val rs = ranges.toSeq.sortBy(_._1)
       .map { case (k, (lo, hi)) => s"$k∈[$lo,$hi]" }.mkString(", ")
+    val ps = points.map { p =>
+      p.nullTest match {
+        case Some(t) => s"${p.col} IS ${if (t) "" else "NOT "}NULL"
+        case None => s"${p.col}∈{${(
+          p.longs.map(_.toString) ++ p.strs).take(8).mkString(",")}}"
+      }
+    }.mkString(", ")
     s"graft-vlog $dir version=$pinned files=${keptFiles.size} " +
       s"cols=[${required.fieldNames.mkString(",")}] " +
-      s"PushedFileRanges: [$rs]"
+      s"PushedFileRanges: [$rs] PushedGroupPoints: [$ps]"
   }
 
   /** One partition per ROW GROUP, not per file (r17): a multi-group
@@ -567,7 +608,7 @@ final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
   override def planInputPartitions(): Array[InputPartition] = splits
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VlogReaderFactory(required)
+    new VlogReaderFactory(required, ranges, points)
 
   /** POST-pruning statistics from filesystem metadata (Files.size of the
     * kept files — no footer opens, no data reads): without this a DSv2
@@ -624,7 +665,9 @@ final case class VlogInputPartition(absPath: String,
   * a record reader: the footer's row count drives `rowsOnly` emission of
   * all-null/zero-width rows, zero data pages read.
   */
-final class VlogReaderFactory(required: StructType)
+final class VlogReaderFactory(required: StructType,
+    ranges: Map[String, (Long, Long)] = Map.empty,
+    points: Seq[VlogPointPred] = Seq.empty)
     extends PartitionReaderFactory {
 
   /** Every type that survives schema derivation decodes columnar, so
@@ -639,7 +682,7 @@ final class VlogReaderFactory(required: StructType)
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     VlogColumnarReader.open(
-      partition.asInstanceOf[VlogInputPartition], required)
+      partition.asInstanceOf[VlogInputPartition], required, ranges, points)
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -650,7 +693,7 @@ final class VlogReaderFactory(required: StructType)
     // spec-pinned identical); whole-file partitions keep the independent
     // Group reader, the spec's differential twin
     if (p.rangeStart >= 0) {
-      val inner = VlogColumnarReader.open(p, required)
+      val inner = VlogColumnarReader.open(p, required, ranges, points)
       return new PartitionReader[InternalRow] {
         private var it: java.util.Iterator[InternalRow] =
           java.util.Collections.emptyIterator()
@@ -690,8 +733,15 @@ final class VlogReaderFactory(required: StructType)
           val projection = new MessageType(fileSchema.getName, wanted: _*)
           val conf = new Configuration()
           conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-          ParquetReader.builder(new GroupReadSupport(), new HPath(abs.toUri))
-            .withConf(conf).build()
+          val b = ParquetReader.builder(new GroupReadSupport(),
+            new HPath(abs.toUri)).withConf(conf)
+          // pushed point/range hints become parquet's OWN row-group
+          // filtering (stats + dictionary + bloom) — groups that cannot
+          // match are never page-read; the predicate is a conservative
+          // superset test and Spark's residual filter restores exactness
+          VlogFilters.forFile(fileSchema, ranges, points)
+            .foreach(b.withFilter)
+          b.build()
         }
       private var rowsOnly = 0L
       private var cur: Group = _

@@ -138,8 +138,11 @@ final class VlogWriteBuilder(dir: String, info: LogicalWriteInfo)
 
   override def build(): Write = new Write {
     validateSchema()
+    private def bloomCols: Seq[String] =
+      Option(info.options().get("bloomColumns")).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     override def toBatch: BatchWrite =
-      new VlogBatchWrite(dir, info.schema(), truncateFirst)
+      new VlogBatchWrite(dir, info.schema(), truncateFirst, bloomCols)
     override def toStreaming: StreamingWrite = {
       require(!truncateFirst,
         "graft-vlog streaming writes are append-only (no complete mode)")
@@ -150,7 +153,8 @@ final class VlogWriteBuilder(dir: String, info: LogicalWriteInfo)
           Option(opts.get("autoCompactSmallBytes")).map(_.toLong)
             .getOrElse(32L * 1024 * 1024))
       }
-      new VlogStreamingWrite(dir, info.schema(), info.queryId(), auto)
+      new VlogStreamingWrite(dir, info.schema(), info.queryId(), auto,
+        bloomCols)
     }
   }
 }
@@ -164,11 +168,13 @@ final class VlogWriteBuilder(dir: String, info: LogicalWriteInfo)
 final case class AutoCompact(at: Int, target: Int, smallBytes: Long)
 
 final class VlogBatchWrite(dir: String, schema: StructType,
-    truncateFirst: Boolean) extends BatchWrite {
+    truncateFirst: Boolean, bloomCols: Seq[String] = Seq.empty)
+    extends BatchWrite {
   private val token = java.util.UUID.randomUUID.toString
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
-      : DataWriterFactory = new VlogWriterFactory(dir, token, schema)
+      : DataWriterFactory =
+    new VlogWriterFactory(dir, token, schema, bloomCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val adds = VlogWrite.addLines(messages)
@@ -189,12 +195,14 @@ final class VlogBatchWrite(dir: String, schema: StructType,
 }
 
 final class VlogStreamingWrite(dir: String, schema: StructType,
-    queryId: String, autoCompact: Option[AutoCompact] = None)
+    queryId: String, autoCompact: Option[AutoCompact] = None,
+    bloomCols: Seq[String] = Seq.empty)
     extends StreamingWrite {
   private val token = java.util.UUID.randomUUID.toString
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
-      : StreamingDataWriterFactory = new VlogWriterFactory(dir, token, schema)
+      : StreamingDataWriterFactory =
+    new VlogWriterFactory(dir, token, schema, bloomCols)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -233,7 +241,7 @@ final class VlogStreamingWrite(dir: String, schema: StructType,
   * stages nothing at all.
   */
 final class VlogWriterFactory(dir: String, token: String,
-    schema: StructType)
+    schema: StructType, bloomCols: Seq[String] = Seq.empty)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
@@ -254,8 +262,12 @@ final class VlogWriterFactory(dir: String, token: String,
       if (out == null) {
         val abs = Paths.get(dir, rel)
         Files.createDirectories(abs.getParent)
-        out = ExampleParquetWriter.builder(new HPath(abs.toUri))
-          .withType(msgType).withConf(new Configuration()).build()
+        val b = ExampleParquetWriter.builder(new HPath(abs.toUri))
+          .withType(msgType).withConf(new Configuration())
+        // `.option("bloomColumns", "a,b")` — parquet-native per-group
+        // bloom filters, the write-side half of point-lookup skipping
+        bloomCols.foreach(c => b.withBloomFilterEnabled(c, true))
+        out = b.build()
       }
       val g = factory.newGroup()
       schema.fields.zipWithIndex.foreach { case (f, i) =>
