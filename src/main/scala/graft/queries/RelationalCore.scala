@@ -155,6 +155,21 @@ object RelationalCore {
         bloomCols = Seq("n_chars", "source"))
     }
 
+  /** The a16 table: born from a single `CREATE TABLE … AS SELECT`
+    * statement — catalog DDL creates the directory-table (declared
+    * schema as a zero-row v0 commit) and the CTAS write appends the
+    * query result as v1. Built once per (JVM, sf dir).
+    */
+  private def a16Table(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    memoizedVlogTable("graft-vlog-a16", d) { dir =>
+      mountVlogCatalog(s)
+      Tables.documents(s, d).createOrReplaceTempView("a16_docs")
+      s.sql(s"""CREATE TABLE graft_vlog.`$dir` AS
+                SELECT doc_id, lang, n_chars FROM a16_docs
+                WHERE doc_id % 4 <> 1""")
+    }
+
   val queries: Seq[Q] = Seq(
     // ---- A. scans ---------------------------------------------------------
     Q("a1_scan_project",
@@ -542,6 +557,29 @@ object RelationalCore {
               WHERE source IN ('src3', 'src7')
                 AND doc_id IN (2,3,5,8,13,21,34,55,89,144,233,377)
               ORDER BY doc_id""")),
+
+    // Catalog DDL (round 17): the table this query reads was born from
+    // one `CREATE TABLE graft_vlog.`…` AS SELECT` statement — DDL
+    // creates the directory-table with its declared schema recorded as
+    // a zero-row v0 commit (the schema-from-footers invariant holds for
+    // empty tables with no side-channel schema file) and the CTAS write
+    // appends the filtered projection as v1. The oracle recomputes the
+    // CTAS predicate relationally, proving the whole
+    // create→write→read-back cycle; the spec additionally pins empty-
+    // table reads, INSERT INTO, double-CREATE refusal, the
+    // PARTITIONED BY refusal, and DROP TABLE.
+    Q("a16_sql_ctas",
+      (s, d) => {
+        val dir = a16Table(s, d)
+        s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
+                         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+                  FROM graft_vlog.`$dir`
+                  GROUP BY lang ORDER BY lang""")
+      },
+      Some("""SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+              FROM documents WHERE doc_id % 4 <> 1
+              GROUP BY lang ORDER BY lang""")),
 
     // ---- B. projection / filter / predicates ------------------------------
     Q("b1_filter_pred",

@@ -367,6 +367,28 @@ object VersionedTable {
   def append(df: DataFrame, dir: String): Long =
     commitNext(dir, "append", stage(df, dir), Seq.empty)
 
+  /** CREATE TABLE's commit: a ZERO-ROW parquet file carrying the
+    * declared schema, staged and committed as v0 — the
+    * schema-from-footers invariant every reader relies on holds for an
+    * empty table with no side-channel schema file. Written directly
+    * through the parquet writer (a Spark empty-DataFrame write may or
+    * may not emit a file depending on partition emptiness — this must).
+    */
+  private[sources] def createEmpty(dir: String,
+      schema: org.apache.spark.sql.types.StructType): Long = {
+    val token = java.util.UUID.randomUUID.toString
+    val rel = s"data/$token/part-create-00000.parquet"
+    val abs = Paths.get(dir, rel)
+    Files.createDirectories(abs.getParent)
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(abs.toUri))
+      .withType(VlogWrite.toParquet(schema))
+      .withConf(new org.apache.hadoop.conf.Configuration())
+      .build()
+    w.close()
+    commitNext(dir, "create", Seq(rel), Seq.empty)
+  }
+
   /** Min/max of an INT64 column straight from a parquet file's FOOTER —
     * block-level statistics the writer already paid for, so harvesting
     * them costs metadata reads only, never a data scan (the reason

@@ -548,7 +548,8 @@ final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
     ranges: Map[String, (Long, Long)], points: Seq[VlogPointPred],
     maxFilesPerBatch: Int,
     startingVersion: Long) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   // snapshot pinned ONCE per scan: a concurrent commit between explain,
   // planInputPartitions, and a re-plan must not tear the query across
@@ -556,16 +557,81 @@ final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
   private lazy val pinned: Long =
     asOf.getOrElse(VersionedTable.currentVersion(dir))
 
+  // runtime-narrowed copies of the planning-time hints: a join's small
+  // side delivers its key values here (SupportsRuntimeFiltering — the
+  // Iceberg dynamic-file-pruning shape), narrowing BOTH the file-level
+  // log-stats prune and the executor-side row-group skip
+  @volatile private var rtRanges: Map[String, (Long, Long)] = ranges
+  @volatile private var rtPoints: Seq[VlogPointPred] = points
+  @volatile private var keptCache: Seq[String] = null
+  @volatile private var splitsCache: Array[InputPartition] = null
+
+  /** Any column of the scan's OUTPUT can carry a runtime filter (file
+    * pruning falls back to "keep" for unstatted keys, and the
+    * reader-side parquet filter serves the rest — both conservative).
+    * `required`, NOT `full`: Spark resolves these refs against the
+    * pruned scan output and throws on a column the projection dropped.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  /** Runtime filters are PRUNING-ONLY hints (the join re-evaluates its
+    * own condition exactly, the same contract as every pushed filter
+    * here): fold the deliverable shapes, drop the rest, and invalidate
+    * the file/split caches so the next planInputPartitions re-prunes.
+    */
+  override def filter(filters: Array[Filter]): Unit = {
+    def narrow(c: String, lo: Long, hi: Long): Unit = {
+      val (l0, h0) = rtRanges.getOrElse(c, (Long.MinValue, Long.MaxValue))
+      rtRanges += c -> (math.max(l0, lo), math.min(h0, hi))
+    }
+    filters.foreach {
+      case In(c, vs) if vs != null && vs.nonEmpty =>
+        val nn = vs.filter(_ != null)
+        val ls = nn.flatMap(v => VlogTable.statLong(v))
+        if (nn.nonEmpty && ls.length == nn.length) {
+          narrow(c, ls.min, ls.max)
+          rtPoints :+= VlogPointPred(c, ls.toSeq, Seq.empty)
+        } else if (nn.nonEmpty && nn.forall(_.isInstanceOf[String]))
+          rtPoints :+= VlogPointPred(c, Seq.empty,
+            nn.toSeq.map(_.asInstanceOf[String]))
+      case EqualTo(c, v) =>
+        VlogTable.statLong(v) match {
+          case Some(l) =>
+            narrow(c, l, l)
+            rtPoints :+= VlogPointPred(c, Seq(l), Seq.empty)
+          case None => v match {
+            case s: String =>
+              rtPoints :+= VlogPointPred(c, Seq.empty, Seq(s))
+            case _ => ()
+          }
+        }
+      case _ => () // pruning is optional; an undeliverable shape skips nothing
+    }
+    keptCache = null
+    splitsCache = null
+  }
+
   // ONE log replay serves every envelope check (each pruneFiles call
   // replays the log itself — r16 review); a file survives iff every
-  // hinted key's stats overlap, unstatted keys never skip
-  private lazy val keptFiles: Seq[String] =
-    VersionedTable.liveEntriesReplaying(dir, Some(pinned))._1
-      .filter { case (_, sts) =>
-        ranges.forall { case (key, (lo, hi)) =>
-          sts.get(key).forall(st => st.max >= lo && st.min <= hi)
-        }
-      }.map(_._1)
+  // hinted key's stats overlap, unstatted keys never skip. Cached with
+  // invalidation (not lazy) because a runtime filter must re-prune.
+  private def keptFiles: Seq[String] = {
+    var k = keptCache
+    if (k == null) {
+      val rs = rtRanges
+      k = VersionedTable.liveEntriesReplaying(dir, Some(pinned))._1
+        .filter { case (_, sts) =>
+          rs.forall { case (key, (lo, hi)) =>
+            sts.get(key).forall(st => st.max >= lo && st.min <= hi)
+          }
+        }.map(_._1)
+      keptCache = k
+    }
+    k
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -591,24 +657,31 @@ final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
     * files (the common clustered-write case) keep the whole-file
     * partition with zero extra footer cost at read time; the planning
     * footers are driver-side metadata, the same class of read the
-    * schema merge already pays — computed ONCE per scan (lazy), not per
+    * schema merge already pays — cached per scan, not recomputed per
     * planInputPartitions call (re-planning would repeat the serial
-    * footer walk — r17 review).
+    * footer walk — r17 review); a runtime filter invalidates the cache
+    * so the re-plan prunes on the delivered join keys.
     */
-  private lazy val splits: Array[InputPartition] =
-    keptFiles.flatMap { f =>
-      val abs = Paths.get(dir, f)
-      val mids = VlogSchema.rowGroupMidpoints(abs)
-      if (mids.size <= 1)
-        Seq(VlogInputPartition(abs.toString): InputPartition)
-      else mids.map(m =>
-        VlogInputPartition(abs.toString, -1L, m, m + 1): InputPartition)
-    }.toArray
+  private def splits: Array[InputPartition] = {
+    var s = splitsCache
+    if (s == null) {
+      s = keptFiles.flatMap { f =>
+        val abs = Paths.get(dir, f)
+        val mids = VlogSchema.rowGroupMidpoints(abs)
+        if (mids.size <= 1)
+          Seq(VlogInputPartition(abs.toString): InputPartition)
+        else mids.map(m =>
+          VlogInputPartition(abs.toString, -1L, m, m + 1): InputPartition)
+      }.toArray
+      splitsCache = s
+    }
+    s
+  }
 
   override def planInputPartitions(): Array[InputPartition] = splits
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VlogReaderFactory(required, ranges, points)
+    new VlogReaderFactory(required, rtRanges, rtPoints)
 
   /** POST-pruning statistics from filesystem metadata (Files.size of the
     * kept files — no footer opens, no data reads): without this a DSv2
@@ -1179,18 +1252,58 @@ class VlogCatalog
     else VlogProcedures.names
       .map(n => Identifier.of(Array.empty[String], n)).toArray
 
+  /** `CREATE TABLE graft_vlog.`/dir`` (and therefore CTAS — Spark plans
+    * it as createTable + append): the identifier IS the directory. The
+    * declared schema is durably recorded by staging an EMPTY parquet
+    * file as commit v0 ("op:create"), so the schema-from-footers
+    * invariant every reader relies on holds unchanged for a table with
+    * zero rows — no side-channel schema file, and the first real INSERT
+    * is validated against it exactly like any other write. Partitioning
+    * transforms are refused loudly (layout comes from
+    * clustering/Z-order, not hive partitions).
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "write through VersionedTable's commit protocol, not DDL")
+      properties: java.util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-vlog tables take no PARTITIONED BY — layout is installed " +
+        "by clustering (CALL graft_vlog.compact / zorder)")
+    val ok = ident.namespace().isEmpty && ident.name().startsWith("/")
+    if (!ok)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    val dir = Paths.get(ident.name())
+    if (Files.isDirectory(dir.resolve("_vlog")))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    Files.createDirectories(dir)
+    VersionedTable.createEmpty(ident.name(), schema)
+    new VlogTable(ident.name(), None, maxFilesPerBatch, 0L)
+  }
+
   override def alterTable(ident: Identifier,
       changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
     throw new UnsupportedOperationException(
       "schema evolves through VersionedTable writes, not DDL")
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "vlog tables are directories; drop is a filesystem operation")
+
+  /** `DROP TABLE graft_vlog.`/dir`` — the directory is the table; drop
+    * deletes it whole (log, live and historical files). Refuses
+    * non-vlog directories rather than recursively deleting arbitrary
+    * paths the identifier happens to name.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val ok = ident.namespace().isEmpty && ident.name().startsWith("/") &&
+      Files.isDirectory(Paths.get(ident.name(), "_vlog"))
+    if (!ok) false
+    else {
+      val root = Paths.get(ident.name())
+      val w = Files.walk(root)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally w.close()
+      true
+    }
+  }
   override def renameTable(ident: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException(
       "vlog tables are directories; rename is a filesystem operation")

@@ -1239,6 +1239,93 @@ class VersionedTableSpec extends AnyFunSuite {
       s"zorder rewrite must stat both keys, got $stats")
   }
 
+  test("runtime filtering prunes fact files on the join's key values") {
+    import graft.sources.VlogScanBuilder
+    val dir = freshDir()
+    // 8 id-clustered files: a dim that only references one bucket's ids
+    // should leave most of the fact unread
+    VersionedTable.appendClustered(
+      spark.range(0L, 4000L).select(col("id"), (col("id") % 7).as("v")),
+      dir, "id", buckets = 8)
+    assert(VersionedTable.liveFiles(dir).size === 8)
+
+    // scan-level law, driven exactly as Spark drives it: plan, then
+    // deliver the join side's values through filter(), then re-plan
+    val full = spark.read.format("graft-vlog").option("path", dir)
+      .load().schema
+    val scan = new VlogScanBuilder(dir, None, full, 16, 0L).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsRuntimeFiltering]
+    val before = scan.asInstanceOf[org.apache.spark.sql.connector.read.Scan]
+      .toBatch.planInputPartitions().length
+    assert(before === 8)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(10L, 11L, 250L))))
+    val after = scan.asInstanceOf[org.apache.spark.sql.connector.read.Scan]
+      .toBatch.planInputPartitions().length
+    assert(after === 1,
+      s"runtime In over one bucket's ids kept $after of $before files")
+
+    // end-to-end: the join result is exact and the physical scan shows
+    // the runtime filter attached
+    mountCatalog()
+    spark.range(0L, 3L).select((col("id") + 500L).as("k"))
+      .createOrReplaceTempView("rt_dim")
+    val j = spark.sql(s"""SELECT f.id, f.v FROM graft_vlog.`$dir` f
+                          JOIN rt_dim d ON f.id = d.k""")
+    val got = j.collect().map(_.toSeq).toSet
+    assert(got === Set(Seq(500L, 3L), Seq(501L, 4L), Seq(502L, 5L)))
+    assert(j.queryExecution.executedPlan.toString
+      .contains("RuntimeFilters"),
+      "no runtime filter attached to the vlog scan")
+  }
+
+  test("CREATE TABLE, CTAS, INSERT INTO and DROP TABLE through the " +
+      "catalog") {
+    mountCatalog()
+    val root = Files.createTempDirectory("graft-ddl").toString
+    val dir = s"$root/t1"
+    // CREATE TABLE records the declared schema as a zero-row v0 commit,
+    // so an empty table reads back schema-correct through the same
+    // footer-derivation path as any other
+    spark.sql(s"CREATE TABLE graft_vlog.`$dir` " +
+      "(id BIGINT, name STRING, ts TIMESTAMP_NTZ)")
+    val t = spark.sql(s"SELECT * FROM graft_vlog.`$dir`")
+    assert(t.columns.toSeq === Seq("id", "name", "ts"))
+    assert(t.count() === 0L)
+    assert(VersionedTable.currentVersion(dir) === 0L)
+    // a second CREATE of the same directory is a loud already-exists
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_vlog.`$dir` (id BIGINT)")
+    }
+    // INSERT INTO validates against the declared schema and lands v1
+    spark.sql(s"INSERT INTO graft_vlog.`$dir` VALUES " +
+      "(1, 'a', TIMESTAMP_NTZ'2024-01-01 00:00:00'), (2, 'b', NULL)")
+    assert(spark.sql(s"SELECT id, name FROM graft_vlog.`$dir`")
+      .collect().map(_.toSeq).toSet === Set(Seq(1L, "a"), Seq(2L, "b")))
+    // CTAS = createTable + append in one statement
+    val dir2 = s"$root/t2"
+    spark.sql(s"CREATE TABLE graft_vlog.`$dir2` AS " +
+      "SELECT id, id * 2 AS dbl FROM range(10)")
+    assert(spark.sql(
+      s"SELECT CAST(SUM(dbl) AS BIGINT) FROM graft_vlog.`$dir2`")
+      .head().getLong(0) === 90L)
+    // hive-style partitioning is refused loudly (layout = clustering)
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft_vlog.`$root/t3` (id BIGINT) " +
+        "PARTITIONED BY (id)")
+    }
+    assert(e.getMessage.contains("PARTITIONED") ||
+      Option(e.getCause).exists(_.getMessage.contains("PARTITIONED")))
+    // DROP TABLE deletes the directory whole — log, live and history
+    spark.sql(s"DROP TABLE graft_vlog.`$dir2`")
+    assert(!Files.isDirectory(Paths.get(dir2)),
+      "DROP TABLE left the directory behind")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_vlog.`$dir2`").collect()
+    }
+  }
+
   test("parquet blooms + group skipping serve point lookups on " +
       "unclustered keys") {
     import graft.sources.{VlogFilters, VlogPointPred}
