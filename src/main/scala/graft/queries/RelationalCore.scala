@@ -522,6 +522,9 @@ object RelationalCore {
     Q("a14_sql_maintenance",
       (s, d) => {
         val dir = a14Table(s, d)
+        // per-session, not per-JVM: the memoized builder mounted the
+        // catalog on ITS session; this one may be a different session
+        mountVlogCatalog(s)
         s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
                          CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                          v.n_versions
@@ -571,6 +574,9 @@ object RelationalCore {
     Q("a16_sql_ctas",
       (s, d) => {
         val dir = a16Table(s, d)
+        // per-session, not per-JVM: the memoized builder mounted the
+        // catalog on ITS session; this one may be a different session
+        mountVlogCatalog(s)
         s.sql(s"""SELECT lang, COUNT(*) AS n_docs,
                          CAST(SUM(n_chars) AS BIGINT) AS sum_chars
                   FROM graft_vlog.`$dir`

@@ -367,6 +367,13 @@ object VersionedTable {
   def append(df: DataFrame, dir: String): Long =
     commitNext(dir, "append", stage(df, dir), Seq.empty)
 
+  /** Thrown when CREATE TABLE loses the v0 race (or the directory was a
+    * table all along) — the catalog translates it to Spark's
+    * TableAlreadyExistsException.
+    */
+  private[sources] final class VlogTableExistsException(dir: String)
+    extends RuntimeException(s"vlog table already exists at $dir")
+
   /** CREATE TABLE's commit: a ZERO-ROW parquet file carrying the
     * declared schema, staged and committed as v0 — the
     * schema-from-footers invariant every reader relies on holds for an
@@ -386,7 +393,17 @@ object VersionedTable {
       .withConf(new org.apache.hadoop.conf.Configuration())
       .build()
     w.close()
-    commitNext(dir, "create", Seq(rel), Seq.empty)
+    // the create commit is EXACTLY v0, one attempt, no retry: two
+    // concurrent CREATE TABLEs both passing the catalog's existence
+    // pre-check must not both "succeed" with the loser landing its
+    // schema file as v1 (a silent schema union — r17 review). The
+    // link(2) create-if-absent on the v0 commit file IS the uniqueness
+    // arbiter; the loser's staged file is vacuumable garbage.
+    if (!tryCommitLines(dir, 0L, Seq("op:create", s"add:$rel"))) {
+      Files.deleteIfExists(abs)
+      throw new VlogTableExistsException(dir)
+    }
+    0L
   }
 
   /** Min/max of an INT64 column straight from a parquet file's FOOTER —

@@ -44,6 +44,15 @@ object VlogPointPred {
   */
 object VlogFilters {
 
+  /** Per-conjunct cap on recorded point values: beyond this the conjunct
+    * is not shipped (integral INs keep their [min,max] envelope, which
+    * still prunes; string INs simply skip nothing). The cap bounds task
+    * serialization (every partition carries the point sets) and the
+    * executor-side set size — dropping is always sound here because a
+    * skipped skip only widens the kept set.
+    */
+  val MaxPointValues = 4096
+
   def forFile(fileSchema: MessageType,
       ranges: Map[String, (Long, Long)],
       points: Seq[VlogPointPred]): Option[FilterCompat.Filter] = {
@@ -129,28 +138,45 @@ object VlogFilters {
               Some(if (test) FilterApi.eq(c, v) else FilterApi.notEq(c, v))
             case _ => None
           }
+        // IN sets go through parquet's SET-based In predicate, never an
+        // or-fold: a left-deep Or chain recurses once per value in every
+        // filter visitor (a broadcast dim's 100k keys would blow the
+        // executor stack) and evaluates O(|IN|) per record in the
+        // assembly filter — FilterApi.in is one node probing a hash set
         case (Some(PrimitiveTypeName.INT64), None) if p.longs.nonEmpty =>
           val col = FilterApi.longColumn(p.col)
-          p.longs.map(v =>
-              FilterApi.eq(col, java.lang.Long.valueOf(v)): FilterPredicate)
-            .reduceOption(FilterApi.or)
+          if (p.longs.sizeIs == 1)
+            Some(FilterApi.eq(col, java.lang.Long.valueOf(p.longs.head)))
+          else {
+            val set = new java.util.HashSet[java.lang.Long]()
+            p.longs.foreach(v => set.add(java.lang.Long.valueOf(v)))
+            Some(FilterApi.in(col, set))
+          }
         case (Some(PrimitiveTypeName.INT32), None) if p.longs.nonEmpty =>
           val col = FilterApi.intColumn(p.col)
           val in32 = p.longs.filter(v =>
             v >= Int.MinValue && v <= Int.MaxValue)
           // every value outside int32 is unsatisfiable on this column —
-          // dropped values only shrink the OR, so if ANY remain the OR
+          // dropped values only shrink the set, so if ANY remain the set
           // is still a superset of the original IN's matching set; if
           // NONE remain the whole conjunct is dropped (no skip)
           if (in32.isEmpty) None
-          else in32.map(v =>
-              FilterApi.eq(col, Integer.valueOf(v.toInt)): FilterPredicate)
-            .reduceOption(FilterApi.or)
+          else if (in32.sizeIs == 1)
+            Some(FilterApi.eq(col, Integer.valueOf(in32.head.toInt)))
+          else {
+            val set = new java.util.HashSet[java.lang.Integer]()
+            in32.foreach(v => set.add(Integer.valueOf(v.toInt)))
+            Some(FilterApi.in(col, set))
+          }
         case (Some(PrimitiveTypeName.BINARY), None) if p.strs.nonEmpty =>
           val col = FilterApi.binaryColumn(p.col)
-          p.strs.map(v => FilterApi.eq(col,
-              Binary.fromString(v)): FilterPredicate)
-            .reduceOption(FilterApi.or)
+          if (p.strs.sizeIs == 1)
+            Some(FilterApi.eq(col, Binary.fromString(p.strs.head)))
+          else {
+            val set = new java.util.HashSet[Binary]()
+            p.strs.foreach(v => set.add(Binary.fromString(v)))
+            Some(FilterApi.in(col, set))
+          }
         case _ => None
       }
     }

@@ -66,14 +66,31 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VlogSchema {
 
+  /** Footer (schema, rowCount), cached per absolute path: staged files
+    * are IMMUTABLE (COW never rewrites in place, staging dirs are
+    * uuid-named and never reused), so a footer read once is valid
+    * forever — and a predicated scan of an N-group file would otherwise
+    * parse the same footer once per row-group split just to build its
+    * parquet filter (2N parses per file per filtered scan — r17 review).
+    * Bounded by wholesale clear (no LRU bookkeeping on the hot path).
+    */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (MessageType, Long)]()
+
   private[sources] def footer(abs: Path): (MessageType, Long) = {
+    val k = abs.toString
+    val cached = footerCache.get(k)
+    if (cached != null) return cached
     val in = HadoopInputFile.fromPath(
       new HPath(abs.toUri), new Configuration())
     val r = ParquetFileReader.open(in)
     try {
       val md = r.getFooter
-      (md.getFileMetaData.getSchema,
+      val out = (md.getFileMetaData.getSchema,
         md.getBlocks.asScala.map(_.getRowCount).sum)
+      if (footerCache.size > 8192) footerCache.clear()
+      footerCache.put(k, out)
+      out
     } finally r.close()
   }
 
@@ -486,11 +503,15 @@ final class VlogScanBuilder(dir: String, asOf: Option[Long],
         if (nn.nonEmpty && ls.length == nn.length) {
           // integral/temporal IN: the value-set envelope prunes FILES
           // through the log stats, the exact point set prunes ROW
-          // GROUPS through parquet stats + blooms
+          // GROUPS through parquet stats + blooms. Oversized sets keep
+          // only the envelope (VlogFilters.MaxPointValues — the point
+          // set rides every task's serialization)
           note(c, ls.min, ls.max)
-          points :+= VlogPointPred(c, ls.toSeq, Seq.empty)
+          if (ls.length <= VlogFilters.MaxPointValues)
+            points :+= VlogPointPred(c, ls.toSeq, Seq.empty)
           true
-        } else if (nn.nonEmpty && nn.forall(_.isInstanceOf[String])) {
+        } else if (nn.nonEmpty && nn.forall(_.isInstanceOf[String]) &&
+            nn.length <= VlogFilters.MaxPointValues) {
           points :+= VlogPointPred(c, Seq.empty,
             nn.toSeq.map(_.asInstanceOf[String]))
           true
@@ -593,8 +614,12 @@ final class VlogScan(dir: String, asOf: Option[Long], required: StructType,
         val ls = nn.flatMap(v => VlogTable.statLong(v))
         if (nn.nonEmpty && ls.length == nn.length) {
           narrow(c, ls.min, ls.max)
-          rtPoints :+= VlogPointPred(c, ls.toSeq, Seq.empty)
-        } else if (nn.nonEmpty && nn.forall(_.isInstanceOf[String]))
+          // a broadcast dim can deliver 100k+ keys — over the cap the
+          // envelope alone prunes (task serialization carries the set)
+          if (ls.length <= VlogFilters.MaxPointValues)
+            rtPoints :+= VlogPointPred(c, ls.toSeq, Seq.empty)
+        } else if (nn.nonEmpty && nn.forall(_.isInstanceOf[String]) &&
+            nn.length <= VlogFilters.MaxPointValues)
           rtPoints :+= VlogPointPred(c, Seq.empty,
             nn.toSeq.map(_.asInstanceOf[String]))
       case EqualTo(c, v) =>
@@ -1277,7 +1302,15 @@ class VlogCatalog
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     Files.createDirectories(dir)
-    VersionedTable.createEmpty(ident.name(), schema)
+    // the pre-check above is a fast path only; the v0 commit inside
+    // createEmpty is the real uniqueness arbiter (two concurrent
+    // CREATEs race on the v0 link — exactly one wins; r17 review)
+    try VersionedTable.createEmpty(ident.name(), schema)
+    catch {
+      case _: VersionedTable.VlogTableExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+    }
     new VlogTable(ident.name(), None, maxFilesPerBatch, 0L)
   }
 

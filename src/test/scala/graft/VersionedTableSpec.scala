@@ -1239,6 +1239,39 @@ class VersionedTableSpec extends AnyFunSuite {
       s"zorder rewrite must stat both keys, got $stats")
   }
 
+  test("concurrent CREATE TABLE races resolve to exactly one winner") {
+    mountCatalog()
+    val dir = s"${Files.createTempDirectory("graft-ddl-race")}/t"
+    import java.util.concurrent._
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    def attempt(schema: String): Future[Boolean] =
+      pool.submit(new Callable[Boolean] {
+        def call(): Boolean = {
+          gate.await()
+          try {
+            spark.sql(s"CREATE TABLE graft_vlog.`$dir` ($schema)"); true
+          } catch { case _: Throwable => false }
+        }
+      })
+    val a = attempt("id BIGINT")
+    val b = attempt("name STRING")
+    gate.countDown()
+    val wins = Seq(a, b).map(_.get()).count(identity)
+    pool.shutdown()
+    // the catalog's existence pre-check is a fast path both racers can
+    // pass; the v0 commit link is the arbiter — exactly one CREATE may
+    // report success, and only the winner's schema exists (both
+    // "succeeding" would silently union two declared schemas)
+    assert(wins === 1, s"$wins CREATE TABLEs claimed success")
+    assert(VersionedTable.currentVersion(dir) === 0L,
+      "the losing CREATE landed a commit")
+    val cols = spark.read.format("graft-vlog").option("path", dir)
+      .load().columns.toSet
+    assert(cols === Set("id") || cols === Set("name"),
+      s"schemas unioned: $cols")
+  }
+
   test("runtime filtering prunes fact files on the join's key values") {
     import graft.sources.VlogScanBuilder
     val dir = freshDir()
@@ -1432,6 +1465,16 @@ class VersionedTableSpec extends AnyFunSuite {
       assert(got === truth(w), s"point-lookup mismatch for [$w]")
       assert(got.nonEmpty, s"vacuous probe [$w]")
     }
+    // an IN past the point-value cap records only its envelope (the
+    // point set would ride every task's serialization) — still exact
+    val bigIn = (0L until 6000L).map(_ * 2)
+    val capGot = spark.read.format("graft-vlog").option("path", dir).load()
+      .filter(col("k").isInCollection(bigIn))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capWant = rows.filter(col("k").isInCollection(bigIn))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capGot === capWant && capGot.size === 4000,
+      "capped IN lost exactness")
     // the plan advertises the pushed point conjuncts
     val plan = spark.sql(
       s"SELECT id FROM graft_vlog.`$dir` WHERE k IN (7, 9)")
