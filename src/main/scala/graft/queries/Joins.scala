@@ -236,6 +236,9 @@ object Joins {
         val o = Tables.orders(s, d).select(
           col("o_orderkey"),
           datediff(col("o_orderdate").cast("date"), epoch).as("o_day"))
+        // NOT spread: measured 2.12→3.47 s with the parallelism floor —
+        // the per-day partial aggregate collapses 600k rows to ~2.5k
+        // in-task, so the extra exchange moves more than it parallelizes
         val lByDay = Tables.lineitem(s, d)
           .select(datediff(col("l_shipdate").cast("date"), epoch)
             .as("l_day"), col("l_quantity"))

@@ -351,7 +351,7 @@ object LlmOps {
     // lineage-truncated: the gram table feeds both inverted-index join
     // sides AND the per-doc sizes — without truncation the tokenize +
     // explode re-executes per reference (4 fact scans, plan-verified)
-    val ng = truncateLineage(Tables.documents(s, d)
+    val ng = truncateLineage(Tables.documentsSpread(s, d)
       .filter(col("lang") === "en")
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(
@@ -456,7 +456,11 @@ object LlmOps {
     */
   private def shingleBands(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    buildNeardupIndex(Tables.documents(s, d))
+    // parallelism-floored read (Tables.spread): the shingle+MinHash map is
+    // the most compute-heavy scan stage in the repo — measured 2.0 s in
+    // ONE row-bearing task on this round's single-row-group layout,
+    // j2 4.17→1.07 s with the floor
+    buildNeardupIndex(Tables.documentsSpread(s, d))
 
   /** The j2 pipeline up to verified pairs: shingles → fused MinHash
     * signature → banded candidates → exact-Jaccard verify ≥ 0.9.
@@ -945,7 +949,7 @@ object LlmOps {
     */
   private[graft] def bpeSym1(s: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame = {
-    val vocab = Tables.documents(s, d)
+    val vocab = Tables.documentsSpread(s, d)
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("wcount"))
     vocab.select(col("word"), col("wcount"),
@@ -1387,7 +1391,7 @@ object LlmOps {
         // evaluated per-row per-expression (up to 63 hashes/row) unless
         // codegen happens to eliminate the common subexpressions; hoisting
         // guarantees 2 hashes/row on the most hash-bound query in the repo
-        val tok = Tables.documents(s, d)
+        val tok = Tables.documentsSpread(s, d)
           .select(col("doc_id"),
             explode(array_distinct(split(col("text"), " "))).as("tok"))
           .select(col("doc_id"), md5(col("tok")).as("h1"),
@@ -1613,7 +1617,7 @@ object LlmOps {
     Q("j11_cosine_neardup",
       (s, d) => {
         DotProduct.register(s)
-        val e = Tables.embeddings(s, d)
+        val e = Tables.embeddingsSpread(s, d)
         // band machinery lives in operators.CosineBands (parameterized —
         // the corpus-scale wide-band variant is law-tested there); this
         // query instantiates (r=4, b=8) per the saturation note above
@@ -1882,7 +1886,7 @@ object LlmOps {
         // the profile branch's map-side partial aggregation makes its
         // shuffle nearly free, so the "saved" explode costs less than the
         // materialize-and-reread. Cheap-to-recompute lineage stays lineage.
-        val tris = Tables.documents(s, d)
+        val tris = Tables.documentsSpread(s, d)
           .filter(length(col("text")) >= 3)
           .select(col("doc_id"), col("lang"), explode(expr(
             """transform(sequence(1, length(text) - 2),
@@ -1952,7 +1956,7 @@ object LlmOps {
     // (boilerplate/header detection). One shuffle on the chunk key; output
     // keyed by md5 so row width stays constant regardless of chunk length.
     Q("j17_chunk_dedup",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.documentsSpread(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 10)
         .select(col("doc_id"), explode(expr(
@@ -2335,14 +2339,16 @@ object LlmOps {
         // j43 is the designed fallback: same probe as a fixed-memory
         // bloom filter with one-sided error.
         val evalG = truncateLineage(
-          docGrams8(Tables.documents(s, d).filter(col("doc_id") % 20 === 0))
+          docGrams8(Tables.documentsSpread(s, d)
+            .filter(col("doc_id") % 20 === 0))
             .select("g8").distinct())
           .withColumn("hit", lit(true))
         // one pass over the training grams: the broadcast LEFT probe tags
         // hits (evalG is distinct on g8, so no row multiplication) and a
         // single keyed aggregate yields total + hit counts together — no
         // totals/hits diamond, no second aggregate-and-rejoin
-        docGrams8(Tables.documents(s, d).filter(col("doc_id") % 20 =!= 0))
+        docGrams8(Tables.documentsSpread(s, d)
+          .filter(col("doc_id") % 20 =!= 0))
           .join(broadcast(evalG), Seq("g8"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_g8"), count(col("hit")).as("n_hit"))
@@ -2376,7 +2382,7 @@ object LlmOps {
     // Docs under 3 tokens have no trigram and are filtered (sequence(1, n)
     // DESCENDS for n < 1 — same guard as j29's 8-grams).
     Q("j31_dup_ngram_ratio",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.documentsSpread(s, d)
         .withColumn("t", split(col("text"), " "))
         .filter(size(col("t")) >= 3)
         .withColumn("g3", expr(
@@ -2886,7 +2892,8 @@ object LlmOps {
     // division both engines compute identically) + the match count.
     Q("j40_incremental_neardup",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // spread: both halves pay the shingle+MinHash map (j40 2.99→1.12 s)
+        val docs = Tables.documentsSpread(s, d)
         val index = buildNeardupIndex(docs.filter(col("doc_id") % 10 =!= 0))
         probeNeardupIndex(docs.filter(col("doc_id") % 10 === 0), index)
       },
@@ -3067,7 +3074,8 @@ object LlmOps {
         // joins below broadcast the same tiny tables instead of
         // re-running the explode+distinct per join
         val evalG = truncateLineage(
-          docGrams8(Tables.documents(s, d).filter(col("doc_id") % 20 === 0))
+          docGrams8(Tables.documentsSpread(s, d)
+            .filter(col("doc_id") % 20 === 0))
             .select("g8").distinct())
         val bits = truncateLineage(evalG
           .select(explode(array(posCol(0), posCol(1), posCol(2))).as("pos"))
@@ -3084,7 +3092,7 @@ object LlmOps {
         // the 3 positions into rows and re-grouped them on (doc_id, gram),
         // a 3×-corpus-wide shuffle.
         val probed = (0 until 3).foldLeft(
-          docGrams8(Tables.documents(s, d)
+          docGrams8(Tables.documentsSpread(s, d)
             .filter(col("doc_id") % 20 =!= 0))) { (df, i) =>
           df.join(broadcast(bits.select(col("pos").as(s"q$i"),
               col("set").as(s"s$i"))),
@@ -3534,7 +3542,7 @@ object LlmOps {
         val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
         val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
         val phone = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
-        Tables.documents(s, d)
+        Tables.documentsSpread(s, d)
           .withColumn("aug", concat(col("text"),
             lit(" contact doc"), col("doc_id").cast("string"),
             lit("@example.com from 10.0."),
@@ -3599,7 +3607,7 @@ object LlmOps {
     Q("j53_semantic_dedup",
       (s, d) => {
         DotProduct.register(s)
-        val e = Tables.embeddings(s, d)
+        val e = Tables.embeddingsSpread(s, d)
         val cents = e.filter(col("vec_id") < 16)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
         val wAssign = Window.partitionBy("vec_id")
@@ -4033,7 +4041,7 @@ object LlmOps {
         val K = 128
         val M = 4294967296L // 16^8: the hashed value space
         // element universe = j57's: distinct 10-token chunk hashes/source
-        val hs = Tables.documents(s, d)
+        val hs = Tables.documentsSpread(s, d)
           .withColumn("toks", split(col("text"), " "))
           .select(col("source"), explode(expr(
             """transform(sequence(0, cast((size(toks) + 9) div 10 as int) - 1),
@@ -4173,7 +4181,7 @@ object LlmOps {
       (s, d) => {
         import graft.operators.IvfKMeans
         val K = 8; val ITERS = 3; val SAMPLE = 256; val TOPK = 10
-        val e = Tables.embeddings(s, d)
+        val e = Tables.embeddingsSpread(s, d)
         val (seedC, learnedC) = IvfKMeans.trainExact(e, K, ITERS, SAMPLE)
         val qe = truncateLineage(IvfKMeans.quantize(e))
         val aF = truncateLineage(
@@ -4344,7 +4352,7 @@ object LlmOps {
     // j66_substring_dedup_capped; this uncapped form stays the
     // exact-recall baseline.
     Q("j62_substring_dedup",
-      (s, d) => substringSpans(Tables.documents(s, d), dfCap = None),
+      (s, d) => substringSpans(Tables.documentsSpread(s, d), dfCap = None),
       Some("""WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
               g AS (
@@ -4600,7 +4608,8 @@ object LlmOps {
     // DuckDB replays the cap exactly — it is
     // one HAVING on the gram CTE — so the knob itself is hash-checked.
     Q("j66_substring_dedup_capped",
-      (s, d) => substringSpans(Tables.documents(s, d), dfCap = Some(2L)),
+      (s, d) => substringSpans(Tables.documentsSpread(s, d),
+        dfCap = Some(2L)),
       Some("""WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS t FROM documents),
               g0 AS (
@@ -4652,7 +4661,8 @@ object LlmOps {
     // fixed point so DuckDB replays both half argmins bit-for-bit.
     Q("j67_imi_cells",
       (s, d) => {
-        val qe = graft.operators.IvfKMeans.quantize(Tables.embeddings(s, d))
+        val qe = graft.operators.IvfKMeans.quantize(
+          Tables.embeddingsSpread(s, d))
         graft.operators.IvfKMeans.imiAssign(qe, kHalf = 4)
           .orderBy("vec_id")
       },
@@ -4805,7 +4815,7 @@ object LlmOps {
         val (_, sym4) = bpeRound(truncateLineage(sym3))
         val enc = sym4.groupBy("word")
           .agg(count(lit(1)).cast("long").as("n_tok"))
-        val docWords = Tables.documents(s, d)
+        val docWords = Tables.documentsSpread(s, d)
           .select(col("doc_id"),
             explode(split(col("text"), " ")).as("word"))
           .filter(length(col("word")) >= 1)
@@ -4853,7 +4863,7 @@ object LlmOps {
       (s, d) => {
         DotProduct.register(s)
         graft.functions.SquaredDistance.register(s)
-        val e = Tables.embeddings(s, d)
+        val e = Tables.embeddingsSpread(s, d)
         val cells = truncateLineage(graft.operators.IvfKMeans
           .imiAssign(graft.operators.IvfKMeans.quantize(e), kHalf = 4)
           .select("vec_id", "cell"))
@@ -5074,7 +5084,7 @@ object LlmOps {
     Q("j73_random_projection",
       (s, d) => {
         val qe = truncateLineage(graft.operators.IvfKMeans.quantize(
-          Tables.embeddings(s, d)))
+          Tables.embeddingsSpread(s, d)))
         val m = truncateLineage(s.range(0, 16).toDF("j")
           .withColumn("srow", expr(
             """transform(sequence(1, 64), i ->
@@ -5375,7 +5385,7 @@ object LlmOps {
     // signal.
     Q("j77_bigram_lm_score",
       (s, d) => {
-        val toks = Tables.documents(s, d)
+        val toks = Tables.documentsSpread(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
           .filter(size(col("t")) >= 2)
         val bg = toks.select(col("doc_id"), explode(expr(
@@ -5650,7 +5660,7 @@ object LlmOps {
     // never an all-pairs scan. Containment = shared·1e6 div min(|fp|)
     // (exact integer both engines).
     Q("j81_winnow_neardup",
-      (s, d) => winnowPairs(s, Tables.documents(s, d), cap = 64L),
+      (s, d) => winnowPairs(s, Tables.documentsSpread(s, d), cap = 64L),
       Some {
         val K = 8; val W = 4
         val B = 257L; val M = 1000000007L
@@ -5916,7 +5926,7 @@ object LlmOps {
     // collection-sized per probe.
     Q("j85_trigram_backoff",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.documentsSpread(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("t"))
         val train = docs.filter(col("doc_id") % 10 =!= 0)
         def trigrams(df: org.apache.spark.sql.DataFrame) =
@@ -6374,7 +6384,7 @@ object LlmOps {
         // before the shuffle; the shingling is j91's docTrigrams seam
         // (one definition, two surfaces — the qiTuples discipline)
         val cntDg = truncateLineage(docTrigrams(
-          Tables.documents(s, d)
+          Tables.documentsSpread(s, d)
             .select(col("doc_id"), split(col("text"), " ").as("ts")))
           .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt")))
         // first-occurrence + its in-doc count in ONE min-struct aggregate

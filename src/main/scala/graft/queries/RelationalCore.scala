@@ -607,7 +607,7 @@ object RelationalCore {
                        l_discount""")),
 
     Q("b2_project_expr",
-      (s, d) => Tables.lineitem(s, d)
+      (s, d) => Tables.lineitemSpread(s, d)
         .withColumn("revenue_cents",
           Q.cents(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .withColumn("price_band",
@@ -804,9 +804,11 @@ object RelationalCore {
 
     // Seeded Bernoulli sample — deterministic within Spark (fixed seed) but
     // RNG-incompatible with DuckDB, so no SQL oracle; the driver's
-    // rows-only check still pins the row count.
+    // rows-only check still pins the row count. Reads RAW (no parallelism
+    // floor): the per-partition RNG makes the sampled set a function of the
+    // input partitioning, so Tables.spread under it would change the rows.
     Q("f2_sample",
-      (s, d) => Tables.orders(s, d)
+      (s, d) => Tables.raw(s, d, "orders")
         .sample(withReplacement = false, fraction = 0.1, seed = 42L)
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey"),
@@ -817,9 +819,10 @@ object RelationalCore {
     // rare ones whole. Seeded Bernoulli per stratum (sampleBy), so
     // deterministic within Spark but RNG-incompatible with the oracle
     // engine → rows-only check, like f2; the per-stratum proportions are
-    // law-tested in QueriesSpec.
+    // law-tested in QueriesSpec. Raw read — same partition-sensitivity
+    // note as f2.
     Q("f3_stratified_sample",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.raw(s, d, "documents")
         .stat.sampleBy("lang",
           Map("en" -> 0.5, "de" -> 0.5, "fr" -> 1.0, "es" -> 1.0,
             "zh" -> 1.0),

@@ -65,7 +65,9 @@ object Scalars {
               FROM orders ORDER BY o_orderkey""")),
 
     Q("h3_math_fns",
-      (s, d) => Tables.lineitem(s, d)
+      // spread: 13 math kernels per row over the full fact table — the
+      // projection itself is the cost (h3 4.18→1.59 s with the floor)
+      (s, d) => Tables.lineitemSpread(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
           round(col("l_extendedprice"), 1).as("price_r1"),
           ceil(col("l_extendedprice")).as("price_ceil"),
@@ -338,7 +340,8 @@ object Scalars {
               FROM events ORDER BY event_id""")),
 
     Q("h6_json_fns",
-      (s, d) => Tables.events(s, d)
+      // spread: two JSON parses per row dominate (h6 2.27→0.68 s floored)
+      (s, d) => Tables.eventsSpread(s, d)
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast(LongType).as("k_path"),
           from_json(col("props"), StructType.fromDDL("k BIGINT"))

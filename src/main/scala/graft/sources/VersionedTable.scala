@@ -605,10 +605,43 @@ object VersionedTable {
       "appendZOrdered stages through a temporary __z column — rename " +
         "the input's __z first (it would be silently destroyed)")
     val bits = zBitsPerKey(keys.size)
-    val clustered = df.withColumn("__z", zValueK(keys.map(col)))
-      .repartitionByRange(buckets, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    val withZ = df.withColumn("__z", zValueK(keys.map(col)))
+    // Deterministic equi-width z-buckets instead of a sampled range
+    // exchange (r17): RangePartitioner draws its boundaries with a
+    // per-RDD-id seed, so the SAME ingest could publish a different file
+    // layout run-to-run — boundaries that straddle a z-octant edge widen
+    // that file's per-key envelope and pruning quality silently varies
+    // with the seed (the suite's pruning pin flipped with mere test
+    // ordering). Value-derived boundaries make the layout a pure function
+    // of the data: bucket = (z − lo) / ceil-width over the batch's own
+    // [lo, hi], rows routed by an identity partitioner (no sampling
+    // anywhere). Every file's z-range is disjoint by construction —
+    // pruning-optimal; file SIZES track z-density, and compact /
+    // OPTIMIZE ZORDER rebalance a z-skewed ingest (the
+    // PrefixScan.tagEquiWidth trade, applied to a writer). The (lo, hi)
+    // lookup is a one-row driver action — metadata-sized, same pass
+    // count as the sampler it replaces.
+    val bounds = withZ.agg(min(col("__z")), max(col("__z"))).head()
+    val clustered =
+      if (bounds.isNullAt(0)) withZ.drop("__z") // empty batch
+      else {
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val width = math.max(1L, (hi - lo) / buckets + 1L)
+        val spark = df.sparkSession
+        val schema = withZ.schema
+        val zIdx = schema.fieldIndex("__z")
+        val parted = withZ.rdd
+          .map(r => ((r.getLong(zIdx) - lo) / width, r))
+          .partitionBy(new org.apache.spark.Partitioner {
+            override def numPartitions: Int = buckets
+            override def getPartition(key: Any): Int =
+              key.asInstanceOf[Long].toInt
+          })
+          .map(_._2)
+        spark.createDataFrame(parted, schema)
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      }
     val lines = stageWithStats(clustered, dir, keys)
     // the interleave's domain is [0, 2^(64/k)) per key: out-of-range
     // values wrap through the low-bits mask (and a high bit can land in

@@ -108,9 +108,14 @@ class PlanSpec extends AnyFunSuite {
   test("j31 repetition scoring is map-only: no exchange except the output sort") {
     val df = SparkEntry.queries("j31_dup_ngram_ratio")(spark, d)
     val exchanges = graft.layout.Layout.countExchanges(df)
-    // all the trigram/dup math is per-row array work — the single exchange
-    // is the rangepartitioning for the deterministic ORDER BY
-    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+    // all the trigram/dup math is per-row array work — the two exchanges
+    // are the Tables.spread parallelism floor (round-robin, fires on this
+    // single-row-group fixture; a no-op on real multi-file tables) and
+    // the rangepartitioning for the deterministic ORDER BY. No KEYED
+    // exchange may appear: the dup math itself must never shuffle.
+    assert(exchanges <= 2, s"expected ≤2 exchanges, got $exchanges")
+    assert(!staticPlan("j31_dup_ngram_ratio").contains("hashpartitioning"),
+      "per-row dup math must not introduce a keyed exchange")
     assertScanCount("j31_dup_ngram_ratio", "documents", 1)
   }
 
@@ -550,9 +555,10 @@ class PlanSpec extends AnyFunSuite {
     val df = SparkEntry.queries("j29_decontaminate")(spark, d)
     // single keyed aggregate computes totals AND hits off the broadcast
     // probe — no totals/hits diamond, so exactly the doc_id agg exchange
-    // + the output sort
+    // + the output sort + the Tables.spread parallelism floor on the
+    // training scan (round-robin; no-op on real multi-file tables)
     val exchanges = graft.layout.Layout.countExchanges(df)
-    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges")
+    assert(exchanges <= 3, s"expected ≤3 exchanges, got $exchanges")
   }
 
   test("m16/m19 materialize the keyed aggregate once for the global-stat branch") {
@@ -612,7 +618,10 @@ class PlanSpec extends AnyFunSuite {
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
     assert(nBroadcast == 4, s"expected 4 broadcast joins, got $nBroadcast")
     val exchanges = graft.layout.Layout.countExchanges(df)
-    assert(exchanges <= 2,
+    // ≤3: per-doc agg + output sort + the Tables.spread parallelism floor
+    // on the training scan; the gram stream itself still never shuffles
+    // (no keyed exchange below the aggregate — the broadcast pins above)
+    assert(exchanges <= 3,
       s"training stream must not shuffle before the per-doc agg " +
         s"(got $exchanges exchanges)")
   }
