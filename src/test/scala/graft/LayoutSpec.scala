@@ -340,6 +340,40 @@ class LayoutSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("'a'"), e2.getMessage)
   }
 
+  test("Tables.spread floors parallelism on single-row-group files and " +
+      "no-ops on multi-file inputs") {
+    import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    // the driver tables are one file / one row group: documents at sf0.01
+    // (500 rows ≥ 64·p at the 4-thread test session) must come back
+    // floored to exactly the session parallelism
+    val floored = Tables.documentsSpread(spark, TestSpark.Sf001)
+    assert(floored.rdd.getNumPartitions == p,
+      s"expected $p partitions, got ${floored.rdd.getNumPartitions}")
+    // row floor: sf0.001 supplier (10 rows < 64·p) stays the raw scan —
+    // the floor must never add an exchange a tiny table can't amortize
+    val tinyRaw = Tables.supplier(spark, TestSpark.Sf0001)
+    val tiny = Tables.spread(spark, tinyRaw,
+      s"${TestSpark.Sf0001}/supplier.parquet")
+    assert(tiny eq tinyRaw,
+      "row floor failed: tiny table was repartitioned")
+    // unit floor: a directory with ≥ p files is already parallel — spread
+    // must be the identity (no exchange), proving the 100 TB no-op claim
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-spread").toString + "/t.parquet"
+    spark.range(0L, 64L * p * 4).toDF("id")
+      .repartition(p * 2).write.parquet(dir)
+    val multi = spark.read.parquet(dir)
+    val spreadMulti = Tables.spread(spark, multi, dir)
+    assert(spreadMulti eq multi,
+      "spread repartitioned an input whose file count already covers " +
+        "the session parallelism")
+    // and results are identical either way (the floor is pure layout)
+    assert(floored.orderBy("doc_id").collect().toSeq ==
+      Tables.documents(spark, TestSpark.Sf001).orderBy("doc_id")
+        .collect().toSeq)
+  }
+
   private def bytesOf(dir: String): Long =
     new java.io.File(dir).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))

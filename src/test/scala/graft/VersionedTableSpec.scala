@@ -327,6 +327,34 @@ class VersionedTableSpec extends AnyFunSuite {
       .columns.toSet == Set("id", "payload"))
   }
 
+  test("z-order layout is deterministic: same ingest publishes the same " +
+      "file boundaries") {
+    // r17: stageZOrdered routes rows through value-derived equi-width
+    // z-buckets (identity partitioner), replacing the sampled range
+    // exchange whose RangePartitioner seed made the SAME ingest publish
+    // different layouts run to run (observed: the 3-key pruning pin below
+    // flipped with mere suite ordering). Two independent ingests of the
+    // same data must now agree file-for-file on count and on every
+    // pruning decision.
+    val pts = spark.range(16384L)
+      .select((col("id") % 128).as("x"), expr("id DIV 128").as("y"))
+    val d1 = freshDir(); val d2 = freshDir()
+    VersionedTable.appendZOrdered(pts, d1, "x", "y", buckets = 16)
+    VersionedTable.appendZOrdered(pts, d2, "x", "y", buckets = 16)
+    assert(VersionedTable.liveFiles(d1).size ==
+      VersionedTable.liveFiles(d2).size)
+    for {
+      k <- Seq("x", "y")
+      (lo, hi) <- Seq((0L, 15L), (16L, 47L), (48L, 127L), (31L, 32L))
+    } {
+      val (k1, s1) = VersionedTable.pruneFiles(d1, k, lo, hi)
+      val (k2, s2) = VersionedTable.pruneFiles(d2, k, lo, hi)
+      assert(k1.size == k2.size && s1.size == s2.size,
+        s"layout diverged on $k∈[$lo,$hi]: " +
+          s"${k1.size}/${s1.size} vs ${k2.size}/${s2.size}")
+    }
+  }
+
   test("3-key Z-order prunes on every axis; domain guard scales with k") {
     // 32³ points in a cube; a 3-way interleave budgets 21 bits per key
     val pts = spark.range(32768L).select(
